@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance/similarity expressions composed from Spark builtins.
+  *
+  * Semantics follow the reference engine (SURVEY.md §2A):
+  *   - distances are SQUARED L2, accumulated coordinate-wise in index order
+  *     (reference `include/pktree.hpp:995-997`); callers apply sqrt for
+  *     presentation only.
+  *   - range search uses the INCLUSIVE boundary `dist² <= r²`
+  *     (reference `include/pktree.hpp:1121`).
+  *
+  * All functions here compose `org.apache.spark.sql.functions` higher-order
+  * array functions, so they stay inside whole-stage codegen — no UDFs, no
+  * serialization boundary. A custom Catalyst Expression (graft.functions
+  * .SqDist) is the optimized hot path; these builtin forms are the oracle.
+  */
+object VectorFunctions {
+
+  /** Cast an array column to array<double> for stable math (inputs may be
+    * array<float>, e.g. the embeddings fixture). */
+  def toDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Squared L2 distance, left-to-right fold: SUM_i (a_i - b_i)^2.
+    * Deterministic evaluation order — matches the DuckDB oracle's
+    * list_sum(list_transform(list_zip(...))) form element-for-element. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Dot product, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def sqNorm(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity: dot / (|a| * |b|). NaN-free: returns 0.0 when either
+    * norm is zero (degenerate vectors). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(sqNorm(a)) * sqrt(sqNorm(b))
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Inclusive ball predicate: dist²(a,b) <= r² (reference semantics). */
+  def inRange(a: Column, b: Column, r: Column): Column =
+    sqDist(a, b) <= r * r
+
+  /** Dimension check used at ingest (SURVEY §1.1: dim is a schema-level
+    * invariant). */
+  def dimCheck(a: Column, dim: Int): Column = size(a) === dim
+}
