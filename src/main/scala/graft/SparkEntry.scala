@@ -169,6 +169,86 @@ object SparkEntry {
       .orderBy(col("wstart"), col("event_type"))
 
   // ===========================================================================
+  // North-star extension queries: text analysis, dedup, similarity (§2B)
+  // ===========================================================================
+
+  /** Q15 — per-document quality features (text analysis). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("punct_ratio"), col("stop_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Q16 — language-ID heuristic vs labeled lang (confusion counts). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("pred", operators.TextAnalysis.langId(t(s, dir, "documents")))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  /** Q17 — BPE-ish regex token count per document. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  /** Q18 — canonical-form fingerprint (rolling-hash analog, md5-based). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Q19 — word-3-gram Jaccard near-dup pairs (threshold 0.5). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy(col("a"), col("b"))
+
+  /** Q20 — MinHash-LSH candidate pairs (k=16 hashes, 4 bands of 4; band
+    * collision probability ≈ J⁴ per band, so random pairs almost never
+    * collide while the planted J≈0.97 near-dups almost surely do). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.minhashCandidates(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, rowsPerBand = 4)
+      .orderBy(col("a"), col("b"))
+
+  /** Q21 — 16-bit SimHash signature per document. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Q22 — embedding near-dup pairs, blocked by label (sqDist <= 1.5). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", maxSqDist = 1.5)
+      .orderBy(col("a"), col("b"))
+
+  /** Q23 — brute-force cosine top-5 for 5 queries (ANN baseline). */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Search.cosineTopK(e, "embedding", "vec_id", q, "embedding", "qid", k = 5)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Q24 — multimodal binary-column plumbing: text → opaque binary blob +
+    * typed metadata (byte length, content fingerprint). The decode /
+    * feature-extract stage for real image/audio blobs is
+    * graft.operators.Multimodal (deterministic stub decoder). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        expr("octet_length(blob)").cast("long").as("n_bytes"),
+        md5(col("blob")).as("blob_fp"))
+      .orderBy(col("doc_id"))
+
+  // ===========================================================================
   // Registry
   // ===========================================================================
 
@@ -187,6 +267,16 @@ object SparkEntry {
     "q12_date" -> (q12 _),
     "q13_sort_limit" -> (q13 _),
     "q14_events_window" -> (q14 _),
+    "q15_text_quality" -> (q15 _),
+    "q16_lang_id" -> (q16 _),
+    "q17_token_count" -> (q17 _),
+    "q18_fingerprint" -> (q18 _),
+    "q19_ngram_jaccard" -> (q19 _),
+    "q20_minhash_lsh" -> (q20 _),
+    "q21_simhash" -> (q21 _),
+    "q22_embed_neardup" -> (q22 _),
+    "q23_ann_cosine" -> (q23 _),
+    "q24_multimodal" -> (q24 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -195,6 +285,31 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * " +
       "(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))))"
+
+  /** Dot-product DuckDB fragment, same fold as VectorFunctions.dot. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+
+  private val duckStopwords =
+    operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB mirrors of the generated MinHash / SimHash expressions. */
+  private val duckMinhashSig: String = {
+    val mins = (0 until 16).map(i =>
+      s"min(substr(md5(shingle || '#$i'), 1, 8)) AS mh$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+  private val duckMinhashBands = (0 until 4).map { b =>
+    val v = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ")
+    if (b == 0) s"SELECT doc_id, 0 AS band_idx, $v AS band_val FROM sig"
+    else s"UNION ALL SELECT doc_id, $b, $v FROM sig"
+  }.mkString("\n  ")
+  private val duckSimhashVotes = (0 until 16).map(j =>
+    s"sum(ascii(substr(md5(tok), ${j + 1}, 1)) % 2 * 2 - 1) AS v$j")
+    .mkString(", ")
+  private val duckSimhashBits = (0 until 16).map(j =>
+    s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q1_filter" ->
@@ -266,5 +381,95 @@ object SparkEntry {
         |       event_type, count(*) AS n, ROUND(sum(value), 6) AS sum_value
         |FROM events GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+    "q15_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |  ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |        / greatest(length(text), 1), 6) AS punct_ratio,
+         |  ROUND(len(list_filter(string_split(lower(text), ' '),
+         |            t -> t IN ($duckStopwords)))
+         |        / greatest(len(string_split(lower(text), ' ')), 1), 6) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_lang_id" ->
+      """SELECT lang, pred, count(*) AS n FROM (
+        |  SELECT lang, CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN contains(' '||text||' ', ' der ') OR contains(' '||text||' ', ' und ')
+        |      OR contains(' '||text||' ', ' das ') OR contains(text, 'ü') THEN 'de'
+        |    WHEN contains(text, 'ñ') OR contains(' '||text||' ', ' el ')
+        |      OR contains(' '||text||' ', ' los ') OR contains(' '||text||' ', ' es ') THEN 'es'
+        |    WHEN contains(' '||text||' ', ' le ') OR contains(' '||text||' ', ' les ')
+        |      OR contains(' '||text||' ', ' et ') OR contains(text, 'è') THEN 'fr'
+        |    ELSE 'en' END AS pred
+        |  FROM documents)
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    "q17_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, ROUND(c / (za.n + zb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "q20_minhash_lsh" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |       FROM t0 WHERE len(t) >= 3),
+         |sig AS ($duckMinhashSig),
+         |bands AS (
+         |  $duckMinhashBands)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM bands l JOIN bands r
+         |  ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         | AND l.doc_id < r.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "q21_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |                unnest(string_split(text, ' ')) AS tok FROM documents),
+         |v AS (SELECT doc_id, $duckSimhashVotes FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($duckSimhashBits AS BIGINT) AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q22_embed_neardup" ->
+      s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
+         |       ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) AS dist
+         |FROM embeddings e1 JOIN embeddings e2
+         |  ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+         |WHERE ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) <= 1.5
+         |ORDER BY a, b""".stripMargin,
+    "q23_ann_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id <= 4),
+         |d AS (SELECT q.qid, e.vec_id,
+         |        ROUND(${duckDot("e.embedding", "q.qv")} /
+         |          (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+         |           sqrt(${duckDot("q.qv", "q.qv")})), 6) AS sim
+         |      FROM embeddings e, q)
+         |SELECT qid, vec_id, sim, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM d) WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "q24_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS blob_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.sqDist
+
+/** Near-duplicate detection operators for LLM-data pipelines (north-star
+  * surface, SURVEY.md §2B): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-distance near-dup.
+  *
+  * Scale design: every operator is BLOCKED — candidate pairs come from an
+  * equi-join on a blocking key (band hash, shared shingle, label/cluster),
+  * never from a cross join. At 100 TB the shuffle is on the blocking key;
+  * skew in hot keys is handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Exact dedup on a key set: keep the smallest id per duplicate group.
+    * One hash-shuffle on the keys — the only correct-and-cheap exact dedup
+    * at scale (dropDuplicates is the same plan without the winner rule). */
+  def exactByKey(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows.
+    * Documents with fewer than n tokens yield no shingles. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts.
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    docs
+      .filter(size(toks) >= n) // sequence(1,0) would count DOWN in Spark
+      .select(col(idCol), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join: pairs (a, b), a < b, with
+    * |shingles(a) ∩ shingles(b)| / |union| >= minJaccard.
+    * Blocking = the shingle equi-join itself: only documents sharing at
+    * least one shingle are ever paired. Word-3-grams are selective enough
+    * that non-duplicates rarely collide (unlike char-3-grams, which would
+    * pair everything through common trigrams). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns mh0..mh{k-1}: per document, the minimum over
+    * word n-gram shingles of a keyed md5 prefix. Hash family =
+    * md5(shingle + "#" + i) — deterministic, engine-portable (md5 is
+    * identical everywhere), and a fixed-width lowercase-hex prefix so
+    * lexicographic MIN == numeric MIN. Shingles (not unigrams) because the
+    * Jaccard being estimated must be the shingle-set Jaccard: unigram
+    * vocabularies overlap heavily between any two same-language documents.
+    * One groupBy(doc) with k min-aggregates — single shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val aggs = (0 until k).map { i =>
+      min(substring(md5(concat(col("shingle"), lit(s"#$i"))), 1, 8)).as(s"mh$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the k-hash signature into
+    * (k / rowsPerBand) bands; documents agreeing on ANY band are candidates.
+    * The band equi-join is the blocking step: cost is O(collisions), never
+    * O(n²). Returns distinct (a, b), a < b. Verify candidates with
+    * ngramJaccardPairs (or any exact measure) downstream. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, rowsPerBand: Int = 2,
+                        shingleN: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, k, shingleN)
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
+    }
+    val banded = sig.select(col(idCol),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+    val l = banded.select(col(idCol).as("a"), col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("b"), col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Per-document SimHash (nBits <= 16): bit j comes from the sign of the
+    * sum over distinct tokens of ±1, where a token votes +1 on bit j iff
+    * the (j+1)-th hex char of its md5 has odd ASCII code. Engine-portable
+    * (md5 + ascii + arithmetic only) and one groupBy with nBits sums. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              nBits: Int = 16): DataFrame = {
+    require(nBits <= 16, "one hex char per bit: md5 prefix of 16 chars")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until nBits).map { j =>
+      sum(ascii(substring(col("h"), j + 1, 1)) % 2 * 2 - 1).as(s"v$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hash = (0 until nBits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), hash.cast("long").as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking column (cluster id,
+    * LSH bucket, label): pairs with squared L2 <= maxSqDist. The block
+    * equi-join bounds cost to O(sum of block² sizes); at 100 TB blocks come
+    * from a coarse quantizer (GridIndex / IVF), not a full cross join. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, maxSqDist: Double): DataFrame = {
+    val l = df.select(col(blockCol).as("__blk"), col(idCol).as("a"),
+      col(vecCol).as("__va"))
+    val r = df.select(col(blockCol).as("__blk"), col(idCol).as("b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq("__blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", round(sqDist(col("__va"), col("__vb")), 6))
+      .filter(col("dist") <= maxSqDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star surface,
+  * SURVEY.md §2B): quality scoring, language ID, tokenization stats,
+  * document fingerprinting. All pure builtin expressions — fully codegen'd,
+  * no UDFs, trivially parallel (per-row map, no shuffle until the caller
+  * aggregates), so they stream over 100 TB of documents at scan speed.
+  */
+object TextAnalysis {
+
+  /** Stopword list used by the quality score (deliberately tiny and
+    * multilingual; deterministic across engines). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "and", "of", "in", "to", "is",
+    "el", "la", "de", "los", "que",
+    "le", "les", "et", "un", "une",
+    "der", "die", "und", "das")
+
+  private val punctClass = "[.,!?;:]"
+
+  /** Per-document quality features: char count, token count, punctuation
+    * ratio, stopword ratio. Length-0 guards via greatest(_, 1). */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = split(lower(text), " ")
+    val nTok = size(toks)
+    val nPunct = length(text) - length(regexp_replace(text, punctClass, ""))
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    docs
+      .withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("punct_ratio",
+        round(nPunct / greatest(length(text), lit(1)), 6))
+      .withColumn("stop_ratio", round(nStop / greatest(nTok, lit(1)), 6))
+  }
+
+  /** Deterministic rule-based language ID (n-gram/marker heuristic).
+    * Ordered rules over distinctive scripts/words; defaults to "en".
+    * Not a real classifier — the operator contract is determinism and
+    * scan-speed execution; swap the rule table for a trained model's
+    * decision rules in production. */
+  def langId(docs: DataFrame, textCol: String = "text"): Column = {
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    def hasWord(w: String): Column = padded.contains(s" $w ")
+    when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hasWord("der") || hasWord("und") || hasWord("das") ||
+        col(textCol).contains("ü"), "de")
+      .when(col(textCol).contains("ñ") || hasWord("el") || hasWord("los") ||
+        hasWord("es"), "es")
+      .when(hasWord("le") || hasWord("les") || hasWord("et") ||
+        col(textCol).contains("è"), "fr")
+      .otherwise("en")
+  }
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space symbols. Same regex semantics in Java
+    * (Spark) and RE2 (DuckDB) — no \s, \w shorthand (their definitions
+    * differ at the unicode edges). */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCount(textCol: Column): Column =
+    regexp_count(textCol, lit(tokenPattern)).cast("long")
+
+  /** Canonical-form document fingerprint: md5 of lowercased, trimmed,
+    * whitespace-collapsed text. Equal fingerprints = exact near-duplicates
+    * up to case/whitespace; grouping by fp is the scan-speed exact-dedup
+    * key at 100 TB (hash-shuffle on fp, no pairwise compare). */
+  def fingerprint(textCol: Column): Column =
+    md5(lower(trim(regexp_replace(textCol, " +", " "))))
+}
