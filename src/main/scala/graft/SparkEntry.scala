@@ -50,7 +50,7 @@ object SparkEntry {
     val p = t(s, dir, "part")
       .withColumn("vec", array(col("p_retailprice").cast("double"),
         col("p_size").cast("double")))
-    Search.rangeSearch(p, "vec", array(lit(950.0), lit(25.0)), 20.0)
+    Search.rangeSearch(p, "vec", array(lit(910.0), lit(25.0)), 20.0)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       .orderBy(col("p_partkey"))
   }
@@ -249,6 +249,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   // ===========================================================================
+  // Index-pruned search paths (reference R6/R8 pruning, Spark-first).
+  // Same results as the naive paths — their oracles prove pruning is
+  // lossless through the driver's correctness gate.
+  // ===========================================================================
+
+  private def partVec(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").withColumn("vec",
+      array(col("p_retailprice").cast("double"), col("p_size").cast("double")))
+
+  /** Q25 — cell-pruned range search (same oracle as Q3). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fit(p, "vec", dim = 2, cellsPerDim = 8)
+    val indexed = operators.GridIndex.withCellId(p, "vec", spec)
+    operators.GridIndex.rangeSearch(indexed, "vec", spec,
+        Seq(910.0, 25.0), 20.0)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q26 — ring-expansion exact kNN on the 2-D part fixture. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fit(p, "vec", dim = 2, cellsPerDim = 8)
+    val indexed = operators.GridIndex.withCellId(p, "vec", spec)
+    operators.GridIndex.knn(indexed, "vec", "p_partkey", spec,
+        Seq(910.0, 25.0), k = 10)
+      .select(col("p_partkey"), col("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+  }
+
+  /** Q27 — IVF ANN top-10 (approximate; no SQL oracle — rows-only check;
+    * recall vs the exact baseline is asserted in IvfIndexSpec). */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = operators.IvfIndex.fitCentroids(e, "embedding", "vec_id", 16)
+    val index = operators.IvfIndex.assign(e, "embedding", "vec_id", centroids)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    operators.IvfIndex.search(index, "embedding", "vec_id", centroids,
+        q, k = 10, nProbe = 4)
+      .select(col("vec_id"), col("dist"))
+  }
+
+  // ===========================================================================
   // Registry
   // ===========================================================================
 
@@ -277,6 +322,9 @@ object SparkEntry {
     "q22_embed_neardup" -> (q22 _),
     "q23_ann_cosine" -> (q23 _),
     "q24_multimodal" -> (q24 _),
+    "q25_range_pruned" -> (q25 _),
+    "q26_knn_pruned" -> (q26 _),
+    "q27_ann_ivf" -> (q27 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -322,7 +370,7 @@ object SparkEntry {
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "q3_range" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part
-        |WHERE (CAST(p_retailprice AS DOUBLE) - 950.0) * (CAST(p_retailprice AS DOUBLE) - 950.0)
+        |WHERE (CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
         |    + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0) <= 20.0 * 20.0
         |ORDER BY p_partkey""".stripMargin,
     "q4_knn_batch" ->
@@ -471,5 +519,17 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS blob_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_range_pruned" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part
+        |WHERE (CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |    + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0) <= 20.0 * 20.0
+        |ORDER BY p_partkey""".stripMargin,
+    "q26_knn_pruned" ->
+      """SELECT p_partkey,
+        |  ROUND((CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |      + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0), 6) AS dist
+        |FROM part
+        |ORDER BY dist, p_partkey LIMIT 10""".stripMargin,
+    // q27_ann_ivf: approximate by design — no SQL oracle (rows-only check).
   )
 }

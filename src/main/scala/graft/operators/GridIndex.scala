@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.sqDist
+
+/** Distributed translation of the reference PK-tree's grid geometry
+  * (SURVEY.md §1.3, reference include/pktree.hpp:320-408,539-580).
+  *
+  * The tree's recursive grid — cell membership `floor((x_i - O_i) / w_i)`
+  * (include/pktree.hpp:571-573) — survives as a deterministic partitioning /
+  * pruning key; the adaptive pointer tree (split/shrink/grow,
+  * include/pktree.hpp:587-929) does NOT: its distributed analog is simply
+  * choosing the grid level at build time from global statistics.
+  *
+  *   - `fit` = the batch analog of grow_root_to_cover_point
+  *     (include/pktree.hpp:841-929): one global min/max aggregation fixes
+  *     origin and extent up front — no incremental growth needed.
+  *   - `cellId` = is_point_covered_by_node (include/pktree.hpp:539-580) as
+  *     a pure expression: equal cell ids ⇔ co-located at the grid level.
+  *   - `cellsForBall` = the subtree-pruning bound of range search
+  *     (include/pktree.hpp:1161: min-dist-to-box > r² ⇒ skip): a cell whose
+  *     box doesn't intersect the query ball is never scanned.
+  *   - `knn` ring expansion = the branch-and-bound of recursive_add_points
+  *     (include/pktree.hpp:1048-1064): expand the candidate radius until the
+  *     k-th best distance is ≤ the radius — then no unexplored cell can hold
+  *     a closer point, which is exactly the reference's bound argument.
+  *
+  * Scale design: cell_id is the shuffle/sort/partition key. At 100 TB the
+  * index is Parquet sorted by cell_id within coarse partitions — row-group
+  * min/max stats on cell_id give I/O-level pruning for free; the same
+  * `cell_id IN (...)` filter works unchanged. Intended for LOW dimensions
+  * (≤ 4; the reference demo is 2-D). High-dim vectors take the IVF path
+  * (graft.operators.IvfIndex) — a grid is useless at dim 64.
+  */
+object GridIndex {
+
+  /** Immutable grid geometry: origin, per-dim cell width, cells per dim.
+    * Driver-side metadata (a few doubles), broadcast-free. */
+  case class GridSpec(origin: Seq[Double], width: Seq[Double],
+                      cells: Seq[Int]) {
+    require(origin.size == width.size && width.size == cells.size)
+    def dim: Int = origin.size
+    /** Linearized cell index (row-major). */
+    def linearize(cellCoords: Seq[Long]): Long =
+      cellCoords.zip(cells).foldLeft(0L) { case (acc, (c, n)) =>
+        acc * n + math.min(math.max(c, 0), n - 1L)
+      }
+  }
+
+  /** One global min/max aggregation fixes the grid (R16 analog). The +1e-9
+    * pad keeps max-coordinate points inside the last cell. `cellsPerDim`
+    * picks the level: at 100 TB choose it so rows-per-cell ≈ a few row
+    * groups (same job as the PK-tree's K-instantiability bound on fanout,
+    * include/pktree.hpp:587-635, done once at build). */
+  def fit(df: DataFrame, vecCol: String, dim: Int,
+          cellsPerDim: Int): GridSpec = {
+    val aggs = (0 until dim).flatMap { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      Seq(min(x).as(s"mn$i"), max(x).as(s"mx$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val (origin, width) = (0 until dim).map { i =>
+      val mn = row.getDouble(2 * i)
+      val mx = row.getDouble(2 * i + 1)
+      val w = math.max((mx - mn) / cellsPerDim, 1e-12) * (1 + 1e-9)
+      (mn, w)
+    }.unzip
+    GridSpec(origin, width, Seq.fill(dim)(cellsPerDim))
+  }
+
+  /** Per-dimension cell coordinate of a vector column — the reference's
+    * floor((x - O) / w) (include/pktree.hpp:571-573) as an expression. */
+  private def cellCoord(vec: Column, spec: GridSpec, i: Int): Column = {
+    val x = element_at(vec, i + 1).cast("double")
+    val c = floor((x - spec.origin(i)) / spec.width(i)).cast("long")
+    least(greatest(c, lit(0L)), lit(spec.cells(i) - 1L))
+  }
+
+  /** Linearized cell id expression (row-major over dimensions). */
+  def cellId(vec: Column, spec: GridSpec): Column =
+    (0 until spec.dim).map(cellCoord(vec, spec, _))
+      .zip(spec.cells)
+      .foldLeft(lit(0L)) { case (acc, (c, n)) => acc * n + c }
+
+  /** Attach the cell id — the index build's map stage (R2 analog). */
+  def withCellId(df: DataFrame, vecCol: String, spec: GridSpec,
+                 cellCol: String = "cell_id"): DataFrame =
+    df.withColumn(cellCol, cellId(col(vecCol), spec))
+
+  /** Materialize a cell-bucketed index: range-partitioned and sorted by
+    * cell_id, so Parquet row-group min/max stats prune `cell_id IN (...)`
+    * filters at I/O level. This is the whole "index build" at scale — one
+    * shuffle, then scan-speed pruned reads forever after. */
+  def buildIndex(df: DataFrame, vecCol: String, spec: GridSpec,
+                 path: String, numFiles: Int = 8): Unit =
+    withCellId(df, vecCol, spec)
+      .repartitionByRange(numFiles, col("cell_id"))
+      .sortWithinPartitions(col("cell_id"))
+      .write.mode("overwrite").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** All cell ids whose box intersects the ball (q, r) — the three-way
+    * node classification of range search reduced to "not fully outside"
+    * (include/pktree.hpp:1095-1099,1161). Driver-side: the candidate count
+    * is bounded by the ball volume / cell volume, independent of data size. */
+  def cellsForBall(spec: GridSpec, q: Seq[Double], r: Double): Seq[Long] = {
+    val ranges = (0 until spec.dim).map { i =>
+      val lo = math.floor((q(i) - r - spec.origin(i)) / spec.width(i)).toLong
+      val hi = math.floor((q(i) + r - spec.origin(i)) / spec.width(i)).toLong
+      math.max(lo, 0L) to math.min(hi, spec.cells(i) - 1L)
+    }
+    ranges.foldLeft(Seq(Seq.empty[Long])) { (acc, range) =>
+      acc.flatMap(prefix => range.map(prefix :+ _))
+    }.map(spec.linearize)
+  }
+
+  /** Cell-pruned inclusive range search: partition/row-group pruning via
+    * `cell_id IN (...)`, then the exact predicate. Result set identical to
+    * Search.rangeSearch (the pruning is lossless by construction). */
+  def rangeSearch(index: DataFrame, vecCol: String, spec: GridSpec,
+                  q: Seq[Double], r: Double,
+                  cellCol: String = "cell_id"): DataFrame = {
+    val cells = cellsForBall(spec, q, r)
+    val qVec = array(q.map(lit): _*)
+    index
+      .filter(col(cellCol).isin(cells: _*))
+      .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
+  }
+
+  /** Exact kNN by ring expansion: start from a radius guess, enlarge until
+    * the k-th candidate distance fits inside the explored ball — the
+    * reference's bound-pruning argument (include/pktree.hpp:1048-1064)
+    * guarantees no unexplored cell can then contain a closer point.
+    * Each iteration is one small cell-pruned job; worst case degrades to a
+    * full scan (still correct). */
+  def knn(index: DataFrame, vecCol: String, idCol: String, spec: GridSpec,
+          q: Seq[Double], k: Int, roundTo: Int = 6,
+          cellCol: String = "cell_id"): DataFrame = {
+    val qVec = array(q.map(lit): _*)
+    val maxR = (0 until spec.dim).map(i =>
+      spec.width(i) * spec.cells(i)).max * 2 // covers the whole domain
+    var r = spec.width.max // one cell width: the locality-first seed (R5)
+    var result: DataFrame = null
+    var done = false
+    while (!done) {
+      val cand = rangeSearch(index, vecCol, spec, q, r, cellCol)
+        .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+        .orderBy(col("dist"), col(idCol))
+        .limit(k)
+      val rows = cand.select(col("dist")).collect()
+      if (rows.length >= k && math.sqrt(rows.last.getDouble(0)) <= r) {
+        result = cand; done = true // kth-best inside explored ball: exact
+      } else if (r >= maxR) {
+        // explored everything: exact by exhaustion
+        result = index
+          .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+          .orderBy(col("dist"), col(idCol)).limit(k)
+        done = true
+      } else r = math.min(r * 2, maxR)
+    }
+    result
+  }
+}

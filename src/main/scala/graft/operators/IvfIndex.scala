@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{sqDist, cosine}
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the high-dim
+  * scale path (dim ≥ ~8, where GridIndex's cell enumeration explodes).
+  *
+  * Structure: a small centroid table (the coarse quantizer) partitions the
+  * collection into nlist cluster lists; a query probes only the nProbe
+  * nearest lists. This is the standard IVF-Flat design (Johnson et al.,
+  * "Billion-scale similarity search with GPUs", IEEE Big Data 2019) mapped
+  * to Spark:
+  *   - centroids: deterministic stratified sample by id — broadcast-sized
+  *     driver metadata (nlist rows), NEVER the data side of a shuffle;
+  *   - assignment: broadcast join + argmin — map-side only, no shuffle of
+  *     the collection beyond the final partitionBy(list_id) write;
+  *   - search: `list_id IN (probed)` filter (partition pruning at scale)
+  *     then exact distances within the probed lists.
+  *
+  * Deterministic by construction (sampling by id order, no iterative
+  * refinement): identical inputs give identical indexes on any cluster
+  * layout. Lloyd iterations would sharpen recall but make centroid floats
+  * partition-order-dependent; recall is instead tuned via nProbe.
+  * Exactness is NOT guaranteed (ANN); tests assert recall vs the
+  * brute-force baseline (Search.knn / Search.cosineTopK).
+  */
+object IvfIndex {
+
+  /** Driver-side centroid table: (list_id, centroid). nlist × dim doubles —
+    * metadata-sized, embedded as literals in expressions (never a shuffle
+    * side). */
+  type Centroids = Seq[(Int, Seq[Double])]
+
+  /** Deterministic nlist-point coarse quantizer: hash-stride sample by id
+    * (≈ every (n/nlist)-th id by xxhash64 bucket — NO global sort, no
+    * single-partition window; scan + tiny collect only), stable list ids
+    * by ascending id. */
+  def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
+                   nlist: Int): Centroids = {
+    val n = df.count()
+    val stride = math.max(n / nlist, 1L)
+    df.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (row, i) => (i, row.getSeq[Double](1)) }
+      .toSeq
+  }
+
+  private def centroidArray(centroids: Centroids): Column =
+    array(centroids.map { case (id, v) =>
+      struct(lit(id).as("list_id"), array(v.map(lit): _*).as("centroid"))
+    }: _*)
+
+  /** Assign every vector to its nearest centroid (squared L2) — fully
+    * map-side: the centroid table rides along as a literal array and the
+    * argmin is array_min over (dist, list_id) structs. No join, no shuffle
+    * of the collection; at 100 TB the only wide operation left is the
+    * optional partitionBy(list_id) at write time. */
+  def assign(df: DataFrame, vecCol: String, idCol: String,
+             centroids: Centroids): DataFrame = {
+    val cands = transform(centroidArray(centroids),
+      c => struct(sqDist(col(vecCol), c.getField("centroid")).as("d"),
+        c.getField("list_id").as("list_id")))
+    df.withColumn("list_id", array_min(cands).getField("list_id"))
+  }
+
+  /** Materialize the inverted lists: partitioned by list_id so a probe
+    * reads only its lists' files. */
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String,
+                 centroids: Centroids, path: String): Unit =
+    assign(df, vecCol, idCol, centroids)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** The nProbe list ids nearest to the query vector — pure driver math
+    * on the metadata-sized centroid table. */
+  def probeLists(centroids: Centroids, q: Seq[Double],
+                 nProbe: Int): Seq[Int] = {
+    def sq(v: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.size) { val d = v(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    centroids.map { case (id, v) => (sq(v), id) }
+      .sorted.take(nProbe).map(_._2)
+  }
+
+  /** ANN top-k: prune to the probed lists, exact distances inside. */
+  def search(index: DataFrame, vecCol: String, idCol: String,
+             centroids: Centroids, q: Seq[Double], k: Int,
+             nProbe: Int, roundTo: Int = 6): DataFrame = {
+    val lists = probeLists(centroids, q, nProbe)
+    val qVec = array(q.map(lit): _*)
+    index
+      .filter(col("list_id").isin(lists: _*))
+      .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** ANN top-k by cosine similarity (descending), same pruning. */
+  def searchCosine(index: DataFrame, vecCol: String, idCol: String,
+                   centroids: Centroids, q: Seq[Double], k: Int,
+                   nProbe: Int, roundTo: Int = 6): DataFrame = {
+    val lists = probeLists(centroids, q, nProbe)
+    val qVec = array(q.map(lit): _*)
+    index
+      .filter(col("list_id").isin(lists: _*))
+      .withColumn("sim", round(cosine(col(vecCol), qVec), roundTo))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+
+  test("exactByKey keeps exactly one row per key group (smallest id)") {
+    val out = Dedup.exactByKey(docs, Seq("lang", "source"), "doc_id")
+    val keys = out.select("lang", "source").distinct().count()
+    assert(out.count() == keys)
+    // winner rule: every kept doc_id is the min of its group
+    val mins = docs.groupBy("lang", "source")
+      .agg(min("doc_id").as("doc_id"))
+    assert(out.select("doc_id").except(mins.select("doc_id")).count() == 0)
+  }
+
+  test("minhash LSH candidates contain every pair with Jaccard >= 0.8") {
+    val trueDups = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.nonEmpty, "fixture should contain planted near-dups")
+    assert(trueDups.subsetOf(cands),
+      s"missed: ${trueDups -- cands}") // J>=0.8 ⇒ band hit w.p. ≈1-(1-J⁴)⁴ > 0.97
+  }
+
+  test("ngram Jaccard agrees with an independent in-memory computation") {
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), j) =>
+      val sa = sh(local(a)); val sb = sh(local(b))
+      val expect = (sa intersect sb).size.toDouble / (sa union sb).size
+      assert(math.abs(j - expect) < 1e-6, s"pair ($a,$b): $j vs $expect")
+    }
+  }
+
+  test("simhash is deterministic and within bit range") {
+    val s1 = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s2 = Dedup.simhash(docs.repartition(6), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("near-dup docs have closer simhashes than random pairs (sanity)") {
+    val sims = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dups = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val dupMean = dups.map { case (a, b) => ham(sims(a), sims(b)) }.sum
+      .toDouble / dups.length
+    assert(dupMean <= 4.0, s"near-dup mean hamming = $dupMean")
+  }
+}

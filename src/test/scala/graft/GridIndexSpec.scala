@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GridIndex, Search}
+
+/** Pruned search must be lossless: identical results to the naive
+  * full-scan path on every input (SURVEY §5.2 — the analog of validating
+  * against the reference's recursive workers). */
+class GridIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def randomDf(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 200 - 100)))
+      .toDF("id", "vec")
+  }
+
+  test("pruned range == naive range (random 2-D / 3-D, many radii)") {
+    for (dim <- Seq(2, 3); seed <- Seq(1, 2)) {
+      val df = randomDf(400, dim, seed)
+      val spec = GridIndex.fit(df, "vec", dim, cellsPerDim = 6)
+      val indexed = GridIndex.withCellId(df, "vec", spec)
+      val rnd = new scala.util.Random(seed + 100)
+      for (_ <- 1 to 3) {
+        val q = Seq.fill(dim)(rnd.nextDouble() * 240 - 120) // also out-of-grid
+        val r = rnd.nextDouble() * 80
+        val naive = Search.rangeSearch(df, "vec", array(q.map(lit): _*), r)
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        val pruned = GridIndex.rangeSearch(indexed, "vec", spec, q, r)
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(pruned == naive, s"dim=$dim seed=$seed q=$q r=$r")
+      }
+    }
+  }
+
+  test("ring-expansion kNN == naive kNN (including k > cell population)") {
+    val df = randomDf(500, 2, 7)
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    for (k <- Seq(1, 5, 50); q <- Seq(Seq(0.0, 0.0), Seq(95.0, -95.0))) {
+      val naive = Search.knn(df, "vec", "id", array(q.map(lit): _*), k)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      val pruned = GridIndex.knn(indexed, "vec", "id", spec, q, k)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(pruned == naive, s"k=$k q=$q")
+    }
+  }
+
+  test("materialized index round-trips and prunes losslessly") {
+    val df = randomDf(300, 2, 11)
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 6)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx").toString + "/index"
+    GridIndex.buildIndex(df, "vec", spec, path, numFiles = 4)
+    val index = GridIndex.readIndex(spark, path)
+    val q = Seq(10.0, -20.0)
+    val naive = Search.rangeSearch(df, "vec", array(q.map(lit): _*), 30.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaIndex = GridIndex.rangeSearch(index, "vec", spec, q, 30.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIndex == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("cell_id is stable under repartitioning (property §5.3e)") {
+    val df = randomDf(200, 2, 13)
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 5)
+    val a = GridIndex.withCellId(df, "vec", spec)
+      .select("id", "cell_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = GridIndex.withCellId(df.repartition(7), "vec", spec)
+      .select("id", "cell_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("out-of-grid query points still return exact results") {
+    val df = randomDf(200, 2, 17)
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 5)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    val q = Seq(500.0, 500.0) // far outside the fitted grid
+    val naive = Search.knn(df, "vec", "id", array(q.map(lit): _*), 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val pruned = GridIndex.knn(indexed, "vec", "id", spec, q, 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(pruned == naive)
+  }
+}

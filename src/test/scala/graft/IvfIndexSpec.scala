@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, Search}
+
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val e = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+
+  private def queryVec(vecId: Long): Seq[Double] =
+    e.filter(col("vec_id") === vecId).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+
+  test("nProbe = nlist degenerates to exact search (recall 1.0)") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents)
+    val q = queryVec(0)
+    val exact = Search.knn(e, "embedding", "vec_id",
+        array(q.map(lit): _*), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ivf = IvfIndex.search(index, "embedding", "vec_id", cents, q,
+        k = 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf == exact)
+  }
+
+  test("recall@10 over 5 queries is usable at nProbe=4/16") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 16)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
+    val recalls = (0L until 5L).map { qid =>
+      val q = queryVec(qid)
+      val exact = Search.knn(e, "embedding", "vec_id",
+          array(q.map(lit): _*), 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val ivf = IvfIndex.search(index, "embedding", "vec_id", cents, q,
+          k = 10, nProbe = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 = $mean (per-query: $recalls)")
+    index.unpersist()
+  }
+
+  test("assignment is deterministic and complete") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val a1 = IvfIndex.assign(e, "embedding", "vec_id", cents)
+      .groupBy("list_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val a2 = IvfIndex.assign(e.repartition(5), "embedding", "vec_id", cents)
+      .groupBy("list_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(a1 == a2)
+    assert(a1.values.sum == e.count())
+  }
+}

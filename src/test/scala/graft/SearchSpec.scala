@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+/** Golden capability test: reproduces the reference's only executable
+  * workload (example_cpp/main.cpp) end-to-end — index the 229 Dutch
+  * cities, kNN k=5 sorted from (52.0117, 4.3592), range r=0.1 inclusive —
+  * and checks the engine against an independent plain-Scala brute force.
+  * Distances are squared L2 (reference include/pktree.hpp:995-997); the
+  * example prints sqrt at presentation time (main.cpp:77).
+  */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val queryPoint = Seq(52.0117, 4.3592) // example_cpp/main.cpp:68
+
+  private lazy val cities = {
+    val path = getClass.getResource("/dutch_cities.csv").getPath
+    spark.read.option("header", "true").csv(path)
+      .select(col("city"),
+        array(col("lat").cast("double"), col("lng").cast("double")).as("vec"))
+      .withColumn("id", col("city")) // city names are unique in the fixture
+  }
+
+  /** Independent brute force in plain Scala. */
+  private lazy val rows: Seq[(String, Double, Double)] = {
+    val src = scala.io.Source.fromFile(
+      getClass.getResource("/dutch_cities.csv").getPath, "UTF-8")
+    try src.getLines().drop(1).map { l =>
+      val p = l.split(",")
+      (p(0), p(1).toDouble, p(2).toDouble)
+    }.toList finally src.close()
+  }
+  private def sq(lat: Double, lng: Double): Double = {
+    val d0 = lat - queryPoint(0); val d1 = lng - queryPoint(1)
+    d0 * d0 + d1 * d1
+  }
+
+  test("golden kNN k=5 matches reference workload (brute force oracle)") {
+    val expected = rows.map { case (c, la, ln) => (c, sq(la, ln)) }
+      .sortBy { case (c, d) => (d, c) }.take(5)
+    val got = Search.knn(cities, "vec", "id",
+        array(queryPoint.map(lit): _*), k = 5, roundTo = 9)
+      .select("city", "dist").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-6, s"dist mismatch: $g vs $e")
+    }
+    // the reference example's nearest city from this point is Delft
+    assert(got.head._1 == "Delft")
+  }
+
+  test("golden range r=0.1 inclusive matches brute force") {
+    val r = 0.1
+    val expected = rows.filter { case (_, la, ln) => sq(la, ln) <= r * r }
+      .map(_._1).sorted
+    val got = Search.rangeSearch(cities, "vec",
+        array(queryPoint.map(lit): _*), r)
+      .select("city").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("range boundary is inclusive (dist² == r² kept)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(3.0, 4.1)))
+      .toDF("id", "vec")
+    // |(3,4)| = 5 exactly; r = 5 must keep it (reference pktree.hpp:1121)
+    val got = Search.rangeSearch(df, "vec", array(lit(0.0), lit(0.0)), 5.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
+  test("kNN returns min(k, n) rows and is exact (random data)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val data = (0 until n).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextDouble() * 100 - 50)))
+    val df = data.toDF("id", "vec")
+    val q = Seq.fill(4)(rnd.nextDouble() * 100 - 50)
+    for (k <- Seq(0, 1, 10, n + 7)) {
+      val got = Search.knn(df, "vec", "id", array(q.map(lit): _*), k,
+        roundTo = 9).select("id", "dist").collect()
+      assert(got.length == math.min(k, n))
+      // exactness: the k-th best distance must be <= any non-member's
+      val bf = data.map { case (id, v) =>
+        val d = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }
+      assert(got.map(_.getLong(0)).toSeq == bf.take(math.min(k, n)).map(_._1))
+    }
+  }
+
+  test("kNN duplicate points legitimately fill the result (reference #6)") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, Seq(1.0, 1.0))).toDF("id", "vec")
+    val got = Search.knn(df, "vec", "id", array(lit(1.0), lit(1.0)), 3)
+      .select("id", "dist").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getDouble(1) == 0.0))
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // id tie-break
+  }
+}

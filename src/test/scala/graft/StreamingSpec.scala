@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventWindows
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming tumbling counts equal the batch computation") {
+    val dir = SparkTestSession.sf0001
+    val stream = EventWindows.readStream(spark, s"$dir/events.parquet")
+    val agg = EventWindows.streamingTumblingCounts(stream, "1 hour",
+      watermark = "1 minute")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("ev_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_counts")
+        .select(unix_timestamp(col("wstart")).as("w"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = EventWindows.tumblingCounts(
+          Tables.events(spark, dir), "1 hour")
+        .select(unix_timestamp(col("wstart")).as("w"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch incremental index append (reference insert analog)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // stand-in vector stream: (id, vec) derived from events
+    val srcDir = s"$tmp/src"
+    val events = Tables.events(spark, SparkTestSession.sf0001)
+      .select(col("event_id"), col("ts"),
+        array(col("value"), col("user_id").cast("double")).as("vec"),
+        col("user_id"), col("event_type"), col("props"))
+    events.limit(200).write.parquet(srcDir)
+    val spec = operators.GridIndex.GridSpec(
+      Seq(0.0, 0.0), Seq(10.0, 10.0), Seq(8, 8))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = EventWindows.appendingIndexSink(stream, spec, "vec",
+      s"$tmp/index", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val index = spark.read.parquet(s"$tmp/index")
+    assert(index.count() == 200)
+    assert(index.columns.contains("cell_id"))
+  }
+}
