@@ -207,12 +207,14 @@ object SparkEntry {
         "doc_id", "text", n = 3, minJaccard = 0.5)
       .orderBy(col("a"), col("b"))
 
-  /** Q20 — MinHash-LSH candidate pairs (k=16 hashes, 4 bands of 4; band
-    * collision probability ≈ J⁴ per band, so random pairs almost never
-    * collide while the planted J≈0.97 near-dups almost surely do). */
+  /** Q20 — MinHash-LSH candidate pairs (k=8 hashes over word-3-gram
+    * shingles, 4 bands of 2). Band collision probability ≈ J² per band:
+    * shingle-set Jaccard of unrelated docs is ≈0 (they rarely share any
+    * 3-gram), so false candidates stay rare, while the planted J≈0.97
+    * near-dups collide with probability ≈ 1-(1-0.94)⁴ ≈ 1. */
   private def q20(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.minhashCandidates(t(s, dir, "documents"),
-        "doc_id", "text", k = 16, rowsPerBand = 4)
+        "doc_id", "text", k = 8, rowsPerBand = 2)
       .orderBy(col("a"), col("b"))
 
   /** Q21 — 16-bit SimHash signature per document. */
@@ -344,12 +346,14 @@ object SparkEntry {
 
   /** DuckDB mirrors of the generated MinHash / SimHash expressions. */
   private val duckMinhashSig: String = {
-    val mins = (0 until 16).map(i =>
-      s"min(substr(md5(shingle || '#$i'), 1, 8)) AS mh$i").mkString(", ")
+    // mirrors Dedup.minhashSignatures: 4 × 8-hex-char hashes per digest
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5(shingle || '#${i / 4}'), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .mkString(", ")
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
   private val duckMinhashBands = (0 until 4).map { b =>
-    val v = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ")
+    val v = (0 until 2).map(r => s"mh${b * 2 + r}").mkString(" || ")
     if (b == 0) s"SELECT doc_id, 0 AS band_idx, $v AS band_val FROM sig"
     else s"UNION ALL SELECT doc_id, $b, $v FROM sig"
   }.mkString("\n  ")

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Custom Catalyst expressions for the vector hot path (SURVEY §7.3: perf
+  * only — semantics identical to the builtin-composed forms, which remain
+  * the oracle).
+  *
+  * Why: `aggregate(zip_with(a, b, ...))` materializes an intermediate
+  * array and evaluates two lambda closures per element; these fused loops
+  * run the whole reduction in one codegen'd pass over the unsafe array
+  * data — no allocation, no virtual calls — and stay inside whole-stage
+  * codegen like any builtin.
+  *
+  * Arithmetic is the same left-to-right double fold as the builtin form,
+  * so results are bit-for-bit identical (DuckDB-oracle parity preserved).
+  *
+  * Nulls: expression is null if either array is null, if lengths differ
+  * (zip_with would pad with null and poison the sum), or if any element is
+  * null — matching the builtin composition's null semantics.
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  /** Java statement: combine element doubles `xv`,`yv` into accumulator `s`. */
+  protected def combine(s: String, xv: String, yv: String): String
+  /** Scala-side combine for interpreted eval. */
+  protected def combineEval(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += combineEval(x.getDouble(i), y.getDouble(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${combine(s, s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+}
+
+/** Squared L2 distance: SUM_i (a_i - b_i)², index order — the reference's
+  * distance accumulation (include/pktree.hpp:995-997) as one fused loop. */
+case class SqDistL2(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "graft_sqdist"
+  override protected def combine(s: String, xv: String, yv: String): String =
+    s"final double d = $xv - $yv; $s += d * d;"
+  override protected def combineEval(x: Double, y: Double): Double = {
+    val d = x - y; d * d
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product: SUM_i a_i * b_i, index order. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "graft_dot"
+  override protected def combine(s: String, xv: String, yv: String): String =
+    s"$s += $xv * $yv;"
+  override protected def combineEval(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -25,15 +25,30 @@ object VectorFunctions {
 
   /** Squared L2 distance, left-to-right fold: SUM_i (a_i - b_i)^2.
     * Deterministic evaluation order — matches the DuckDB oracle's
-    * list_sum(list_transform(list_zip(...))) form element-for-element. */
+    * list_sum(list_transform(list_zip(...))) form element-for-element.
+    * Default path is the fused codegen expression (SqDistL2); arithmetic
+    * is bit-for-bit identical to `sqDistBuiltin`, which stays as the
+    * builtin-composed oracle (SURVEY §7.3). */
   def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumn(SqDistL2(
+      org.apache.spark.sql.GraftColumn.expr(toDouble(a)),
+      org.apache.spark.sql.GraftColumn.expr(toDouble(b))))
+
+  /** Builtin-composed squared L2 (oracle for SqDistL2). */
+  def sqDistBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Dot product, left-to-right fold. */
+  /** Dot product, left-to-right fold (fused codegen expression). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumn(DotProduct(
+      org.apache.spark.sql.GraftColumn.expr(toDouble(a)),
+      org.apache.spark.sql.GraftColumn.expr(toDouble(b))))
+
+  /** Builtin-composed dot product (oracle for DotProduct). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

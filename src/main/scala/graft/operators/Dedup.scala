@@ -26,19 +26,34 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle) rows.
-    * Documents with fewer than n tokens yield no shingles. */
+  /** Word n-gram shingles per document: (id, shingle) rows, WITH duplicate
+    * occurrences (callers that need set semantics deduplicate — min-style
+    * aggregations like MinHash don't need to, saving a shuffle).
+    * Documents with fewer than n tokens yield no shingles.
+    *
+    * The token array is materialized in its own projection first: inlining
+    * `split(text)` into the transform lambda would re-evaluate the regex
+    * split for every element_at call (O(shingles × text-length) redundant
+    * work — measured 3-4× the whole operator's runtime). CollapseProject
+    * keeps the alias because split is non-cheap and multiply-referenced. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val toks = col("__toks")
     // element_at is 1-based; sequence(1, size-n+1) enumerates shingle starts.
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
     docs
+      // Shingling is CPU-bound per row; spread rows across all cores even
+      // when the input is one small parquet row group (compute parallelism
+      // must not be coupled to input file layout). At 100 TB the scan is
+      // already wide and this shuffle of the narrow (id, text) projection
+      // is noise next to the explode it feeds.
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .filter(size(toks) >= n) // sequence(1,0) would count DOWN in Spark
       .select(col(idCol), explode(grams).as("shingle"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity join: pairs (a, b), a < b, with
@@ -49,15 +64,26 @@ object Dedup {
     * pair everything through common trigrams). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // Shuffle/join on a 64-bit shingle hash instead of the string: ~10×
+    // smaller exchange and cheaper equi-join probes. Distinct-shingle
+    // semantics are preserved (xxhash64 collisions: ~(n_shingles)²/2⁶⁴,
+    // negligible and deterministic). Per-doc set sizes ride along via a
+    // window so no post-join with a sizes table is needed, and the (id,
+    // hash, n_sh) relation is persisted: it feeds both sides of the
+    // self-join and would otherwise be recomputed (explode + distinct +
+    // window) three times. At 100 TB this intermediate is written to
+    // scratch storage instead; its size is O(total distinct shingles).
+    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("a"), col("shingle"))
-    val b = sh.select(col(idCol).as("b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("nb")), Seq("b"))
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct() // set semantics for Jaccard, on cheap (id, long) rows
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .persist()
+    val a = sh.select(col(idCol).as("a"), col("shingle"), col("n_sh").as("na"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"), col("n_sh").as("nb"))
+    a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
         round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -75,10 +101,16 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, shingleN: Int = 3): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
-    val aggs = (0 until k).map { i =>
-      min(substring(md5(concat(col("shingle"), lit(s"#$i"))), 1, 8)).as(s"mh$i")
+    // 4 independent-enough 32-bit hashes per md5 call (8 hex chars each
+    // from the 32-char digest) — quarters the hashing work per shingle.
+    val digests = (0 until (k + 3) / 4).map { d =>
+      md5(concat(col("shingle"), lit(s"#$d"))).as(s"__h$d")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashed = sh.select(col(idCol) +: digests: _*)
+    val aggs = (0 until k).map { i =>
+      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs: band the k-hash signature into

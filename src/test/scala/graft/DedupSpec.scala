@@ -25,7 +25,7 @@ class DedupSpec extends AnyFunSuite {
         n = 3, minJaccard = 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-        k = 16, rowsPerBand = 4)
+        k = 8, rowsPerBand = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(trueDups.nonEmpty, "fixture should contain planted near-dups")
     assert(trueDups.subsetOf(cands),
