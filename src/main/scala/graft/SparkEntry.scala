@@ -250,6 +250,27 @@ object SparkEntry {
         md5(col("blob")).as("blob_fp"))
       .orderBy(col("doc_id"))
 
+  /** Q28 — JSON scalar functions: extract props.k per event, aggregate per
+    * event_type (2B scalar funcs: from_json/get_json_object surface). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Q29 — distinct counting, exact (oracle-checked); the HLL
+    * approx_count_distinct variant for 100 TB dedup stats is asserted
+    * within 5% relative error in AggregatesSpec (engine-specific sketches
+    * cannot hash-match across engines). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("value")).as("n_user_values"))
+      .orderBy(col("event_type"))
+
   // ===========================================================================
   // Index-pruned search paths (reference R6/R8 pruning, Spark-first).
   // Same results as the naive paths — their oracles prove pruning is
@@ -327,6 +348,8 @@ object SparkEntry {
     "q25_range_pruned" -> (q25 _),
     "q26_knn_pruned" -> (q26 _),
     "q27_ann_ivf" -> (q27 _),
+    "q28_json" -> (q28 _),
+    "q29_distinct" -> (q29 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -535,5 +558,16 @@ object SparkEntry {
         |FROM part
         |ORDER BY dist, p_partkey LIMIT 10""".stripMargin,
     // q27_ann_ivf: approximate by design — no SQL oracle (rows-only check).
+    "q28_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT (user_id, value)) AS n_user_values
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
