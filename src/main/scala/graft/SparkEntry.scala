@@ -271,6 +271,16 @@ object SparkEntry {
         countDistinct(col("user_id"), col("value")).as("n_user_values"))
       .orderBy(col("event_type"))
 
+  /** Q30 — sliding event-time windows (2h length, 1h hop): every event
+    * contributes to two windows (2B streaming, batch-checkable; the
+    * streaming twin is EventWindows.slidingCounts over readStream). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    streaming.EventWindows.slidingCounts(
+        Tables.events(s, dir), "2 hours", "1 hour")
+      .select(unix_timestamp(col("wstart")).as("wstart"), col("event_type"),
+        col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
   // ===========================================================================
   // Index-pruned search paths (reference R6/R8 pruning, Spark-first).
   // Same results as the naive paths — their oracles prove pruning is
@@ -350,6 +360,7 @@ object SparkEntry {
     "q27_ann_ivf" -> (q27 _),
     "q28_json" -> (q28 _),
     "q29_distinct" -> (q29 _),
+    "q30_sliding" -> (q30 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -569,5 +580,11 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT (user_id, value)) AS n_user_values
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q30_sliding" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS BIGINT) AS wstart,
+        |       event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0, 1]) AS k)
+        |GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
   )
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{GridIndex, IvfIndex, Search}
+
+/** User-facing facade: the reference's entire API surface
+  * (`pktree`/`pkmap`, include/pktree.hpp:44,1385) re-expressed over a
+  * DataFrame. A pyvectorsearch user maps 1:1:
+  *
+  * | reference                              | here                         |
+  * |----------------------------------------|------------------------------|
+  * | `pktree(dim)` / `init` (hpp:1192,1224) | `VectorIndex.create(...)`    |
+  * | `insert(point)` (hpp:1262)             | `append(df)` (+`rebuild()`)  |
+  * | `pkmap::insert(key, value)` (hpp:1411) | payload columns ride along   |
+  * | `search_knn(p, k, sort)` (hpp:948)     | `knn(q, k)` — always sorted, |
+  * |                                        | id tie-break (documented     |
+  * |                                        | refinement, SURVEY 2A#4)     |
+  * | `search_range(p, r)` (hpp:933)         | `rangeSearch(q, r)` — dist²  |
+  * |                                        | ≤ r² inclusive               |
+  * | `size()` (hpp:304)                     | `size()`                     |
+  * | `clear` (hpp:1253)                     | drop the index path          |
+  *
+  * Distances are squared L2 throughout (hpp:995-997); callers `sqrt` for
+  * display exactly like the reference example (main.cpp:77).
+  *
+  * Execution strategy by dimensionality (chosen at `create`):
+  *   - dim ≤ 4: grid cell pruning (exact, lossless — GridIndex);
+  *   - dim > 4: full scan for exact calls; `annSearch` offers the IVF
+  *     approximate path. Both exact paths are verified equal to the naive
+  *     scan in tests; the reference's semantics (2A #1-#7) hold.
+  */
+class VectorIndex private (
+    val data: DataFrame,
+    val vecCol: String,
+    val idCol: String,
+    val dim: Int,
+    gridSpec: Option[GridIndex.GridSpec],
+    centroids: Option[IvfIndex.Centroids]) {
+
+  /** Point count — reference `_pointcount` (hpp:304). */
+  def size(): Long = data.count()
+
+  /** Exact kNN, ascending by squared L2, ties by id; min(k, size) rows. */
+  def knn(q: Seq[Double], k: Int): DataFrame = {
+    require(q.size == dim, s"query dim ${q.size} != index dim $dim")
+    gridSpec match {
+      case Some(spec) if data.columns.contains("cell_id") =>
+        GridIndex.knn(data, vecCol, idCol, spec, q, k)
+      case _ =>
+        Search.knn(data, vecCol, idCol, array(q.map(lit): _*), k)
+    }
+  }
+
+  /** Inclusive range search: dist²(vec, q) <= r². Unordered (reference
+    * contract); add orderBy downstream if determinism is needed. */
+  def rangeSearch(q: Seq[Double], r: Double): DataFrame = {
+    require(q.size == dim, s"query dim ${q.size} != index dim $dim")
+    gridSpec match {
+      case Some(spec) if data.columns.contains("cell_id") =>
+        GridIndex.rangeSearch(data, vecCol, spec, q, r)
+      case _ =>
+        Search.rangeSearch(data, vecCol, array(q.map(lit): _*), r)
+    }
+  }
+
+  /** Approximate kNN via IVF (high-dim scale path); exact when
+    * nProbe >= nlist. */
+  def annSearch(q: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    val assigned =
+      if (data.columns.contains("list_id")) data
+      else IvfIndex.assign(data, vecCol, idCol, centroids.get)
+    IvfIndex.search(assigned, vecCol, idCol, centroids.get, q, k, nProbe)
+  }
+
+  /** Incremental insertion — reference `insert` (hpp:1262). New rows are
+    * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
+    * clamp to border cells; pruning stays lossless because query-side cell
+    * enumeration clamps identically — unlike the reference there is no
+    * root growth, hpp:841-929: `rebuild()` is the batch analog of its
+    * restructure, run periodically when drift accumulates). */
+  def append(rows: DataFrame): VectorIndex = {
+    val typed = rows.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val withCell = gridSpec
+      .map(s => GridIndex.withCellId(typed, vecCol, s)).getOrElse(typed)
+    val withLists = centroids
+      .map(c => IvfIndex.assign(withCell, vecCol, idCol, c))
+      .getOrElse(withCell)
+    val unioned = data.unionByName(withLists, allowMissingColumns = true)
+    new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids)
+  }
+
+  /** Re-fit the pruning structures over the current collection. */
+  def rebuild(cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex =
+    VectorIndex.create(data.drop("cell_id", "list_id"), vecCol, idCol, dim,
+      cellsPerDim, nlist)
+
+  /** Persist as a cell-bucketed parquet index (the 100 TB layout). */
+  def save(path: String): Unit = gridSpec match {
+    case Some(spec) => GridIndex.buildIndex(data, vecCol, spec, path)
+    case None => data.write.mode("overwrite").parquet(path)
+  }
+}
+
+object VectorIndex {
+
+  /** Build an index over (id, vector, payload...) rows.
+    *
+    * @param cellsPerDim grid resolution for low-dim pruning (dim <= 4)
+    * @param nlist       IVF list count for high-dim ANN (0 = disabled)
+    */
+  def create(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+             cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex = {
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    // schema-level dim invariant (SURVEY §1.1): fail fast on ragged input
+    val bad = typed.filter(!VectorFunctions.dimCheck(col(vecCol), dim)).limit(1)
+    require(bad.isEmpty, s"input contains vectors with dim != $dim")
+    val (spec, indexed) =
+      if (dim <= 4) {
+        val s = GridIndex.fit(typed, vecCol, dim, cellsPerDim)
+        (Some(s), GridIndex.withCellId(typed, vecCol, s))
+      } else (None, typed)
+    val cents =
+      if (nlist > 0)
+        Some(IvfIndex.fitCentroids(indexed, vecCol, idCol, nlist))
+      else None
+    val withLists = cents match {
+      case Some(c) => IvfIndex.assign(indexed, vecCol, idCol, c)
+      case None => indexed
+    }
+    new VectorIndex(withLists, vecCol, idCol, dim, spec, cents)
+  }
+
+  /** Reload a saved index (metadata re-fit from the stored rows). */
+  def load(spark: SparkSession, path: String, vecCol: String, idCol: String,
+           dim: Int, cellsPerDim: Int = 16): VectorIndex = {
+    val df = spark.read.parquet(path)
+    val spec =
+      if (dim <= 4) Some(GridIndex.fit(df, vecCol, dim, cellsPerDim))
+      else None
+    new VectorIndex(df, vecCol, idCol, dim, spec, None)
+  }
+}

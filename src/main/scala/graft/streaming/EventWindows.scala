@@ -38,6 +38,16 @@ object EventWindows {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
 
+  /** Sliding event-time windows (length windowLen, hop slideLen): each
+    * event lands in length/hop windows. Batch or streaming. */
+  def slidingCounts(events: DataFrame, windowLen: String,
+                    slideLen: String): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), windowLen, slideLen).getField("start").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming source over parquet events. Accepts a directory, or a
     * single file (FileStreamSource requires a directory base path, so a
     * file is read via its parent + pathGlobFilter). */

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+/** The reference-API facade must preserve the 2A semantics contract on
+  * both execution strategies (grid low-dim, scan/IVF high-dim). */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def randomDf(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 100 - 50), s"payload_$i"))
+      .toDF("id", "vec", "name")
+  }
+
+  test("low-dim: knn/range equal naive, payloads carried through") {
+    val df = randomDf(300, 2, 3)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2)
+    val q = Seq(10.0, -5.0)
+    val got = idx.knn(q, 7).select("id", "name").collect()
+    val naive = Search.knn(df, "vec", "id", array(q.map(lit): _*), 7)
+      .select("id", "name").collect()
+    assert(got.map(_.getLong(0)).toSeq == naive.map(_.getLong(0)).toSeq)
+    assert(got.forall(r => r.getString(1) == s"payload_${r.getLong(0)}"))
+    val gotR = idx.rangeSearch(q, 25.0).select("id").collect()
+      .map(_.getLong(0)).sorted
+    val naiveR = Search.rangeSearch(df, "vec", array(q.map(lit): _*), 25.0)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(gotR.toSeq == naiveR.toSeq)
+  }
+
+  test("high-dim: exact scan path + ANN path") {
+    val df = randomDf(200, 16, 5)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
+    val q = Seq.fill(16)(0.0)
+    val exact = idx.knn(q, 5).select("id").collect().map(_.getLong(0)).toSeq
+    val naive = Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(exact == naive)
+    val ann = idx.annSearch(q, 5, nProbe = 8)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ann == naive) // nProbe = nlist ⇒ exhaustive ⇒ exact
+  }
+
+  test("append makes new points searchable (insert analog)") {
+    import spark.implicits._
+    val df = randomDf(50, 2, 9)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2)
+    val extra = Seq((999L, Seq(0.0, 0.0), "new_point")).toDF("id", "vec", "name")
+    val idx2 = idx.append(extra)
+    assert(idx2.size() == 51)
+    val hit = idx2.knn(Seq(0.0, 0.0), 1).select("id").head().getLong(0)
+    assert(hit == 999L)
+  }
+
+  test("dim invariant rejected at create (schema-level check)") {
+    import spark.implicits._
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.create(ragged, "vec", "id", dim = 2)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("save/load round-trip preserves search results") {
+    val df = randomDf(120, 2, 11)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi").toString + "/idx"
+    idx.save(path)
+    val re = VectorIndex.load(spark, path, "vec", "id", dim = 2)
+    val q = Seq(1.0, 2.0)
+    assert(re.knn(q, 5).select("id").collect().map(_.getLong(0)).toSeq ==
+      idx.knn(q, 5).select("id").collect().map(_.getLong(0)).toSeq)
+  }
+}
