@@ -281,6 +281,19 @@ object SparkEntry {
         col("n"))
       .orderBy(col("wstart"), col("event_type"))
 
+  /** Q31 — session windows: per-user sessions split at >= 30 min gaps
+    * (Spark session_window merges an event into the session while it
+    * arrives strictly before last_ts + gap). Batch-checkable; the
+    * streaming twin uses the same groupBy under a watermark. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("user_id"), col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ===========================================================================
   // Index-pruned search paths (reference R6/R8 pruning, Spark-first).
   // Same results as the naive paths — their oracles prove pruning is
@@ -361,6 +374,7 @@ object SparkEntry {
     "q28_json" -> (q28 _),
     "q29_distinct" -> (q29 _),
     "q30_sliding" -> (q30 _),
+    "q31_sessions" -> (q31 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -586,5 +600,21 @@ object SparkEntry {
         |FROM events, (SELECT unnest([0, 1]) AS k)
         |GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+    "q31_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       user_id, count(*) AS n, ROUND(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -42,11 +42,31 @@ object GridIndex {
                       cells: Seq[Int]) {
     require(origin.size == width.size && width.size == cells.size)
     def dim: Int = origin.size
-    /** Linearized cell index (row-major). */
-    def linearize(cellCoords: Seq[Long]): Long =
-      cellCoords.zip(cells).foldLeft(0L) { case (acc, (c, n)) =>
-        acc * n + math.min(math.max(c, 0), n - 1L)
+    /** Bits needed per dimension for the Z-order interleave. */
+    val bitsPerDim: Int = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(cells.max - 1L, 1L))
+      math.min(b.toInt.max(1), 62 / dim)
+    }
+    /** Linearized cell index — Z-ORDER (Morton) bit interleave, so cells
+      * adjacent in space stay adjacent in id order: the bucketed-parquet
+      * sort then gives each row group a spatially compact cell range,
+      * which keeps min/max-stat pruning tight for ball queries (SURVEY §4
+      * "Hilbert/Z-order of grid cells"). */
+    def linearize(cellCoords: Seq[Long]): Long = {
+      var m = 0L
+      var i = 0
+      while (i < dim) {
+        val c = math.min(math.max(cellCoords(i), 0L), cells(i) - 1L)
+        var b = 0
+        while (b < bitsPerDim) {
+          m |= ((c >> b) & 1L) << (b * dim + i)
+          b += 1
+        }
+        i += 1
       }
+      m
+    }
   }
 
   /** One global min/max aggregation fixes the grid (R16 analog). The +1e-9
@@ -78,11 +98,17 @@ object GridIndex {
     least(greatest(c, lit(0L)), lit(spec.cells(i) - 1L))
   }
 
-  /** Linearized cell id expression (row-major over dimensions). */
+  /** Linearized cell id expression — same Z-order interleave as
+    * GridSpec.linearize (the two MUST stay in lockstep: the query side
+    * enumerates candidate ids driver-side, the data side computes them
+    * per row). */
   def cellId(vec: Column, spec: GridSpec): Column =
-    (0 until spec.dim).map(cellCoord(vec, spec, _))
-      .zip(spec.cells)
-      .foldLeft(lit(0L)) { case (acc, (c, n)) => acc * n + c }
+    (0 until spec.dim).flatMap { i =>
+      val c = cellCoord(vec, spec, i)
+      (0 until spec.bitsPerDim).map { b =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * spec.dim + i)
+      }
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Attach the cell id — the index build's map stage (R2 analog). */
   def withCellId(df: DataFrame, vecCol: String, spec: GridSpec,
