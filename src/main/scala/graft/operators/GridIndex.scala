@@ -157,6 +157,59 @@ object GridIndex {
       .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
   }
 
+  /** Exact BATCH kNN, cell-pruned: the scalable form of many-query search.
+    * Instead of cross-joining the index with every query (cost = queries ×
+    * full scan), each round materializes the (qid, candidate cell) pairs
+    * driver-side — queries are metadata-sized — and equi-joins them with
+    * the index on cell_id: the index is scanned once per round and only in
+    * the touched cells. Per query, the reference's bound argument
+    * (include/pktree.hpp:1048-1064) decides completion: once the k-th best
+    * distance lies inside the explored radius, no unexplored cell can
+    * improve the result; unfinished queries re-enter the next round with
+    * doubled radius. Rounds are O(log(domain/width)) worst case.
+    */
+  def knnBatch(index: DataFrame, vecCol: String, idCol: String,
+               spec: GridSpec, queries: Seq[(Long, Seq[Double])], k: Int,
+               roundTo: Int = 6, cellCol: String = "cell_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.sparkSession
+    import spark.implicits._
+    val maxR = (0 until spec.dim).map(i => spec.width(i) * spec.cells(i)).max * 2
+    var pending = queries.map { case (qid, q) => (qid, q, spec.width.max) }
+    var finished = List.empty[DataFrame]
+    while (pending.nonEmpty) {
+      val cand = pending.flatMap { case (qid, q, r) =>
+        cellsForBall(spec, q, r).map(c => (qid, c, q, r))
+      }.toDF("qid", cellCol, "__qv", "__r")
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+      val topk = index.join(broadcast(cand), Seq(cellCol))
+        .withColumn("dist", round(sqDist(col(vecCol), col("__qv")), roundTo))
+        .filter(col("dist") <= col("__r") * col("__r"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+      // decide per query: enough rows AND kth distance inside explored ball
+      val kth = topk.groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), max(col("dist")).as("worst"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val (done, todo) = pending.partition { case (qid, _, r) =>
+        r >= maxR || kth.get(qid).exists { case (cnt, worst) =>
+          cnt >= k && math.sqrt(worst) <= r
+        }
+      }
+      if (done.nonEmpty) {
+        val doneIds = done.map(_._1)
+        finished ::= topk
+          .filter(col("qid").isin(doneIds: _*))
+          .drop("__qv", "__r", cellCol, vecCol)
+      }
+      pending = todo.map { case (qid, q, r) => (qid, q, math.min(r * 2, maxR)) }
+    }
+    finished.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[(Long, Long, Double, Long)]
+        .toDF("qid", idCol, "dist", "rn"))
+  }
+
   /** Exact kNN by ring expansion: start from a radius guess, enlarge until
     * the k-th candidate distance fits inside the explored ball — the
     * reference's bound-pruning argument (include/pktree.hpp:1048-1064)

@@ -75,6 +75,25 @@ class GridIndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("batch cell-pruned kNN == naive batch kNN (payloads carried)") {
+    import spark.implicits._
+    val df = randomDf(400, 2, 21)
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    val rnd = new scala.util.Random(99)
+    val queries = (0L until 6L).map(q =>
+      (q, Seq(rnd.nextDouble() * 240 - 120, rnd.nextDouble() * 240 - 120)))
+    val got = GridIndex.knnBatch(indexed, "vec", "id", spec, queries, k = 4)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val qDf = queries.toDF("qid", "qv")
+    val naive = Search.knnBatch(df, "vec", "id", qDf, "qv", "qid", k = 4)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.size == 6 * 4)
+  }
+
   test("out-of-grid query points still return exact results") {
     val df = randomDf(200, 2, 17)
     val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 5)
