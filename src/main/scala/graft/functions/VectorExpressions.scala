@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // Can return null even for non-null inputs (length mismatch / null
+  // element). Without this override, non-nullable children make
+  // `ev.isNull` the literal `false` and the generated `isNull = true;`
+  // assignment fails to compile — silently dropping the whole plan out of
+  // whole-stage codegen into interpreted eval.
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -83,7 +89,7 @@ abstract class VectorFold extends BinaryExpression {
 case class SqDistL2(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_sqdist"
   override protected def combine(s: String, xv: String, yv: String): String =
-    s"final double d = $xv - $yv; $s += d * d;"
+    s"final double ${s}_d = $xv - $yv; $s += ${s}_d * ${s}_d;"
   override protected def combineEval(x: Double, y: Double): Double = {
     val d = x - y; d * d
   }

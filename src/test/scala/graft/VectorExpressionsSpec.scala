@@ -60,6 +60,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) == 1.0 && rows(2).getDouble(1) == 1.0)
   }
 
+  test("non-nullable inputs compile under codegen (nullable override)") {
+    // array(lit...) children are non-nullable; without the nullable=true
+    // override the generated `isNull = true` assignment targeted the
+    // literal `false` and the expression fell out of codegen. Force
+    // CODEGEN_ONLY so a codegen regression fails the test instead of
+    // silently falling back to interpreted eval.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+      val rows = df.select(
+        VectorFunctions.sqDist(array(col("x"), col("y")),
+          array(lit(0.0), lit(0.0))).as("sq"),
+        VectorFunctions.dot(array(col("x"), col("y")),
+          array(lit(1.0), lit(1.0))).as("dp"))
+        .orderBy(col("sq")).collect()
+      assert(rows(0).getDouble(0) == 5.0 && rows(0).getDouble(1) == 3.0)
+      assert(rows(1).getDouble(0) == 25.0 && rows(1).getDouble(1) == 7.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("float input arrays are cast and fold identically") {
     val e = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
