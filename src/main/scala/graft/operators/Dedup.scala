@@ -67,23 +67,35 @@ object Dedup {
     // Shuffle/join on a 64-bit shingle hash instead of the string: ~10×
     // smaller exchange and cheaper equi-join probes. Distinct-shingle
     // semantics are preserved (xxhash64 collisions: ~(n_shingles)²/2⁶⁴,
-    // negligible and deterministic). Per-doc set sizes ride along via a
-    // window so no post-join with a sizes table is needed, and the (id,
-    // hash, n_sh) relation is persisted: it feeds both sides of the
-    // self-join and would otherwise be recomputed (explode + distinct +
-    // window) three times. At 100 TB this intermediate is written to
-    // scratch storage instead; its size is O(total distinct shingles).
-    import org.apache.spark.sql.expressions.Window
+    // negligible and deterministic). The (id, hash) relation is persisted:
+    // it feeds both sides of the self-join and the sizes aggregate, and
+    // would otherwise be recomputed (explode + distinct) three times. At
+    // 100 TB this intermediate is written to scratch storage instead; its
+    // size is O(total distinct shingles). Set sizes are attached AFTER the
+    // pair aggregation via a doc-count-sized join, so the wide self-join
+    // carries only (id, hash) and no window shuffle is needed. The
+    // broadcast hint assumes the per-doc sizes table fits an executor; at
+    // billions of docs drop the hint and let AQE pick a shuffle join —
+    // the pair table it joins against is already aggregate-sized.
+    // One exchange serves three operators: hash-partitioning by shingle
+    // satisfies the distinct's clustering requirement AND both probe sides
+    // of the self-join (persisted plans keep their outputPartitioning), so
+    // after this repartition the distinct and the join are exchange-free.
     val sh = shingles(docs, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .repartition(col("shingle"))
       .distinct() // set semantics for Jaccard, on cheap (id, long) rows
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .persist()
-    val a = sh.select(col(idCol).as("a"), col("shingle"), col("n_sh").as("na"))
-    val b = sh.select(col(idCol).as("b"), col("shingle"), col("n_sh").as("nb"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
+      .join(broadcast(sizes.select(col(idCol).as("a"), col("n_sh").as("na"))),
+        Seq("a"))
+      .join(broadcast(sizes.select(col(idCol).as("b"), col("n_sh").as("nb"))),
+        Seq("b"))
       .withColumn("jaccard",
         round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -127,9 +139,15 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
     }
+    // Persisted: both sides of the self-join read it — without this the
+    // whole shingle → md5 → min-agg pipeline executes twice. The banded
+    // relation is nBands rows per DOCUMENT (not per shingle), orders of
+    // magnitude smaller than the corpus; at 100 TB it goes to scratch
+    // storage instead of memory, same plan shape.
     val banded = sig.select(col(idCol),
         explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+      .persist()
     val l = banded.select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val r = banded.select(col(idCol).as("b"), col("band_idx"), col("band_val"))
     l.join(r, Seq("band_idx", "band_val"))
