@@ -294,6 +294,63 @@ object SparkEntry {
         col("user_id"), col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Q32 — backward as-of join (point-in-time lookup): each event joined
+    * to the user's most recent order at-or-before the event time. One
+    * union + window pass, no range-join blowup (operators.AsOfJoin). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"), col("o_totalprice"))
+    operators.AsOfJoin.backward(e, o, key = "user_id",
+        leftTs = "ts", rightTs = "o_ts",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q33 — rollup (grouping sets surface): lineitem by returnflag ×
+    * linestatus with subtotals and grand total. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  /** Q34 — exact interpolated quantiles per group (percentile ==
+    * DuckDB quantile_cont: both linear interpolation). */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q35 — tf-idf top-3 terms per language (corpus term summary). */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+        "lang", "text", k = 3)
+      .orderBy(col("lang"), col("rn"))
+
+  /** Q36 — deterministic hash-based train/val/test split (80/10/10 on the
+    * doc_id md5 bucket), counts per (lang, split). Stable under reruns,
+    * appends, and repartitioning — no seed, no row-order dependence. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.trainValTest(t(s, dir, "documents"), "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
   // ===========================================================================
   // Index-pruned search paths (reference R6/R8 pruning, Spark-first).
   // Same results as the naive paths — their oracles prove pruning is
@@ -379,6 +436,11 @@ object SparkEntry {
     "q29_distinct" -> (q29 _),
     "q30_sliding" -> (q30 _),
     "q31_sessions" -> (q31 _),
+    "q32_asof" -> (q32 _),
+    "q33_rollup" -> (q33 _),
+    "q34_quantiles" -> (q34 _),
+    "q35_tfidf" -> (q35 _),
+    "q36_split" -> (q36 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -608,6 +670,52 @@ object SparkEntry {
         |FROM events, (SELECT unnest([0, 1]) AS k)
         |GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+    "q32_asof" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id
+        |    AND CAST(o_orderdate AS TIMESTAMP) <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY event_id""".stripMargin,
+    "q33_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q34_quantiles" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_tfidf" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM toks WHERE tok <> ''
+        |       GROUP BY lang, tok),
+        |d AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |ng AS (SELECT CAST(count(DISTINCT lang) AS DOUBLE) AS n_groups
+        |       FROM documents)
+        |SELECT lang, tok, score, rn FROM (
+        |  SELECT tf.lang, tf.tok, ROUND(tf.tf * ln(ng.n_groups / d.df), 6) AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY tf.lang
+        |           ORDER BY ROUND(tf.tf * ln(ng.n_groups / d.df), 6) DESC, tf.tok) AS rn
+        |  FROM tf JOIN d USING (tok) CROSS JOIN ng)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+    "q36_split" ->
+      """SELECT lang, split, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |            % 100 AS b
+        |        FROM documents))
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q31_sessions" ->
       """WITH o AS (
         |  SELECT user_id, event_id, ts, value,

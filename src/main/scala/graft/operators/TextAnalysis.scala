@@ -70,4 +70,36 @@ object TextAnalysis {
     * key at 100 TB (hash-shuffle on fp, no pairwise compare). */
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, " +", " "))))
+
+  /** Top-k tokens per group by tf-idf: tf = token count within the group,
+    * idf = ln(n_groups / n_groups_containing_token). The corpus-level
+    * term summary of a training-data mix ("what characterizes each
+    * language/source slice").
+    *
+    * Scale shape: one shuffle to (group, token) for tf, one token-keyed
+    * aggregate for document frequency, a single-row n_groups aggregate
+    * broadcast-crossed, and a per-group top-k window over the (small)
+    * distinct-token aggregate — the corpus itself is only read once. */
+  def tfidfTopTerms(docs: DataFrame, groupCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(groupCol), explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (group, tok)
+    val nGroups = docs.agg(
+      countDistinct(col(groupCol)).cast("double").as("n_groups"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score",
+        round(col("tf") * log(col("n_groups") / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("tok"), col("score"), col("rn"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Sampling, TextAnalysis}
+
+/** Specs for the training-pipeline operators added in round 2: as-of join
+  * (vs a naive range-join + argmax oracle), deterministic sampling, and
+  * tf-idf term summaries. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def sf = SparkTestSession.sf0001
+
+  test("asof backward == naive range-join argmax (incl. equal-ts inclusivity)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", "2024-01-01 10:00:00"),
+      (2L, "u1", "2024-01-01 11:00:00"),
+      (3L, "u2", "2024-01-01 09:30:00"),
+      (4L, "u3", "2024-01-01 12:00:00")) // u3 has no state rows at all
+      .toDF("eid", "k", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "u1", "2024-01-01 09:00:00", 1.0),
+      (11L, "u1", "2024-01-01 11:00:00", 2.0), // equal-ts: must match eid=2
+      (12L, "u1", "2024-01-01 11:00:00", 3.0), // tie: greatest rid wins
+      (13L, "u2", "2024-01-01 09:45:00", 4.0)) // after u2's event: no match
+      .toDF("rid", "k", "rts", "v")
+      .withColumn("rts", col("rts").cast("timestamp"))
+
+    val got = AsOfJoin.backward(left, right, "k", "ts", "rts",
+        Seq("rid", "v"), "rid")
+      .orderBy(col("eid"))
+      .select(col("eid"), col("rid"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(got.toSeq == Seq((1L, 10L), (2L, 12L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("asof on testdata == per-row argmax oracle") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+    val fast = AsOfJoin.backward(e, o, "user_id", "ts", "o_ts",
+      Seq("o_orderkey"), "o_orderkey")
+    // naive oracle: range join then max-(ts, key) per event
+    val joined = e.join(o, Seq("user_id"), "left")
+      .filter(col("o_ts") <= col("ts") || col("o_ts").isNull)
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_ts"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"))
+    val naive = e.select(col("event_id")).join(joined, Seq("event_id"), "left")
+    assert(fast.select(col("event_id"), col("o_orderkey"))
+      .except(naive).isEmpty)
+    assert(naive.except(
+      fast.select(col("event_id"), col("o_orderkey"))).isEmpty)
+    assert(fast.count() == e.count()) // every left row survives
+  }
+
+  test("hash split is deterministic, partition-independent, ~80/10/10") {
+    val docs = Tables.load(spark, sf, "documents")
+    val s1 = Sampling.trainValTest(docs, "doc_id")
+    val s2 = Sampling.trainValTest(docs.repartition(7), "doc_id")
+    // identical assignment regardless of physical layout
+    assert(s1.select(col("doc_id"), col("split"))
+      .except(s2.select(col("doc_id"), col("split"))).isEmpty)
+    val counts = s1.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.values.sum == n)
+  }
+
+  test("stratified sample keeps ~fraction per stratum, deterministically") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.5)
+    val b = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.5)
+    assert(a.select(col("doc_id")).except(b.select(col("doc_id"))).isEmpty)
+    val frac = a.count().toDouble / docs.count()
+    assert(frac > 0.35 && frac < 0.65)
+  }
+
+  test("tfidf top terms: k rows per group, scores descending and >= 0") {
+    val out = TextAnalysis.tfidfTopTerms(
+      Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
+    val perLang = out.groupBy(_.getString(0))
+    perLang.foreach { case (_, rows) =>
+      assert(rows.length == 3)
+      val scores = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.sameElements(scores.sorted.reverse))
+      // idf = ln(n_groups/df) >= 0; == 0 only for everywhere-terms, which
+      // can legitimately top a tiny corpus slice
+      assert(scores.forall(_ >= 0))
+    }
+  }
+}
