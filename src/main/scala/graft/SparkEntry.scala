@@ -55,13 +55,15 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
-  /** Q4 — batch kNN: 5 query vectors, top-3 each, excluding self (R5 × batch,
-    * window top-k). */
+  /** Q4 — batch kNN: 5 query vectors, top-3 each, excluding self (R5 ×
+    * batch). Runs through the bounded top-k Aggregator (map-side partial
+    * top-k, the reference's replace-worst buffer distributed); the window
+    * form Search.knnBatch is asserted equal in SearchSpec. */
   private def q4(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") <= 4)
       .select(col("vec_id").as("qid"), col("embedding"))
-    Search.knnBatch(e, "embedding", "vec_id", q, "embedding", "qid",
+    Search.knnBatchAgg(e, "embedding", "vec_id", q, "embedding", "qid",
         k = 3, excludeSelf = true)
       .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
       .orderBy(col("qid"), col("rn"))

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Shuffle-light per-group top-k: the reference's replace-worst bounded
+  * result buffer (include/pktree.hpp:1000-1031) as a Spark `Aggregator`.
+  *
+  * Why not Window + row_number: WindowExec sorts EVERY candidate row
+  * inside each group partition before the filter throws all but k away —
+  * at 100 TB that is a full shuffle + sort of the candidate set. An
+  * aggregate keeps a k-bounded buffer, is applied map-side BEFORE the
+  * shuffle (partial aggregation), so each partition contributes at most k
+  * rows per group to the exchange, and the merge is O(k) per partition.
+  * Candidate volume never leaves the mappers.
+  *
+  * Ordering: ascending (score, id) — the engine's documented kNN
+  * tie-break (smallest id wins, SURVEY 2A#4). For descending semantics
+  * (cosine similarity) negate the score on the way in.
+  */
+object TopK {
+
+  case class ScoredId(score: Double, id: Long)
+
+  /** Bounded ascending-(score, id) top-k buffer. The buffer is a plain
+    * sorted Seq (k is small); reduce does an insertion-capped merge. */
+  class TopKByScore(k: Int)
+      extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    require(k > 0, "k must be positive")
+
+    private val ord: Ordering[ScoredId] =
+      Ordering.by(s => (s.score, s.id))
+
+    override def zero: Seq[ScoredId] = Vector.empty
+
+    override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+      if (b.size >= k && ord.gteq(a, b.last)) b // worse than current worst
+      else ((b :+ a).sorted(ord)).take(k)
+
+    override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
+      (b1 ++ b2).sorted(ord).take(k)
+
+    override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+
+    override def bufferEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      bufferEncoder
+  }
+
+  /** Column-API handle: topK(k)(scoreCol, idCol) -> array<struct<score,id>>
+    * sorted ascending by (score, id). */
+  def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    implicit val inputEnc: Encoder[ScoredId] = Encoders.product[ScoredId]
+    udaf(new TopKByScore(k), inputEnc)
+  }
+}

@@ -70,6 +70,35 @@ object Search {
       .drop("__qv", vecCol)
   }
 
+  /** Exact batch kNN via the bounded top-k Aggregator (graft.functions
+    * .TopK) instead of a window: partial aggregation keeps at most k rows
+    * per (mapper partition, qid) ahead of the shuffle, so the exchange
+    * carries O(k × partitions × queries) rows no matter how large the
+    * index is — the window form ships and sorts every candidate row.
+    * Returns (qid, idCol, dist, rn) only (the id IS the payload handle;
+    * join payloads back by id downstream — k rows per query, a
+    * broadcast-sized join at any scale).
+    */
+  def knnBatchAgg(index: DataFrame, vecCol: String, idCol: String,
+                  queries: DataFrame, qVecCol: String, qidCol: String,
+                  k: Int, excludeSelf: Boolean = false,
+                  roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qidCol).as("qid"), col(qVecCol).as("__qv")))
+    val joined = index.crossJoin(q)
+    val filtered =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("qid")) else joined
+    val tk = graft.functions.TopK.topK(k)
+    filtered
+      .withColumn("dist", round(sqDist(col(vecCol), col("__qv")), roundTo))
+      .groupBy(col("qid"))
+      .agg(tk(col("dist"), col(idCol).cast("long")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.id").as(idCol),
+        col("col.score").as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Inclusive range (ball) search: all rows with sqDist(vec, q) <= r².
     * Mirrors reference `search_range` (include/pktree.hpp:933-938): radius
     * squared once, math in squared space, boundary INCLUSIVE. Unordered by

@@ -68,6 +68,16 @@ object EventWindows {
                               watermark: String): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), windowLen)
 
+  /** In-flight exact dedup: drop re-delivered rows by key while they are
+    * inside the watermark horizon. State is BOUNDED — a key's entry
+    * expires once the watermark passes it, so state size tracks the
+    * late-data window, not the stream length. The streaming twin of
+    * batch Dedup.exactByKey for at-least-once sources. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+                           keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** foreachBatch incremental index append — the reference-insert analog:
     * each micro-batch is cell-bucketed and appended to the index path.
     * Periodic compaction (rebuild) keeps file counts bounded, exactly like

@@ -35,6 +35,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark drops re-delivered events, keeps state bounded") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val srcDir = s"$tmp/src"
+    val events = Tables.load(spark, SparkTestSession.sf0001, "events").limit(100)
+    // simulate at-least-once delivery: every event shipped twice
+    events.union(events).write.parquet(srcDir)
+    val stream = EventWindows.readStream(spark, srcDir)
+    val q = EventWindows.dedupWithinWatermark(stream, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_dedup")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_dedup")
+      assert(got.count() == 100) // each duplicate dropped exactly once
+      assert(got.select(col("event_id")).distinct().count() == 100)
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental index append (reference insert analog)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
