@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus preparation pipeline — the composition
+  * the individual north-star operators exist for: quality-filter, exact
+  * dedup, near-dup removal, deterministic split. One call takes a raw
+  * document table to a training-ready corpus.
+  *
+  * Every stage is a narrow-or-single-shuffle DataFrame transform from
+  * this package; nothing collects to the driver, so the same call runs
+  * unchanged from 500 rows to 100 TB. Stage order is deliberate:
+  * cheap scan-speed filters first (quality), then the one-shuffle exact
+  * dedup, and the pairwise near-dup machinery only on the survivors.
+  */
+object CorpusPipeline {
+
+  /** @param maxPunctRatio  drop mostly-punctuation rows (boilerplate)
+    * @param minTokens      drop near-empty rows
+    * @param minhashK       MinHash signature width for near-dup blocking
+    * @param minJaccard     near-dup verification threshold (exact n-gram
+    *                       Jaccard over MinHash candidates)
+    */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              minTokens: Int = 5, maxPunctRatio: Double = 0.3,
+              minhashK: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    // 1. quality gate — scan-speed, no shuffle
+    val quality = TextAnalysis.qualityFeatures(docs, textCol)
+      .filter(col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio)
+      .select(docs.columns.map(col): _*)
+
+    // 2. exact dedup on the canonical fingerprint — one shuffle
+    val exact = Dedup.exactByKey(
+      quality.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      Seq("__fp"), idCol).drop("__fp")
+
+    // 3. near-dup removal: MinHash-LSH candidates, verified by exact
+    //    n-gram Jaccard, smaller id wins (pairs only among candidates —
+    //    never O(n²))
+    val cands = Dedup.minhashCandidates(exact, idCol, textCol, k = minhashK)
+    val verified = Dedup.ngramJaccardPairs(
+        exact.join(
+          cands.select(col("a").as(idCol))
+            .union(cands.select(col("b").as(idCol))).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, n = 3, minJaccard = minJaccard)
+    val losers = verified.select(col("b").as(idCol)).distinct()
+    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+
+    // 4. deterministic split — scan-speed, no shuffle
+    Sampling.trainValTest(deduped, idCol)
+  }
+}
