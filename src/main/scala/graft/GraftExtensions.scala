@@ -14,10 +14,13 @@ import graft.functions.{DotProduct, SqDistL2}
   *   - imperative: `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // index-aware ball-search pruning (SURVEY §7.2 step 9)
+    e.injectOptimizerRule(_ => graft.plans.IndexAwareRules.PruneBallSearch)
+  }
 }
 
 object GraftExtensions {

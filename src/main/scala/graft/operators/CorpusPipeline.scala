@@ -29,7 +29,7 @@ object CorpusPipeline {
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
       .filter(col("n_tokens") >= minTokens &&
         col("punct_ratio") <= maxPunctRatio)
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
 
     // 2. exact dedup on the canonical fingerprint — one shuffle
     val exact = Dedup.exactByKey(

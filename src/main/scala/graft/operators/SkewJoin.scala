@@ -30,7 +30,7 @@ object SkewJoin {
     // deterministic per-row salt: hash of the whole row, not rand() —
     // reruns and retried tasks salt identically
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(nSalts)))
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(nSalts)))
     val replicated = build.withColumn("__salt",
       explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
