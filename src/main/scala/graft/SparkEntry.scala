@@ -101,10 +101,13 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** Q8 — equi join + agg; customer is the small (broadcast) side. */
+  /** Q8 — equi join + agg. No broadcast hint: customer SCALES with the
+    * dataset (unlike query/metadata sides, which are hinted), so the
+    * join strategy is AQE's runtime call — broadcast at bench scale,
+    * shuffle join at 100 TB. */
   private def q8(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val c = broadcast(t(s, dir, "customer"))
+    val c = t(s, dir, "customer")
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import graft.functions.TopK
+
+/** ScalaCheck properties for the round-2 operators: as-of join vs an
+  * in-memory oracle, and the bounded top-k Aggregator vs sort-take. */
+class OperatorPropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8)
+    .withMaxDiscardRatio(10f)
+
+  private def run(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  // small epoch-second timestamps over few keys force plenty of
+  // equal-ts and missing-key edge cases
+  private val asofCase: Gen[(List[(Long, Int, Int)], List[(Long, Int, Int)])] =
+    for {
+      nl <- Gen.chooseNum(0, 25)
+      nr <- Gen.chooseNum(0, 25)
+      l <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(0, 3); t <- Gen.chooseNum(0, 20)
+      } yield (0L, k, t))
+      r <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(0, 3); t <- Gen.chooseNum(0, 20)
+      } yield (0L, k, t))
+    } yield (l.zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) },
+      r.zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) })
+
+  test("asof backward == in-memory oracle on random keyed event sets") {
+    import spark.implicits._
+    run("asof", Prop.forAll(asofCase) { case (lrows, rrows) =>
+      val left = lrows.toDF("eid", "k", "t")
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val right = rrows.toDF("rid", "k", "rt")
+        .withColumn("rts", timestamp_seconds(col("rt")))
+      val got = AsOfJoin.backward(left, right, "k", "ts", "rts",
+          Seq("rid"), "rid")
+        .select(col("eid"), col("rid")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val oracle = lrows.map { case (eid, k, t) =>
+        val m = rrows.filter(r => r._2 == k && r._3 <= t)
+        eid -> (if (m.isEmpty) -1L
+                else m.maxBy(r => (r._3, r._1))._1) // latest ts, max rid
+      }.toMap
+      got == oracle && got.size == lrows.size
+    })
+  }
+
+  test("topK aggregator == sorted take on random score sets") {
+    import spark.implicits._
+    val scored: Gen[(Int, List[(Double, Long)])] = for {
+      k <- Gen.chooseNum(1, 10)
+      n <- Gen.chooseNum(0, 80)
+      // duplicate scores on purpose: the (score, id) tie-break must decide
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 5).map(_.toDouble))
+    } yield (k, xs.zipWithIndex.map { case (s, i) => (s, i.toLong) })
+    run("topk", Prop.forAll(scored) { case (k, rows) =>
+      val tk = TopK.topK(k)
+      val got = rows.toDF("score", "id")
+        .agg(tk(col("score"), col("id")).as("r"))
+        .select(explode(col("r")).as("x"))
+        .select(col("x.score"), col("x.id"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      val expect = rows.sorted.take(k)
+      got == expect
+    })
+  }
+}

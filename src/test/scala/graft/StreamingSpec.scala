@@ -35,6 +35,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with dimension rows") {
+    val dir = SparkTestSession.sf0001
+    val stream = EventWindows.readStream(spark, s"$dir/events.parquet")
+    // static dimension: per-user segment derived from customer (the
+    // standard enrich-at-ingest shape; the static side is re-read per
+    // micro-batch, no state store involved)
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val q = stream.join(dim, Seq("user_id"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_enriched").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_enriched")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = Tables.events(spark, dir).join(dim, Seq("user_id"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedup within watermark drops re-delivered events, keeps state bounded") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     val srcDir = s"$tmp/src"
