@@ -356,6 +356,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
 
+  /** Q37 — array functions (collect_set/sort_array/slice): per event
+    * type, the 3 smallest distinct user ids as an array column. Set
+    * aggregation order is engine-specific, so both engines sort before
+    * slicing — the declared determinism rule for array results. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(slice(sort_array(collect_set(col("user_id"))), 1, 3)
+        .as("first_users"))
+      .orderBy(col("event_type"))
+
   // ===========================================================================
   // Index-pruned search paths (reference R6/R8 pruning, Spark-first).
   // Same results as the naive paths — their oracles prove pruning is
@@ -446,6 +457,7 @@ object SparkEntry {
     "q34_quantiles" -> (q34 _),
     "q35_tfidf" -> (q35 _),
     "q36_split" -> (q36 _),
+    "q37_array" -> (q37 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -721,6 +733,10 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q37_array" ->
+      """SELECT event_type,
+        |       list_sort(list(DISTINCT user_id))[1:3] AS first_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q31_sessions" ->
       """WITH o AS (
         |  SELECT user_id, event_id, ts, value,
