@@ -31,6 +31,16 @@ object Profile {
       operators.Dedup.minhashCandidates(docs, "doc_id", "text").count())
     time("jaccard")(operators.Dedup.ngramJaccardPairs(
       docs, "doc_id", "text", 3, 0.5).count())
+    // window vs aggregator top-k over a wider query batch
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    operators.Search.knnBatch(e, "embedding", "vec_id", q, "embedding",
+      "qid", k = 10).count() // warm
+    time("topk_window_64q")(operators.Search.knnBatch(
+      e, "embedding", "vec_id", q, "embedding", "qid", k = 10).count())
+    time("topk_agg_64q")(operators.Search.knnBatchAgg(
+      e, "embedding", "vec_id", q, "embedding", "qid", k = 10).count())
     spark.stop()
   }
 }

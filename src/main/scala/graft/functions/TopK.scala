@@ -4,16 +4,21 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** Shuffle-light per-group top-k: the reference's replace-worst bounded
-  * result buffer (include/pktree.hpp:1000-1031) as a Spark `Aggregator`.
+/** Per-group top-k as a Spark `Aggregator`: the reference's replace-worst
+  * bounded result buffer (include/pktree.hpp:1000-1031), distributed —
+  * partial aggregation keeps at most k rows per (mapper, group) ahead of
+  * the shuffle.
   *
-  * Why not Window + row_number: WindowExec sorts EVERY candidate row
-  * inside each group partition before the filter throws all but k away —
-  * at 100 TB that is a full shuffle + sort of the candidate set. An
-  * aggregate keeps a k-bounded buffer, is applied map-side BEFORE the
-  * shuffle (partial aggregation), so each partition contributes at most k
-  * rows per group to the exchange, and the merge is O(k) per partition.
-  * Candidate volume never leaves the mappers.
+  * Measured honesty (sf0.1, 64 queries × 50k vectors): Spark 4's window
+  * form is JUST AS shuffle-bounded — the optimizer plans a partial
+  * `WindowGroupLimit` below the exchange — and 2× faster end-to-end
+  * (0.64 s vs 1.23 s), because the UDAF pays per-row typed
+  * deserialization that WindowGroupLimit's codegen'd rank pruning does
+  * not. So `row_number <= k` is the default top-k form throughout the
+  * engine; THIS aggregator is for the cases a window can't express:
+  * fusing top-k with other aggregates in one groupBy pass
+  * (`agg(count(*), avg(x), topK(k)(score, id))` — one shuffle instead of
+  * two jobs), and aggregation-only contexts.
   *
   * Ordering: ascending (score, id) — the engine's documented kNN
   * tie-break (smallest id wins, SURVEY 2A#4). For descending semantics

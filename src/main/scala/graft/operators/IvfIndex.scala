@@ -103,6 +103,32 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** ANN top-k for a BATCH of queries in ONE job: the per-query probe
+    * sets are enumerated driver-side (queries are metadata-sized), sent
+    * as a broadcast (qid, list_id, qv) relation, and equi-joined with the
+    * index on list_id — the index is scanned once, and only in lists some
+    * query probes. Per-query top-k runs through the bounded Aggregator
+    * (k rows per mapper per query cross the shuffle). */
+  def searchBatch(index: DataFrame, vecCol: String, idCol: String,
+                  centroids: Centroids, queries: Seq[(Long, Seq[Double])],
+                  k: Int, nProbe: Int, roundTo: Int = 6): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, q) =>
+      probeLists(centroids, q, nProbe).map(l => (qid, l, q))
+    }.toDF("qid", "list_id", "__qv")
+    val tk = graft.functions.TopK.topK(k)
+    index.join(broadcast(probes), Seq("list_id"))
+      .withColumn("dist",
+        round(sqDist(col(vecCol).cast("array<double>"), col("__qv")), roundTo))
+      .groupBy(col("qid"))
+      .agg(tk(col("dist"), col(idCol).cast("long")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.id").as(idCol),
+        col("col.score").as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** ANN top-k by cosine similarity (descending), same pruning. */
   def searchCosine(index: DataFrame, vecCol: String, idCol: String,
                    centroids: Centroids, q: Seq[Double], k: Int,

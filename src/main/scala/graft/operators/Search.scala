@@ -71,13 +71,14 @@ object Search {
   }
 
   /** Exact batch kNN via the bounded top-k Aggregator (graft.functions
-    * .TopK) instead of a window: partial aggregation keeps at most k rows
-    * per (mapper partition, qid) ahead of the shuffle, so the exchange
-    * carries O(k × partitions × queries) rows no matter how large the
-    * index is — the window form ships and sorts every candidate row.
-    * Returns (qid, idCol, dist, rn) only (the id IS the payload handle;
-    * join payloads back by id downstream — k rows per query, a
-    * broadcast-sized join at any scale).
+    * .TopK): partial aggregation keeps at most k rows per (mapper, qid)
+    * ahead of the shuffle. NOTE: Spark 4's window form (knnBatch) is
+    * equally shuffle-bounded (partial WindowGroupLimit below the
+    * exchange) and measured faster — prefer knnBatch unless the top-k
+    * must fuse with other aggregates in the same groupBy pass (the case
+    * this form exists for). Returns (qid, idCol, dist, rn) only (the id
+    * IS the payload handle; join payloads back by id downstream — k rows
+    * per query, a broadcast-sized join at any scale).
     */
   def knnBatchAgg(index: DataFrame, vecCol: String, idCol: String,
                   queries: DataFrame, qVecCol: String, qidCol: String,

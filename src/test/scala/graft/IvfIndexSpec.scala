@@ -45,6 +45,27 @@ class IvfIndexSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("searchBatch: one job, per-query results match single-query search") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
+    val qids = 0L until 4L
+    val queries = qids.map(q => (q, queryVec(q)))
+    val batch = IvfIndex.searchBatch(index, "embedding", "vec_id", cents,
+        queries, k = 5, nProbe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    qids.foreach { qid =>
+      val single = IvfIndex.search(index, "embedding", "vec_id", cents,
+          queryVec(qid), k = 5, nProbe = 8)
+        .select(col("vec_id"), col("dist")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(fromBatch == single, s"qid=$qid")
+    }
+    index.unpersist()
+  }
+
   test("assignment is deterministic and complete") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val a1 = IvfIndex.assign(e, "embedding", "vec_id", cents)
