@@ -367,6 +367,31 @@ object SparkEntry {
       .intersect(t(s, dir, "lineitem").select(col("l_orderkey").as("okey")))
       .agg(count(lit(1)).as("n_common"))
 
+  /** Q39 — pivot: orders per year × order status as columns (explicit
+    * value list — at scale never let pivot scan for distinct values). */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("yr"))
+
+  /** Q40 — semi-join (EXISTS): customers having at least one
+    * above-average-price order; plans as a broadcast/shuffled LeftSemi,
+    * never materializing match multiplicity. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("__avg"))
+    val big = o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("__avg"))
+      .select(col("o_custkey"))
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Q37 — array functions (collect_set/sort_array/slice): per event
     * type, the 3 smallest distinct user ids as an array column. Set
     * aggregation order is engine-specific, so both engines sort before
@@ -470,6 +495,8 @@ object SparkEntry {
     "q36_split" -> (q36 _),
     "q37_array" -> (q37 _),
     "q38_intersect" -> (q38 _),
+    "q39_pivot" -> (q39 _),
+    "q40_semijoin" -> (q40 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -745,6 +772,19 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q39_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q40_semijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+        |ORDER BY c_custkey""".stripMargin,
     "q38_intersect" ->
       """SELECT count(*) AS n_common FROM (
         |  SELECT o_orderkey AS okey FROM orders
