@@ -98,9 +98,14 @@ class VectorIndex private (
     VectorIndex.create(data.drop("cell_id", "list_id"), vecCol, idCol, dim,
       cellsPerDim, nlist)
 
-  /** Persist as a cell-bucketed parquet index (the 100 TB layout). */
+  /** Persist as a cell-bucketed parquet index (the 100 TB layout). The
+    * path is registered with the index-aware optimizer rule, so a plain
+    * `graft_sqdist(vec, q) <= r²` filter over a scan of it auto-prunes
+    * (plans.IndexAwareRules). */
   def save(path: String): Unit = gridSpec match {
-    case Some(spec) => GridIndex.buildIndex(data, vecCol, spec, path)
+    case Some(spec) =>
+      GridIndex.buildIndex(data, vecCol, spec, path)
+      plans.IndexAwareRules.registerIndex(path, spec)
     case None => data.write.mode("overwrite").parquet(path)
   }
 }
@@ -134,13 +139,15 @@ object VectorIndex {
     new VectorIndex(withLists, vecCol, idCol, dim, spec, cents)
   }
 
-  /** Reload a saved index (metadata re-fit from the stored rows). */
+  /** Reload a saved index (metadata re-fit from the stored rows; also
+    * re-registers the path for optimizer-rule pruning). */
   def load(spark: SparkSession, path: String, vecCol: String, idCol: String,
            dim: Int, cellsPerDim: Int = 16): VectorIndex = {
     val df = spark.read.parquet(path)
     val spec =
       if (dim <= 4) Some(GridIndex.fit(df, vecCol, dim, cellsPerDim))
       else None
+    spec.foreach(s => plans.IndexAwareRules.registerIndex(path, s))
     new VectorIndex(df, vecCol, idCol, dim, spec, None)
   }
 }
