@@ -69,4 +69,15 @@ class DedupSpec extends AnyFunSuite {
       .toDouble / dups.length
     assert(dupMean <= 4.0, s"near-dup mean hamming = $dupMean")
   }
+
+  test("dupStats: HLL estimate within 5% of exact, one pass") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val doubled = docs.union(docs) // force a known dup rate of >= 0.5
+    val row = operators.Dedup.dupStats(doubled, Seq("doc_id")).head()
+    val exact = docs.select(col("doc_id")).distinct().count().toDouble
+    assert(row.getLong(0) == 2 * docs.count())
+    assert(math.abs(row.getLong(1) - exact) / exact <= 0.05)
+    assert(row.getDouble(2) >= 0.45 && row.getDouble(2) <= 0.55)
+  }
 }
