@@ -50,6 +50,25 @@ class IndexAwareRulesSpec extends AnyFunSuite {
       expect.except(query.select(col("p_partkey"))).isEmpty)
   }
 
+  test("plain SQL over the saved index auto-prunes (full SQL-user path)") {
+    GraftExtensions.register(spark)
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val sqlDf = spark.sql(
+      s"""SELECT p_partkey FROM parquet.`$indexPath`
+         |WHERE graft_sqdist(vec, array(910.0D, 25.0D)) <= 400.0D
+         |ORDER BY p_partkey""".stripMargin)
+    assert(sqlDf.queryExecution.executedPlan.toString.contains("In(cell_id"),
+      "SQL text should hit the same pruned plan")
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.rangeSearch(raw, "vec", array(q.map(lit): _*), r)
+      .select(col("p_partkey")).orderBy(col("p_partkey"))
+    assert(sqlDf.collect().map(_.getLong(0)).toSeq ==
+      expect.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("unregistered paths and non-ball filters are left untouched") {
     IndexAwareRules.install(spark)
     val idx = GridIndex.readIndex(spark, indexPath)
