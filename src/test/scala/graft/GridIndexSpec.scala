@@ -105,4 +105,24 @@ class GridIndexSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(pruned == naive)
   }
+
+  test("cellId expression == driver-side linearize on every point (lockstep)") {
+    // THE losslessness invariant: the query side enumerates candidate
+    // cells with GridSpec.linearize, the data side computes cell_id with
+    // the Catalyst expression — any divergence silently drops rows.
+    for (dim <- Seq(1, 2, 3, 4); seed <- Seq(11, 12)) {
+      val df = randomDf(300, dim, seed)
+      val spec = GridIndex.fit(df, "vec", dim, cellsPerDim = 7)
+      val rows = GridIndex.withCellId(df, "vec", spec)
+        .select(col("vec"), col("cell_id")).collect()
+      rows.foreach { r =>
+        val v = r.getSeq[Double](0)
+        val coords = (0 until dim).map { i =>
+          math.floor((v(i) - spec.origin(i)) / spec.width(i)).toLong
+        }
+        assert(r.getLong(1) == spec.linearize(coords),
+          s"dim=$dim vec=$v: expression and linearize diverge")
+      }
+    }
+  }
 }
