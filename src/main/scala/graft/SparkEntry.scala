@@ -367,6 +367,18 @@ object SparkEntry {
       .intersect(t(s, dir, "lineitem").select(col("l_orderkey").as("okey")))
       .agg(count(lit(1)).as("n_common"))
 
+  /** Q41 — context-window chunking (32 tokens, overlap 8): the
+    * LLM-training prep fan-out, map-side only. Chunk content compared by
+    * md5 so the oracle hash stays compact. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.chunk(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens").as("n_toks"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Q39 — pivot: orders per year × order status as columns (explicit
     * value list — at scale never let pivot scan for distinct values). */
   private def q39(s: SparkSession, dir: String): DataFrame =
@@ -497,6 +509,7 @@ object SparkEntry {
     "q38_intersect" -> (q38 _),
     "q39_pivot" -> (q39 _),
     "q40_semijoin" -> (q40 _),
+    "q41_chunk" -> (q41 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -772,6 +785,18 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q41_chunk" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, generate_subscripts(starts, 1) - 1 AS chunk_idx,
+        |         unnest(starts) AS start, t
+        |  FROM (SELECT doc_id, t,
+        |          range(1, greatest(len(t) - 8, 1) + 1, 24) AS starts
+        |        FROM t0))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(len(t[start:start+31]) AS BIGINT) AS n_toks,
+        |       md5(array_to_string(t[start:start+31], ' ')) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q39_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -71,6 +71,33 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, " +", " "))))
 
+  /** Context-window chunking with overlap — the LLM-training prep step
+    * that turns documents into model-sized pieces. Pure builtin
+    * expressions (split → sequence of starts → posexplode → slice):
+    * map-side fan-out, no shuffle, so it runs at scan speed over any
+    * corpus size. Chunk starts advance by (chunkTokens - overlap); the
+    * tail chunk may be short (never dropped).
+    *
+    * @return (original columns…, chunk_idx, chunk_text, n_chunk_tokens)
+    */
+  def chunk(docs: DataFrame, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    val toks = col("__toks")
+    val starts = sequence(lit(1),
+      greatest(size(toks) - overlap, lit(1)), lit(stride))
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col("*"), posexplode(starts).as(Seq("chunk_idx", "__start")))
+      .withColumn("__chunk", slice(toks, col("__start"), lit(chunkTokens)))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("n_chunk_tokens", size(col("__chunk")).cast("long"))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .drop("__toks", "__start", "__chunk")
+  }
+
   /** Top-k tokens per group by tf-idf: tf = token count within the group,
     * idf = ln(n_groups / n_groups_containing_token). The corpus-level
     * term summary of a training-data mix ("what characterizes each

@@ -84,6 +84,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frac > 0.35 && frac < 0.65)
   }
 
+  test("chunking is lossless: dropping overlaps reconstructs every document") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunked = TextAnalysis.chunk(docs, "text",
+      chunkTokens = 32, overlap = 8)
+    val rebuilt = chunked.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val ordered = rows.sortBy(_.getLong(2))
+        val toks = ordered.zipWithIndex.flatMap { case (r, i) =>
+          val ts = r.getString(3).split(" ", -1)
+          if (i == 0) ts else ts.drop(8) // strip the overlap
+        }
+        id -> toks.mkString(" ")
+      }
+    val original = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt.size == original.size)
+    rebuilt.foreach { case (id, text) =>
+      assert(text == original(id), s"doc $id not reconstructed")
+    }
+    // every chunk except possibly the tail is full-size
+    chunked.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      sorted.dropRight(1).foreach(r => assert(r.getLong(4) == 32))
+    }
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
