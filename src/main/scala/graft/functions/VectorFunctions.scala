@@ -62,6 +62,18 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** L2-normalize a vector (zero vectors pass through unchanged). The
+    * index-build step that reduces cosine search to dot/L2 search: on
+    * unit vectors, sqDist = 2 - 2·cos, so L2-kNN over a normalized index
+    * ranks exactly like cosine — the IVF/grid machinery (built for L2)
+    * serves cosine queries with no separate code path. Normalize ONCE at
+    * build, not per query. */
+  def normalize(a: Column): Column = {
+    val n = sqrt(sqNorm(a))
+    when(n === 0.0, toDouble(a))
+      .otherwise(transform(toDouble(a), x => x / n))
+  }
+
   /** Inclusive ball predicate: dist²(a,b) <= r² (reference semantics). */
   def inRange(a: Column, b: Column, r: Column): Column =
     sqDist(a, b) <= r * r

@@ -39,6 +39,26 @@ class TopKSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(2) == 0.0))
   }
 
+  test("L2-kNN over normalized vectors ranks exactly like cosine top-k") {
+    // sqDist(â, q̂) = 2 - 2·cos(a, q): the normalize-at-build reduction
+    // that lets the L2 index machinery serve cosine queries.
+    val e = Tables.load(spark, sf, "embeddings")
+    val norm = e.withColumn("nv",
+      graft.functions.VectorFunctions.normalize(col("embedding")))
+    val q = norm.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("qid"), col("nv"))
+    val byL2 = Search.knnBatch(norm, "nv", "vec_id", q, "nv", "qid",
+        k = 5, roundTo = 9)
+      .select(col("qid"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byCos = Search.cosineTopK(e, "embedding", "vec_id", q
+        .join(e.select(col("vec_id").as("qid"), col("embedding")), Seq("qid")),
+        "embedding", "qid", k = 5, roundTo = 9)
+      .select(col("qid"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byL2 == byCos)
+  }
+
   test("partial aggregation happens before the exchange (plan shape)") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") <= 1)
