@@ -35,6 +35,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch computation") {
+    val dir = SparkTestSession.sf0001
+    val stream = EventWindows.readStream(spark, s"$dir/events.parquet")
+    val q = stream.withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("session_window.start")).as("s"),
+        col("user_id"), col("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Tables.events(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("session_window.start")).as("s"),
+          col("user_id"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with dimension rows") {
     val dir = SparkTestSession.sf0001
     val stream = EventWindows.readStream(spark, s"$dir/events.parquet")
