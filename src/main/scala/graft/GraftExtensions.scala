@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SqDistL2}
+import graft.functions.{CosineSim, DotProduct, SqDistL2}
 
 /** Registers the engine's custom Catalyst expressions as SQL functions, so
   * `spark.sql("... graft_sqdist(a, b) ...")` works next to the Column API.
@@ -37,7 +37,11 @@ object GraftExtensions {
     ("graft_dot",
       info("graft_dot",
         "graft_dot(a, b) - dot product of two double arrays"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_cosine",
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two double arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
 
   /** Imperative registration on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -98,6 +98,69 @@ case class SqDistL2(left: Expression, right: Expression) extends VectorFold {
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity in ONE pass: dot, |a|², |b|² accumulate in the same
+  * loop (the composed form `dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))` walks
+  * the arrays three times), then the identical final arithmetic — so the
+  * result is bit-for-bit the composed form's. Zero-norm inputs yield 0.0
+  * (matches VectorFunctions.cosineBuiltin's guard). */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorFold {
+  override def prettyName: String = "graft_cosine"
+  // unused by this class (eval/codegen overridden), required by the base
+  override protected def combine(s: String, xv: String, yv: String): String = ""
+  override protected def combineEval(x: Double, y: Double): Double = 0.0
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      d += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val den = ctx.freshName("den")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double ${d}_x = $a.getDouble($i);
+         |    final double ${d}_y = $b.getDouble($i);
+         |    $d += ${d}_x * ${d}_y; $na += ${d}_x * ${d}_x; $nb += ${d}_y * ${d}_y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($den == 0.0) ? 0.0 : $d / $den;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product: SUM_i a_i * b_i, index order. */
 case class DotProduct(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_dot"

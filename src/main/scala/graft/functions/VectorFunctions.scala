@@ -56,10 +56,17 @@ object VectorFunctions {
   def sqNorm(a: Column): Column = dot(a, a)
 
   /** Cosine similarity: dot / (|a| * |b|). NaN-free: returns 0.0 when either
-    * norm is zero (degenerate vectors). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = sqrt(sqNorm(a)) * sqrt(sqNorm(b))
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+    * norm is zero (degenerate vectors). Fused single-pass codegen
+    * expression; `cosineBuiltin` is the composed oracle. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumn(CosineSim(
+      org.apache.spark.sql.GraftColumn.expr(toDouble(a)),
+      org.apache.spark.sql.GraftColumn.expr(toDouble(b))))
+
+  /** Composed-builtin cosine (oracle for CosineSim). */
+  def cosineBuiltin(a: Column, b: Column): Column = {
+    val denom = sqrt(dotBuiltin(a, a)) * sqrt(dotBuiltin(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotBuiltin(a, b) / denom)
   }
 
   /** L2-normalize a vector (zero vectors pass through unchanged). The

@@ -31,6 +31,6 @@ class AggregatesSpec extends AnyFunSuite {
     // getOrCreate would return the shared session and skip extension
     // application, so assert the injection list directly.
     val names = GraftExtensions.registrations.map(_._1)
-    assert(names == Seq("graft_sqdist", "graft_dot"))
+    assert(names == Seq("graft_sqdist", "graft_dot", "graft_cosine"))
   }
 }

@@ -17,13 +17,17 @@ class VectorExpressionsSpec extends AnyFunSuite {
       VectorFunctions.sqDist(col("a"), col("b")).as("fast_sq"),
       VectorFunctions.sqDistBuiltin(col("a"), col("b")).as("ref_sq"),
       VectorFunctions.dot(col("a"), col("b")).as("fast_dot"),
-      VectorFunctions.dotBuiltin(col("a"), col("b")).as("ref_dot"))
+      VectorFunctions.dotBuiltin(col("a"), col("b")).as("ref_dot"),
+      VectorFunctions.cosine(col("a"), col("b")).as("fast_cos"),
+      VectorFunctions.cosineBuiltin(col("a"), col("b")).as("ref_cos"))
       .collect()
     out.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)), "sqDist differs")
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot differs")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)), "cosine differs")
     }
   }
 
