@@ -110,6 +110,22 @@ object GridIndex {
       }
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Co-location depth of two vectors — the reference's `mutual_level`
+    * (R12, include/pktree.hpp:418-511: deepest grid level at which two
+    * points share a cell, a log-distance proxy) as its declared Spark
+    * analog: the number of complete interleave rounds shared by the two
+    * Z-order ids. 0 = different top-level cells; bitsPerDim = same finest
+    * cell. Pure expression — usable as a blocking key for hierarchical
+    * near-dup grouping. */
+  def mutualLevel(a: Column, b: Column, spec: GridSpec): Column = {
+    val x = cellId(a, spec).bitwiseXOR(cellId(b, spec))
+    val totalBits = spec.bitsPerDim * spec.dim
+    // shared leading bits = totalBits - bit_length(xor); full rounds = /dim
+    when(x === 0L, lit(spec.bitsPerDim))
+      .otherwise(
+        ((lit(totalBits) - (floor(log2(x)) + 1)) / spec.dim).cast("int"))
+  }
+
   /** Attach the cell id — the index build's map stage (R2 analog). */
   def withCellId(df: DataFrame, vecCol: String, spec: GridSpec,
                  cellCol: String = "cell_id"): DataFrame =

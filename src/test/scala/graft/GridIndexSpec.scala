@@ -125,4 +125,24 @@ class GridIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mutualLevel: R12 analog — same cell = max, distance decreases it") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(0.0, 0.0))).toDF("id", "vec") // fit a fixed grid
+      .union(Seq((1L, Seq(100.0, 100.0))).toDF("id", "vec"))
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    def lvl(p: Seq[Double], q: Seq[Double]): Int =
+      spark.range(1).select(GridIndex.mutualLevel(
+        array(p.map(lit): _*), array(q.map(lit): _*), spec).as("l"))
+        .head().getInt(0)
+    // identical points: finest co-location
+    assert(lvl(Seq(3.0, 3.0), Seq(3.0, 3.0)) == spec.bitsPerDim)
+    // same cell: also finest level
+    assert(lvl(Seq(1.0, 1.0), Seq(2.0, 2.0)) == spec.bitsPerDim)
+    // opposite corners: no shared prefix
+    assert(lvl(Seq(0.0, 0.0), Seq(100.0, 100.0)) == 0)
+    // monotone-ish: nearby pair co-locates at least as deep as a far pair
+    assert(lvl(Seq(10.0, 10.0), Seq(12.0, 12.0)) >=
+      lvl(Seq(10.0, 10.0), Seq(60.0, 60.0)))
+  }
 }
