@@ -38,7 +38,12 @@ object CorpusPipeline {
 
     // 3. near-dup removal: MinHash-LSH candidates, verified by exact
     //    n-gram Jaccard, smaller id wins (pairs only among candidates —
-    //    never O(n²))
+    //    never O(n²)). Removal is PER-EDGE, not per connected component:
+    //    a row is dropped iff it has a verified near-dup with a smaller
+    //    id. Similarity is not transitive, so in a chain A~B~C with A!~C
+    //    both A and C survive — deliberate: collapsing whole components
+    //    to one representative would discard documents that are not
+    //    actually near-duplicates of the survivor.
     val cands = Dedup.minhashCandidates(exact, idCol, textCol, k = minhashK)
     val verified = Dedup.ngramJaccardPairs(
         exact.join(

@@ -44,6 +44,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
 
+  test("ORC round-trip preserves rows and types") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val dir = s"${tmp()}/docs_orc"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+  }
+
   test("parquet sink partitioned by a derived column prunes at read") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val dir = s"${tmp()}/by_lang"
