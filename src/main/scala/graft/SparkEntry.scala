@@ -447,6 +447,21 @@ object SparkEntry {
       .orderBy(col("dist"), col("p_partkey"))
   }
 
+  /** Q42 — cell-pruned BATCH kNN (GridIndex.knnBatch): three 2-D queries
+    * resolved in rounds of cell-candidate joins with the R6 bound
+    * argument deciding completion; oracle = brute-force per query. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fit(p, "vec", dim = 2, cellsPerDim = 8)
+    val indexed = operators.GridIndex.withCellId(p, "vec", spec)
+    val queries = Seq(
+      (0L, Seq(905.0, 20.0)), (1L, Seq(950.0, 5.0)), (2L, Seq(1100.0, 40.0)))
+    operators.GridIndex.knnBatch(indexed, "vec", "p_partkey", spec,
+        queries, k = 5)
+      .select(col("qid"), col("p_partkey"), col("dist"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Q27 — IVF ANN top-10 through the full index path (centroid fit →
     * assignment → probe-list pruning → in-list exact distances). Probing
     * all nlist lists makes the result provably exact (the probe filter
@@ -510,6 +525,7 @@ object SparkEntry {
     "q39_pivot" -> (q39 _),
     "q40_semijoin" -> (q40 _),
     "q41_chunk" -> (q41 _),
+    "q42_knn_batch_pruned" -> (q42 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -785,6 +801,19 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q42_knn_batch_pruned" ->
+      """WITH q(qid, x, y) AS (
+        |  VALUES (CAST(0 AS BIGINT), 905.0, 20.0),
+        |         (CAST(1 AS BIGINT), 950.0, 5.0),
+        |         (CAST(2 AS BIGINT), 1100.0, 40.0)),
+        |d AS (SELECT q.qid, p_partkey,
+        |        ROUND((CAST(p_retailprice AS DOUBLE) - x) * (CAST(p_retailprice AS DOUBLE) - x)
+        |            + (CAST(p_size AS DOUBLE) - y) * (CAST(p_size AS DOUBLE) - y), 6) AS dist
+        |      FROM part, q)
+        |SELECT qid, p_partkey, dist, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, p_partkey) AS rn
+        |  FROM d) WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
     "q41_chunk" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ch AS (
