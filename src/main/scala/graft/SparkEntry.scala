@@ -447,6 +447,15 @@ object SparkEntry {
       .orderBy(col("dist"), col("p_partkey"))
   }
 
+  /** Q43 — frequency capping: at most 2 documents per (lang, source),
+    * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
+    * duplicate frequency as signal). */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.capByKey(t(s, dir, "documents"),
+        Seq("lang", "source"), "doc_id", maxCopies = 2)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Q42 — cell-pruned BATCH kNN (GridIndex.knnBatch): three 2-D queries
     * resolved in rounds of cell-candidate joins with the R6 bound
     * argument deciding completion; oracle = brute-force per query. */
@@ -526,6 +535,7 @@ object SparkEntry {
     "q40_semijoin" -> (q40 _),
     "q41_chunk" -> (q41 _),
     "q42_knn_batch_pruned" -> (q42 _),
+    "q43_freq_cap" -> (q43 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -801,6 +811,13 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q43_freq_cap" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 2
+        |ORDER BY doc_id""".stripMargin,
     "q42_knn_batch_pruned" ->
       """WITH q(qid, x, y) AS (
         |  VALUES (CAST(0 AS BIGINT), 905.0, 20.0),
