@@ -219,7 +219,15 @@ object GridIndex {
           .filter(col("qid").isin(doneIds: _*))
           .drop("__qv", "__r", cellCol, vecCol)
       }
-      pending = todo.map { case (qid, q, r) => (qid, q, math.min(r * 2, maxR)) }
+      // Final escalation goes to INFINITY, not maxR: for a query far
+      // outside the domain every true neighbor lies beyond maxR, and a
+      // radius-capped last round would filter them all out (returning
+      // < k rows). An infinite radius keeps the ball filter vacuous and
+      // cellsForBall clamps to the full grid — the batch analog of the
+      // single-query path's exhaustive fallback.
+      pending = todo.map { case (qid, q, r) =>
+        (qid, q, if (r * 2 >= maxR) Double.PositiveInfinity else r * 2)
+      }
     }
     finished.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[(Long, Long, Double, Long)]

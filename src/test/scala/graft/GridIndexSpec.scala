@@ -145,4 +145,24 @@ class GridIndexSpec extends AnyFunSuite {
     assert(lvl(Seq(10.0, 10.0), Seq(12.0, 12.0)) >=
       lvl(Seq(10.0, 10.0), Seq(60.0, 60.0)))
   }
+
+  test("batch kNN: FAR-out-of-domain query still returns exactly k rows") {
+    // regression: a query farther than maxR from every point used to hit
+    // the forced-done branch with the dist <= r^2 filter still applied,
+    // silently returning fewer than k rows
+    import spark.implicits._
+    val df = randomDf(150, 2, 31) // coords within [-100, 100]
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 6)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    val queries = Seq((0L, Seq(5000.0, 5000.0)), (1L, Seq(0.0, 0.0)))
+    val got = GridIndex.knnBatch(indexed, "vec", "id", spec, queries, k = 4)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = Search.knnBatch(df, "vec", "id",
+        queries.toDF("qid", "qv"), "qv", "qid", k = 4)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.count(_._1 == 0L) == 4, "far query must still fill k")
+  }
 }
