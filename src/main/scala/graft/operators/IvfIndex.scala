@@ -42,14 +42,18 @@ object IvfIndex {
                    nlist: Int): Centroids = {
     val n = df.count()
     val stride = math.max(n / nlist, 1L)
-    df.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+    def take(src: DataFrame) = src
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol))
       .limit(nlist)
       .collect()
-      .zipWithIndex
-      .map { case (row, i) => (i, row.getSeq[Double](1)) }
-      .toSeq
+    val sampled =
+      take(df.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0))
+    // hash-stride sampling can (rarely, tiny inputs) miss every row; an
+    // empty quantizer would route every vector to a null list — fall
+    // back to the first nlist rows by id, still deterministic
+    val rows = if (sampled.nonEmpty) sampled else take(df)
+    rows.zipWithIndex.map { case (row, i) => (i, row.getSeq[Double](1)) }.toSeq
   }
 
   private def centroidArray(centroids: Centroids): Column =
