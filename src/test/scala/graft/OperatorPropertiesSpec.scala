@@ -57,6 +57,39 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("ngramJaccardPairs == in-memory brute force on random corpora") {
+    import spark.implicits._
+    val corpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.chooseNum(0, 15)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(0, 12)
+        // tiny vocabulary on purpose: forces shared shingles + duplicates
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+
+    run("jaccard", Prop.forAll(corpus) { docs =>
+      val got = operators.Dedup.ngramJaccardPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      val expect = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa intersect sb).size if sa.nonEmpty || sb.nonEmpty
+        uni = (sa union sb).size if uni > 0
+        j = math.rint(inter.toDouble / uni * 1e6) / 1e6 if j >= 0.4
+      } yield (a, b, j)).toSet
+      got == expect
+    })
+  }
+
   test("topK aggregator == sorted take on random score sets") {
     import spark.implicits._
     val scored: Gen[(Int, List[(Double, Long)])] = for {
