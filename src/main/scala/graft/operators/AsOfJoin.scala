@@ -70,4 +70,49 @@ object AsOfJoin {
     val outRight = rightPayload.map(c => col(s"__match.$c").as(c))
     matched.select(outLeft ++ outRight: _*)
   }
+
+  /** Forward as-of join: the single right row with the SMALLEST timestamp
+    * >= the left timestamp per key ("the next event after this point").
+    * Same one-shuffle union+window mechanics as `backward`, with the
+    * window looking forward; equal-timestamp right rows still match
+    * (inclusive) and ties resolve to the SMALLEST `rightTieBreak`. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String,
+              rightPayload: Seq[String],
+              rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct((rightTs +: rightTieBreak +: rightPayload)
+      .distinct.map(col): _*)
+
+    val r = right.select(
+      col(key),
+      col(rightTs).cast("timestamp").as("__t"),
+      lit(0).as("__side"),
+      payload.as("__rv"),
+      struct(leftCols.map(c => lit(null).cast(left.schema(c).dataType)
+        .as(c)): _*).as("__lv"))
+    val l = left.select(
+      col(key),
+      col(leftTs).cast("timestamp").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(r.schema("__rv").dataType).as("__rv"),
+      struct(leftCols.map(col): _*).as("__lv"))
+
+    // Mirror of backward: order by time DESCENDING so "first right row at
+    // or after ts" becomes the running last(). At equal __t, __side
+    // ASCENDING keeps right rows (0) ahead of left rows (1) — inclusive
+    // equal-timestamp match; __rv descending makes the SMALLEST tie-break
+    // the nearest preceding right row, i.e. the winner.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side"), col("__rv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = r.unionByName(l)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val outLeft = leftCols.map(c => col(s"__lv.$c").as(c))
+    val outRight = rightPayload.map(c => col(s"__match.$c").as(c))
+    matched.select(outLeft ++ outRight: _*)
+  }
 }

@@ -57,6 +57,27 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("asof forward == in-memory oracle on random keyed event sets") {
+    import spark.implicits._
+    run("asof_fwd", Prop.forAll(asofCase) { case (lrows, rrows) =>
+      val left = lrows.toDF("eid", "k", "t")
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val right = rrows.toDF("rid", "k", "rt")
+        .withColumn("rts", timestamp_seconds(col("rt")))
+      val got = AsOfJoin.forward(left, right, "k", "ts", "rts",
+          Seq("rid"), "rid")
+        .select(col("eid"), col("rid")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val oracle = lrows.map { case (eid, k, t) =>
+        val m = rrows.filter(r => r._2 == k && r._3 >= t)
+        eid -> (if (m.isEmpty) -1L
+                else m.minBy(r => (r._3, r._1))._1) // earliest ts, min rid
+      }.toMap
+      got == oracle && got.size == lrows.size
+    })
+  }
+
   test("ngramJaccardPairs == in-memory brute force on random corpora") {
     import spark.implicits._
     val corpus: Gen[List[(Long, String)]] = for {
