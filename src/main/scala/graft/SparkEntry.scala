@@ -447,6 +447,19 @@ object SparkEntry {
       .orderBy(col("dist"), col("p_partkey"))
   }
 
+  /** Q44 — statistical aggregates (stddev/corr/covar): distribution
+    * profiling of a corpus slice. Merge-formula aggregates are
+    * partition-order stable at these roundings (verified across
+    * repartitionings before declaring). */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("covar_pq"))
+      .orderBy(col("l_returnflag"))
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -536,6 +549,7 @@ object SparkEntry {
     "q41_chunk" -> (q41 _),
     "q42_knn_batch_pruned" -> (q42 _),
     "q43_freq_cap" -> (q43 _),
+    "q44_stats" -> (q44 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -811,6 +825,13 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q44_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q43_freq_cap" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
