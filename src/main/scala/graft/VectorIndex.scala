@@ -76,6 +76,18 @@ class VectorIndex private (
     IvfIndex.search(assigned, vecCol, idCol, centroids.get, q, k, nProbe)
   }
 
+  /** Approximate top-k by COSINE similarity via the same IVF lists.
+    * (For a cosine-first corpus, normalize vectors at create() time and
+    * use annSearch — on unit vectors L2 order == cosine order, see
+    * VectorFunctions.normalize.) */
+  def annSearchCosine(q: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    val assigned =
+      if (data.columns.contains("list_id")) data
+      else IvfIndex.assign(data, vecCol, idCol, centroids.get)
+    IvfIndex.searchCosine(assigned, vecCol, idCol, centroids.get, q, k, nProbe)
+  }
+
   /** Incremental insertion — reference `insert` (hpp:1262). New rows are
     * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
     * clamp to border cells; pruning stays lossless because query-side cell

@@ -45,6 +45,15 @@ class VectorIndexSpec extends AnyFunSuite {
     val ann = idx.annSearch(q, 5, nProbe = 8)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(ann == naive) // nProbe = nlist ⇒ exhaustive ⇒ exact
+
+    import spark.implicits._
+    val q2 = Seq.fill(16)(0.5)
+    val annCos = idx.annSearchCosine(q2, 5, nProbe = 8)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val naiveCos = Search.cosineTopK(df, "vec", "id",
+        Seq((0L, q2)).toDF("qid", "qv"), "qv", "qid", k = 5)
+      .orderBy(col("rn")).select("id").collect().map(_.getLong(0)).toSeq
+    assert(annCos == naiveCos) // exhaustive probe ⇒ exact cosine ranking
   }
 
   test("append makes new points searchable (insert analog)") {
