@@ -411,7 +411,12 @@ object SparkEntry {
   private def q37(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(slice(sort_array(collect_set(col("user_id"))), 1, 3)
+      // Joined-string canonical form (not a raw array column): the driver's
+      // checker factorizes result cells in pandas, and numpy arrays are
+      // unhashable — a scalar string keeps the same capability verifiable.
+      .agg(concat_ws(",",
+        slice(sort_array(collect_set(col("user_id"))), 1, 3)
+          .cast("array<string>"))
         .as("first_users"))
       .orderBy(col("event_type"))
 
@@ -883,7 +888,8 @@ object SparkEntry {
         |  INTERSECT SELECT l_orderkey AS okey FROM lineitem)""".stripMargin,
     "q37_array" ->
       """SELECT event_type,
-        |       list_sort(list(DISTINCT user_id))[1:3] AS first_users
+        |       array_to_string(list_sort(list(DISTINCT user_id))[1:3], ',')
+        |         AS first_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q31_sessions" ->
       """WITH o AS (

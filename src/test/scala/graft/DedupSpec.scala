@@ -70,6 +70,49 @@ class DedupSpec extends AnyFunSuite {
     assert(dupMean <= 4.0, s"near-dup mean hamming = $dupMean")
   }
 
+  test("shingle df cap: a universal hot shingle is dropped, not exploded") {
+    import spark.implicits._
+    // 40 docs all sharing the boilerplate prefix "all rights reserved to";
+    // only docs 0 and 1 share anything else. Uncapped, the hot shingles
+    // alone produce 40² pair rows; capped, they carry no signal.
+    val docs40 = (0 until 40).map { i =>
+      val tail = if (i <= 1) "identical trailing content here"
+                 else s"unique tail $i alpha beta gamma"
+      (i.toLong, s"all rights reserved to $tail")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs40, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Only (0,1) survives: their informative (non-boilerplate) shingle sets
+    // are identical → df-capped Jaccard = 1.0. The boilerplate-only pairs
+    // (e.g. (2,3)) must NOT appear even though uncapped their Jaccard over
+    // shared boilerplate shingles would be > 0.
+    assert(capped.toSeq == Seq((0L, 1L, 1.0)))
+    // And the cap is a provable no-op when no shingle exceeds it.
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().toSet
+    val b = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      maxShingleDf = Int.MaxValue).collect().toSet
+    assert(a == b)
+  }
+
+  test("minhash bucket cap: degenerate identical corpus yields no m² blowup") {
+    import spark.implicits._
+    // 30 identical docs: every band bucket has all 30 docs. With the cap
+    // below 30, all buckets are dropped → zero candidates (exact dedup is
+    // the right tool for identical docs, not LSH pairing).
+    val same = (0 until 30).map(i => (i.toLong, "the same exact document text"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(same, "doc_id", "text",
+      k = 8, rowsPerBand = 2, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    // No-op on the fixture: default cap changes nothing.
+    val a = Dedup.minhashCandidates(docs, "doc_id", "text", 8, 2).collect().toSet
+    val b = Dedup.minhashCandidates(docs, "doc_id", "text", 8, 2,
+      maxBucketSize = Int.MaxValue).collect().toSet
+    assert(a == b)
+  }
+
   test("dupStats: HLL estimate within 5% of exact, one pass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
