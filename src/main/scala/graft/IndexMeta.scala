@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.operators.{GridIndex, IvfIndex}
+
+/** Sidecar metadata persisted beside a saved index.
+  *
+  * The stored `cell_id` / `list_id` columns are only meaningful in the
+  * geometry that produced them: a load() that re-fits a GridSpec from the
+  * rows (different cellsPerDim, or an extent widened by append-clamped
+  * points) would enumerate query cells in a DIFFERENT geometry than the
+  * stored ids and silently drop true results — breaking the losslessness
+  * contract the pruning rests on (reference include/pktree.hpp:1048-1064's
+  * bound argument). So the exact spec and the IVF centroid table are
+  * written once at save() and read back verbatim at load(): the geometry
+  * on disk is the single source of truth, never re-derived.
+  *
+  * The file lives inside the index directory with an underscore name
+  * (like _SUCCESS), which Parquet directory listings ignore; it is
+  * driver-side metadata (a few KB), written through the Hadoop FileSystem
+  * API so the same code serves local disk, HDFS, and object stores.
+  */
+case class IndexMeta(
+    version: Int,
+    vecCol: String,
+    idCol: String,
+    dim: Int,
+    grid: Option[IndexMeta.GridMeta],
+    centroids: Option[Seq[IndexMeta.CentroidMeta]]) {
+
+  def gridSpec: Option[GridIndex.GridSpec] =
+    grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
+
+  def ivfCentroids: Option[IvfIndex.Centroids] =
+    centroids.map(_.map(c => (c.listId, c.centroid)))
+}
+
+object IndexMeta {
+  case class GridMeta(origin: Seq[Double], width: Seq[Double], cells: Seq[Int])
+  case class CentroidMeta(listId: Int, centroid: Seq[Double])
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Underscore prefix: Spark/Parquet treat it as a non-data file. */
+  val FileName = "_graft_meta.json"
+
+  def of(vecCol: String, idCol: String, dim: Int,
+         spec: Option[GridIndex.GridSpec],
+         cents: Option[IvfIndex.Centroids]): IndexMeta =
+    IndexMeta(1, vecCol, idCol, dim,
+      spec.map(s => GridMeta(s.origin, s.width, s.cells)),
+      cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))
+
+  def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
+    val p = new Path(indexPath, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(Serialization.write(meta).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, indexPath: String): Option[IndexMeta] = {
+    val p = new Path(indexPath, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(Serialization.read[IndexMeta](new String(bytes, "UTF-8")))
+      } finally in.close()
+    }
+  }
+}

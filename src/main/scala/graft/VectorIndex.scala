@@ -110,15 +110,21 @@ class VectorIndex private (
     VectorIndex.create(data.drop("cell_id", "list_id"), vecCol, idCol, dim,
       cellsPerDim, nlist)
 
-  /** Persist as a cell-bucketed parquet index (the 100 TB layout). The
-    * path is registered with the index-aware optimizer rule, so a plain
-    * `graft_sqdist(vec, q) <= r²` filter over a scan of it auto-prunes
-    * (plans.IndexAwareRules). */
-  def save(path: String): Unit = gridSpec match {
-    case Some(spec) =>
-      GridIndex.buildIndex(data, vecCol, spec, path)
-      plans.IndexAwareRules.registerIndex(path, spec)
-    case None => data.write.mode("overwrite").parquet(path)
+  /** Persist as a cell-bucketed parquet index (the 100 TB layout) plus a
+    * metadata sidecar (IndexMeta: exact GridSpec + IVF centroids), so
+    * load() restores the SAME geometry — never a re-fit, which could
+    * disagree with the stored cell ids. The path is registered with the
+    * index-aware optimizer rule, so a plain `graft_sqdist(vec, q) <= r²`
+    * filter over a scan of it auto-prunes (plans.IndexAwareRules). */
+  def save(path: String): Unit = {
+    gridSpec match {
+      case Some(spec) =>
+        GridIndex.buildIndex(data, vecCol, spec, path)
+        plans.IndexAwareRules.registerIndex(path, spec)
+      case None => data.write.mode("overwrite").parquet(path)
+    }
+    IndexMeta.write(data.sparkSession, path,
+      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids))
   }
 }
 
@@ -151,15 +157,22 @@ object VectorIndex {
     new VectorIndex(withLists, vecCol, idCol, dim, spec, cents)
   }
 
-  /** Reload a saved index (metadata re-fit from the stored rows; also
-    * re-registers the path for optimizer-rule pruning). */
-  def load(spark: SparkSession, path: String, vecCol: String, idCol: String,
-           dim: Int, cellsPerDim: Int = 16): VectorIndex = {
+  /** Reload a saved index from its sidecar metadata: the EXACT GridSpec
+    * the stored cell_id column was computed in (a re-fit could differ —
+    * different cellsPerDim, or an extent widened since build — and would
+    * silently drop true results from pruned search), plus the IVF
+    * centroids so annSearch works after reload. Also re-registers the
+    * path for optimizer-rule pruning with that same spec. */
+  def load(spark: SparkSession, path: String): VectorIndex = {
+    val meta = IndexMeta.read(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
+        "VectorIndex (indexes written before the sidecar existed must be " +
+        "rebuilt with create(...).save(path))"))
     val df = spark.read.parquet(path)
-    val spec =
-      if (dim <= 4) Some(GridIndex.fit(df, vecCol, dim, cellsPerDim))
-      else None
+    val spec = meta.gridSpec
     spec.foreach(s => plans.IndexAwareRules.registerIndex(path, s))
-    new VectorIndex(df, vecCol, idCol, dim, spec, None)
+    new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
+      meta.ivfCentroids)
   }
 }

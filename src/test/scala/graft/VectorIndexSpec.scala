@@ -82,9 +82,48 @@ class VectorIndexSpec extends AnyFunSuite {
     val path = java.nio.file.Files
       .createTempDirectory("graft_vi").toString + "/idx"
     idx.save(path)
-    val re = VectorIndex.load(spark, path, "vec", "id", dim = 2)
+    val re = VectorIndex.load(spark, path)
     val q = Seq(1.0, 2.0)
     assert(re.knn(q, 5).select("id").collect().map(_.getLong(0)).toSeq ==
       idx.knn(q, 5).select("id").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("load restores the SAVED grid geometry, not a re-fit (hazard test)") {
+    // Build at a non-default resolution: a load() that re-fit at the old
+    // default (16 cells/dim) would enumerate query cells in a different
+    // geometry than the stored cell_id column and silently drop rows.
+    val df = randomDf(200, 2, 13)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_geo").toString + "/idx"
+    idx.save(path)
+    val re = VectorIndex.load(spark, path)
+    val q = Seq(7.0, -3.0)
+    val naive = Search.rangeSearch(df, "vec", array(q.map(lit): _*), 20.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = re.rangeSearch(q, 20.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned == naive, "pruned search after reload must be lossless")
+    val naiveK = Search.knn(df, "vec", "id", array(q.map(lit): _*), 9)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(re.knn(q, 9).select("id").collect().map(_.getLong(0)).toSeq
+      == naiveK)
+  }
+
+  test("ANN works after save/load (centroids persisted in the sidecar)") {
+    val df = randomDf(200, 16, 17)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_ann").toString + "/idx"
+    idx.save(path)
+    val re = VectorIndex.load(spark, path)
+    val q = Seq.fill(16)(1.0)
+    val before = idx.annSearch(q, 5, nProbe = 8)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val after = re.annSearch(q, 5, nProbe = 8)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(after == before)
+    assert(after == Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
+      .select("id").collect().map(_.getLong(0)).toSeq) // exhaustive = exact
   }
 }
