@@ -18,8 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    // index-aware ball-search pruning (SURVEY §7.2 step 9)
+    // index-aware ball-search + SQL-kNN pruning (SURVEY §7.2 step 9)
     e.injectOptimizerRule(_ => graft.plans.IndexAwareRules.PruneBallSearch)
+    e.injectOptimizerRule(_ => graft.plans.IndexAwareRules.PruneKnnSort)
   }
 }
 

@@ -138,9 +138,15 @@ object VectorIndex {
   def create(df: DataFrame, vecCol: String, idCol: String, dim: Int,
              cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex = {
     val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
-    // schema-level dim invariant (SURVEY §1.1): fail fast on ragged input
-    val bad = typed.filter(!VectorFunctions.dimCheck(col(vecCol), dim)).limit(1)
-    require(bad.isEmpty, s"input contains vectors with dim != $dim")
+    // schema-level dim invariant (SURVEY §1.1): fail fast on ragged OR null
+    // input. Nulls must be rejected too (coalesce: a null dimCheck would
+    // slip through a bare negation) — downstream pruning rewrites
+    // (IndexAwareRules.PruneKnnSort) rely on "no null vectors in a saved
+    // index" for losslessness.
+    val bad = typed.filter(
+      !coalesce(VectorFunctions.dimCheck(col(vecCol), dim), lit(false)))
+      .limit(1)
+    require(bad.isEmpty, s"input contains null vectors or vectors with dim != $dim")
     val (spec, indexed) =
       if (dim <= 4) {
         val s = GridIndex.fit(typed, vecCol, dim, cellsPerDim)

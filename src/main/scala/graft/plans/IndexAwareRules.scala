@@ -4,28 +4,43 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{array, col, lit}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.functions.SqDistL2
+import graft.functions.VectorFunctions.sqDist
 import graft.operators.GridIndex.{cellsForBall, GridSpec}
 
-/** Catalyst optimizer rule that makes ball-search predicates index-aware
-  * WITHOUT the caller doing anything: a filter
-  * `graft_sqdist(vec, <literal q>) <= r²` over a registered cell-bucketed
-  * parquet index gains a `cell_id IN (<cells overlapping the ball>)`
-  * conjunct, which Spark's existing pushdown then turns into parquet
-  * row-group pruning. The rewrite is the declarative form of the
-  * reference's three-way node classification (include/pktree.hpp:1161:
-  * fully-outside subtrees are never visited) — SURVEY §7.2 step 9.
+/** Catalyst optimizer rules that make search predicates index-aware
+  * WITHOUT the caller doing anything:
+  *
+  *   - PruneBallSearch: a filter `graft_sqdist(vec, <literal q>) <= r²`
+  *     over a registered cell-bucketed parquet index gains a
+  *     `cell_id IN (<cells overlapping the ball>)` conjunct, which Spark's
+  *     existing pushdown then turns into parquet row-group pruning — the
+  *     declarative form of the reference's three-way node classification
+  *     (include/pktree.hpp:1161: fully-outside subtrees are never visited).
+  *
+  *   - PruneKnnSort: `ORDER BY graft_sqdist(vec, <literal q>) LIMIT k`
+  *     over a registered index — the reference's core kNN entry
+  *     (include/pktree.hpp:948-973) as plain SQL — gets the same cell
+  *     pruning via a planning-time ring search (below).
   *
   * Lossless by construction: `cellsForBall` over-approximates (every cell
   * whose box intersects the ball is kept), the exact predicate still
-  * runs, and the rule only ever ANDs a superset filter. Applied once per
-  * filter (guarded by an existing cell_id conjunct check).
+  * runs, and the rules only ever AND a superset filter / a filter proven
+  * to contain the top-k.
+  *
+  * Attribute provenance: a rewrite fires only when the plan below the
+  * filter/sort contains EXACTLY ONE registered index relation and both
+  * the cell_id attribute and the ball's vector attribute resolve to that
+  * relation's output (by exprId). Anything else — self-joins of an index,
+  * a cell_id from one side with a vector from the other, multi-index
+  * plans — is left untouched: correctness over cleverness.
   */
 object IndexAwareRules {
 
@@ -47,45 +62,61 @@ object IndexAwareRules {
 
   /** Install on a live session (spark.experimental) — the config-free
     * path used by tests and interactive sessions. GraftExtensions wires
-    * the same rule through SparkSessionExtensions for config-driven
+    * the same rules through SparkSessionExtensions for config-driven
     * deployments. */
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[PruneBallSearch.type]))
-      spark.experimental.extraOptimizations = existing :+ PruneBallSearch
+    val want = Seq(PruneBallSearch, PruneKnnSort)
+    val missing = want.filterNot(r => existing.exists(_ eq r))
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = existing ++ missing
+  }
+
+  /** Every registered index relation in `plan`: (path, spec, relation). */
+  private def registeredRelations(
+      plan: LogicalPlan): Seq[(String, GridSpec, LogicalRelation)] =
+    plan.collect {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.flatMap { p =>
+          val n = normalize(p.toString)
+          registry.get(n).map(s => (n, s, lr))
+        }.headOption
+    }.flatten
+
+  /** The literal double-array payload of an expression, if any. */
+  private def litArray(x: Expression): Option[Seq[Double]] = x match {
+    case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
+      Some(a.toDoubleArray().toSeq)
+    case _ => None
   }
 
   object PruneBallSearch extends Rule[LogicalPlan] with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case f @ Filter(cond, child) =>
-        specFor(child) match {
-          case Some((spec, cellAttr)) if !hasCellConjunct(cond, cellAttr) =>
-            val conjuncts = splitConjunctivePredicates(cond)
-            conjuncts.flatMap(ballOf(_, child)).headOption match {
-              case Some((q, r)) =>
-                val cells = cellsForBall(spec, q, r)
-                if (cells.nonEmpty && cells.size <= MaxCells)
-                  Filter(And(cond,
-                    In(cellAttr, cells.map(Literal(_)))), child)
-                else f
-              case None => f
+        registeredRelations(child) match {
+          // exactly one registered relation below: provenance unambiguous
+          case Seq((_, spec, lr)) =>
+            val relOut = lr.outputSet
+            val cellAttr = child.output.find(a =>
+              a.name == "cell_id" && a.dataType == LongType &&
+              relOut.contains(a))
+            cellAttr match {
+              case Some(cell) if !hasCellConjunct(cond, cell) =>
+                val conjuncts = splitConjunctivePredicates(cond)
+                conjuncts.flatMap(ballOf(_, relOut)).headOption match {
+                  case Some((q, r)) if q.size == spec.dim =>
+                    val cells = cellsForBall(spec, q, r)
+                    if (cells.nonEmpty && cells.size <= MaxCells)
+                      Filter(And(cond,
+                        In(cell, cells.map(Literal(_)))), child)
+                    else f
+                  case _ => f
+                }
+              case _ => f
             }
-          case _ => f
+          case _ => f // zero, or 2+ (self-join / multi-index): bail out
         }
-    }
-
-    /** The grid spec + cell_id attribute, if `plan` reads a registered
-      * index (directly or through projections that keep cell_id). */
-    private def specFor(plan: LogicalPlan): Option[(GridSpec, Attribute)] = {
-      val cellAttr = plan.output.find(a =>
-        a.name == "cell_id" && a.dataType == LongType)
-      val spec = plan.collectFirst {
-        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-          fs.location.rootPaths.flatMap(p =>
-            registry.get(normalize(p.toString))).headOption
-      }.flatten
-      for (s <- spec; a <- cellAttr) yield (s, a)
     }
 
     private def hasCellConjunct(cond: Expression, cell: Attribute): Boolean =
@@ -96,21 +127,19 @@ object IndexAwareRules {
       }
 
     /** Extract (query center, radius) from `sqdist(vec, lit) <= lit(r²)`
-      * (either operand order; vec must be an output attribute so the
-      * geometry applies to stored rows). */
+      * (either operand order). The vector operand must be an attribute OF
+      * THE REGISTERED RELATION — a vector from the other side of a join
+      * lives in a different geometry. */
     private def ballOf(e: Expression,
-                       child: LogicalPlan): Option[(Seq[Double], Double)] = {
-      def lits(x: Expression): Option[Seq[Double]] = x match {
-        case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
-          Some(a.toDoubleArray().toSeq)
-        case _ => None
-      }
+                       relOut: AttributeSet): Option[(Seq[Double], Double)] = {
       def fromSq(sq: SqDistL2, bound: Expression): Option[(Seq[Double], Double)] =
         (sq.left, sq.right, bound) match {
-          case (_: Attribute, qv, Literal(r2: Double, DoubleType)) if r2 >= 0 =>
-            lits(qv).map(q => (q, math.sqrt(r2)))
-          case (qv, _: Attribute, Literal(r2: Double, DoubleType)) if r2 >= 0 =>
-            lits(qv).map(q => (q, math.sqrt(r2)))
+          case (v: Attribute, qv, Literal(r2: Double, DoubleType))
+              if r2 >= 0 && relOut.contains(v) =>
+            litArray(qv).map(q => (q, math.sqrt(r2)))
+          case (qv, v: Attribute, Literal(r2: Double, DoubleType))
+              if r2 >= 0 && relOut.contains(v) =>
+            litArray(qv).map(q => (q, math.sqrt(r2)))
           case _ => None
         }
       e match {
@@ -119,6 +148,130 @@ object IndexAwareRules {
         case LessThan(sq: SqDistL2, b) => fromSq(sq, b) // strict ⊂ inclusive
         case _ => None
       }
+    }
+  }
+
+  /** `ORDER BY graft_sqdist(vec, <literal q>) [ASC] LIMIT k` over a
+    * registered index → the same TakeOrderedAndProject over a cell-pruned
+    * scan.
+    *
+    * Planning-time ring search (the driver-side analog of GridIndex.knn):
+    * double a radius until at least k rows lie inside the pruned ball —
+    * then every global top-k row has dist ≤ r, so ANDing
+    * `cell_id IN cellsForBall(q, r) AND sqdist(vec, q) <= r²` onto the
+    * scan preserves the sort+limit result exactly (the bound argument of
+    * include/pktree.hpp:1048-1064). The probes are themselves cell-pruned
+    * count jobs (public read path, so this very rule prunes them too);
+    * their cost is bounded by the ball volume, not the index size. If the
+    * whole index holds fewer than k rows the plan is left untouched (the
+    * unpruned sort is already minimal). Null vectors cannot occur in a
+    * saved index (VectorIndex.create rejects them), so dropping
+    * null-distance rows via the ball conjunct is semantics-preserving.
+    */
+  object PruneKnnSort extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(IntegerLiteral(_), inner)) if k > 0 =>
+        val rewritten = inner match {
+          case p @ Project(_, s: Sort) =>
+            rewriteSort(s, k).map(ns => p.copy(child = ns))
+          case s: Sort => rewriteSort(s, k)
+          case _ => None
+        }
+        rewritten.map(ni => gl.copy(child = ll.copy(child = ni)))
+          .getOrElse(gl)
+    }
+
+    /** The ascending-sqdist sort key, matched directly (DataFrame
+      * `orderBy(expr)`) or through the alias the SQL analyzer inserts in
+      * the sort's child projection (`ORDER BY graft_sqdist(...)`). */
+    private def sortKey(s: Sort): Option[SqDistL2] = s.order match {
+      case Seq(SortOrder(sq: SqDistL2, Ascending, _, _)) => Some(sq)
+      case Seq(SortOrder(a: Attribute, Ascending, _, _)) => s.child match {
+        case Project(exprs, _) => exprs.collectFirst {
+          case al @ Alias(sq: SqDistL2, _) if al.exprId == a.exprId => sq
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+    /** Idempotence guard (the optimizer batch runs to fixed point): true
+      * if the relation already sits under a cell-pruned filter we
+      * injected — rewriting again would loop the batch, re-running probe
+      * jobs every iteration. */
+    private def alreadyPruned(plan: LogicalPlan, lr: LogicalRelation): Boolean =
+      plan.collectFirst {
+        case Filter(cond, l: LogicalRelation) if l eq lr => cond
+      }.exists(_.exists {
+        case In(a: Attribute, _) => a.name == "cell_id"
+        case _ => false
+      })
+
+    private def rewriteSort(s: Sort, k: Int): Option[LogicalPlan] = {
+      if (!s.global) return None
+      for {
+        sq <- sortKey(s)
+        (path, spec, lr) <- registeredRelations(s.child) match {
+          case Seq(one) => Some(one) // provenance rule: exactly one index
+          case _ => None
+        }
+        if !alreadyPruned(s.child, lr)
+        relOut = lr.outputSet
+        (vecAttr, q) <- ((sq.left, sq.right) match {
+          case (v: Attribute, qv) if relOut.contains(v) =>
+            litArray(qv).map(q => (v, q))
+          case (qv, v: Attribute) if relOut.contains(v) =>
+            litArray(qv).map(q => (v, q))
+          case _ => None
+        })
+        if q.size == spec.dim
+        cellAttr <- lr.output.find(a =>
+          a.name == "cell_id" && a.dataType == LongType)
+        r <- proveRadius(path, spec, vecAttr.name, cellAttr.name, q, k)
+        cells = cellsForBall(spec, q, r)
+        if cells.nonEmpty && cells.size <= MaxCells
+      } yield {
+        // Filter sits directly on the relation so FileSourceStrategy
+        // pushes the IN down to parquet row-group stats.
+        val vecOfRel = lr.output.find(_.exprId == vecAttr.exprId).get
+        val pruned = Filter(And(
+          In(cellAttr, cells.map(Literal(_))),
+          LessThanOrEqual(SqDistL2(vecOfRel,
+            Literal.create(q.toArray, ArrayType(DoubleType, false))),
+            Literal(r * r))), lr)
+        s.copy(child = s.child.transformUp {
+          case l: LogicalRelation if l eq lr => pruned
+        })
+      }
+    }
+
+    /** Smallest probed radius (by doubling) proven to contain >= k rows —
+      * driver-side jobs over the PUBLIC read path, each pruned by this
+      * rule's sibling. None if the index never yields k rows (caller
+      * leaves the plan alone) or the session is gone. */
+    private def proveRadius(path: String, spec: GridSpec, vecCol: String,
+                            cellCol: String, q: Seq[Double],
+                            k: Int): Option[Double] = {
+      val spark = SparkSession.getActiveSession.getOrElse(return None)
+      val df = try spark.read.parquet(path) catch { case _: Exception => return None }
+      if (!df.columns.contains(vecCol) || !df.columns.contains(cellCol))
+        return None
+      val maxR = (0 until spec.dim).map(i => spec.width(i) * spec.cells(i))
+        .max * 2
+      val qVec = array(q.map(lit): _*)
+      var r = spec.width.max
+      while (r <= maxR) {
+        val cells = cellsForBall(spec, q, r)
+        if (cells.size > MaxCells) return None
+        val cnt = df.filter(col(cellCol).isin(cells: _*))
+          .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
+          .limit(k).count() // k rows suffice as proof; stop counting there
+        if (cnt >= k) return Some(r)
+        r *= 2
+      }
+      None
     }
   }
 }

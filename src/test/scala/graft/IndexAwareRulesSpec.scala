@@ -69,6 +69,65 @@ class IndexAwareRulesSpec extends AnyFunSuite {
       expect.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("pure SQL kNN (ORDER BY graft_sqdist LIMIT k) gets a pruned scan") {
+    GraftExtensions.register(spark)
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val sqlDf = spark.sql(
+      s"""SELECT p_partkey FROM parquet.`$indexPath`
+         |ORDER BY graft_sqdist(vec, array(910.0D, 25.0D)) LIMIT 7""".stripMargin)
+    val physical = sqlDf.queryExecution.executedPlan.toString
+    assert(physical.contains("In(cell_id"),
+      s"SQL kNN should scan only candidate cells:\n$physical")
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"sort+limit should stay a top-k operator:\n$physical")
+    // exact: identical ids, in order, to the naive full-scan kNN
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.knn(raw, "vec", "p_partkey",
+        array(q.map(lit): _*), 7)
+      .select("p_partkey").collect().map(_.getLong(0)).toSeq
+    assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("DataFrame orderBy(sqdist).limit(k) hits the same kNN rewrite") {
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val idx = GridIndex.readIndex(spark, indexPath)
+    val knnDf = idx.orderBy(sqDist(col("vec"), array(q.map(lit): _*)))
+      .limit(5).select("p_partkey")
+    assert(knnDf.queryExecution.executedPlan.toString.contains("In(cell_id"))
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.knn(raw, "vec", "p_partkey", array(q.map(lit): _*), 5)
+      .select("p_partkey").collect().map(_.getLong(0)).toSeq
+    assert(knnDf.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("self-join of an indexed scan is NOT rewritten (provenance guard)") {
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val idx = GridIndex.readIndex(spark, indexPath)
+    val l = idx.select(col("p_partkey").as("lk"), col("vec").as("lvec"),
+      col("cell_id"))
+    val r2 = idx.select(col("p_partkey").as("rk"), col("vec").as("rvec"))
+    // ball predicate on the RIGHT side's vector, cell_id from the LEFT:
+    // the old rule would AND a left-geometry cell filter against a
+    // right-side ball and silently drop rows. Two registered relations
+    // below the filter → the rule must bail.
+    val joined = l.crossJoin(r2)
+      .filter(sqDist(col("rvec"), array(q.map(lit): _*)) <= lit(r * r))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cell_id IN"),
+      s"multi-relation plan must not gain a cell conjunct:\n$optimized")
+    // and the result is what the unrewritten semantics say
+    val nRight = idx.filter(
+      sqDist(col("vec"), array(q.map(lit): _*)) <= lit(r * r)).count()
+    assert(joined.count() == idx.count() * nRight)
+  }
+
   test("unregistered paths and non-ball filters are left untouched") {
     IndexAwareRules.install(spark)
     val idx = GridIndex.readIndex(spark, indexPath)
