@@ -253,4 +253,30 @@ object Dedup {
       .filter(col("dist") <= maxSqDist)
       .select(col("a"), col("b"), col("dist"))
   }
+
+  /** Embedding near-duplicate pairs with NO caller-supplied blocking
+    * column: blocks come from the IVF coarse quantizer via slack-expanded
+    * multi-assignment (IvfIndex.assignMulti with slack = sqrt(maxSqDist)),
+    * which PROVABLY co-locates every pair within the threshold in at least
+    * one shared list — so the result is exactly the brute-force all-pairs
+    * answer, at blocked-join cost. This is the composition the 100 TB
+    * pipeline runs on a real corpus (no label column): fit centroids once
+    * (metadata), multi-assign map-side, one equi-join on list_id. A pair
+    * near a list boundary can co-occur in several lists → distinct. */
+  def embeddingNearDupByIvf(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: IvfIndex.Centroids,
+                            maxSqDist: Double): DataFrame = {
+    val expanded = IvfIndex.assignMulti(df, vecCol, centroids,
+      slack = math.sqrt(maxSqDist))
+    val l = expanded.select(col("list_id"), col(idCol).as("a"),
+      col(vecCol).as("__va"))
+    val r = expanded.select(col("list_id"), col(idCol).as("b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", round(sqDist(col("__va"), col("__vb")), 6))
+      .filter(col("dist") <= maxSqDist)
+      .select(col("a"), col("b"), col("dist"))
+      .distinct()
+  }
 }

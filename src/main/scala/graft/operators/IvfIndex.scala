@@ -74,6 +74,32 @@ object IvfIndex {
     df.withColumn("list_id", array_min(cands).getField("list_id"))
   }
 
+  /** Multi-assignment with a completeness guarantee: each vector joins
+    * EVERY list whose centroid lies within (distance to its nearest
+    * centroid + slack). For any pair (a, b) with ||a−b|| <= slack, the two
+    * expansion sets share a list — proof: let d*_a <= d*_b WLOG and c_a be
+    * a's nearest centroid; then ||b − c_a|| <= ||b − a|| + d*_a
+    * <= slack + d*_b, so b also assigns to c_a. This turns IVF lists into
+    * a LOSSLESS blocking key for fixed-radius problems (near-dup), unlike
+    * nProbe probing which is approximate. Output: one row per (vector,
+    * list) membership — row multiplication is the expected number of
+    * centroids within the slack ring, ≈1 for near-dup-tight thresholds.
+    * Map-side only, like assign. */
+  def assignMulti(df: DataFrame, vecCol: String, centroids: Centroids,
+                  slack: Double): DataFrame = {
+    require(slack >= 0, "slack must be non-negative")
+    val cands = transform(centroidArray(centroids),
+      c => struct(sqDist(col(vecCol), c.getField("centroid")).as("d"),
+        c.getField("list_id").as("list_id")))
+    val dmin = sqrt(array_min(col("__cand")).getField("d"))
+    df.withColumn("__cand", cands)
+      .withColumn("list_id", explode(transform(
+        filter(col("__cand"),
+          s => sqrt(s.getField("d")) <= dmin + lit(slack)),
+        s => s.getField("list_id"))))
+      .drop("__cand")
+  }
+
   /** Materialize the inverted lists: partitioned by list_id so a probe
     * reads only its lists' files. */
   def buildIndex(df: DataFrame, vecCol: String, idCol: String,

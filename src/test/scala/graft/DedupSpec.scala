@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.functions.VectorFunctions.sqDist
+import graft.operators.{Dedup, IvfIndex}
 
 class DedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -111,6 +112,28 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.minhashCandidates(docs, "doc_id", "text", 8, 2,
       maxBucketSize = Int.MaxValue).collect().toSet
     assert(a == b)
+  }
+
+  test("IVF-blocked near-dup equals brute force — lossless blocking proof") {
+    val e = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairs {
+      val l = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("dist", round(sqDist(col("va"), col("vb")), 6))
+        .filter(col("dist") <= 1.5)
+        .select(col("a"), col("b"), col("dist"))
+    }
+    assert(brute.nonEmpty, "fixture should contain near-dup embeddings")
+    // the guarantee must hold for ANY quantizer quality: coarse and fine
+    for (nlist <- Seq(2, 8, 32)) {
+      val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist)
+      val got = pairs(Dedup.embeddingNearDupByIvf(
+        e, "vec_id", "embedding", cents, maxSqDist = 1.5))
+      assert(got == brute, s"nlist=$nlist: blocked result != brute force")
+    }
   }
 
   test("dupStats: HLL estimate within 5% of exact, one pass") {
