@@ -41,7 +41,10 @@ object AsOfJoin {
     val payload = struct((rightTs +: rightTieBreak +: rightPayload)
       .distinct.map(col): _*)
 
-    val r = right.select(
+    // A state row without a timestamp cannot participate in an as-of
+    // match (there is no "as of when"); dropped on both directions so
+    // backward and forward agree on null semantics.
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key),
       col(rightTs).cast("timestamp").as("__t"),
       lit(0).as("__side"),
@@ -58,6 +61,8 @@ object AsOfJoin {
 
     // Right rows first at equal __t (inclusive match); among equal-ts right
     // rows the greatest tie-break sorts last and therefore wins last().
+    // Ascending puts null-__t left rows FIRST: no preceding right row →
+    // null match (a left row without a timestamp matches nothing).
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -84,7 +89,7 @@ object AsOfJoin {
     val payload = struct((rightTs +: rightTieBreak +: rightPayload)
       .distinct.map(col): _*)
 
-    val r = right.select(
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key),
       col(rightTs).cast("timestamp").as("__t"),
       lit(0).as("__side"),
@@ -102,9 +107,12 @@ object AsOfJoin {
     // or after ts" becomes the running last(). At equal __t, __side
     // ASCENDING keeps right rows (0) ahead of left rows (1) — inclusive
     // equal-timestamp match; __rv descending makes the SMALLEST tie-break
-    // the nearest preceding right row, i.e. the winner.
+    // the nearest preceding right row, i.e. the winner. desc_nulls_first
+    // (NOT plain desc, whose nulls-last would hand null-__t left rows the
+    // running last() of the whole partition): null-timestamp left rows
+    // sort first and match nothing — the same null semantics as backward.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").desc, col("__side"), col("__rv").desc)
+      .orderBy(col("__t").desc_nulls_first, col("__side"), col("__rv").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = r.unionByName(l)

@@ -21,10 +21,22 @@ object CorpusPipeline {
     * @param minhashK       MinHash signature width for near-dup blocking
     * @param minJaccard     near-dup verification threshold (exact n-gram
     *                       Jaccard over MinHash candidates)
+    * @param collapseComponents near-dup removal granularity. false (the
+    *                       default): per-edge — a row is dropped iff it has
+    *                       a verified near-dup with a smaller id, so a
+    *                       component can keep several local-minimum
+    *                       survivors (e.g. edges 1~3 and 2~3 keep both 1
+    *                       and 2: they are not near-dups of each other).
+    *                       true: each connected component of the verified
+    *                       pair graph collapses to its min-id
+    *                       representative — the aggressive variant large
+    *                       pipelines use when template chains should count
+    *                       as one document.
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               minTokens: Int = 5, maxPunctRatio: Double = 0.3,
-              minhashK: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+              minhashK: Int = 8, minJaccard: Double = 0.5,
+              collapseComponents: Boolean = false): DataFrame = {
     // 1. quality gate — scan-speed, no shuffle
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
       .filter(col("n_tokens") >= minTokens &&
@@ -37,13 +49,12 @@ object CorpusPipeline {
       Seq("__fp"), idCol).drop("__fp")
 
     // 3. near-dup removal: MinHash-LSH candidates, verified by exact
-    //    n-gram Jaccard, smaller id wins (pairs only among candidates —
-    //    never O(n²)). Removal is PER-EDGE, not per connected component:
-    //    a row is dropped iff it has a verified near-dup with a smaller
-    //    id. Similarity is not transitive, so in a chain A~B~C with A!~C
-    //    both A and C survive — deliberate: collapsing whole components
-    //    to one representative would discard documents that are not
-    //    actually near-duplicates of the survivor.
+    //    n-gram Jaccard (pairs only among candidates — never O(n²)).
+    //    Default removal is PER-EDGE: drop a row iff it is the larger side
+    //    of some verified pair — survivors are the local minima of the
+    //    pair graph, so documents that aren't near-dups of each other can
+    //    both survive even inside one component. collapseComponents=true
+    //    keeps exactly one (min-id) representative per component instead.
     val cands = Dedup.minhashCandidates(exact, idCol, textCol, k = minhashK)
     val verified = Dedup.ngramJaccardPairs(
         exact.join(
@@ -51,7 +62,11 @@ object CorpusPipeline {
             .union(cands.select(col("b").as(idCol))).distinct(),
           Seq(idCol), "left_semi"),
         idCol, textCol, n = 3, minJaccard = minJaccard)
-    val losers = verified.select(col("b").as(idCol)).distinct()
+    val losers =
+      if (collapseComponents)
+        Dedup.connectedComponents(verified)
+          .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
+      else verified.select(col("b").as(idCol)).distinct()
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
 
     // 4. deterministic split — scan-speed, no shuffle

@@ -237,6 +237,48 @@ object Dedup {
     agg.select(col(idCol), hash.cast("long").as("simhash"))
   }
 
+  /** Connected components over an undirected pair table (a, b): returns
+    * (id, rep) where rep is the smallest id reachable from id — the
+    * component representative. Iterative min-label propagation: each round
+    * every node takes the min of its own label and its neighbors' labels;
+    * converges in O(component diameter) rounds, each one equi-join + one
+    * groupBy. The driver sees only a scalar convergence count per round;
+    * labels are localCheckpoint'ed so lineage stays flat across rounds
+    * (at 100 TB point these at a checkpoint dir instead — same plan).
+    * Near-dup components are shallow (stars around a template), so the
+    * 50-round cap is generous; a pathological 100-hop chain means the
+    * threshold is too loose, not that more rounds are needed. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 50, "connectedComponents: no convergence in 50 rounds")
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("rep").as("__nr")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("__nr")).as("__nbrMin"))
+        .select(col("src").as("id"), col("__nbrMin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("__nbrMin"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("rep").as("__old")), Seq("id"))
+        .filter(col("rep") =!= col("__old")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (cluster id,
     * LSH bucket, label): pairs with squared L2 <= maxSqDist. The block
     * equi-join bounds cost to O(sum of block² sizes); at 100 TB blocks come

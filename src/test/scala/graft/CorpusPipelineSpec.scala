@@ -30,6 +30,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("connectedComponents: min-id representative per component") {
+    import spark.implicits._
+    // components: {1,2,3,4} as a chain, {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val got = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("collapseComponents: one survivor per near-dup component") {
+    import spark.implicits._
+    // d3 overlaps d1 and d2 (J ≈ 10/22 each); d1 and d2 share nothing.
+    // Pair graph: 1~3, 2~3. Per-edge removal keeps BOTH local minima
+    // {1, 2} (they are not near-dups of each other); component collapse
+    // keeps only the component min {1}.
+    val xs = (1 to 12).map(i => s"x$i").mkString(" ")
+    val ys = (1 to 12).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, xs), (2L, ys), (3L, s"$xs $ys"))
+      .toDF("doc_id", "text")
+    def surviving(collapse: Boolean): Set[Long] =
+      CorpusPipeline.prepare(docs, "doc_id", "text",
+          minJaccard = 0.4, minhashK = 32, collapseComponents = collapse)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving(collapse = false) == Set(1L, 2L))
+    assert(surviving(collapse = true) == Set(1L))
+  }
+
   test("salted join == plain join, with the key salted nSalts ways") {
     val orders = Tables.load(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"))

@@ -78,6 +78,26 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("as-of null-ts semantics: null left ts matches nothing, both ways") {
+    import spark.implicits._
+    val left = Seq((1L, 0, Some(10L)), (2L, 0, None)).toDF("eid", "k", "t")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val right = Seq((100L, 0, Some(5L)), (101L, 0, Some(15L)),
+        (102L, 0, None)).toDF("rid", "k", "rt")
+      .withColumn("rts", timestamp_seconds(col("rt"))).drop("rt")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("eid"), col("rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // backward: ts=10 → rid 100 (5 <= 10); null ts → no match (was: the
+    // forward direction spuriously matched via desc nulls-last). The
+    // null-rts right row 102 must be invisible to both directions.
+    assert(res(AsOfJoin.backward(left, right, "k", "ts", "rts",
+      Seq("rid"), "rid")) == Map(1L -> 100L, 2L -> -1L))
+    assert(res(AsOfJoin.forward(left, right, "k", "ts", "rts",
+      Seq("rid"), "rid")) == Map(1L -> 101L, 2L -> -1L))
+  }
+
   test("ngramJaccardPairs == in-memory brute force on random corpora") {
     import spark.implicits._
     val corpus: Gen[List[(Long, String)]] = for {
