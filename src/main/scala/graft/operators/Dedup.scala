@@ -318,8 +318,11 @@ object Dedup {
   def embeddingNearDupByIvf(df: DataFrame, idCol: String, vecCol: String,
                             centroids: IvfIndex.Centroids,
                             maxSqDist: Double): DataFrame = {
+    // Persisted like the other dedup intermediates: both join sides read
+    // it, and the nlist×dim distance evaluations per row shouldn't run
+    // twice. At 100 TB this goes to scratch storage; same plan shape.
     val expanded = IvfIndex.assignMulti(df, vecCol, centroids,
-      slack = math.sqrt(maxSqDist))
+      slack = math.sqrt(maxSqDist)).persist()
     val l = expanded.select(col("list_id"), col(idCol).as("a"),
       col(vecCol).as("__va"))
     val r = expanded.select(col("list_id"), col(idCol).as("b"),
