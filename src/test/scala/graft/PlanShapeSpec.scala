@@ -55,6 +55,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a partial WindowGroupLimit below the exchange:\n$p")
   }
 
+  test("q19: hot-shingle df cap is a broadcast anti-join, never a shuffle") {
+    val p = physical("q19_ngram_jaccard")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"df-cap filter must broadcast the tiny hot-key list:\n$p")
+  }
+
+  test("q45: the multi-assign expansion is persisted and reused by both sides") {
+    val p = physical("q45_neardup_ivf")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both self-join sides must read the cached expansion:\n$p")
+  }
+
   test("q25: the cell-membership conjunct guards the distance predicate") {
     // q25 computes cell_id inline (index fit + assign in one query), so
     // pruning here is predicate-level (the IN/INSET short-circuits the

@@ -110,6 +110,24 @@ class VectorIndexSpec extends AnyFunSuite {
       == naiveK)
   }
 
+  test("IndexMeta sidecar round-trips exact doubles (no precision drift)") {
+    // Geometry equality must be bit-exact: a spec differing in the last
+    // ulp enumerates different cells than the stored ids were computed in.
+    val spec = operators.GridIndex.GridSpec(
+      Seq(-49.123456789012345, 1e-12),
+      Seq(0.1234567890123456, 6.25), Seq(8, 8))
+    val cents = Seq((0, Seq(0.30000000000000004, -0.2)),
+      (1, Seq(1.7976931348623157e308, 4.9e-324)))
+    val meta = IndexMeta.of("vec", "id", 2, Some(spec), Some(cents))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_meta").toString
+    IndexMeta.write(spark, path, meta)
+    val back = IndexMeta.read(spark, path).get
+    assert(back.gridSpec.contains(spec))
+    assert(back.ivfCentroids.contains(cents))
+    assert(back.vecCol == "vec" && back.idCol == "id" && back.dim == 2)
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
