@@ -484,6 +484,20 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Q46 — PII scrubbing (TextAnalysis.scrubPii): documents augmented
+    * with deterministic planted PII (so the scrub provably fires on
+    * every row), then emails/phones/IPs replaced by typed placeholders.
+    * Both engines build the identical augmented text; the oracle proves
+    * the two regex dialects (Java / RE2) scrub byte-identically. */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__aug", concat(col("text"),
+        lit(" contact u"), col("doc_id"),
+        lit("@ex.org tel 555-123-4567 from 10.0.0.1")))
+      .select(col("doc_id"),
+        operators.TextAnalysis.scrubPii(col("__aug")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -575,6 +589,7 @@ object SparkEntry {
     "q43_freq_cap" -> (q43 _),
     "q44_stats" -> (q44 _),
     "q45_neardup_ivf" -> (q45 _),
+    "q46_pii_scrub" -> (q46 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -865,6 +880,15 @@ object SparkEntry {
          |WHERE e1.vec_id < 500 AND e2.vec_id < 500
          |  AND ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) <= 1.5
          |ORDER BY a, b""".stripMargin,
+    "q46_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |         || '@ex.org tel 555-123-4567 from 10.0.0.1',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q43_freq_cap" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

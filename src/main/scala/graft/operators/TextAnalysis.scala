@@ -64,6 +64,25 @@ object TextAnalysis {
   def tokenCount(textCol: Column): Column =
     regexp_count(textCol, lit(tokenPattern)).cast("long")
 
+  /** PII scrub patterns: (regex, typed placeholder), applied in order —
+    * emails before IPs so an address's dotted domain can't half-match the
+    * IP pattern. Deliberately RE2-compatible ASCII (no \b, \w, \s, no
+    * lookaround): Java regex (Spark) and RE2 (DuckDB/Go tooling) scrub
+    * byte-identically, so the oracle can verify the transform and a
+    * downstream engine reproduces it. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** Replace email / phone-shaped / IPv4-shaped tokens with typed
+    * placeholders — the standard pre-training privacy pass. A pure
+    * regexp_replace chain: scan-speed, codegen, no UDF, no shuffle. */
+  def scrubPii(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
   /** Canonical-form document fingerprint: md5 of lowercased, trimmed,
     * whitespace-collapsed text. Equal fingerprints = exact near-duplicates
     * up to case/whitespace; grouping by fp is the scan-speed exact-dedup

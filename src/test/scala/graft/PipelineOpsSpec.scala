@@ -84,6 +84,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frac > 0.35 && frac < 0.65)
   }
 
+  test("scrubPii replaces emails, phones, IPs; leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "reach bob.smith+x@corp.example.co.uk or 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "no pii here, just words and the number 42"),
+      (4L, "a@b.io 10.0.0.255 999-999-9999 all three"))
+      .toDF("id", "t")
+    val got = rows.select(col("id"), TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "reach <EMAIL> or <PHONE> now")
+    assert(got(2L) == "server at <IP> responded")
+    assert(got(3L) == "no pii here, just words and the number 42")
+    assert(got(4L) == "<EMAIL> <IP> <PHONE> all three")
+  }
+
   test("chunking is lossless: dropping overlaps reconstructs every document") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))

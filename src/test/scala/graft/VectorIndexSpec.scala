@@ -128,6 +128,29 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(back.vecCol == "vec" && back.idCol == "id" && back.dim == 2)
   }
 
+  test("append after load buckets new rows in the saved geometry") {
+    import spark.implicits._
+    val df = randomDf(100, 2, 21)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_app").toString + "/idx"
+    idx.save(path)
+    val extra = Seq((5000L, Seq(3.0, 4.0), "late_point"))
+      .toDF("id", "vec", "name")
+    val re = VectorIndex.load(spark, path).append(extra)
+    assert(re.size() == 101)
+    // the appended point is findable through the PRUNED search path, and
+    // pruned == naive over the combined collection
+    val q = Seq(3.0, 4.0)
+    assert(re.knn(q, 1).select("id").head().getLong(0) == 5000L)
+    val combined = df.unionByName(extra)
+    val naive = Search.rangeSearch(combined, "vec", array(q.map(lit): _*), 15.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = re.rangeSearch(q, 15.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned == naive)
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
