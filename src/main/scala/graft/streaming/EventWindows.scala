@@ -81,7 +81,14 @@ object EventWindows {
   /** foreachBatch incremental index append — the reference-insert analog:
     * each micro-batch is cell-bucketed and appended to the index path.
     * Periodic compaction (rebuild) keeps file counts bounded, exactly like
-    * the reference's periodic restructure. */
+    * the reference's periodic restructure.
+    *
+    * The spec is the caller's FIXED geometry: when appending to an index
+    * written by `VectorIndex.save`, read it from the `_graft_meta.json`
+    * sidecar (`IndexMeta.read(spark, indexPath).get.gridSpec.get`) — never
+    * re-fit from data, the stored cell ids live in the saved geometry
+    * (out-of-extent points clamp to border cells; pruning stays lossless
+    * because query-side enumeration clamps identically). */
   def appendingIndexSink(events: DataFrame, spec: graft.operators.GridIndex.GridSpec,
                          vecCol: String, indexPath: String,
                          checkpoint: String): StreamingQuery =
