@@ -498,6 +498,38 @@ object SparkEntry {
         operators.TextAnalysis.scrubPii(col("__aug")).as("scrubbed"))
       .orderBy(col("doc_id"))
 
+  /** Q47 — connected components over the verified near-dup pair graph
+    * (Dedup.connectedComponents): min-id representative per component.
+    * The DuckDB oracle recomputes the same components with a recursive
+    * CTE (transitive closure) — a cross-engine proof of the iterative
+    * min-label-propagation algorithm, not just its building blocks. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val pairs = operators.Dedup.ngramJaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+    operators.Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q48 — FORWARD as-of join (AsOfJoin.forward): each event picks up the
+    * next order at-or-after its timestamp per user ("what did the user do
+    * next"), earliest-timestamp / smallest-key winner. Mirror of Q32's
+    * backward lookup; the LATERAL oracle flips the inequality and sort. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"), col("o_totalprice"))
+    operators.AsOfJoin.forward(e, o, key = "user_id",
+        leftTs = "ts", rightTs = "o_ts",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -590,6 +622,8 @@ object SparkEntry {
     "q44_stats" -> (q44 _),
     "q45_neardup_ivf" -> (q45 _),
     "q46_pii_scrub" -> (q46 _),
+    "q47_components" -> (q47 _),
+    "q48_asof_fwd" -> (q48 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -880,6 +914,39 @@ object SparkEntry {
          |WHERE e1.vec_id < 500 AND e2.vec_id < 500
          |  AND ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) <= 1.5
          |ORDER BY a, b""".stripMargin,
+    "q47_components" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |          WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |         FROM reach GROUP BY src)
+        |SELECT doc_id, rep FROM comp ORDER BY doc_id""".stripMargin,
+    "q48_asof_fwd" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = e.user_id
+        |    AND CAST(o_orderdate AS TIMESTAMP) >= e.ts
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON true
+        |ORDER BY event_id""".stripMargin,
     "q46_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

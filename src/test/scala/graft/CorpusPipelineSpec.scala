@@ -41,6 +41,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: 300-hop chain converges in O(log) rounds") {
+    import spark.implicits._
+    // Worst-case diameter: a single path 0-1-2-...-300. Plain min
+    // propagation needs 300 rounds (over the 50-round cap); pointer
+    // jumping needs ~log2(300) ≈ 9.
+    val chain = (0 until 300).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = operators.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 301)
+    assert(got.forall(_._2 == 0L), "every node must reach the chain min")
+  }
+
   test("collapseComponents: one survivor per near-dup component") {
     import spark.implicits._
     // d3 overlaps d1 and d2 (J ≈ 10/22 each); d1 and d2 share nothing.
