@@ -530,6 +530,20 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Q49 — weighted Bernoulli sampling (Sampling.weightedSample): keep
+    * each document with probability = its quality proxy (token count
+    * capped at 400 → weight in [0,1]). Deterministic id-hash coin, so
+    * the oracle reproduces the exact kept set — the quality-aware
+    * downsampling step of a corpus pipeline, verified row-for-row. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("__w",
+        least(lit(1.0), size(split(col("text"), " ")) / lit(400.0)))
+    operators.Sampling.weightedSample(d, "doc_id", col("__w"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -624,6 +638,7 @@ object SparkEntry {
     "q46_pii_scrub" -> (q46 _),
     "q47_components" -> (q47 _),
     "q48_asof_fwd" -> (q48 _),
+    "q49_weighted_sample" -> (q49 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -947,6 +962,14 @@ object SparkEntry {
         |    AND CAST(o_orderdate AS TIMESTAMP) >= e.ts
         |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON true
         |ORDER BY event_id""".stripMargin,
+    "q49_weighted_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#w'), 1, 8)
+        |      AS UBIGINT) % 1000000) / 1000000.0 AS u,
+        |    least(1.0, len(string_split(text, ' ')) / 400.0) AS w
+        |  FROM documents)
+        |WHERE u < w ORDER BY doc_id""".stripMargin,
     "q46_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -33,6 +33,21 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Weighted Bernoulli sample: keep each row with probability equal to
+    * `weight` (an expression in [0, 1] — e.g. a quality score, or
+    * count/cap for frequency-aware downsampling). The coin is the row's
+    * id hash scaled to [0, 1): deterministic, partition-independent, and
+    * engine-portable like every sampler here. Scan-speed filter, no
+    * shuffle. The hash is salted ("#w") so a row's sampling coin is
+    * independent of its trainValTest bucket — sampling then splitting
+    * introduces no correlation. */
+  def weightedSample(df: DataFrame, idCol: String,
+                     weight: Column): DataFrame = {
+    val u = hashBucket(concat_ws("#", col(idCol), lit("w")), 1000000)
+      .cast("double") / 1000000.0
+    df.filter(u < least(greatest(weight, lit(0.0)), lit(1.0)))
+  }
+
   /** Deterministic per-stratum downsample: keep ~fraction of rows in each
     * stratum, chosen by id hash (no sample(), no seed drift across runs).
     * At 100 TB this is a scan-speed filter — no shuffle at all. */

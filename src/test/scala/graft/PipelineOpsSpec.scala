@@ -84,6 +84,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(frac > 0.35 && frac < 0.65)
   }
 
+  test("weightedSample: edge weights, determinism, ~proportional keep") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count()
+      == docs.count())
+    // weights outside [0,1] clamp instead of misbehaving
+    assert(Sampling.weightedSample(docs, "doc_id", lit(7.5)).count()
+      == docs.count())
+    val half = Sampling.weightedSample(docs, "doc_id", lit(0.5))
+    val again = Sampling.weightedSample(docs.repartition(7), "doc_id", lit(0.5))
+    assert(half.select("doc_id").except(again.select("doc_id")).isEmpty)
+    val frac = half.count().toDouble / docs.count()
+    assert(frac > 0.35 && frac < 0.65, s"keep rate $frac")
+  }
+
   test("scrubPii replaces emails, phones, IPs; leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
