@@ -469,7 +469,7 @@ object SparkEntry {
     * real-corpus composition (verdict r2 gap #3): blocks come from the
     * coarse quantizer's slack-expanded multi-assignment, provably equal
     * to the brute-force all-pairs oracle (Dedup.embeddingNearDupByIvf).
-    * Scoped to a 1000-row slice: the fixture's embeddings are
+    * Scoped to a 500-row slice: the fixture's embeddings are
     * unclustered dim-64 noise whose pair distances concentrate at ~2.0,
     * so a LOSSLESS block at threshold 1.5 rightly degenerates to
     * verified all-pairs (see embeddingNearDupByIvf scaladoc) — the slice

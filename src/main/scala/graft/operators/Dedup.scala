@@ -261,9 +261,11 @@ object Dedup {
     // sum(rep) is strictly decreasing while unconverged — one aggregate
     // per round instead of a join-diff. (Sums of ids fit a long only for
     // modest graphs; sum DECIMAL is exact at any size.)
+    // sum over zero rows is SQL null — map it to 0 so an empty pair
+    // table converges immediately instead of NPE-ing on compareTo.
     def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = repSum(labels)
     var rounds = 0
     while (rounds < 50) {
@@ -343,8 +345,12 @@ object Dedup {
     // Persisted like the other dedup intermediates: both join sides read
     // it, and the nlist×dim distance evaluations per row shouldn't run
     // twice. At 100 TB this goes to scratch storage; same plan shape.
+    // Slack covers the ROUNDED-distance acceptance boundary: the pair
+    // filter below keeps round(d², 6) <= maxSqDist, which admits true d²
+    // up to maxSqDist + 5e-7 — the blocking guarantee must cover those
+    // pairs too, hence sqrt(maxSqDist + 1e-6), not sqrt(maxSqDist).
     val expanded = IvfIndex.assignMulti(df, vecCol, centroids,
-      slack = math.sqrt(maxSqDist)).persist()
+      slack = math.sqrt(maxSqDist + 1e-6)).persist()
     val l = expanded.select(col("list_id"), col(idCol).as("a"),
       col(vecCol).as("__va"))
     val r = expanded.select(col("list_id"), col(idCol).as("b"),

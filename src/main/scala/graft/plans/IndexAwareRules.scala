@@ -72,15 +72,18 @@ object IndexAwareRules {
       spark.experimental.extraOptimizations = existing ++ missing
   }
 
-  /** Every registered index relation in `plan`: (path, spec, relation). */
+  /** Every registered index relation in `plan`: (path, spec, relation).
+    * A relation qualifies only when it reads EXACTLY ONE root path and
+    * that path is registered — a multi-dir scan (spark.read.parquet(a, b))
+    * mixes rows whose cell ids were computed in different geometries, and
+    * pruning any one spec against the union would silently drop rows. */
   private def registeredRelations(
       plan: LogicalPlan): Seq[(String, GridSpec, LogicalRelation)] =
     plan.collect {
-      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.flatMap { p =>
-          val n = normalize(p.toString)
-          registry.get(n).map(s => (n, s, lr))
-        }.headOption
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.rootPaths.size == 1 =>
+        val n = normalize(fs.location.rootPaths.head.toString)
+        registry.get(n).map(s => (n, s, lr))
     }.flatten
 
   /** The literal double-array payload of an expression, if any. */
@@ -197,17 +200,24 @@ object IndexAwareRules {
       case _ => None
     }
 
-    /** Idempotence guard (the optimizer batch runs to fixed point): true
-      * if the relation already sits under a cell-pruned filter we
-      * injected — rewriting again would loop the batch, re-running probe
-      * jobs every iteration. */
-    private def alreadyPruned(plan: LogicalPlan, lr: LogicalRelation): Boolean =
-      plan.collectFirst {
-        case Filter(cond, l: LogicalRelation) if l eq lr => cond
-      }.exists(_.exists {
-        case In(a: Attribute, _) => a.name == "cell_id"
-        case _ => false
-      })
+    /** The radius proof reasons about the RAW index: "at least k rows lie
+      * within r of q". That bound only transfers to the query's top-k if
+      * nothing between the Sort and the scan REMOVES rows — a user filter
+      * or join below the sort could cut the within-r survivors under k,
+      * and the injected `sqdist <= r²` conjunct would then wrongly exclude
+      * the true k-th+ neighbors at larger distances. So the rewrite fires
+      * only when the sort's child is a pure projection chain over the
+      * relation. This also makes the rule idempotent for free: its own
+      * injected Filter breaks the projection-only path on the next
+      * fixed-point iteration (robust even when ColumnPruning reshapes the
+      * tree between iterations). */
+    private def projectionPathOnly(plan: LogicalPlan,
+                                   lr: LogicalRelation): Boolean = plan match {
+      case l: LogicalRelation => l eq lr
+      case Project(_, child) => projectionPathOnly(child, lr)
+      case s: SubqueryAlias => projectionPathOnly(s.child, lr)
+      case _ => false
+    }
 
     private def rewriteSort(s: Sort, k: Int): Option[LogicalPlan] = {
       if (!s.global) return None
@@ -217,7 +227,7 @@ object IndexAwareRules {
           case Seq(one) => Some(one) // provenance rule: exactly one index
           case _ => None
         }
-        if !alreadyPruned(s.child, lr)
+        if projectionPathOnly(s.child, lr)
         relOut = lr.outputSet
         (vecAttr, q) <- ((sq.left, sq.right) match {
           case (v: Attribute, qv) if relOut.contains(v) =>

@@ -30,6 +30,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("connectedComponents: empty pair table yields empty labels, no NPE") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(operators.Dedup.connectedComponents(none).count() == 0)
+    // end-to-end: component collapse on a corpus with no near-dups
+    val clean = (0 until 6)
+      .map(i => (i.toLong, s"totally distinct text number $i about topic $i"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(clean, "doc_id", "text",
+      collapseComponents = true)
+    assert(out.count() == 6)
+  }
+
   test("connectedComponents: min-id representative per component") {
     import spark.implicits._
     // components: {1,2,3,4} as a chain, {10,11}, singleton edges only

@@ -106,6 +106,33 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     assert(knnDf.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("kNN rewrite bails when a user filter sits below the sort") {
+    // The radius proof counts rows in the RAW index; a row-removing
+    // operator between sort and scan invalidates it (the within-r
+    // survivors after the user predicate can number < k, and the ball
+    // conjunct would wrongly exclude true farther matches). The rewrite
+    // must not fire — and the result must be the exact filtered kNN.
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val idx = GridIndex.readIndex(spark, indexPath)
+    val knnDf = idx.filter(col("p_size") > 25)
+      .orderBy(sqDist(col("vec"), array(q.map(lit): _*)))
+      .limit(10)
+      .select(col("p_partkey"),
+        round(sqDist(col("vec"), array(q.map(lit): _*)), 6).as("d"))
+    assert(!knnDf.queryExecution.executedPlan.toString.contains("In(cell_id"),
+      "must not prune below a row-removing predicate")
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.knn(raw.filter(col("p_size") > 25), "vec",
+        "p_partkey", array(q.map(lit): _*), 10)
+      .select("dist").collect().map(_.getDouble(0)).toSeq
+    // the query has no id tie-break, so compare the distance multiset
+    // (equal-distance boundary rows may legally swap)
+    assert(knnDf.collect().map(_.getDouble(1)).sorted.toSeq == expect.sorted)
+  }
+
   test("self-join of an indexed scan is NOT rewritten (provenance guard)") {
     IndexAwareRules.registerIndex(indexPath, spec)
     IndexAwareRules.install(spark)
