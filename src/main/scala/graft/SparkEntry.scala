@@ -544,6 +544,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q50 — cosine near-dup with no label column
+    * (Dedup.embeddingNearDupCosine): the standard embedding-similarity
+    * form, blocked by IVF lists over normalized vectors (lossless, see
+    * operator scaladoc), exact cosine filter on the original vectors.
+    * Same 500-row slice rationale as Q45. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+    operators.Dedup.embeddingNearDupCosine(e, "vec_id", "embedding",
+        nlist = 8, minCosine = 0.3)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -639,6 +651,7 @@ object SparkEntry {
     "q47_components" -> (q47 _),
     "q48_asof_fwd" -> (q48 _),
     "q49_weighted_sample" -> (q49 _),
+    "q50_neardup_cosine" -> (q50 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -962,6 +975,18 @@ object SparkEntry {
         |    AND CAST(o_orderdate AS TIMESTAMP) >= e.ts
         |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON true
         |ORDER BY event_id""".stripMargin,
+    "q50_neardup_cosine" ->
+      s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
+         |  ROUND(${duckDot("e1.embedding", "e2.embedding")} /
+         |    (sqrt(${duckDot("e1.embedding", "e1.embedding")}) *
+         |     sqrt(${duckDot("e2.embedding", "e2.embedding")})), 6) AS cosine
+         |FROM embeddings e1 JOIN embeddings e2
+         |  ON e1.vec_id < e2.vec_id
+         |WHERE e1.vec_id < 500 AND e2.vec_id < 500
+         |  AND ROUND(${duckDot("e1.embedding", "e2.embedding")} /
+         |    (sqrt(${duckDot("e1.embedding", "e1.embedding")}) *
+         |     sqrt(${duckDot("e2.embedding", "e2.embedding")})), 6) >= 0.3
+         |ORDER BY a, b""".stripMargin,
     "q49_weighted_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions.sqDist
 
 /** Near-duplicate detection operators for LLM-data pipelines (north-star
@@ -360,6 +361,40 @@ object Dedup {
       .withColumn("dist", round(sqDist(col("__va"), col("__vb")), 6))
       .filter(col("dist") <= maxSqDist)
       .select(col("a"), col("b"), col("dist"))
+      .distinct()
+  }
+
+  /** COSINE near-duplicate pairs with no blocking column — the standard
+    * embedding-similarity form: pairs with round(cosine, 6) >= minCosine.
+    * Candidates come from the same provably lossless IVF blocking as
+    * embeddingNearDupByIvf, run on L2-NORMALIZED copies: on unit vectors
+    * ||a−b||² = 2(1−cos), so any pair passing the rounded acceptance
+    * (cos >= minCosine − 5e-7) has normalized sqDist <= 2(1−minCosine)
+    * + 1e-6 — covered by the slack, no qualifying pair can be missed.
+    * The exact filter evaluates cosine on the ORIGINAL vectors (identical
+    * formula to the oracle), so output values don't depend on the
+    * normalization trick. minCosine must be positive: a zero vector has
+    * cosine 0 with everything and can never qualify, which is what makes
+    * the normalize-zero-passthrough safe here. */
+  def embeddingNearDupCosine(df: DataFrame, idCol: String, vecCol: String,
+                             nlist: Int, minCosine: Double): DataFrame = {
+    require(minCosine > 0 && minCosine <= 1, "minCosine in (0, 1]")
+    val maxSq = 2.0 * (1.0 - minCosine) + 1e-6
+    val n = df.select(col(idCol), col(vecCol),
+      VectorFunctions.normalize(col(vecCol)).as("__nv"))
+    val cents = IvfIndex.fitCentroids(n, "__nv", idCol, nlist)
+    val expanded = IvfIndex.assignMulti(n, "__nv", cents,
+      slack = math.sqrt(maxSq)).persist()
+    val l = expanded.select(col("list_id"), col(idCol).as("a"),
+      col(vecCol).as("__va"))
+    val r = expanded.select(col("list_id"), col(idCol).as("b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
       .distinct()
   }
 }

@@ -136,6 +136,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine near-dup equals brute force — lossless blocking proof") {
+    val e = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    import graft.functions.VectorFunctions.cosine
+    val brute = {
+      val l = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+      l.join(r, col("a") < col("b"))
+        .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+        .filter(col("cosine") >= 0.25)
+        .select(col("a"), col("b"), col("cosine"))
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getDouble(2)))
+        .toSet
+    }
+    assert(brute.nonEmpty, "fixture should contain cosine-similar pairs")
+    for (nlist <- Seq(2, 8, 32)) {
+      val got = Dedup.embeddingNearDupCosine(e, "vec_id", "embedding",
+          nlist, minCosine = 0.25)
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getDouble(2)))
+        .toSet
+      assert(got == brute, s"nlist=$nlist: blocked cosine != brute force")
+    }
+  }
+
   test("dupStats: HLL estimate within 5% of exact, one pass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
