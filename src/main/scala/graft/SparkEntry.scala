@@ -666,6 +666,15 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
 
+  /** Cosine DuckDB fragment with the SAME zero-norm guard as CosineSim
+    * (0.0 when either norm is zero). Without it a zero vector gives
+    * 0/0 = NaN, and DuckDB compares NaN ABOVE every number — the oracle
+    * would emit pairs the engine never produces. */
+  private def duckCosine(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}) = 0 " +
+      s"THEN 0.0 ELSE ${duckDot(a, b)} / " +
+      s"(sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})) END)"
+
   private val duckStopwords =
     operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -835,9 +844,7 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id <= 4),
          |d AS (SELECT q.qid, e.vec_id,
-         |        ROUND(${duckDot("e.embedding", "q.qv")} /
-         |          (sqrt(${duckDot("e.embedding", "e.embedding")}) *
-         |           sqrt(${duckDot("q.qv", "q.qv")})), 6) AS sim
+         |        ROUND(${duckCosine("e.embedding", "q.qv")}, 6) AS sim
          |      FROM embeddings e, q)
          |SELECT qid, vec_id, sim, rn FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
@@ -977,15 +984,11 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q50_neardup_cosine" ->
       s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
-         |  ROUND(${duckDot("e1.embedding", "e2.embedding")} /
-         |    (sqrt(${duckDot("e1.embedding", "e1.embedding")}) *
-         |     sqrt(${duckDot("e2.embedding", "e2.embedding")})), 6) AS cosine
+         |  ROUND(${duckCosine("e1.embedding", "e2.embedding")}, 6) AS cosine
          |FROM embeddings e1 JOIN embeddings e2
          |  ON e1.vec_id < e2.vec_id
          |WHERE e1.vec_id < 500 AND e2.vec_id < 500
-         |  AND ROUND(${duckDot("e1.embedding", "e2.embedding")} /
-         |    (sqrt(${duckDot("e1.embedding", "e1.embedding")}) *
-         |     sqrt(${duckDot("e2.embedding", "e2.embedding")})), 6) >= 0.3
+         |  AND ROUND(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
     "q49_weighted_sample" ->
       """SELECT doc_id, lang FROM (

@@ -352,15 +352,30 @@ object Dedup {
     // pairs too, hence sqrt(maxSqDist + 1e-6), not sqrt(maxSqDist).
     val expanded = IvfIndex.assignMulti(df, vecCol, centroids,
       slack = math.sqrt(maxSqDist + 1e-6)).persist()
+    pairsFromLists(expanded, idCol, vecCol, "dist",
+      (a, b) => sqDist(a, b), _ <= maxSqDist)
+  }
+
+  /** Shared tail of the IVF-blocked near-dup variants: self-join the
+    * multi-assigned relation on list_id, order pairs a < b, attach the
+    * rounded score, keep by predicate, and dedup multi-list
+    * co-occurrences. The slack/rounding boundary reasoning lives in the
+    * CALLERS (each must budget its slack for the rounded acceptance);
+    * this is just the join mechanics, kept in one place so a boundary
+    * fix can't drift between the L2 and cosine variants. */
+  private def pairsFromLists(expanded: DataFrame, idCol: String,
+                             vecCol: String, scoreName: String,
+                             score: (Column, Column) => Column,
+                             keep: Column => Column): DataFrame = {
     val l = expanded.select(col("list_id"), col(idCol).as("a"),
       col(vecCol).as("__va"))
     val r = expanded.select(col("list_id"), col(idCol).as("b"),
       col(vecCol).as("__vb"))
     l.join(r, Seq("list_id"))
       .filter(col("a") < col("b"))
-      .withColumn("dist", round(sqDist(col("__va"), col("__vb")), 6))
-      .filter(col("dist") <= maxSqDist)
-      .select(col("a"), col("b"), col("dist"))
+      .withColumn(scoreName, round(score(col("__va"), col("__vb")), 6))
+      .filter(keep(col(scoreName)))
+      .select(col("a"), col("b"), col(scoreName))
       .distinct()
   }
 
@@ -379,22 +394,18 @@ object Dedup {
   def embeddingNearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                              nlist: Int, minCosine: Double): DataFrame = {
     require(minCosine > 0 && minCosine <= 1, "minCosine in (0, 1]")
-    val maxSq = 2.0 * (1.0 - minCosine) + 1e-6
+    // 2e-6: 1e-6 covers the rounded acceptance (cos >= minCosine - 5e-7
+    // ⇒ normalized d² <= 2(1-minCosine) + 1e-6) and the second 1e-6 is
+    // float headroom — blocking measures L2 on COMPUTED unit vectors
+    // (norm 1 ± ulps) while the filter measures cosine on originals, so
+    // the budget must not be consumed exactly at the boundary.
+    val maxSq = 2.0 * (1.0 - minCosine) + 2e-6
     val n = df.select(col(idCol), col(vecCol),
       VectorFunctions.normalize(col(vecCol)).as("__nv"))
     val cents = IvfIndex.fitCentroids(n, "__nv", idCol, nlist)
     val expanded = IvfIndex.assignMulti(n, "__nv", cents,
       slack = math.sqrt(maxSq)).persist()
-    val l = expanded.select(col("list_id"), col(idCol).as("a"),
-      col(vecCol).as("__va"))
-    val r = expanded.select(col("list_id"), col(idCol).as("b"),
-      col(vecCol).as("__vb"))
-    l.join(r, Seq("list_id"))
-      .filter(col("a") < col("b"))
-      .withColumn("cosine",
-        round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
-      .filter(col("cosine") >= minCosine)
-      .select(col("a"), col("b"), col("cosine"))
-      .distinct()
+    pairsFromLists(expanded, idCol, vecCol, "cosine",
+      (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine)
   }
 }
