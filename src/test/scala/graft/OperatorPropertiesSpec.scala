@@ -98,6 +98,36 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       Seq("rid"), "rid")) == Map(1L -> 101L, 2L -> -1L))
   }
 
+  test("connectedComponents == in-memory union-find on random graphs") {
+    import spark.implicits._
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(0, 20)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 14L); b <- Gen.chooseNum(0L, 14L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    run("components", Prop.forAll(graphGen) { edges =>
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find oracle over the same edge set
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical rep = min of component = find after min-directed unions
+      val oracle = nodes.map(v => v -> find(v)).toMap
+      got == oracle
+    })
+  }
+
   test("ngramJaccardPairs == in-memory brute force on random corpora") {
     import spark.implicits._
     val corpus: Gen[List[(Long, String)]] = for {
