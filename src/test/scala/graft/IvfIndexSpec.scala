@@ -66,6 +66,31 @@ class IvfIndexSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("saved IVF index: probes prune at PARTITION level (I/O story)") {
+    // buildIndex writes partitionBy(list_id); a probe over the saved
+    // layout must show PartitionFilters on list_id — directories outside
+    // the probed lists are never listed, the at-scale I/O contract.
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/idx"
+    IvfIndex.buildIndex(e, "embedding", "vec_id", cents, path)
+    val onDisk = spark.read.parquet(path)
+    val q = queryVec(3)
+    val probed = IvfIndex.search(onDisk, "embedding", "vec_id", cents, q,
+      k = 10, nProbe = 2)
+    val physical = probed.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("list_id"),
+      s"probe must prune partitions:\n$physical")
+    // and the pruned on-disk path returns the same rows as in-memory
+    val inMem = IvfIndex.search(
+        IvfIndex.assign(e, "embedding", "vec_id", cents),
+        "embedding", "vec_id", cents, q, k = 10, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(probed.select("vec_id").collect().map(_.getLong(0)).toSeq
+      == inMem)
+  }
+
   test("assignment is deterministic and complete") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val a1 = IvfIndex.assign(e, "embedding", "vec_id", cents)
