@@ -106,10 +106,14 @@ object Dedup {
     // 100 TB this intermediate is written to scratch storage instead; its
     // size is O(total distinct shingles). Set sizes are attached AFTER the
     // pair aggregation via a doc-count-sized join, so the wide self-join
-    // carries only (id, hash) and no window shuffle is needed. The
-    // broadcast hint assumes the per-doc sizes table fits an executor; at
-    // billions of docs drop the hint and let AQE pick a shuffle join —
-    // the pair table it joins against is already aggregate-sized.
+    // carries only (id, hash) and no window shuffle is needed. The sizes
+    // and hot-shingle joins carry NO broadcast hint: the sizes table is
+    // one row per DOCUMENT and the hot list up to |corpus|/maxShingleDf
+    // rows — neither is metadata-sized at billions of docs, and a forced
+    // broadcast there is a driver-OOM/8 GB-limit failure, not a slowdown.
+    // AQE broadcasts them whenever their runtime size actually fits
+    // (verified at bench scale) and falls back to a shuffle join when it
+    // doesn't — the only behavior that survives a 1000× scale-up.
     // One exchange serves three operators: hash-partitioning by shingle
     // satisfies the distinct's clustering requirement AND both probe sides
     // of the self-join (persisted plans keep their outputPartitioning), so
@@ -125,25 +129,24 @@ object Dedup {
     // millions → one reducer gets 10¹² rows. Shingles with df > maxShingleDf
     // carry ~zero Jaccard signal (they discriminate nothing), so they are
     // dropped from BOTH the intersection and the set sizes: the measure
-    // becomes the exact Jaccard over informative shingles. The hot list is
-    // at most |corpus|/maxShingleDf keys — broadcast anti-join, preserving
-    // the shingle partitioning for the joins below. The groupBy is
-    // exchange-free: `all` is already hash-partitioned by shingle. The
-    // default is a no-op below 1000 documents sharing a shingle (and thus
-    // provably a no-op on validation fixtures smaller than that).
+    // becomes the exact Jaccard over informative shingles. The anti-join
+    // on the hot list is shingle-keyed, so it rides the same partitioning
+    // as the joins below (AQE broadcasts it when small — see the hint
+    // note above). The groupBy is exchange-free: `all` is already
+    // hash-partitioned by shingle. The default is a no-op below 1000
+    // documents sharing a shingle (and thus provably a no-op on
+    // validation fixtures smaller than that).
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDf).select(col("shingle"))
-    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sh = all.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("a"), col("shingle"))
     val b = sh.select(col(idCol).as("b"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .join(broadcast(sizes.select(col(idCol).as("a"), col("n_sh").as("na"))),
-        Seq("a"))
-      .join(broadcast(sizes.select(col(idCol).as("b"), col("n_sh").as("nb"))),
-        Seq("b"))
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("nb")), Seq("b"))
       .withColumn("jaccard",
         round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -202,13 +205,16 @@ object Dedup {
     // come from degenerate signatures (empty/near-empty documents all
     // minimizing to the same hash) and from true mega-duplicate groups —
     // for the latter, exact dedup upstream is the right tool; LSH pairing
-    // inside a million-doc bucket is never. Hot-bucket list is tiny →
-    // broadcast anti-join. Default is a no-op below 1000 docs per bucket.
+    // inside a million-doc bucket is never. The hot-bucket anti-join has
+    // NO broadcast hint: the list is usually tiny but its size is
+    // data-dependent (it can reach |corpus|·nBands/maxBucketSize rows on
+    // a pathological corpus), so AQE picks broadcast-vs-shuffle from the
+    // runtime size instead of a hint that fails at the tail. Default cap
+    // is a no-op below 1000 docs per bucket.
     val hot = banded.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucketSize)
       .select(col("band_idx"), col("band_val"))
-    val kept = banded.join(broadcast(hot), Seq("band_idx", "band_val"),
-      "left_anti")
+    val kept = banded.join(hot, Seq("band_idx", "band_val"), "left_anti")
     val l = kept.select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val r = kept.select(col(idCol).as("b"), col("band_idx"), col("band_val"))
     l.join(r, Seq("band_idx", "band_val"))
@@ -243,20 +249,40 @@ object Dedup {
     * component representative. Min-label propagation WITH pointer jumping:
     * each round every node takes the min of its own label and its
     * neighbors' labels (one hop), then chases its label's label (rep :=
-    * rep(rep), halving chain depth) — so convergence is O(log diameter)
-    * rounds, not O(diameter); a 1000-hop template chain converges in ~10.
-    * Each round is two small equi-joins + one groupBy over the edge list;
-    * the driver sees only a scalar convergence count; labels are
-    * localCheckpoint'ed so lineage stays flat (at 100 TB point these at a
-    * checkpoint dir instead — same plan). */
+    * rep(rep), halving chain depth, applied from round 3 — see inline
+    * note) — so convergence is O(log diameter) rounds, not O(diameter);
+    * a 1000-hop template chain converges in ~12. Each round is one
+    * equi-join + one groupBy over the self-looped edge list (plus the
+    * jump's self-join from round 3); the driver sees only a scalar
+    * convergence sum; labels are localCheckpoint'ed so lineage stays
+    * flat (at 100 TB point these at a checkpoint dir instead — same
+    * plan). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b"): DataFrame = {
+    // The pair input is often an expensive join/aggregate (q47 feeds the
+    // full n-gram Jaccard pipeline in here). It is read twice by the
+    // symmetrization union — persist the directed edges so the input plan
+    // executes ONCE, not once per union branch.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist()
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // Labels are localCheckpoint'ed (flat lineage across rounds) AND
+    // persisted: the cache gives the NEXT round's static planner accurate
+    // materialized sizes, so the labels side of each join is chosen
+    // broadcast-vs-shuffle from real stats — broadcast on a fixture,
+    // shuffle on a corpus — with no scale-unsafe hint and without paying
+    // an AQE stage round-trip per join per round.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+      .withColumn("rep", col("id")).localCheckpoint(eager = false).persist()
+    // Self-loops folded into the edge list ONCE: with (x, x) present for
+    // every node, the per-round "min over neighbors' reps" aggregate
+    // already includes the node's own rep — the hop is a single
+    // join + groupBy instead of join + groupBy + self left-join.
+    val symLoop = sym
+      .union(labels.select(col("id").as("src"), col("id").as("dst")))
+      .persist()
     // Convergence via the label-sum invariant: per-node reps are monotone
     // non-increasing and strictly decrease somewhere until fixpoint, so
     // sum(rep) is strictly decreasing while unconverged — one aggregate
@@ -264,42 +290,66 @@ object Dedup {
     // modest graphs; sum DECIMAL is exact at any size.)
     // sum over zero rows is SQL null — map it to 0 so an empty pair
     // table converges immediately instead of NPE-ing on compareTo.
+    // Checkpoints are LAZY: the repSum aggregate right after each
+    // checkpoint is the action that materializes it, so each round runs
+    // ONE job carrying both the label update and the convergence check
+    // (an eager checkpoint + separate aggregate was two jobs per round —
+    // round count dominates wall time at fixture scale).
     def repSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = repSum(labels)
+    // No pre-loop sum action: the identity labels' sum is only needed as
+    // a compare point, and round 1 strictly decreases it on any pair
+    // graph with a < b edges (every component has a non-min node) — so
+    // start from None and let round 1's own aggregate be the first
+    // materialization. Degenerate inputs (empty pair table) just spend
+    // one confirming round instead.
+    var prevSum: Option[java.math.BigDecimal] = None
     var rounds = 0
     while (rounds < 50) {
       rounds += 1
-      val nbrMin = sym
+      // Hop: min over the closed neighborhood (self-loops in symLoop
+      // supply the self term), one join + one groupBy. Not checkpointed:
+      // the jump reads it twice, but recomputing this small join twice
+      // inside one job is cheaper than an extra materialization action
+      // per round (round count is the wall-clock driver at fixture
+      // scale).
+      val hopped = symLoop
         .join(labels.select(col("id").as("dst"), col("rep").as("__nr")),
           Seq("dst"))
-        .groupBy(col("src")).agg(min(col("__nr")).as("__nbrMin"))
-        .select(col("src").as("id"), col("__nbrMin"))
-      // Not checkpointed: the jump reads it twice, but recomputing this
-      // small join twice inside one job is cheaper than an extra
-      // materialization action per round (round count is the wall-clock
-      // driver at fixture scale).
-      val hopped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("__nbrMin"), col("rep"))).as("rep"))
-      // pointer jump: rep := rep(rep). Reps are node ids, so the
-      // self-join always resolves; left+coalesce guards the root case.
-      val next = hopped.as("h")
-        .join(hopped.select(col("id").as("__rid"), col("rep").as("__rrep")),
-          col("h.rep") === col("__rid"), "left")
-        .select(col("h.id").as("id"),
-          coalesce(col("__rrep"), col("h.rep")).as("rep"))
-        .localCheckpoint(true)
+        .groupBy(col("src")).agg(min(col("__nr")).as("rep"))
+        .select(col("src").as("id"), col("rep"))
+      // Pointer jump: rep := rep(rep) (reps are node ids, so the
+      // self-join always resolves; left+coalesce guards the root case).
+      // Applied only from round 3: near-dup graphs are dense clusters
+      // that hop-converge in 1-2 rounds, where the jump's two extra
+      // joins are pure per-round latency — while a deep-chain graph
+      // still gets O(log diameter) asymptotics, two rounds late. The
+      // hop alone is a correct fixpoint operator (stability under
+      // "min of self and neighbors" forces rep constant per component,
+      // and the min-id node pins that constant to the component min),
+      // so skipping the jump never changes the converged answer.
+      val jumped =
+        if (rounds < 3) hopped
+        else hopped.as("h")
+          .join(hopped.select(col("id").as("__rid"), col("rep").as("__rrep")),
+            col("h.rep") === col("__rid"), "left")
+          .select(col("h.id").as("id"),
+            coalesce(col("__rrep"), col("h.rep")).as("rep"))
+      val next = jumped.localCheckpoint(eager = false).persist()
+      val prev = labels
       labels = next
-      val s = repSum(labels)
-      if (s.compareTo(prevSum) == 0) {
-        sym.unpersist()
+      val s = repSum(labels) // materializes checkpoint + cache in one job
+      prev.unpersist() // round caches don't accumulate
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $rounds sum=$s")
+      if (prevSum.exists(_.compareTo(s) == 0)) {
+        symLoop.unpersist(); sym.unpersist(); edges.unpersist()
         return labels
       }
-      prevSum = s
+      prevSum = Some(s)
     }
-    sym.unpersist()
+    symLoop.unpersist(); sym.unpersist(); edges.unpersist()
     throw new IllegalStateException(
       "connectedComponents: no convergence in 50 rounds")
   }

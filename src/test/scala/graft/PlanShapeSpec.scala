@@ -55,11 +55,97 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a partial WindowGroupLimit below the exchange:\n$p")
   }
 
-  test("q19: hot-shingle df cap is a broadcast anti-join, never a shuffle") {
-    val p = physical("q19_ngram_jaccard")
+  test("q19: AQE broadcasts the unhinted df-cap anti-join at fixture scale") {
+    // The hot-list and set-size joins carry NO broadcast hint (a forced
+    // broadcast of per-document tables fails outright at corpus scale) —
+    // this pins that AQE still promotes them to broadcast joins from their
+    // RUNTIME size when they are in fact small. The final adaptive plan is
+    // only available after execution.
+    val df = SparkEntry.queries("q19_ngram_jaccard")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
-      s"df-cap filter must broadcast the tiny hot-key list:\n$p")
+      s"AQE should pick a broadcast anti-join for the tiny hot list:\n$p")
+  }
+
+  test("jaccard: the no-hint plan works as a pure shuffle join (100 TB path)") {
+    // With broadcasting disabled entirely, the same operator must still
+    // produce the same rows through shuffle joins — the regime it runs in
+    // when the per-document side tables genuinely don't fit an executor.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with no overlap here at all"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val expected = operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcasting disabled, yet plan still broadcasts:\n$p")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
+    }
+  }
+
+  test("jaccard: one shingle exchange serves distinct + both self-join sides") {
+    // Exchange-sharing guard (the r2->r3 q19 fix): the explicit
+    // repartition(shingle) is the ONLY shingle-keyed exchange — the
+    // distinct aggregate and both probe sides of the self-join reuse its
+    // partitioning through the persisted relation. A re-added repartition
+    // or persist-splitting refactor shows up as a second shingle exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val docs = Tables.load(spark, sf, "documents")
+    val df = operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    df.count()
+    // Walk the EXECUTED tree (descending into adaptive plans and cached
+    // relations, skipping ReusedExchange): only explicit corpus-side
+    // repartitions (REPARTITION_BY_COL) count — planner-inserted
+    // exchanges on aggregate-sized sides are not the shuffle this guards.
+    // A removed persist or re-added repartition shows up as a second
+    // distinct instance.
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val found = scala.collection.mutable.Set.empty[ShuffleExchangeExec]
+    def walk(p: SparkPlan): Unit = {
+      if (!seen.add(System.identityHashCode(p))) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan) // leaf node wrapping a stage
+        case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+        case _: ReusedExchangeExec => ()
+        case e: ShuffleExchangeExec =>
+          if (e.shuffleOrigin.toString == "REPARTITION_BY_COL" &&
+              e.outputPartitioning.toString.contains("shingle"))
+            found += e
+          e.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(found.size == 1,
+      s"expected exactly 1 explicit shingle exchange, found ${found.size}:\n" +
+        df.queryExecution.executedPlan.toString)
+    df.unpersist()
   }
 
   test("q45: the multi-assign expansion is persisted and reused by both sides") {
