@@ -556,6 +556,50 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Deterministic CLUSTERED embedding fixture, derived in-query so the
+    * DuckDB oracle sees bit-identical input: cluster c = vec_id % 20;
+    * centroid coordinate i = (hex4(md5("c#i"))/65536 − 0.5)·16 (md5 is
+    * engine-portable and every factor is a power of two, so the double
+    * arithmetic is exact in both engines); vector = centroid + embedding.
+    * Embeddings are unit-norm, so same-cluster pairs sit at squared L2
+    * ≈ 2 ± 0.25 (cosine ≈ 0.999) while cluster centroids are ~2700 apart
+    * (cosine ≈ |0.1|) — the clustered-corpus regime the IVF-blocked
+    * near-dup operators exist for, unlike the raw fixture's unclustered
+    * noise where blocking honestly degenerates to all-pairs (q45/q50). */
+  private[graft] def clusteredEmbeddings(s: SparkSession,
+                                         dir: String): DataFrame = {
+    val cl = (col("vec_id") % 20).cast("string")
+    val derived = transform(sequence(lit(0), lit(63)), i =>
+      (conv(substring(md5(concat(cl, lit("#"), i.cast("string"))), 1, 4),
+        16, 10).cast("double") / 65536.0 - 0.5) * 16.0
+        + element_at(col("embedding").cast("array<double>"), i + 1))
+    t(s, dir, "embeddings").select(col("vec_id"), derived.as("cvec"))
+  }
+
+  /** Q51 — IVF-blocked near-dup over the FULL clustered table (verdict r3
+    * ask #1): same operator as q45, but on input where the lossless
+    * blocking actually prunes — candidate pairs ≪ n²/2 (ratio asserted in
+    * DedupSpec), while the DuckDB oracle recomputes brute-force all-pairs
+    * on the identical derived vectors. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val e = clusteredEmbeddings(s, dir)
+    val cents = operators.IvfIndex.fitCentroids(e, "cvec", "vec_id",
+      nlist = 64)
+    operators.Dedup.embeddingNearDupByIvf(e, "vec_id", "cvec",
+        cents, maxSqDist = 2.0)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Q52 — cosine near-dup over the FULL clustered table: q50's operator
+    * in its pruning regime (normalized IVF blocking over well-separated
+    * cluster directions). */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = clusteredEmbeddings(s, dir)
+    operators.Dedup.embeddingNearDupCosine(e, "vec_id", "cvec",
+        nlist = 64, minCosine = 0.99)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -652,6 +696,8 @@ object SparkEntry {
     "q48_asof_fwd" -> (q48 _),
     "q49_weighted_sample" -> (q49 _),
     "q50_neardup_cosine" -> (q50 _),
+    "q51_neardup_ivf_clustered" -> (q51 _),
+    "q52_neardup_cosine_clustered" -> (q52 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -674,6 +720,14 @@ object SparkEntry {
     s"(CASE WHEN sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}) = 0 " +
       s"THEN 0.0 ELSE ${duckDot(a, b)} / " +
       s"(sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})) END)"
+
+  /** DuckDB mirror of clusteredEmbeddings' derived vector (see scaladoc
+    * there for the exactness argument). */
+  private val duckClusteredVec: String =
+    "list_transform(range(0, 64), i -> " +
+      "(CAST(('0x' || substr(md5(CAST(vec_id % 20 AS VARCHAR) || '#' || " +
+      "CAST(i AS VARCHAR)), 1, 4)) AS UBIGINT) / 65536.0 - 0.5) * 16.0 " +
+      "+ CAST(embedding[i + 1] AS DOUBLE))"
 
   private val duckStopwords =
     operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -989,6 +1043,20 @@ object SparkEntry {
          |  ON e1.vec_id < e2.vec_id
          |WHERE e1.vec_id < 500 AND e2.vec_id < 500
          |  AND ROUND(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.3
+         |ORDER BY a, b""".stripMargin,
+    "q51_neardup_ivf_clustered" ->
+      s"""WITH v AS (SELECT vec_id, $duckClusteredVec AS cvec FROM embeddings),
+         |d AS (SELECT v1.vec_id AS a, v2.vec_id AS b,
+         |        ROUND(${duckSqDist("v1.cvec", "v2.cvec")}, 6) AS dist
+         |      FROM v v1 JOIN v v2 ON v1.vec_id < v2.vec_id)
+         |SELECT a, b, dist FROM d WHERE dist <= 2.0
+         |ORDER BY a, b""".stripMargin,
+    "q52_neardup_cosine_clustered" ->
+      s"""WITH v AS (SELECT vec_id, $duckClusteredVec AS cvec FROM embeddings),
+         |d AS (SELECT v1.vec_id AS a, v2.vec_id AS b,
+         |        ROUND(${duckCosine("v1.cvec", "v2.cvec")}, 6) AS cosine
+         |      FROM v v1 JOIN v v2 ON v1.vec_id < v2.vec_id)
+         |SELECT a, b, cosine FROM d WHERE cosine >= 0.99
          |ORDER BY a, b""".stripMargin,
     "q49_weighted_sample" ->
       """SELECT doc_id, lang FROM (

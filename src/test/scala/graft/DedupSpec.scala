@@ -159,6 +159,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF blocking PRUNES on clustered embeddings while staying lossless") {
+    // The operator's reason to exist (VERDICT r3 ask #1): on a clustered
+    // corpus, slack multi-assignment must examine FAR fewer candidate
+    // pairs than all-pairs — and still return exactly the brute-force
+    // answer. Uses the same derived clustered fixture as q51.
+    val e = SparkEntry.clusteredEmbeddings(spark, SparkTestSession.sf0001)
+      .persist()
+    val n = e.count()
+    val cents = IvfIndex.fitCentroids(e, "cvec", "vec_id", nlist = 64)
+    // Candidate pairs the blocked join examines, INCLUDING multi-list
+    // duplicates — the honest join-input cost, before any distance math.
+    val expanded = IvfIndex.assignMulti(e, "cvec", cents,
+      slack = math.sqrt(2.0 + 1e-6)).persist()
+    val l = expanded.select(col("list_id"), col("vec_id").as("a"))
+    val r = expanded.select(col("list_id"), col("vec_id").as("b"))
+    val candidates = l.join(r, Seq("list_id"))
+      .filter(col("a") < col("b")).count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 4,
+      s"blocking should prune: $candidates candidates vs $allPairs all-pairs")
+    // Losslessness on this input: blocked result == brute force.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    val brute = pairs {
+      val bl = e.select(col("vec_id").as("a"), col("cvec").as("va"))
+      val br = e.select(col("vec_id").as("b"), col("cvec").as("vb"))
+      bl.join(br, col("a") < col("b"))
+        .withColumn("dist", round(sqDist(col("va"), col("vb")), 6))
+        .filter(col("dist") <= 2.0)
+        .select(col("a"), col("b"))
+    }
+    val got = pairs(Dedup.embeddingNearDupByIvf(
+      e, "vec_id", "cvec", cents, maxSqDist = 2.0))
+    assert(got == brute && got.nonEmpty)
+    info(s"pruning ratio: $candidates / $allPairs = " +
+      f"${candidates.toDouble / allPairs}%.3f")
+    expanded.unpersist(); e.unpersist()
+  }
+
   test("dupStats: HLL estimate within 5% of exact, one pass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
