@@ -102,4 +102,55 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a1 == a2)
     assert(a1.values.sum == e.count())
   }
+
+  test("Lloyd refinement: lower quantization error, recall not worse, " +
+       "deterministic across partitionings") {
+    // Lloyd's provable invariant is the k-means objective: mean squared
+    // distance to the nearest centroid is monotone non-increasing, and
+    // strictly drops when sample points aren't already centroids —
+    // that's what's asserted strictly. Recall is downstream of it and
+    // data-dependent (member queries assign and probe with the SAME
+    // metric, so IVF recall is fairly insensitive to quantizer quality);
+    // it is pinned as not-worse at low nProbe. Determinism must be
+    // bit-for-bit: refinement is driver-side over an id-ordered sample,
+    // so the input's partitioning must not leak into centroid doubles.
+    val ce = SparkEntry.clusteredEmbeddings(spark, SparkTestSession.sf0001)
+      .persist()
+    val plain = IvfIndex.fitCentroids(ce, "cvec", "vec_id", nlist = 16)
+    val refined = IvfIndex.fitCentroids(ce, "cvec", "vec_id", nlist = 16,
+      refineIters = 3)
+    def qErr(cents: IvfIndex.Centroids): Double = {
+      val arr = array(cents.map { case (_, v) =>
+        graft.functions.VectorFunctions.sqDist(col("cvec"),
+          array(v.map(lit): _*))
+      }: _*)
+      ce.select(array_min(arr).as("d")).agg(avg(col("d"))).head().getDouble(0)
+    }
+    val (e0, e1) = (qErr(plain), qErr(refined))
+    assert(e1 < e0, s"refined quantization error $e1 !< sample-only $e0")
+    def recall(cents: IvfIndex.Centroids): Double = {
+      val index = IvfIndex.assign(ce, "cvec", "vec_id", cents).cache()
+      def qv(id: Long) = ce.filter(col("vec_id") === id)
+        .select(col("cvec")).head().getSeq[Double](0)
+      val r = (0L until 5L).map { qid =>
+        val q = qv(qid)
+        val exact = Search.knn(ce, "cvec", "vec_id",
+            array(q.map(lit): _*), 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val ivf = IvfIndex.search(index, "cvec", "vec_id", cents, q,
+            k = 10, nProbe = 2)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (exact intersect ivf).size.toDouble / exact.size
+      }
+      index.unpersist()
+      r.sum / r.size
+    }
+    val (r0, r1) = (recall(plain), recall(refined))
+    assert(r1 >= r0, s"refined recall $r1 < sample-only $r0")
+    info(f"qErr $e0%.2f -> $e1%.2f, recall@10(nProbe=2) $r0%.2f -> $r1%.2f")
+    val again = IvfIndex.fitCentroids(ce.repartition(7), "cvec", "vec_id",
+      nlist = 16, refineIters = 3)
+    assert(again == refined, "refinement must be partition-order-stable")
+    ce.unpersist()
+  }
 }
