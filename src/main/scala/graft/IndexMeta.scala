@@ -30,7 +30,12 @@ case class IndexMeta(
     idCol: String,
     dim: Int,
     grid: Option[IndexMeta.GridMeta],
-    centroids: Option[Seq[IndexMeta.CentroidMeta]]) {
+    centroids: Option[Seq[IndexMeta.CentroidMeta]],
+    // Every stored vector L2-unit-norm (within 1e-9), detected at save():
+    // licenses serving cosine top-k from the L2 pruning machinery
+    // (IndexAwareRules). Option so sidecars written before this field
+    // parse unchanged (None = unknown = false).
+    unitNorm: Option[Boolean] = None) {
 
   def gridSpec: Option[GridIndex.GridSpec] =
     grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
@@ -50,10 +55,12 @@ object IndexMeta {
 
   def of(vecCol: String, idCol: String, dim: Int,
          spec: Option[GridIndex.GridSpec],
-         cents: Option[IvfIndex.Centroids]): IndexMeta =
+         cents: Option[IvfIndex.Centroids],
+         unitNorm: Boolean = false): IndexMeta =
     IndexMeta(1, vecCol, idCol, dim,
       spec.map(s => GridMeta(s.origin, s.width, s.cells)),
-      cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))
+      cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq),
+      Some(unitNorm))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

@@ -117,14 +117,23 @@ class VectorIndex private (
     * index-aware optimizer rule, so a plain `graft_sqdist(vec, q) <= r²`
     * filter over a scan of it auto-prunes (plans.IndexAwareRules). */
   def save(path: String): Unit = {
+    // Unit-norm detection (one tiny-output agg over the collection — the
+    // index write next to it already scans everything): a normalized
+    // index additionally serves COSINE top-k through the same cell
+    // pruning, so the fact is recorded in the sidecar + registry.
+    val unit = gridSpec.isDefined && {
+      val m = data.agg(max(abs(
+        VectorFunctions.sqNorm(col(vecCol)) - 1.0))).head()
+      !m.isNullAt(0) && m.getDouble(0) <= 1e-9
+    }
     gridSpec match {
       case Some(spec) =>
         GridIndex.buildIndex(data, vecCol, spec, path)
-        plans.IndexAwareRules.registerIndex(path, spec)
+        plans.IndexAwareRules.registerIndex(path, spec, unit)
       case None => data.write.mode("overwrite").parquet(path)
     }
     IndexMeta.write(data.sparkSession, path,
-      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids))
+      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit))
   }
 }
 
@@ -177,7 +186,8 @@ object VectorIndex {
         "rebuilt with create(...).save(path))"))
     val df = spark.read.parquet(path)
     val spec = meta.gridSpec
-    spec.foreach(s => plans.IndexAwareRules.registerIndex(path, s))
+    spec.foreach(s => plans.IndexAwareRules.registerIndex(path, s,
+      meta.unitNorm.getOrElse(false)))
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
       meta.ivfCentroids)
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{array, col, lit}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.SqDistL2
+import graft.functions.{CosineSim, SqDistL2}
 import graft.functions.VectorFunctions.sqDist
 import graft.operators.GridIndex.{cellsForBall, GridSpec}
 
@@ -28,7 +28,11 @@ import graft.operators.GridIndex.{cellsForBall, GridSpec}
   *   - PruneKnnSort: `ORDER BY graft_sqdist(vec, <literal q>) LIMIT k`
   *     over a registered index — the reference's core kNN entry
   *     (include/pktree.hpp:948-973) as plain SQL — gets the same cell
-  *     pruning via a planning-time ring search (below).
+  *     pruning via a planning-time ring search (below). Over an index
+  *     whose vectors are unit-norm (save()-time detection), `ORDER BY
+  *     graft_cosine(vec, <literal q>) DESC LIMIT k` gets it too, through
+  *     the 2(1−cos) = ||v−q̂||² reduction — the cosine sort itself is
+  *     left in place, only a superset ball filter is added.
   *
   * Lossless by construction: `cellsForBall` over-approximates (every cell
   * whose box intersects the ball is kept), the exact predicate still
@@ -44,15 +48,22 @@ import graft.operators.GridIndex.{cellsForBall, GridSpec}
   */
 object IndexAwareRules {
 
-  /** Driver-side registry: parquet index root path -> grid geometry.
+  /** What the optimizer knows about a saved index: its grid geometry,
+    * and whether every stored vector is L2-unit-norm (detected at save(),
+    * persisted in the sidecar). unitNorm licenses the cosine→L2 kNN
+    * reduction: on unit vectors ||v − q̂||² = 2(1 − cos(v, q)). */
+  case class IndexInfo(spec: GridSpec, unitNorm: Boolean)
+
+  /** Driver-side registry: parquet index root path -> index info.
     * Metadata-sized (a few doubles per index). */
-  private val registry = TrieMap.empty[String, GridSpec]
+  private val registry = TrieMap.empty[String, IndexInfo]
 
   private def normalize(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.getPath
 
-  def registerIndex(path: String, spec: GridSpec): Unit =
-    registry.put(normalize(path), spec)
+  def registerIndex(path: String, spec: GridSpec,
+                    unitNorm: Boolean = false): Unit =
+    registry.put(normalize(path), IndexInfo(spec, unitNorm))
 
   def clear(): Unit = registry.clear()
 
@@ -78,7 +89,7 @@ object IndexAwareRules {
     * mixes rows whose cell ids were computed in different geometries, and
     * pruning any one spec against the union would silently drop rows. */
   private def registeredRelations(
-      plan: LogicalPlan): Seq[(String, GridSpec, LogicalRelation)] =
+      plan: LogicalPlan): Seq[(String, IndexInfo, LogicalRelation)] =
     plan.collect {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
           if fs.location.rootPaths.size == 1 =>
@@ -99,7 +110,7 @@ object IndexAwareRules {
       case f @ Filter(cond, child) =>
         registeredRelations(child) match {
           // exactly one registered relation below: provenance unambiguous
-          case Seq((_, spec, lr)) =>
+          case Seq((_, IndexInfo(spec, _), lr)) =>
             val relOut = lr.outputSet
             val cellAttr = child.output.find(a =>
               a.name == "cell_id" && a.dataType == LongType &&
@@ -186,14 +197,26 @@ object IndexAwareRules {
           .getOrElse(gl)
     }
 
-    /** The ascending-sqdist sort key, matched directly (DataFrame
-      * `orderBy(expr)`) or through the alias the SQL analyzer inserts in
-      * the sort's child projection (`ORDER BY graft_sqdist(...)`). */
-    private def sortKey(s: Sort): Option[SqDistL2] = s.order match {
-      case Seq(SortOrder(sq: SqDistL2, Ascending, _, _)) => Some(sq)
-      case Seq(SortOrder(a: Attribute, Ascending, _, _)) => s.child match {
+    /** Which top-k form the sort expresses. ByL2 = ascending squared L2
+      * (the reference's kNN, include/pktree.hpp:948-973); ByCosine =
+      * DESCENDING graft_cosine — servable from the same L2 machinery
+      * when the index is unit-norm (reduction in IndexInfo's scaladoc). */
+    private sealed trait SortTarget
+    private case class ByL2(sq: SqDistL2) extends SortTarget
+    private case class ByCosine(cos: CosineSim) extends SortTarget
+
+    /** The sort key, matched directly (DataFrame `orderBy(expr)`) or
+      * through the alias the SQL analyzer inserts in the sort's child
+      * projection (`ORDER BY graft_sqdist(...)` / `graft_cosine(...)`). */
+    private def sortKey(s: Sort): Option[SortTarget] = s.order match {
+      case Seq(SortOrder(sq: SqDistL2, Ascending, _, _)) => Some(ByL2(sq))
+      case Seq(SortOrder(c: CosineSim, Descending, _, _)) => Some(ByCosine(c))
+      case Seq(SortOrder(a: Attribute, dir, _, _)) => s.child match {
         case Project(exprs, _) => exprs.collectFirst {
-          case al @ Alias(sq: SqDistL2, _) if al.exprId == a.exprId => sq
+          case al @ Alias(sq: SqDistL2, _)
+              if al.exprId == a.exprId && dir == Ascending => ByL2(sq)
+          case al @ Alias(c: CosineSim, _)
+              if al.exprId == a.exprId && dir == Descending => ByCosine(c)
         }
         case _ => None
       }
@@ -222,24 +245,47 @@ object IndexAwareRules {
     private def rewriteSort(s: Sort, k: Int): Option[LogicalPlan] = {
       if (!s.global) return None
       for {
-        sq <- sortKey(s)
-        (path, spec, lr) <- registeredRelations(s.child) match {
+        key <- sortKey(s)
+        (path, info, lr) <- registeredRelations(s.child) match {
           case Seq(one) => Some(one) // provenance rule: exactly one index
           case _ => None
         }
+        spec = info.spec
         if projectionPathOnly(s.child, lr)
         relOut = lr.outputSet
-        (vecAttr, q) <- ((sq.left, sq.right) match {
+        operands = key match {
+          case ByL2(sq) => (sq.left, sq.right)
+          case ByCosine(c) => (c.left, c.right)
+        }
+        (vecAttr, qRaw) <- (operands match {
           case (v: Attribute, qv) if relOut.contains(v) =>
             litArray(qv).map(q => (v, q))
           case (qv, v: Attribute) if relOut.contains(v) =>
             litArray(qv).map(q => (v, q))
           case _ => None
         })
-        if q.size == spec.dim
+        if qRaw.size == spec.dim
+        // Cosine sorts reduce to L2 over the NORMALIZED query iff the
+        // index itself is unit-norm (save()-time detection). The sort
+        // stays BY COSINE — only a provably-superset ball filter is
+        // added, so the query's floating-point ranking is untouched. The
+        // radius pad covers the reduction's tolerance: stored norms are
+        // within 1e-9 of 1, which perturbs 2(1-cos) vs ||v-q̂||² by
+        // O(1e-8) — 1e-6 of slack dominates it.
+        (q, pad) <- (key match {
+          case _: ByL2 => Some((qRaw, 0.0))
+          case _: ByCosine =>
+            if (!info.unitNorm) None
+            else {
+              val n = math.sqrt(qRaw.map(x => x * x).sum)
+              if (n == 0.0 || !java.lang.Double.isFinite(n)) None
+              else Some((qRaw.map(_ / n), 1e-6))
+            }
+        })
         cellAttr <- lr.output.find(a =>
           a.name == "cell_id" && a.dataType == LongType)
-        r <- proveRadius(path, spec, vecAttr.name, cellAttr.name, q, k)
+        r0 <- proveRadius(path, spec, vecAttr.name, cellAttr.name, q, k)
+        r = math.sqrt(r0 * r0 + pad)
         cells = cellsForBall(spec, q, r)
         if cells.nonEmpty && cells.size <= MaxCells
       } yield {
@@ -252,7 +298,7 @@ object IndexAwareRules {
             Literal.create(q.toArray, ArrayType(DoubleType, false))),
             Literal(r * r))), lr)
         s.copy(child = s.child.transformUp {
-          case l: LogicalRelation if l eq lr => pruned
+          case l: LogicalPlan if l eq lr => pruned
         })
       }
     }

@@ -106,6 +106,69 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     assert(knnDf.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("pure SQL COSINE top-k over a saved normalized index gets cell pruning") {
+    // The cosine→L2 reduction (unit vectors: ||v−q̂||² = 2(1−cos)) must be
+    // driven end-to-end by metadata: save() detects unit norms and the
+    // sidecar re-registers them at load(), so a plain SQL user writing
+    // ORDER BY graft_cosine(...) DESC LIMIT k over the saved path gets a
+    // pruned scan with NO API call — and exactly Search.cosineTopK's rows
+    // (the sort stays by cosine; only a superset ball filter is added).
+    GraftExtensions.register(spark)
+    IndexAwareRules.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cos").toString
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", graft.functions.VectorFunctions.normalize(
+        array((col("p_retailprice") - lit(900.0)).cast("double"),
+          (col("p_size") - lit(25.0)).cast("double"))))
+      .filter(graft.functions.VectorFunctions.sqNorm(col("vec")) > 0)
+    val idx = VectorIndex.create(raw, "vec", "p_partkey", dim = 2,
+      cellsPerDim = 8)
+    idx.save(s"$tmp/cos_idx")
+    val reloaded = VectorIndex.load(spark, s"$tmp/cos_idx") // sidecar path
+    assert(reloaded.data.columns.contains("cell_id"))
+    val sqlDf = spark.sql(
+      s"""SELECT p_partkey FROM parquet.`$tmp/cos_idx`
+         |ORDER BY graft_cosine(vec, array(3.0D, 4.0D)) DESC
+         |LIMIT 7""".stripMargin)
+    val physical = sqlDf.queryExecution.executedPlan.toString
+    assert(physical.contains("In(cell_id"),
+      s"cosine SQL top-k should scan only candidate cells:\n$physical")
+    val expect = Search.cosineTopK(raw, "vec", "p_partkey",
+        spark.range(1).select(lit(0L).as("qid"),
+          array(lit(3.0), lit(4.0)).as("qv")),
+        "qv", "qid", k = 7)
+      .orderBy(col("rn"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSeq
+    assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("cosine kNN rewrite does NOT fire on a non-normalized index") {
+    // Without the unit-norm fact the reduction is unsound (orders by
+    // cosine and by L2 disagree when norms vary) — the plan must stay
+    // unpruned and the result correct.
+    GraftExtensions.register(spark)
+    IndexAwareRules.registerIndex(indexPath, spec) // unitNorm = false
+    IndexAwareRules.install(spark)
+    val sqlDf = spark.sql(
+      s"""SELECT p_partkey,
+         |       round(graft_cosine(vec, array(910.0D, 25.0D)), 6) AS sim
+         |FROM parquet.`$indexPath`
+         |ORDER BY graft_cosine(vec, array(910.0D, 25.0D)) DESC
+         |LIMIT 5""".stripMargin)
+    assert(!sqlDf.queryExecution.executedPlan.toString.contains("In(cell_id"),
+      "cosine pruning must require the unit-norm flag")
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.cosineTopK(raw, "vec", "p_partkey",
+        spark.range(1).select(lit(0L).as("qid"),
+          array(lit(910.0), lit(25.0)).as("qv")),
+        "qv", "qid", k = 5)
+      .select("sim").collect().map(_.getDouble(0)).toSeq
+    // the SQL has no id tie-break, so compare the similarity multiset
+    assert(sqlDf.collect().map(_.getDouble(1)).sorted.toSeq == expect.sorted)
+  }
+
   test("kNN rewrite bails when a user filter sits below the sort") {
     // The radius proof counts rows in the RAW index; a row-removing
     // operator between sort and scan invalidates it (the within-r
