@@ -600,6 +600,43 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Q53 — REAL image decode through the multimodal pipeline: per
+    * document, an 8×8 solid-color PNG (color = hash of doc_id) is
+    * ENCODED on executors, then decoded back by the javax.imageio path
+    * (Multimodal.extractImageFeatures) into pixel features. Solid color
+    * makes the decoded mean luma a closed-form integer, so the DuckDB
+    * oracle verifies the full encode→decode roundtrip arithmetically —
+    * a codec bug (wrong channel order, dropped row, color shift) breaks
+    * the hash match. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val blobs = ids.mapPartitions { it =>
+      it.map { id =>
+        val rgb = ((id * 2654435761L) % 16777216L).toInt
+        val im = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { im.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "blob")
+    val media = operators.Multimodal.asMedia(blobs, "doc_id", "blob",
+      "image/png")
+    operators.Multimodal.extractImageFeatures(media).toDF()
+      .select(col("id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("meanLuma").as("mean_luma"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -698,6 +735,7 @@ object SparkEntry {
     "q50_neardup_cosine" -> (q50 _),
     "q51_neardup_ivf_clustered" -> (q51 _),
     "q52_neardup_cosine_clustered" -> (q52 _),
+    "q53_image_decode" -> (q53 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1058,6 +1096,18 @@ object SparkEntry {
          |      FROM v v1 JOIN v v2 ON v1.vec_id < v2.vec_id)
          |SELECT a, b, cosine FROM d WHERE cosine >= 0.99
          |ORDER BY a, b""".stripMargin,
+    "q53_image_decode" ->
+      """WITH c AS (SELECT doc_id,
+        |             (doc_id * 2654435761) % 16777216 AS rgb
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        (rgb // 65536) % 256 AS r,
+        |        (rgb // 256) % 256 AS g,
+        |        rgb % 256 AS b
+        |      FROM c)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       CAST((r * 299 + g * 587 + b * 114) // 1000 AS DOUBLE) AS mean_luma
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q49_weighted_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

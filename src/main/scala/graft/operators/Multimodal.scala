@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Design: a multimodal row is (id, blob: binary, meta: struct). All Spark
   * plumbing — schema, batch iteration, partition parallelism, output
-  * schema — is real and tested; only the innermost byte-decoding call is a
-  * STUB (deterministic fake features) because no image/audio codec library
-  * ships in this environment. Swapping `stubDecode` for a real codec (e.g.
-  * javax.imageio / a JNI codec) changes no Spark-side code.
+  * schema — is real and tested. Two decoders share it:
+  *
+  *   - IMAGES are decoded for real via the JDK's javax.imageio
+  *     (PNG/JPEG/GIF/BMP — no external dependency): decodeImage /
+  *     extractImageFeatures emit pixel-level features (dimensions, mean
+  *     luma, luma histogram).
+  *   - other media (audio/video codecs, which the JDK does not ship)
+  *     keep the clearly-marked deterministic stub (`stubDecode`), so the
+  *     surrounding pipeline shape stays testable end-to-end; swapping in
+  *     a real codec changes no Spark-side code, exactly as the image
+  *     path demonstrates.
   *
   * Scale notes: decode runs inside mapPartitions — one JVM-local pass, no
   * shuffle, vectorized parquet read of the binary column upstream. Blobs
@@ -72,6 +79,66 @@ object Multimodal {
       rows.map { r =>
         val (checksum, hist) = stubDecode(r.blob)
         MediaFeatures(r.id, r.meta.nBytes, r.meta.format, checksum, hist)
+      }
+    }
+  }
+
+  /** Pixel-level features from a REAL decode (javax.imageio). */
+  case class ImageFeatures(id: Long, format: String, width: Int, height: Int,
+                           nPixels: Long, meanLuma: Double,
+                           lumaHist: Array[Long])
+
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP): returns
+    * (width, height, meanLuma, 16-bucket luma histogram), or None for
+    * bytes no installed reader understands. Luma = (299r+587g+114b)/1000
+    * in integer math — bit-deterministic for lossless formats. Headless
+    * mode is forced once: executors have no display. */
+  private[graft] def decodeImage(
+      blob: Array[Byte]): Option[(Int, Int, Double, Array[Long])] = {
+    Headless.ensure()
+    val img = try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+    } catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+            + (rgb & 0xff) * 114) / 1000
+          hist(luma >> 4) += 1
+          sum += luma
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum.toDouble / (w.toLong * h), hist)
+    }
+  }
+
+  private object Headless {
+    private lazy val done: Unit =
+      System.setProperty("java.awt.headless", "true")
+    def ensure(): Unit = done
+  }
+
+  /** Partition-parallel REAL image feature extraction — same plumbing as
+    * extractFeatures with javax.imageio as the inner decode. Blobs no
+    * reader can parse are dropped (decode failures at corpus scale are
+    * data quality, not job failures; count them upstream via
+    * n_input - n_output if needed). */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImage(r.blob).map { case (w, h, mean, hist) =>
+          ImageFeatures(r.id, r.meta.format, w, h, w.toLong * h, mean, hist)
+        }
       }
     }
   }

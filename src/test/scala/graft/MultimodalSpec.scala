@@ -24,6 +24,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hist.sum == 2)
   }
 
+  test("REAL image decode: PNG blobs through the full Spark pipeline") {
+    // Deterministic tiny PNGs generated in-test (pixel = f(id, x, y)),
+    // decoded by the real javax.imageio path in mapPartitions. Expected
+    // features computed independently on the driver — asserts the
+    // distributed decode is byte-faithful, not just non-crashing.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def png(id: Long): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(8, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 5; x <- 0 until 8)
+        im.setRGB(x, y, (id * 31 + y * 8 + x).toInt * 97 % 0x1000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def expected(id: Long): (Double, Seq[Long]) = {
+      val hist = new Array[Long](16); var sum = 0L
+      for (y <- 0 until 5; x <- 0 until 8) {
+        val rgb = (id * 31 + y * 8 + x).toInt * 97 % 0x1000000
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+          + (rgb & 0xff) * 114) / 1000
+        hist(luma >> 4) += 1; sum += luma
+      }
+      (sum.toDouble / 40, hist.toSeq)
+    }
+    val df = (0L until 20L).map(i => (i, png(i))).toDF("id", "blob")
+      .repartition(4)
+    val media = Multimodal.asMedia(df, "id", "blob", "image/png")
+    val feats = Multimodal.extractImageFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val (mean, hist) = expected(f.id)
+      assert(f.width == 8 && f.height == 5 && f.nPixels == 40)
+      assert(f.meanLuma == mean, s"id=${f.id}")
+      assert(f.lumaHist.toSeq == hist, s"id=${f.id}")
+    }
+    // undecodable bytes are dropped, not fatal
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "blob")
+    val none = Multimodal.extractImageFeatures(
+      Multimodal.asMedia(junk, "id", "blob", "image/png")).count()
+    assert(none == 0)
+  }
+
   test("metadata rides alongside the blob with correct byte length") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
