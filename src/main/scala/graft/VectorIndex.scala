@@ -143,9 +143,13 @@ object VectorIndex {
     *
     * @param cellsPerDim grid resolution for low-dim pruning (dim <= 4)
     * @param nlist       IVF list count for high-dim ANN (0 = disabled)
+    * @param refineIters seeded driver-side Lloyd iterations sharpening
+    *                    the IVF quantizer (IvfIndex.fitCentroids); 0 =
+    *                    sample-only quantizer
     */
   def create(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-             cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex = {
+             cellsPerDim: Int = 16, nlist: Int = 0,
+             refineIters: Int = 0): VectorIndex = {
     val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
     // schema-level dim invariant (SURVEY §1.1): fail fast on ragged OR null
     // input. Nulls must be rejected too (coalesce: a null dimCheck would
@@ -163,7 +167,8 @@ object VectorIndex {
       } else (None, typed)
     val cents =
       if (nlist > 0)
-        Some(IvfIndex.fitCentroids(indexed, vecCol, idCol, nlist))
+        Some(IvfIndex.fitCentroids(indexed, vecCol, idCol, nlist,
+          refineIters))
       else None
     val withLists = cents match {
       case Some(c) => IvfIndex.assign(indexed, vecCol, idCol, c)

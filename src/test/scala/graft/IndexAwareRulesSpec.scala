@@ -142,6 +142,51 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("cosine rewrite: randomized equivalence vs the unrewritten engine") {
+    // Property-style sweep over random unit-vector datasets and queries:
+    // the pruned SQL result must equal the same engine expression run
+    // WITHOUT the rewrite (raw DataFrame, not a registered scan) — the
+    // exact oracle for "the rule adds a filter, never changes ranking".
+    // Similarity multisets are compared (no id tie-break in the SQL).
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    IndexAwareRules.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cosprop").toString
+    val rnd = new scala.util.Random(42)
+    var pruned = 0
+    for (trial <- 0 until 3) {
+      val n = 80 + rnd.nextInt(120)
+      val pts = Seq.tabulate(n) { i =>
+        val a = rnd.nextDouble() * 2 * math.Pi
+        (i.toLong, Seq(math.cos(a), math.sin(a)))
+      }
+      val df = pts.toDF("id", "vec")
+        .withColumn("vec", col("vec").cast("array<double>"))
+      val path = s"$tmp/idx_$trial"
+      VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8).save(path)
+      for (_ <- 0 until 3) {
+        val qa = rnd.nextDouble() * 2 * math.Pi
+        val (qx, qy) = (3.0 * math.cos(qa), 3.0 * math.sin(qa)) // non-unit q
+        val k = 1 + rnd.nextInt(7)
+        val sqlDf = spark.sql(
+          s"""SELECT id, graft_cosine(vec, array(${qx}D, ${qy}D)) AS sim
+             |FROM parquet.`$path`
+             |ORDER BY graft_cosine(vec, array(${qx}D, ${qy}D)) DESC
+             |LIMIT $k""".stripMargin)
+        if (sqlDf.queryExecution.executedPlan.toString.contains("In(cell_id"))
+          pruned += 1
+        val got = sqlDf.collect().map(_.getDouble(1)).sorted.toSeq
+        val expect = df
+          .select(graft.functions.VectorFunctions.cosine(col("vec"),
+            array(lit(qx), lit(qy))).as("sim"))
+          .orderBy(col("sim").desc).limit(k)
+          .collect().map(_.getDouble(0)).sorted.toSeq
+        assert(got == expect, s"trial=$trial k=$k q=($qx,$qy)")
+      }
+    }
+    assert(pruned >= 5, s"rewrite fired only $pruned/9 times")
+  }
+
   test("cosine kNN rewrite does NOT fire on a non-normalized index") {
     // Without the unit-norm fact the reduction is unsound (orders by
     // cosine and by L2 disagree when norms vary) — the plan must stay
