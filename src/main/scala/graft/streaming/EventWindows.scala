@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming surface over the events table (SURVEY.md §2B
@@ -77,6 +77,78 @@ object EventWindows {
                            keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Input row for the custom-state sessionizer. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One open session in flight (timestamps in epoch micros). */
+  case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+
+  /** A finalized session. */
+  case class SessionRow(user_id: Long, session_start: Long, n: Long,
+                        sum_value: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState — the custom
+    * arbitrary-state path (SURVEY §2B streaming) for when the builtin
+    * `session_window` can't express the state logic. Semantics match the
+    * builtin/batch form: events strictly closer than `gapMinutes` chain
+    * into one session (boundary exactly at gap starts a new one).
+    *
+    * Exactness under out-of-order delivery: a session is emitted ONLY
+    * when the event-time watermark passes its end + gap (event-time
+    * timeout) — never because a later event "looks like" a new session,
+    * since a within-watermark straggler could still land between them.
+    * Until then a key can hold SEVERAL open sessions; an event bridging
+    * two of them merges them. State per key is bounded by the number of
+    * open sessions inside the watermark horizon, so state size tracks
+    * out-of-orderness, not stream length. Events older than the current
+    * watermark are dropped (the same late-data policy as the windowed
+    * aggregations). */
+  def streamingSessions(events: DataFrame, gapMinutes: Int = 30,
+                        watermark: String = "1 minute"): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def tsUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def coalesceSessions(ss: List[OpenSession]): List[OpenSession] =
+      ss.sortBy(_.start).foldLeft(List.empty[OpenSession]) {
+        case (prev :: rest, s) if s.start < prev.last + gapUs =>
+          OpenSession(prev.start, math.max(prev.last, s.last),
+            prev.n + s.n, prev.sum + s.sum) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    def update(key: Long, it: Iterator[SessionEvent],
+               state: GroupState[List[OpenSession]]): Iterator[SessionRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val fresh = it.map(e => (tsUs(e.ts), e.value))
+        .filter(_._1 >= wmUs) // documented late-data drop
+        .map { case (t, v) => OpenSession(t, t, 1, v) }
+        .toList
+      val merged = coalesceSessions(state.getOption.getOrElse(Nil) ::: fresh)
+      val (closed, open) = merged.partition(_.last + gapUs <= wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        // earliest possible close; guaranteed > current watermark
+        state.setTimeoutTimestamp((open.map(_.last).min + gapUs) / 1000L)
+      }
+      closed.sortBy(_.start).iterator.map(s =>
+        SessionRow(key, s.start / 1000000L, s.n,
+          BigDecimal(s.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+    }
+
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** foreachBatch incremental index append — the reference-insert analog:
     * each micro-batch is cell-bucketed and appended to the index path.

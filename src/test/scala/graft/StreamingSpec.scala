@@ -59,6 +59,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer equals the builtin session_window") {
+    // The custom-state path: timeout-driven emission means sessions only
+    // finalize when the watermark passes their end, so the test appends
+    // far-future sentinel events (twice — timeouts fire against the
+    // PREVIOUS batch's watermark) to flush all real sessions, then
+    // compares against the batch builtin session_window.
+    val dir = SparkTestSession.sf0001
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/ev0.parquet"))
+    def sentinel(nanos: Long): Unit = {
+      import spark.implicits._
+      Seq((9_000_000_000L, nanos, -1L, "x", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val stream = EventWindows.readStream(spark, tmp)
+    val q = EventWindows.streamingSessions(stream, gapMinutes = 30,
+        watermark = "1 minute")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("fs_sessions").start()
+    try {
+      q.processAllAvailable()
+      sentinel(4_000_000_000_000_000_000L) // ~2096: watermark jumps ahead
+      q.processAllAvailable()
+      sentinel(4_100_000_000_000_000_000L) // next batch: timeouts all fire
+      q.processAllAvailable()
+      val streamed = spark.table("fs_sessions")
+        .filter(col("user_id") >= 0) // drop sentinel user
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val batch = Tables.events(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start"),
+          col("n"), col("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed.keySet == batch.keySet,
+        s"session keys differ: extra=${streamed.keySet -- batch.keySet} " +
+          s"missing=${batch.keySet -- streamed.keySet}")
+      streamed.foreach { case (k, (n, s)) =>
+        val (bn, bs) = batch(k)
+        assert(n == bn, s"count mismatch at $k")
+        // stream folds values in arrival order; allow float-sum slack
+        assert(math.abs(s - bs) <= 1e-6, s"sum mismatch at $k: $s vs $bs")
+      }
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with dimension rows") {
     val dir = SparkTestSession.sf0001
     val stream = EventWindows.readStream(spark, s"$dir/events.parquet")
