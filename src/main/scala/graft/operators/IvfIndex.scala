@@ -40,15 +40,18 @@ object IvfIndex {
     * by ascending id.
     *
     * `refineIters > 0` adds seeded Lloyd refinement: a LARGER hash-stride
-    * sample (~sampleFactor·nlist rows, still driver-metadata-sized at any
-    * corpus scale) is collected once in ascending-id order, and k-means
-    * iterations run ENTIRELY driver-side over that fixed-order sample —
-    * so the result is bit-for-bit deterministic on any cluster layout
-    * (no distributed float sums, whose partition order would leak into
-    * the centroid doubles; that partition-order hazard is why refinement
-    * is not a distributed aggregate). Sharper centroids raise low-nProbe
-    * recall on clustered data; refineIters=0 preserves the sample-only
-    * quantizer exactly. */
+    * sample (sampleFactor·nlist rows, CAPPED at 32768 so the driver
+    * collect stays bounded — ~200 MB at dim 768 worst case) is collected
+    * once in ascending-id order, and k-means iterations run ENTIRELY
+    * driver-side over that fixed-order sample — so the result is
+    * bit-for-bit deterministic on any cluster layout (no distributed
+    * float sums, whose partition order would leak into the centroid
+    * doubles; that partition-order hazard is why refinement is not a
+    * distributed aggregate). Driver cost is O(iters·sample·nlist·dim)
+    * single-threaded — sized for nlist up to ~1024; beyond that prefer
+    * refineIters=0 (the cap also bounds quality, not just memory).
+    * Sharper centroids raise low-nProbe recall on clustered data;
+    * refineIters=0 preserves the sample-only quantizer exactly. */
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
                    nlist: Int, refineIters: Int = 0,
                    sampleFactor: Int = 32): Centroids = {
@@ -69,7 +72,7 @@ object IvfIndex {
     val cents =
       if (refineIters <= 0) init
       else {
-        val sn = nlist.toLong * sampleFactor
+        val sn = math.min(nlist.toLong * sampleFactor, 32768L)
         val stride2 = math.max(n / sn, 1L)
         val sampleRows =
           take(df.filter(pmod(xxhash64(col(idCol)), lit(stride2)) === 0),

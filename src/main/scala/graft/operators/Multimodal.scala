@@ -96,9 +96,13 @@ object Multimodal {
   private[graft] def decodeImage(
       blob: Array[Byte]): Option[(Int, Int, Double, Array[Long])] = {
     Headless.ensure()
+    // NonFatal, not just IOException: the JDK readers throw runtime
+    // exceptions (ArrayIndexOutOfBounds, NegativeArraySize, ...) on
+    // corrupt-but-plausible blobs, and one bad image must be dropped
+    // data, not a failed job.
     val img = try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val hist = new Array[Long](16)

@@ -84,8 +84,13 @@ class PlanShapeSpec extends AnyFunSuite {
       .ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val conf = spark.conf
-    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val savedAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+    // getOption-based save/restore: the AQE threshold is usually UNSET
+    // (falls back to the static one) — restoring a made-up default would
+    // permanently change the shared session for later tests.
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(conf.unset(key))(conf.set(key, _))
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -98,8 +103,8 @@ class PlanShapeSpec extends AnyFunSuite {
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected && got.nonEmpty)
     } finally {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
+      restore("spark.sql.autoBroadcastJoinThreshold", saved)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
     }
   }
 
