@@ -110,7 +110,7 @@ object IndexAwareRules {
       case f @ Filter(cond, child) =>
         registeredRelations(child) match {
           // exactly one registered relation below: provenance unambiguous
-          case Seq((_, IndexInfo(spec, _), lr)) =>
+          case Seq((_, IndexInfo(spec, unitNorm), lr)) =>
             val relOut = lr.outputSet
             val cellAttr = child.output.find(a =>
               a.name == "cell_id" && a.dataType == LongType &&
@@ -118,7 +118,8 @@ object IndexAwareRules {
             cellAttr match {
               case Some(cell) if !hasCellConjunct(cond, cell) =>
                 val conjuncts = splitConjunctivePredicates(cond)
-                conjuncts.flatMap(ballOf(_, relOut)).headOption match {
+                conjuncts.flatMap(ballOf(_, relOut, unitNorm))
+                  .headOption match {
                   case Some((q, r)) if q.size == spec.dim =>
                     val cells = cellsForBall(spec, q, r)
                     if (cells.nonEmpty && cells.size <= MaxCells)
@@ -141,11 +142,15 @@ object IndexAwareRules {
       }
 
     /** Extract (query center, radius) from `sqdist(vec, lit) <= lit(r²)`
-      * (either operand order). The vector operand must be an attribute OF
+      * — either operand order — or, over a UNIT-NORM index, from
+      * `graft_cosine(vec, lit) >= lit(c)`: on unit vectors the cosine
+      * threshold is the ball ||v − q̂||² <= 2(1−c), padded 1e-6 to
+      * dominate the 1e-9 stored-norm tolerance (superset, the exact
+      * predicate still runs). The vector operand must be an attribute OF
       * THE REGISTERED RELATION — a vector from the other side of a join
       * lives in a different geometry. */
-    private def ballOf(e: Expression,
-                       relOut: AttributeSet): Option[(Seq[Double], Double)] = {
+    private def ballOf(e: Expression, relOut: AttributeSet,
+                       unitNorm: Boolean): Option[(Seq[Double], Double)] = {
       def fromSq(sq: SqDistL2, bound: Expression): Option[(Seq[Double], Double)] =
         (sq.left, sq.right, bound) match {
           case (v: Attribute, qv, Literal(r2: Double, DoubleType))
@@ -156,10 +161,29 @@ object IndexAwareRules {
             litArray(qv).map(q => (q, math.sqrt(r2)))
           case _ => None
         }
+      def fromCos(c: CosineSim, bound: Expression): Option[(Seq[Double], Double)] = {
+        if (!unitNorm) return None
+        val vecAndQ = (c.left, c.right) match {
+          case (v: Attribute, qv) if relOut.contains(v) => litArray(qv)
+          case (qv, v: Attribute) if relOut.contains(v) => litArray(qv)
+          case _ => None
+        }
+        (vecAndQ, bound) match {
+          case (Some(q), Literal(minCos: Double, DoubleType)) =>
+            val n = math.sqrt(q.map(x => x * x).sum)
+            if (n == 0.0 || !java.lang.Double.isFinite(n)) None
+            else Some((q.map(_ / n),
+              math.sqrt(math.max(2.0 * (1.0 - minCos), 0.0) + 1e-6)))
+          case _ => None
+        }
+      }
       e match {
         case LessThanOrEqual(sq: SqDistL2, b) => fromSq(sq, b)
         case GreaterThanOrEqual(b, sq: SqDistL2) => fromSq(sq, b)
         case LessThan(sq: SqDistL2, b) => fromSq(sq, b) // strict ⊂ inclusive
+        case GreaterThanOrEqual(c: CosineSim, b) => fromCos(c, b)
+        case LessThanOrEqual(b, c: CosineSim) => fromCos(c, b)
+        case GreaterThan(c: CosineSim, b) => fromCos(c, b) // strict ⊂ inclusive
         case _ => None
       }
     }

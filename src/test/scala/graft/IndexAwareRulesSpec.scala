@@ -142,6 +142,36 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("cosine THRESHOLD filter over a normalized index gains cell pruning") {
+    // The range-query twin of the cosine top-k rewrite: WHERE
+    // graft_cosine(vec, lit) >= c over a unit-norm index is the ball
+    // ||v - qhat||^2 <= 2(1-c) (+pad) — PruneBallSearch ANDs the cell
+    // conjunct, exact predicate still runs.
+    GraftExtensions.register(spark)
+    IndexAwareRules.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cosball").toString
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", graft.functions.VectorFunctions.normalize(
+        array((col("p_retailprice") - lit(900.0)).cast("double"),
+          (col("p_size") - lit(25.0)).cast("double"))))
+      .filter(graft.functions.VectorFunctions.sqNorm(col("vec")) > 0)
+    VectorIndex.create(raw, "vec", "p_partkey", dim = 2, cellsPerDim = 8)
+      .save(s"$tmp/idx")
+    val sqlDf = spark.sql(
+      s"""SELECT p_partkey FROM parquet.`$tmp/idx`
+         |WHERE graft_cosine(vec, array(3.0D, 4.0D)) >= 0.95
+         |ORDER BY p_partkey""".stripMargin)
+    assert(sqlDf.queryExecution.executedPlan.toString.contains("In(cell_id"),
+      "cosine threshold over a unit-norm index should cell-prune")
+    val expect = raw
+      .filter(graft.functions.VectorFunctions.cosine(col("vec"),
+        array(lit(3.0), lit(4.0))) >= 0.95)
+      .select(col("p_partkey")).orderBy(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("cosine rewrite: randomized equivalence vs the unrewritten engine") {
     // Property-style sweep over random unit-vector datasets and queries:
     // the pruned SQL result must equal the same engine expression run
