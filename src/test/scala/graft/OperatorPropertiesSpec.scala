@@ -161,6 +161,48 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("IVF slack blocking == brute force on random vector sets (property)") {
+    // The triangle-inequality slack proof is the most correctness-critical
+    // math in the dedup family — sweep it over random low-dim vector sets,
+    // thresholds, and quantizer sizes, with CLUSTERED structure (random
+    // centers + noise) so blocking actually discriminates and boundary
+    // pairs (dist straddling the threshold) get generated often.
+    import spark.implicits._
+    import graft.functions.VectorFunctions.sqDist
+    import graft.operators.{Dedup, IvfIndex}
+    val gen = for {
+      nCenters <- Gen.chooseNum(1, 4)
+      centers <- Gen.listOfN(nCenters,
+        Gen.listOfN(3, Gen.chooseNum(-8.0, 8.0)))
+      n <- Gen.chooseNum(2, 36)
+      pts <- Gen.listOfN(n, for {
+        c <- Gen.oneOf(centers)
+        noise <- Gen.listOfN(3, Gen.chooseNum(-1.0, 1.0))
+      } yield c.zip(noise).map { case (a, b) => a + b })
+      nlist <- Gen.oneOf(1, 2, 5)
+      maxSq <- Gen.chooseNum(0.5, 8.0)
+    } yield (pts, nlist, maxSq)
+    // forAllNoShrink: ScalaCheck shrinking ignores generator bounds and
+    // produces invalid cases (nlist=0), masking the real counterexample.
+    run("ivfblock", Prop.forAllNoShrink(gen) { case (pts, nlist, maxSq) =>
+      val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+      val brute = {
+        val l = df.select(col("id").as("a"), col("vec").as("va"))
+        val r = df.select(col("id").as("b"), col("vec").as("vb"))
+        l.join(r, col("a") < col("b"))
+          .withColumn("d", round(sqDist(col("va"), col("vb")), 6))
+          .filter(col("d") <= maxSq)
+          .select(col("a"), col("b"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      }
+      val cents = IvfIndex.fitCentroids(df, "vec", "id", nlist)
+      val got = Dedup.embeddingNearDupByIvf(df, "id", "vec", cents, maxSq)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      got == brute
+    })
+  }
+
   test("topK aggregator == sorted take on random score sets") {
     import spark.implicits._
     val scored: Gen[(Int, List[(Double, Long)])] = for {
