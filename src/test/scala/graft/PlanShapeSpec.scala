@@ -159,6 +159,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both self-join sides must read the cached expansion:\n$p")
   }
 
+  test("q51/q52: clustered near-dup is a blocked equi-join, never a cross join") {
+    // The full-table clustered queries must stay in the blocked-join
+    // shape: candidates from the list_id equi-join over the persisted
+    // expansion — a refactor that degrades to a cartesian/BNLJ product
+    // would still return correct rows (slower), so the PLAN is pinned.
+    for (q <- Seq("q51_neardup_ivf_clustered", "q52_neardup_cosine_clustered")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan an unblocked product:\n$p")
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$q: both self-join sides must read the cached expansion:\n$p")
+    }
+  }
+
   test("q25: the cell-membership conjunct guards the distance predicate") {
     // q25 computes cell_id inline (index fit + assign in one query), so
     // pruning here is predicate-level (the IN/INSET short-circuits the
