@@ -36,7 +36,49 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               minTokens: Int = 5, maxPunctRatio: Double = 0.3,
               minhashK: Int = 8, minJaccard: Double = 0.5,
-              collapseComponents: Boolean = false): DataFrame = {
+              collapseComponents: Boolean = false): DataFrame =
+    Sampling.trainValTest(
+      dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
+        minhashK, minJaccard, collapseComponents), idCol)
+
+  /** prepare() plus a SEMANTIC near-dup stage: after the text-level
+    * dedup, documents whose embeddings are near-identical in cosine
+    * (paraphrases, translations re-ingested, templated rewrites — pairs
+    * lexical measures cannot catch) are reduced to their min-id
+    * representative via the IVF-blocked cosine join
+    * (Dedup.embeddingNearDupCosine — lossless blocking, never O(n²)).
+    * Embeddings are joined by id AFTER the text stages so the expensive
+    * vector machinery only ever sees surviving rows; rows with no
+    * embedding pass through unexamined (they can't be semantically
+    * deduped, dropping them would be data loss). */
+  def prepareWithEmbeddings(docs: DataFrame, idCol: String, textCol: String,
+                            embeddings: DataFrame, embIdCol: String,
+                            embCol: String, nlist: Int = 64,
+                            minCosine: Double = 0.97,
+                            minTokens: Int = 5, maxPunctRatio: Double = 0.3,
+                            minhashK: Int = 8, minJaccard: Double = 0.5,
+                            collapseComponents: Boolean = false): DataFrame = {
+    val deduped = dedupStages(docs, idCol, textCol, minTokens,
+      maxPunctRatio, minhashK, minJaccard, collapseComponents)
+    val emb = embeddings.select(col(embIdCol).as(idCol), col(embCol))
+    // vectors attach to surviving rows only (inner join = also the
+    // "has an embedding" gate for the semantic stage)
+    val survivors = deduped.select(col(idCol)).join(emb, Seq(idCol))
+    val pairs = Dedup.embeddingNearDupCosine(survivors, idCol, embCol,
+      nlist, minCosine)
+    val losers =
+      if (collapseComponents)
+        Dedup.connectedComponents(pairs)
+          .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
+      else pairs.select(col("b").as(idCol)).distinct()
+    Sampling.trainValTest(deduped.join(losers, Seq(idCol), "left_anti"),
+      idCol)
+  }
+
+  private def dedupStages(docs: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int, maxPunctRatio: Double,
+                          minhashK: Int, minJaccard: Double,
+                          collapseComponents: Boolean): DataFrame = {
     // 1. quality gate — scan-speed, no shuffle
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
       .filter(col("n_tokens") >= minTokens &&
@@ -67,9 +109,7 @@ object CorpusPipeline {
         Dedup.connectedComponents(verified)
           .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
       else verified.select(col("b").as(idCol)).distinct()
-    val deduped = exact.join(losers, Seq(idCol), "left_anti")
-
-    // 4. deterministic split — scan-speed, no shuffle
-    Sampling.trainValTest(deduped, idCol)
+    // callers add the deterministic split (scan-speed, no shuffle)
+    exact.join(losers, Seq(idCol), "left_anti")
   }
 }

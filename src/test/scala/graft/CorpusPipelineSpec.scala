@@ -84,6 +84,30 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(surviving(collapse = true) == Set(1L))
   }
 
+  test("prepareWithEmbeddings: semantic stage drops paraphrases text dedup keeps") {
+    import spark.implicits._
+    // Docs 1 and 2 share NO vocabulary (text dedup keeps both) but have
+    // near-identical embeddings (a paraphrase pair); doc 3 is semantically
+    // far from both. Rows without an embedding (doc 4) pass through.
+    val t1 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val t2 = (1 to 12).map(i => s"b$i").mkString(" ")
+    val t3 = (1 to 12).map(i => s"c$i").mkString(" ")
+    val t4 = (1 to 12).map(i => s"d$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0, 0.01, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.01)), // cos(1,2) ~ 0.9999
+      (3L, Seq(0.0, 1.0, 0.0)))  // orthogonal to both
+      .toDF("vec_id", "embedding")
+    val out = CorpusPipeline.prepareWithEmbeddings(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", nlist = 2, minCosine = 0.97)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // text stages keep all 4; semantic stage drops only doc 2 (larger id
+    // of the paraphrase pair); docs 3 and the embedding-less 4 survive
+    assert(out == Set(1L, 3L, 4L), s"got $out")
+  }
+
   test("salted join == plain join, with the key salted nSalts ways") {
     val orders = Tables.load(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
