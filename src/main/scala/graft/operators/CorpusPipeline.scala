@@ -58,12 +58,18 @@ object CorpusPipeline {
                             minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                             minhashK: Int = 8, minJaccard: Double = 0.5,
                             collapseComponents: Boolean = false): DataFrame = {
+    // Persisted: the text-dedup chain (quality -> window dedup ->
+    // MinHash -> Jaccard) is read by the survivors join, the final
+    // anti-join, AND the semantic stage's driver actions (centroid
+    // count/sample) — unpersisted it would recompute 4-5 times. Same
+    // convention as every multiply-read dedup intermediate.
     val deduped = dedupStages(docs, idCol, textCol, minTokens,
-      maxPunctRatio, minhashK, minJaccard, collapseComponents)
+      maxPunctRatio, minhashK, minJaccard, collapseComponents).persist()
     val emb = embeddings.select(col(embIdCol).as(idCol), col(embCol))
     // vectors attach to surviving rows only (inner join = also the
     // "has an embedding" gate for the semantic stage)
     val survivors = deduped.select(col(idCol)).join(emb, Seq(idCol))
+      .persist()
     val pairs = Dedup.embeddingNearDupCosine(survivors, idCol, embCol,
       nlist, minCosine)
     val losers =

@@ -393,6 +393,12 @@ object Dedup {
   def embeddingNearDupByIvf(df: DataFrame, idCol: String, vecCol: String,
                             centroids: IvfIndex.Centroids,
                             maxSqDist: Double): DataFrame = {
+    // Zero centroids = zero vectors were available to fit them (empty
+    // input): the correct answer is zero pairs — assignMulti's empty
+    // literal array would fail analysis instead.
+    if (centroids.isEmpty)
+      return df.limit(0).select(col(idCol).as("a"), col(idCol).as("b"),
+        lit(0.0).as("dist"))
     // Persisted like the other dedup intermediates: both join sides read
     // it, and the nlist×dim distance evaluations per row shouldn't run
     // twice. At 100 TB this goes to scratch storage; same plan shape.
@@ -453,6 +459,11 @@ object Dedup {
     val n = df.select(col(idCol), col(vecCol),
       VectorFunctions.normalize(col(vecCol)).as("__nv"))
     val cents = IvfIndex.fitCentroids(n, "__nv", idCol, nlist)
+    // empty input fits zero centroids; the correct answer is zero pairs
+    // (assignMulti's empty literal array would fail analysis instead)
+    if (cents.isEmpty)
+      return df.limit(0).select(col(idCol).as("a"), col(idCol).as("b"),
+        lit(0.0).as("cosine"))
     val expanded = IvfIndex.assignMulti(n, "__nv", cents,
       slack = math.sqrt(maxSq)).persist()
     pairsFromLists(expanded, idCol, vecCol, "cosine",

@@ -104,6 +104,15 @@ object IndexAwareRules {
     case _ => None
   }
 
+  /** L2-normalized copy of a query vector; None when the norm is zero or
+    * non-finite (no direction to prune on). Shared by BOTH cosine paths
+    * (ball filter and top-k sort) so the guard can't drift between them. */
+  private def normalizedQuery(q: Seq[Double]): Option[Seq[Double]] = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    if (n == 0.0 || !java.lang.Double.isFinite(n)) None
+    else Some(q.map(_ / n))
+  }
+
   object PruneBallSearch extends Rule[LogicalPlan] with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -170,9 +179,7 @@ object IndexAwareRules {
         }
         (vecAndQ, bound) match {
           case (Some(q), Literal(minCos: Double, DoubleType)) =>
-            val n = math.sqrt(q.map(x => x * x).sum)
-            if (n == 0.0 || !java.lang.Double.isFinite(n)) None
-            else Some((q.map(_ / n),
+            normalizedQuery(q).map(qn => (qn,
               math.sqrt(math.max(2.0 * (1.0 - minCos), 0.0) + 1e-6)))
           case _ => None
         }
@@ -181,9 +188,11 @@ object IndexAwareRules {
         case LessThanOrEqual(sq: SqDistL2, b) => fromSq(sq, b)
         case GreaterThanOrEqual(b, sq: SqDistL2) => fromSq(sq, b)
         case LessThan(sq: SqDistL2, b) => fromSq(sq, b) // strict ⊂ inclusive
+        case GreaterThan(b, sq: SqDistL2) => fromSq(sq, b) // lit > sqdist
         case GreaterThanOrEqual(c: CosineSim, b) => fromCos(c, b)
         case LessThanOrEqual(b, c: CosineSim) => fromCos(c, b)
         case GreaterThan(c: CosineSim, b) => fromCos(c, b) // strict ⊂ inclusive
+        case LessThan(b, c: CosineSim) => fromCos(c, b) // lit < cosine
         case _ => None
       }
     }
@@ -300,11 +309,7 @@ object IndexAwareRules {
           case _: ByL2 => Some((qRaw, 0.0))
           case _: ByCosine =>
             if (!info.unitNorm) None
-            else {
-              val n = math.sqrt(qRaw.map(x => x * x).sum)
-              if (n == 0.0 || !java.lang.Double.isFinite(n)) None
-              else Some((qRaw.map(_ / n), 1e-6))
-            }
+            else normalizedQuery(qRaw).map(qn => (qn, 1e-6))
         })
         cellAttr <- lr.output.find(a =>
           a.name == "cell_id" && a.dataType == LongType)

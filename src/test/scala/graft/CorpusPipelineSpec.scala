@@ -108,6 +108,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L, 4L), s"got $out")
   }
 
+  test("prepareWithEmbeddings: no overlapping embeddings degrades to text-only") {
+    import spark.implicits._
+    // Contract guard: with zero usable embeddings the semantic stage must
+    // be a no-op (zero centroids used to throw at analysis), not a crash.
+    val docs = Seq((1L, (1 to 12).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emb = Seq((99L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = CorpusPipeline.prepareWithEmbeddings(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", nlist = 2, minCosine = 0.97)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+  }
+
   test("salted join == plain join, with the key salted nSalts ways") {
     val orders = Tables.load(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"))

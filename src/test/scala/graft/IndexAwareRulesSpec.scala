@@ -163,6 +163,13 @@ class IndexAwareRulesSpec extends AnyFunSuite {
          |ORDER BY p_partkey""".stripMargin)
     assert(sqlDf.queryExecution.executedPlan.toString.contains("In(cell_id"),
       "cosine threshold over a unit-norm index should cell-prune")
+    // literal-on-left strict spelling must prune too (Catalyst does not
+    // canonicalize comparison orientation)
+    val flipped = spark.sql(
+      s"""SELECT p_partkey FROM parquet.`$tmp/idx`
+         |WHERE 0.95 < graft_cosine(vec, array(3.0D, 4.0D))""".stripMargin)
+    assert(flipped.queryExecution.executedPlan.toString.contains("In(cell_id"),
+      "lit < cosine orientation should cell-prune")
     val expect = raw
       .filter(graft.functions.VectorFunctions.cosine(col("vec"),
         array(lit(3.0), lit(4.0))) >= 0.95)
