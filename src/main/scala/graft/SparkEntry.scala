@@ -640,6 +640,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q54 — REAL audio decode through the multimodal pipeline: per
+    * document, 64 deterministic 16-bit PCM samples are WAV-encoded on
+    * executors (javax.sound.sampled), decoded back by
+    * Multimodal.extractAudioFeatures, and the mean |amplitude| — exact:
+    * an integer sum divided by the power-of-two sample count — is
+    * verified by a closed-form DuckDB oracle. A byte-order or header
+    * bug in the codec path breaks the hash match. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val blobs = ids.mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(64)(i =>
+          (((id * 31 + i * 7) % 2001) - 1000).toShort)
+        val bytes = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) { // little-endian 16-bit PCM
+          bytes(2 * i) = (samples(i) & 0xff).toByte
+          bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "blob")
+    val media = operators.Multimodal.asMedia(blobs, "doc_id", "blob",
+      "audio/wav")
+    operators.Multimodal.extractAudioFeatures(media).toDF()
+      .select(col("id").as("doc_id"),
+        col("nFrames").as("n_frames"),
+        col("meanAbs").as("mean_abs"),
+        col("peakAbs").as("peak_abs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -739,6 +779,7 @@ object SparkEntry {
     "q51_neardup_ivf_clustered" -> (q51 _),
     "q52_neardup_cosine_clustered" -> (q52 _),
     "q53_image_decode" -> (q53 _),
+    "q54_audio_decode" -> (q54 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1111,6 +1152,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |       CAST((r * 299 + g * 587 + b * 114) // 1000 AS DOUBLE) AS mean_luma
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q54_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(64 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, 64),
+        |        i -> abs((doc_id * 31 + i * 7) % 2001 - 1000))) AS DOUBLE)
+        |    / 64.0 AS mean_abs,
+        |  CAST(list_max(list_transform(range(0, 64),
+        |        i -> abs((doc_id * 31 + i * 7) % 2001 - 1000))) AS BIGINT)
+        |    AS peak_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q49_weighted_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

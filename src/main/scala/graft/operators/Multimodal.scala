@@ -147,6 +147,64 @@ object Multimodal {
     }
   }
 
+  /** Sample-level features from a REAL audio decode (javax.sound.sampled). */
+  case class AudioFeatures(id: Long, format: String, sampleRate: Double,
+                           channels: Int, nFrames: Long, meanAbs: Double,
+                           peakAbs: Long)
+
+  /** Real audio decode via the JDK's sound API (WAV/AIFF/AU containers,
+    * PCM payloads): returns (sampleRate, channels, frameCount, mean |amp|,
+    * peak |amp|) over 16-bit samples, or None for bytes no installed
+    * reader understands. Integer accumulation — bit-deterministic. */
+  private[graft] def decodeAudio(
+      blob: Array[Byte]): Option[(Double, Int, Long, Double, Long)] = {
+    Headless.ensure()
+    val in = try {
+      Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    in.flatMap { ais =>
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumAbs = 0L; var peak = 0L; var i = 0
+          val le = !f.isBigEndian
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1)
+            val s = if (le) (hi << 8) | lo
+                    else ((lo.toByte) << 8) | (hi & 0xff)
+            val a = math.abs(s.toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          Some((f.getSampleRate.toDouble, f.getChannels,
+            n.toLong / math.max(f.getChannels, 1),
+            if (n == 0) 0.0 else sumAbs.toDouble / n, peak))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally ais.close()
+    }
+  }
+
+  /** Partition-parallel REAL audio feature extraction; undecodable blobs
+    * dropped (same policy as extractImageFeatures). */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.blob).map { case (sr, ch, nf, mean, peak) =>
+          AudioFeatures(r.id, r.meta.format, sr, ch, nf, mean, peak)
+        }
+      }
+    }
+  }
+
   /** A sampled frame/chunk: fixed-size slice of the blob at a stride —
     * the video-frame-sampling shape (a real decoder would seek keyframes;
     * the slicing, fan-out and output schema are identical). */

@@ -68,6 +68,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("REAL audio decode: WAV blobs through the full Spark pipeline") {
+    import spark.implicits._
+    def wav(id: Long): (Array[Byte], Double, Long) = {
+      val samples = Array.tabulate(100)(i => ((id * 13 + i * 3) % 400 - 200).toShort)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val mean = samples.map(s => math.abs(s.toLong)).sum.toDouble / 100
+      val peak = samples.map(s => math.abs(s.toLong)).max
+      (bos.toByteArray, mean, peak)
+    }
+    val rows = (0L until 10L).map { i =>
+      val (b, m, p) = wav(i); (i, b, m, p)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("id", "blob").repartition(3)
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.asMedia(df, "id", "blob", "audio/wav"))
+      .collect().map(f => f.id -> f).toMap
+    assert(feats.size == 10)
+    rows.foreach { case (id, _, mean, peak) =>
+      val f = feats(id)
+      assert(f.sampleRate == 8000.0 && f.channels == 1 && f.nFrames == 100)
+      assert(f.meanAbs == mean && f.peakAbs == peak, s"id=$id")
+    }
+    // undecodable bytes dropped, not fatal
+    val junk = Seq((99L, Array[Byte](82, 73, 70, 70, 0))).toDF("id", "blob")
+    assert(Multimodal.extractAudioFeatures(
+      Multimodal.asMedia(junk, "id", "blob", "audio/wav")).count() == 0)
+  }
+
   test("metadata rides alongside the blob with correct byte length") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
