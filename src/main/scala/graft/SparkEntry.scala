@@ -680,6 +680,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
+    * mitigation for engines/pipelines with AQE off. Result is provably
+    * identical to the plain equi-join (the salt only splits reducer
+    * load), so the DuckDB oracle IS the plain join — lifting the salted
+    * path into the oracle contract instead of spec-only coverage. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val customer = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    operators.SkewJoin.saltedInner(orders, customer, "o_custkey", nSalts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q56 — deterministic stratified sample (Sampling.stratifiedSample):
+    * ~30% of documents per language by salted id hash; the oracle
+    * reproduces the exact kept set, proving rerun/engine stability. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang", fraction = 0.3)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -780,6 +805,8 @@ object SparkEntry {
     "q52_neardup_cosine_clustered" -> (q52 _),
     "q53_image_decode" -> (q53 _),
     "q54_audio_decode" -> (q54 _),
+    "q55_skew_join" -> (q55 _),
+    "q56_stratified" -> (q56 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1162,6 +1189,16 @@ object SparkEntry {
         |        i -> abs((doc_id * 31 + i * 7) % 2001 - 1000))) AS BIGINT)
         |    AS peak_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q56_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)),
+        |                          1, 8)) AS UBIGINT) % 10000 < 3000
+        |ORDER BY doc_id""".stripMargin,
     "q49_weighted_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
