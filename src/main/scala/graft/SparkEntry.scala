@@ -705,6 +705,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Q57 — batch kNN through the typed top-k AGGREGATOR
+    * (Search.knnBatchAgg / functions.TopK): the custom
+    * Aggregator[IN,BUF,OUT] path in the oracle contract, not just
+    * spec-equality vs the window form. Same workload and oracle family
+    * as Q4 (5 queries, top-3 each, excluding self). */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Search.knnBatchAgg(e, "embedding", "vec_id", q, "embedding", "qid",
+        k = 3, excludeSelf = true)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Q43 — frequency capping: at most 2 documents per (lang, source),
     * smallest doc_ids win (Dedup.capByKey — the softer dedup that keeps
     * duplicate frequency as signal). */
@@ -807,6 +822,7 @@ object SparkEntry {
     "q54_audio_decode" -> (q54 _),
     "q55_skew_join" -> (q55 _),
     "q56_stratified" -> (q56 _),
+    "q57_knn_batch_agg" -> (q57 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1189,6 +1205,16 @@ object SparkEntry {
         |        i -> abs((doc_id * 31 + i * 7) % 2001 - 1000))) AS BIGINT)
         |    AS peak_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_knn_batch_agg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id <= 4),
+         |d AS (SELECT q.qid, e.vec_id,
+         |             ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+         |      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, dist, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+         |  FROM d) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     "q55_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
