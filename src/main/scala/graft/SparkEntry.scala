@@ -854,6 +854,21 @@ object SparkEntry {
       "CAST(i AS VARCHAR)), 1, 4)) AS UBIGINT) / 65536.0 - 0.5) * 16.0 " +
       "+ CAST(embedding[i + 1] AS DOUBLE))"
 
+  /** Shared by q4 (window top-k) and q57 (Aggregator top-k): the two
+    * physical strategies answer the SAME declared workload, so one
+    * oracle definition keeps the equivalence claim honest — an edit to
+    * the workload can't leave one of them stale. */
+  private lazy val duckKnnBatchOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id <= 4),
+       |d AS (SELECT q.qid, e.vec_id,
+       |             ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+       |      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+       |SELECT qid, vec_id, dist, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+       |  FROM d) WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin
+
   private val duckStopwords =
     operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -890,16 +905,7 @@ object SparkEntry {
         |WHERE (CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
         |    + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0) <= 20.0 * 20.0
         |ORDER BY p_partkey""".stripMargin,
-    "q4_knn_batch" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |           WHERE vec_id <= 4),
-         |d AS (SELECT q.qid, e.vec_id,
-         |             ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
-         |      FROM embeddings e, q WHERE e.vec_id <> q.qid)
-         |SELECT qid, vec_id, dist, rn FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
-         |  FROM d) WHERE rn <= 3
-         |ORDER BY qid, rn""".stripMargin,
+    "q4_knn_batch" -> duckKnnBatchOracle,
     "q5_simjoin" ->
       """SELECT count(*) AS n_pairs
         |FROM customer c1 JOIN customer c2
@@ -1205,24 +1211,19 @@ object SparkEntry {
         |        i -> abs((doc_id * 31 + i * 7) % 2001 - 1000))) AS BIGINT)
         |    AS peak_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q57_knn_batch_agg" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |           WHERE vec_id <= 4),
-         |d AS (SELECT q.qid, e.vec_id,
-         |             ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
-         |      FROM embeddings e, q WHERE e.vec_id <> q.qid)
-         |SELECT qid, vec_id, dist, rn FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
-         |  FROM d) WHERE rn <= 3
-         |ORDER BY qid, rn""".stripMargin,
+    "q57_knn_batch_agg" -> duckKnnBatchOracle,
     "q55_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q56_stratified" ->
+      // concat_ws (NOT ||): a NULL stratum must hash like Spark's
+      // concat_ws (null args skipped), where || would NULL-propagate and
+      // silently drop every NULL-stratum row from the oracle only
       """SELECT doc_id, lang FROM documents
-        |WHERE CAST(('0x' || substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)),
+        |WHERE CAST(('0x' || substr(md5(
+        |        concat_ws('#', lang, CAST(doc_id AS VARCHAR))),
         |                          1, 8)) AS UBIGINT) % 10000 < 3000
         |ORDER BY doc_id""".stripMargin,
     "q49_weighted_sample" ->

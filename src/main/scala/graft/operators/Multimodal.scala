@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   *     (PNG/JPEG/GIF/BMP — no external dependency): decodeImage /
   *     extractImageFeatures emit pixel-level features (dimensions, mean
   *     luma, luma histogram).
-  *   - other media (audio/video codecs, which the JDK does not ship)
-  *     keep the clearly-marked deterministic stub (`stubDecode`), so the
+  *   - AUDIO is decoded for real via javax.sound.sampled (WAV/AIFF/AU
+  *     containers, 16-bit signed PCM payloads): decodeAudio /
+  *     extractAudioFeatures emit sample rate, channels, frame count,
+  *     mean and peak |amplitude|.
+  *   - VIDEO (the one family the JDK ships no codec for) keeps the
+  *     clearly-marked deterministic stub (`stubDecode`), so the
   *     surrounding pipeline shape stays testable end-to-end; swapping in
-  *     a real codec changes no Spark-side code, exactly as the image
-  *     path demonstrates.
+  *     a real codec changes no Spark-side code, exactly as the image and
+  *     audio paths demonstrate.
   *
   * Scale notes: decode runs inside mapPartitions — one JVM-local pass, no
   * shuffle, vectorized parquet read of the binary column upstream. Blobs
@@ -166,7 +170,14 @@ object Multimodal {
     in.flatMap { ais =>
       try {
         val f = ais.getFormat
-        if (f.getSampleSizeInBits != 16) None
+        // encoding must be checked, not just bit depth: audio SPIs are
+        // ServiceLoader-discovered, so a 16-bit stream could be unsigned
+        // PCM (or a third-party codec's output) whose bytes are NOT
+        // signed samples — decoding those as signed would emit plausible
+        // but wrong features instead of dropping the blob.
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
