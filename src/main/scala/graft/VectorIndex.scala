@@ -110,27 +110,43 @@ class VectorIndex private (
     VectorIndex.create(data.drop("cell_id", "list_id"), vecCol, idCol, dim,
       cellsPerDim, nlist)
 
-  /** Persist as a cell-bucketed parquet index (the 100 TB layout) plus a
-    * metadata sidecar (IndexMeta: exact GridSpec + IVF centroids), so
+  /** Persist as a pruning-friendly parquet index (the 100 TB layout) plus
+    * a metadata sidecar (IndexMeta: exact GridSpec + IVF centroids), so
     * load() restores the SAME geometry — never a re-fit, which could
-    * disagree with the stored cell ids. The path is registered with the
-    * index-aware optimizer rule, so a plain `graft_sqdist(vec, q) <= r²`
-    * filter over a scan of it auto-prunes (plans.IndexAwareRules). */
+    * disagree with the stored cell ids. Layout by dimensionality:
+    *   - dim ≤ 4 (gridSpec defined): cell-bucketed files sorted by
+    *     cell_id — row-group pruning on `cell_id IN (...)`;
+    *   - dim > 4 with IVF centroids: `partitionBy(list_id)` inverted
+    *     lists (IvfIndex.buildIndex's layout) — a probe reads ONLY its
+    *     lists' directories, the realistic embedding regime at scale;
+    *   - neither: plain parquet (exact scans only).
+    * The path is registered with the index-aware optimizer rules, so a
+    * plain `graft_sqdist(vec, q) <= r²` filter — or `ORDER BY
+    * graft_sqdist(...) LIMIT k` — over a scan of it auto-prunes
+    * (plans.IndexAwareRules, grid and IVF geometries alike). */
   def save(path: String): Unit = {
     // Unit-norm detection (one tiny-output agg over the collection — the
     // index write next to it already scans everything): a normalized
-    // index additionally serves COSINE top-k through the same cell
-    // pruning, so the fact is recorded in the sidecar + registry.
-    val unit = gridSpec.isDefined && {
+    // index additionally serves COSINE top-k through the same pruning,
+    // so the fact is recorded in the sidecar + registry.
+    val unit = (gridSpec.isDefined || centroids.isDefined) && {
       val m = data.agg(max(abs(
         VectorFunctions.sqNorm(col(vecCol)) - 1.0))).head()
       !m.isNullAt(0) && m.getDouble(0) <= 1e-9
     }
-    gridSpec match {
-      case Some(spec) =>
+    (gridSpec, centroids) match {
+      case (Some(spec), _) =>
         GridIndex.buildIndex(data, vecCol, spec, path)
         plans.IndexAwareRules.registerIndex(path, spec, unit)
-      case None => data.write.mode("overwrite").parquet(path)
+      case (None, Some(c)) =>
+        // rows out of create()/append() already carry the argmin list_id;
+        // only raw external frames need assignment here
+        val assigned =
+          if (data.columns.contains("list_id")) data
+          else IvfIndex.assign(data, vecCol, idCol, c)
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        plans.IndexAwareRules.registerIvfIndex(path, c, unit)
+      case (None, None) => data.write.mode("overwrite").parquet(path)
     }
     IndexMeta.write(data.sparkSession, path,
       IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit))
@@ -191,8 +207,16 @@ object VectorIndex {
         "rebuilt with create(...).save(path))"))
     val df = spark.read.parquet(path)
     val spec = meta.gridSpec
-    spec.foreach(s => plans.IndexAwareRules.registerIndex(path, s,
-      meta.unitNorm.getOrElse(false)))
+    (spec, meta.ivfCentroids) match {
+      case (Some(s), _) => plans.IndexAwareRules.registerIndex(path, s,
+        meta.unitNorm.getOrElse(false))
+      // Lossless even over a pre-partitionBy plain-parquet save: list_id
+      // is still the stored argmin column there, only directory pruning
+      // is absent (the rules fall back to a row filter).
+      case (None, Some(c)) => plans.IndexAwareRules.registerIvfIndex(path,
+        c, meta.unitNorm.getOrElse(false))
+      case _ => ()
+    }
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
       meta.ivfCentroids)
   }

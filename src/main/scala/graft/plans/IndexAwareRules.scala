@@ -9,53 +9,149 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{array, col, lit}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 import graft.functions.{CosineSim, SqDistL2}
 import graft.functions.VectorFunctions.sqDist
 import graft.operators.GridIndex.{cellsForBall, GridSpec}
+import graft.operators.IvfIndex
 
 /** Catalyst optimizer rules that make search predicates index-aware
   * WITHOUT the caller doing anything:
   *
   *   - PruneBallSearch: a filter `graft_sqdist(vec, <literal q>) <= r²`
-  *     over a registered cell-bucketed parquet index gains a
-  *     `cell_id IN (<cells overlapping the ball>)` conjunct, which Spark's
-  *     existing pushdown then turns into parquet row-group pruning — the
-  *     declarative form of the reference's three-way node classification
+  *     over a registered index gains a pruning-key conjunct
+  *     (`cell_id IN (...)` for grid indexes, `list_id IN (...)` for
+  *     IVF-partitioned ones), which Spark's existing pushdown then turns
+  *     into parquet row-group / partition pruning — the declarative form
+  *     of the reference's three-way node classification
   *     (include/pktree.hpp:1161: fully-outside subtrees are never visited).
   *
   *   - PruneKnnSort: `ORDER BY graft_sqdist(vec, <literal q>) LIMIT k`
   *     over a registered index — the reference's core kNN entry
-  *     (include/pktree.hpp:948-973) as plain SQL — gets the same cell
-  *     pruning via a planning-time ring search (below). Over an index
-  *     whose vectors are unit-norm (save()-time detection), `ORDER BY
+  *     (include/pktree.hpp:948-973) as plain SQL — gets the same pruning
+  *     via a planning-time ring search (below). Over an index whose
+  *     vectors are unit-norm (save()-time detection), `ORDER BY
   *     graft_cosine(vec, <literal q>) DESC LIMIT k` gets it too, through
   *     the 2(1−cos) = ||v−q̂||² reduction — the cosine sort itself is
   *     left in place, only a superset ball filter is added.
   *
-  * Lossless by construction: `cellsForBall` over-approximates (every cell
-  * whose box intersects the ball is kept), the exact predicate still
-  * runs, and the rules only ever AND a superset filter / a filter proven
-  * to contain the top-k.
+  * Lossless by construction, per geometry:
+  *   - grid: `cellsForBall` over-approximates (every cell whose box
+  *     intersects the ball is kept);
+  *   - IVF: every stored row's list_id is the argmin assignment over the
+  *     registered centroids (IvfIndex.assign / buildIndex), so for any
+  *     point p with ||p−q|| <= r, its nearest-centroid distance obeys
+  *     d*_p <= ||p − c_q|| <= r + d_q (c_q = q's nearest centroid), hence
+  *     ||c_p − q|| <= d*_p + r <= 2r + d_q — probing every list whose
+  *     centroid lies within 2r + d_q of q is a superset of where within-r
+  *     points can live (same triangle argument as IvfIndex.assignMulti).
+  * In both cases the exact predicate still runs, and the rules only ever
+  * AND a superset filter / a filter proven to contain the top-k.
   *
   * Attribute provenance: a rewrite fires only when the plan below the
   * filter/sort contains EXACTLY ONE registered index relation and both
-  * the cell_id attribute and the ball's vector attribute resolve to that
-  * relation's output (by exprId). Anything else — self-joins of an index,
-  * a cell_id from one side with a vector from the other, multi-index
-  * plans — is left untouched: correctness over cleverness.
+  * the pruning-key attribute and the ball's vector attribute resolve to
+  * that relation's output (by exprId). Anything else — self-joins of an
+  * index, a cell_id from one side with a vector from the other,
+  * multi-index plans — is left untouched: correctness over cleverness.
   */
 object IndexAwareRules {
 
-  /** What the optimizer knows about a saved index: its grid geometry,
+  /** Max literal keys to inline; larger candidate sets would bloat the
+    * plan (and the ball already covers most of the index anyway). */
+  private val MaxCells = 4096
+
+  /** The pruning geometry a saved index was written in. Each geometry
+    * knows its key column and how to over-approximate a ball with key
+    * literals; the rules are geometry-agnostic above this seam. */
+  sealed trait IndexGeom {
+    def dim: Int
+    /** Pruning-key column stored by this layout. */
+    def keyName: String
+    def keyTypeOk(dt: DataType): Boolean
+    /** Key values that could hold points within r of q — a LOSSLESS
+      * superset. None = unprunable (more than MaxCells literals, or the
+      * whole index anyway): callers give up. Some(empty) = no candidate
+      * keys yet (ball outside the indexed extent): the radius proof keeps
+      * doubling, the filter rewrites don't fire (grid clamping parks
+      * out-of-extent appends in border cells, so an always-false filter
+      * would NOT be lossless). */
+    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]]
+    /** First / last probe radius for the kNN radius proof. */
+    def startRadius(q: Seq[Double]): Double
+    def maxRadius(q: Seq[Double]): Double
+  }
+
+  /** Low-dim cell grid (GridIndex.buildIndex layout: row-group pruning
+    * on a sorted cell_id column). */
+  final case class GridGeom(spec: GridSpec) extends IndexGeom {
+    def dim: Int = spec.dim
+    def keyName: String = "cell_id"
+    def keyTypeOk(dt: DataType): Boolean = dt == LongType
+    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] = {
+      val cells = cellsForBall(spec, q, r)
+      if (cells.size <= MaxCells) Some(cells) else None
+    }
+    def startRadius(q: Seq[Double]): Double = spec.width.max
+    def maxRadius(q: Seq[Double]): Double =
+      (0 until spec.dim).map(i => spec.width(i) * spec.cells(i)).max * 2
+  }
+
+  /** High-dim IVF lists (IvfIndex.buildIndex layout: directory-level
+    * partition pruning on list_id). Centroid math is driver-side over
+    * the metadata-sized table. */
+  final case class IvfGeom(centroids: IvfIndex.Centroids) extends IndexGeom {
+    require(centroids.nonEmpty, "IVF geometry needs at least one centroid")
+    def dim: Int = centroids.head._2.size
+    def keyName: String = "list_id"
+    def keyTypeOk(dt: DataType): Boolean = dt == IntegerType
+
+    private def centDists(q: Seq[Double]): Seq[(Double, Int)] =
+      centroids.map { case (id, c) =>
+        var s = 0.0; var i = 0
+        while (i < q.size) { val d = c(i) - q(i); s += d * d; i += 1 }
+        (math.sqrt(s), id)
+      }
+
+    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] = {
+      val d = centDists(q)
+      val dq = d.map(_._1).min
+      // 2r + d_q bound from the triangle proof above; the relative+absolute
+      // pad absorbs last-ulp disagreement between this driver-side loop and
+      // the codegen'd assignment distances (a boundary point must never
+      // fall on the un-probed side).
+      val bound = (2 * r + dq) * (1 + 1e-12) + 1e-12
+      val lists = d.filter(_._1 <= bound).map(_._2)
+      if (lists.nonEmpty && lists.size < centroids.size &&
+          lists.size <= MaxCells) Some(lists)
+      else None // all lists ⇒ the IN conjunct prunes nothing: leave plan
+    }
+
+    /** Anchor the first probe at the local quantizer scale: d2/4 (half the
+      * half-spacing to the runner-up list) but never under d_q (a ball
+      * smaller than the nearest-centroid distance rarely holds k rows).
+      * Too-small starts only cost extra doubling rounds; too-big starts
+      * only cost pruning sharpness — never correctness. */
+    def startRadius(q: Seq[Double]): Double = {
+      val ds = centDists(q).map(_._1).sorted
+      val d2 = if (ds.size > 1) ds(1) else ds.head
+      math.max(math.max(ds.head, d2 / 4), 1e-6)
+    }
+    /** Beyond max centroid distance the probe set is all lists and
+      * keysForBall bails anyway; this just bounds the loop. */
+    def maxRadius(q: Seq[Double]): Double =
+      centDists(q).map(_._1).max * 2 + 1.0
+  }
+
+  /** What the optimizer knows about a saved index: its pruning geometry,
     * and whether every stored vector is L2-unit-norm (detected at save(),
     * persisted in the sidecar). unitNorm licenses the cosine→L2 kNN
     * reduction: on unit vectors ||v − q̂||² = 2(1 − cos(v, q)). */
-  case class IndexInfo(spec: GridSpec, unitNorm: Boolean)
+  case class IndexInfo(geom: IndexGeom, unitNorm: Boolean)
 
   /** Driver-side registry: parquet index root path -> index info.
-    * Metadata-sized (a few doubles per index). */
+    * Metadata-sized (a few doubles per grid index, nlist×dim per IVF). */
   private val registry = TrieMap.empty[String, IndexInfo]
 
   private def normalize(path: String): String =
@@ -63,13 +159,17 @@ object IndexAwareRules {
 
   def registerIndex(path: String, spec: GridSpec,
                     unitNorm: Boolean = false): Unit =
-    registry.put(normalize(path), IndexInfo(spec, unitNorm))
+    registry.put(normalize(path), IndexInfo(GridGeom(spec), unitNorm))
+
+  /** Register a list-partitioned IVF index (IvfIndex.buildIndex /
+    * VectorIndex.save high-dim layout). Contract: every stored row's
+    * list_id is the single-assignment argmin over exactly these
+    * centroids — that is what the pruning proof rests on. */
+  def registerIvfIndex(path: String, centroids: IvfIndex.Centroids,
+                       unitNorm: Boolean = false): Unit =
+    registry.put(normalize(path), IndexInfo(IvfGeom(centroids), unitNorm))
 
   def clear(): Unit = registry.clear()
-
-  /** Max literal cells to inline; larger candidate sets would bloat the
-    * plan (and the ball already covers most of the index anyway). */
-  private val MaxCells = 4096
 
   /** Install on a live session (spark.experimental) — the config-free
     * path used by tests and interactive sessions. GraftExtensions wires
@@ -83,11 +183,11 @@ object IndexAwareRules {
       spark.experimental.extraOptimizations = existing ++ missing
   }
 
-  /** Every registered index relation in `plan`: (path, spec, relation).
+  /** Every registered index relation in `plan`: (path, info, relation).
     * A relation qualifies only when it reads EXACTLY ONE root path and
     * that path is registered — a multi-dir scan (spark.read.parquet(a, b))
-    * mixes rows whose cell ids were computed in different geometries, and
-    * pruning any one spec against the union would silently drop rows. */
+    * mixes rows whose keys were computed in different geometries, and
+    * pruning any one geometry against the union would silently drop rows. */
   private def registeredRelations(
       plan: LogicalPlan): Seq[(String, IndexInfo, LogicalRelation)] =
     plan.collect {
@@ -119,22 +219,23 @@ object IndexAwareRules {
       case f @ Filter(cond, child) =>
         registeredRelations(child) match {
           // exactly one registered relation below: provenance unambiguous
-          case Seq((_, IndexInfo(spec, unitNorm), lr)) =>
+          case Seq((_, IndexInfo(geom, unitNorm), lr)) =>
             val relOut = lr.outputSet
-            val cellAttr = child.output.find(a =>
-              a.name == "cell_id" && a.dataType == LongType &&
+            val keyAttr = child.output.find(a =>
+              a.name == geom.keyName && geom.keyTypeOk(a.dataType) &&
               relOut.contains(a))
-            cellAttr match {
-              case Some(cell) if !hasCellConjunct(cond, cell) =>
+            keyAttr match {
+              case Some(key) if !hasKeyConjunct(cond, key) =>
                 val conjuncts = splitConjunctivePredicates(cond)
                 conjuncts.flatMap(ballOf(_, relOut, unitNorm))
                   .headOption match {
-                  case Some((q, r)) if q.size == spec.dim =>
-                    val cells = cellsForBall(spec, q, r)
-                    if (cells.nonEmpty && cells.size <= MaxCells)
-                      Filter(And(cond,
-                        In(cell, cells.map(Literal(_)))), child)
-                    else f
+                  case Some((q, r)) if q.size == geom.dim =>
+                    geom.keysForBall(q, r) match {
+                      case Some(keys) if keys.nonEmpty =>
+                        Filter(And(cond,
+                          In(key, keys.map(Literal(_)))), child)
+                      case _ => f
+                    }
                   case _ => f
                 }
               case _ => f
@@ -143,10 +244,10 @@ object IndexAwareRules {
         }
     }
 
-    private def hasCellConjunct(cond: Expression, cell: Attribute): Boolean =
+    private def hasKeyConjunct(cond: Expression, key: Attribute): Boolean =
       splitConjunctivePredicates(cond).exists {
-        case In(a: Attribute, _) => a.semanticEquals(cell)
-        case EqualTo(a: Attribute, _) => a.semanticEquals(cell)
+        case In(a: Attribute, _) => a.semanticEquals(key)
+        case EqualTo(a: Attribute, _) => a.semanticEquals(key)
         case _ => false
       }
 
@@ -199,21 +300,22 @@ object IndexAwareRules {
   }
 
   /** `ORDER BY graft_sqdist(vec, <literal q>) [ASC] LIMIT k` over a
-    * registered index → the same TakeOrderedAndProject over a cell-pruned
+    * registered index → the same TakeOrderedAndProject over a key-pruned
     * scan.
     *
     * Planning-time ring search (the driver-side analog of GridIndex.knn):
     * double a radius until at least k rows lie inside the pruned ball —
     * then every global top-k row has dist ≤ r, so ANDing
-    * `cell_id IN cellsForBall(q, r) AND sqdist(vec, q) <= r²` onto the
+    * `<key> IN keysForBall(q, r) AND sqdist(vec, q) <= r²` onto the
     * scan preserves the sort+limit result exactly (the bound argument of
-    * include/pktree.hpp:1048-1064). The probes are themselves cell-pruned
+    * include/pktree.hpp:1048-1064). The probes are themselves key-pruned
     * count jobs (public read path, so this very rule prunes them too);
-    * their cost is bounded by the ball volume, not the index size. If the
-    * whole index holds fewer than k rows the plan is left untouched (the
-    * unpruned sort is already minimal). Null vectors cannot occur in a
-    * saved index (VectorIndex.create rejects them), so dropping
-    * null-distance rows via the ball conjunct is semantics-preserving.
+    * their cost is bounded by the ball volume / probed lists, not the
+    * index size. If the whole index holds fewer than k rows the plan is
+    * left untouched (the unpruned sort is already minimal). Null vectors
+    * cannot occur in a saved index (VectorIndex.create rejects them), so
+    * dropping null-distance rows via the ball conjunct is
+    * semantics-preserving.
     */
   object PruneKnnSort extends Rule[LogicalPlan] {
 
@@ -283,7 +385,7 @@ object IndexAwareRules {
           case Seq(one) => Some(one) // provenance rule: exactly one index
           case _ => None
         }
-        spec = info.spec
+        geom = info.geom
         if projectionPathOnly(s.child, lr)
         relOut = lr.outputSet
         operands = key match {
@@ -297,7 +399,7 @@ object IndexAwareRules {
             litArray(qv).map(q => (v, q))
           case _ => None
         })
-        if qRaw.size == spec.dim
+        if qRaw.size == geom.dim
         // Cosine sorts reduce to L2 over the NORMALIZED query iff the
         // index itself is unit-norm (save()-time detection). The sort
         // stays BY COSINE — only a provably-superset ball filter is
@@ -311,18 +413,18 @@ object IndexAwareRules {
             if (!info.unitNorm) None
             else normalizedQuery(qRaw).map(qn => (qn, 1e-6))
         })
-        cellAttr <- lr.output.find(a =>
-          a.name == "cell_id" && a.dataType == LongType)
-        r0 <- proveRadius(path, spec, vecAttr.name, cellAttr.name, q, k)
+        keyAttr <- lr.output.find(a =>
+          a.name == geom.keyName && geom.keyTypeOk(a.dataType))
+        r0 <- proveRadius(path, geom, vecAttr.name, keyAttr.name, q, k)
         r = math.sqrt(r0 * r0 + pad)
-        cells = cellsForBall(spec, q, r)
-        if cells.nonEmpty && cells.size <= MaxCells
+        keys <- geom.keysForBall(q, r)
+        if keys.nonEmpty
       } yield {
         // Filter sits directly on the relation so FileSourceStrategy
-        // pushes the IN down to parquet row-group stats.
+        // pushes the IN down to parquet partition/row-group pruning.
         val vecOfRel = lr.output.find(_.exprId == vecAttr.exprId).get
         val pruned = Filter(And(
-          In(cellAttr, cells.map(Literal(_))),
+          In(keyAttr, keys.map(Literal(_))),
           LessThanOrEqual(SqDistL2(vecOfRel,
             Literal.create(q.toArray, ArrayType(DoubleType, false))),
             Literal(r * r))), lr)
@@ -334,26 +436,29 @@ object IndexAwareRules {
 
     /** Smallest probed radius (by doubling) proven to contain >= k rows —
       * driver-side jobs over the PUBLIC read path, each pruned by this
-      * rule's sibling. None if the index never yields k rows (caller
-      * leaves the plan alone) or the session is gone. */
-    private def proveRadius(path: String, spec: GridSpec, vecCol: String,
-                            cellCol: String, q: Seq[Double],
+      * rule's sibling. None if the index never yields k rows inside a
+      * prunable ball (caller leaves the plan alone) or the session is
+      * gone. */
+    private def proveRadius(path: String, geom: IndexGeom, vecCol: String,
+                            keyCol: String, q: Seq[Double],
                             k: Int): Option[Double] = {
       val spark = SparkSession.getActiveSession.getOrElse(return None)
       val df = try spark.read.parquet(path) catch { case _: Exception => return None }
-      if (!df.columns.contains(vecCol) || !df.columns.contains(cellCol))
+      if (!df.columns.contains(vecCol) || !df.columns.contains(keyCol))
         return None
-      val maxR = (0 until spec.dim).map(i => spec.width(i) * spec.cells(i))
-        .max * 2
+      val maxR = geom.maxRadius(q)
       val qVec = array(q.map(lit): _*)
-      var r = spec.width.max
+      var r = geom.startRadius(q)
       while (r <= maxR) {
-        val cells = cellsForBall(spec, q, r)
-        if (cells.size > MaxCells) return None
-        val cnt = df.filter(col(cellCol).isin(cells: _*))
-          .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
-          .limit(k).count() // k rows suffice as proof; stop counting there
-        if (cnt >= k) return Some(r)
+        geom.keysForBall(q, r) match {
+          case None => return None // unprunable ball: give up, plan stays
+          case Some(keys) if keys.isEmpty => // outside extent: just double
+          case Some(keys) =>
+            val cnt = df.filter(col(keyCol).isin(keys: _*))
+              .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
+              .limit(k).count() // k rows suffice as proof; stop there
+            if (cnt >= k) return Some(r)
+        }
         r *= 2
       }
       None

@@ -300,6 +300,111 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     assert(joined.count() == idx.count() * nRight)
   }
 
+  // ---- IVF (high-dim, list-partitioned) geometry --------------------
+
+  /** Tight, well-separated clusters in dim 16: the regime the IVF layout
+    * exists for. 8 clusters of 60 points, centers ~650 apart, sigma 0.5,
+    * so the radius proof converges in one round and probes ONE list. */
+  private def clusteredHighDim(seed: Int, unitNorm: Boolean = false) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val dim = 16
+    def norm(v: Seq[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.tabulate(8) { _ =>
+      val c = Seq.fill(dim)(rnd.nextDouble() * 400 - 200)
+      if (unitNorm) norm(c) else c
+    }
+    val sigma = if (unitNorm) 0.01 else 0.5
+    val pts = for { c <- 0 until 8; i <- 0 until 60 } yield {
+      val raw = centers(c).map(_ + rnd.nextGaussian() * sigma)
+      ((c * 60 + i).toLong, if (unitNorm) norm(raw) else raw)
+    }
+    val df = pts.toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<double>"))
+    (df, centers)
+  }
+
+  test("pure SQL kNN over a saved high-dim IVF index prunes list " +
+       "partitions (the saved-index scale story)") {
+    GraftExtensions.register(spark)
+    IndexAwareRules.install(spark)
+    val (df, centers) = clusteredHighDim(31)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfsql").toString
+    val path = s"$tmp/idx"
+    VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8,
+      refineIters = 3).save(path)
+    // the saved layout must be the partitioned one
+    assert(new java.io.File(path).list().exists(_.startsWith("list_id=")),
+      "high-dim save must write partitionBy(list_id)")
+    val q = centers(2)
+    val qSql = q.map(x => s"${x}D").mkString(", ")
+    val sqlDf = spark.sql(
+      s"""SELECT id FROM parquet.`$path`
+         |ORDER BY graft_sqdist(vec, array($qSql)) LIMIT 5""".stripMargin)
+    val physical = sqlDf.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("list_id"),
+      s"SQL kNN over an IVF index must prune partitions:\n$physical")
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"sort+limit should stay a top-k operator:\n$physical")
+    val expect = Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect,
+      "pruned SQL kNN must equal the brute-force result")
+  }
+
+  test("SQL cosine top-k over a saved unit-norm IVF index prunes lists") {
+    GraftExtensions.register(spark)
+    IndexAwareRules.install(spark)
+    val (df, centers) = clusteredHighDim(57, unitNorm = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcos").toString
+    val path = s"$tmp/idx"
+    VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8,
+      refineIters = 3).save(path)
+    // non-unit query: the rule must normalize it before the L2 reduction
+    val q = centers(5).map(_ * 3.0)
+    val qSql = q.map(x => s"${x}D").mkString(", ")
+    val sqlDf = spark.sql(
+      s"""SELECT id FROM parquet.`$path`
+         |ORDER BY graft_cosine(vec, array($qSql)) DESC
+         |LIMIT 5""".stripMargin)
+    val physical = sqlDf.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("list_id"),
+      s"cosine SQL top-k over a unit-norm IVF index must prune:\n$physical")
+    import spark.implicits._
+    val expect = Search.cosineTopK(df, "vec", "id",
+        Seq((0L, q)).toDF("qid", "qv"), "qv", "qid", k = 5)
+      .orderBy(col("rn")).select("id").collect().map(_.getLong(0)).toSeq
+    assert(sqlDf.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("IVF ball filter (sqdist <= r²) gains a list_id conjunct, lossless") {
+    GraftExtensions.register(spark)
+    IndexAwareRules.install(spark)
+    val (df, centers) = clusteredHighDim(73)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfball").toString
+    val path = s"$tmp/idx"
+    VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8,
+      refineIters = 3).save(path)
+    val q = centers(1)
+    val rr = 10.0 // covers the whole home cluster, no others
+    val scan = spark.read.parquet(path)
+    val query = scan.filter(
+      sqDist(col("vec"), array(q.map(lit): _*)) <= lit(rr * rr))
+    val physical = query.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("list_id"),
+      s"IVF ball search must prune partitions:\n$physical")
+    val expect = Search.rangeSearch(df, "vec", array(q.map(lit): _*), rr)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(query.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == expect, "IVF-pruned ball search must be lossless")
+    assert(expect.size == 60, "fixture: the ball should hold one cluster")
+  }
+
   test("unregistered paths and non-ball filters are left untouched") {
     IndexAwareRules.install(spark)
     val idx = GridIndex.readIndex(spark, indexPath)
