@@ -680,6 +680,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q58 — REAL video decode through the multimodal pipeline: per
+    * document, a 3-frame MJPEG/AVI is ENCODED on executors (each frame an
+    * 8×8 solid-GRAY JPEG, gray = hash of (doc_id, frame)), then the
+    * RIFF/AVI container walk + javax.imageio frame decode
+    * (Multimodal.extractVideoFrames) recovers per-frame pixel features.
+    * Solid gray survives JPEG bit-exactly (constant block ⇒ DC-only
+    * coefficients, neutral chroma — verified for all 256 gray levels in
+    * MultimodalSpec), so the decoded mean luma is the exact gray value
+    * and the DuckDB oracle checks the whole encode→container→decode
+    * roundtrip arithmetically. A chunk-walk bug (padding, nesting, size)
+    * or codec drift breaks the hash match. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val blobs = ids.mapPartitions { it =>
+      it.map { id =>
+        val frames = (0 until 3).map { f =>
+          val v = ((id * 37 + f * 101) % 256).toInt
+          val im = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { im.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "jpg", bos)
+          bos.toByteArray
+        }
+        (id, operators.Multimodal.encodeMjpegAvi(frames, 8, 8))
+      }
+    }.toDF("doc_id", "blob")
+    val media = operators.Multimodal.asMedia(blobs, "doc_id", "blob",
+      "video/avi")
+    operators.Multimodal.extractVideoFrames(media).toDF()
+      .select(col("id").as("doc_id"),
+        col("frameIdx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("meanLuma").as("mean_luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -823,6 +868,7 @@ object SparkEntry {
     "q55_skew_join" -> (q55 _),
     "q56_stratified" -> (q56 _),
     "q57_knn_batch_agg" -> (q57 _),
+    "q58_video_decode" -> (q58 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1212,6 +1258,12 @@ object SparkEntry {
         |    AS peak_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_knn_batch_agg" -> duckKnnBatchOracle,
+    "q58_video_decode" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       CAST((doc_id * 37 + f * 101) % 256 AS DOUBLE) AS mean_luma
+        |FROM documents, range(0, 3) t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q55_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum

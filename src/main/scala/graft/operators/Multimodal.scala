@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *     containers, 16-bit signed PCM payloads): decodeAudio /
   *     extractAudioFeatures emit sample rate, channels, frame count,
   *     mean and peak |amplitude|.
-  *   - VIDEO (the one family the JDK ships no codec for) keeps the
-  *     clearly-marked deterministic stub (`stubDecode`), so the
-  *     surrounding pipeline shape stays testable end-to-end; swapping in
-  *     a real codec changes no Spark-side code, exactly as the image and
-  *     audio paths demonstrate.
+  *   - VIDEO is decoded for real for MJPEG-in-AVI (decodeVideoFrames /
+  *     extractVideoFrames): the RIFF/AVI container is plain chunk
+  *     arithmetic and each `00dc` frame payload is a JPEG the imageio
+  *     path already decodes — per-frame pixel features with no external
+  *     dependency. Inter-frame codecs (H.264, VP9, ...) have no pure-JDK
+  *     decoder; such blobs simply yield no frames (the same
+  *     dropped-not-failed policy as corrupt images).
   *
   * Scale notes: decode runs inside mapPartitions — one JVM-local pass, no
   * shuffle, vectorized parquet read of the binary column upstream. Blobs
@@ -55,12 +57,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** ====== STUB ======
-    * Deterministic fake decoder: a real implementation would parse the
-    * container format and decode pixels/samples here. The fake computes a
-    * byte-value histogram (16 buckets) and an additive checksum — fully
-    * deterministic, so the surrounding pipeline is testable end-to-end. */
-  private[graft] def stubDecode(blob: Array[Byte]): (Long, Array[Long]) = {
+  /** Content-agnostic byte-level features: 16-bucket byte-value histogram
+    * plus an additive checksum — the format-independent fingerprint used
+    * by the generic blob featurizer (extractFeatures) and the frame
+    * sampler's per-slice checksums. Deterministic pure function. */
+  private[graft] def byteStats(blob: Array[Byte]): (Long, Array[Long]) = {
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
@@ -81,7 +82,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (checksum, hist) = stubDecode(r.blob)
+        val (checksum, hist) = byteStats(r.blob)
         MediaFeatures(r.id, r.meta.nBytes, r.meta.format, checksum, hist)
       }
     }
@@ -216,6 +217,114 @@ object Multimodal {
     }
   }
 
+  /** Per-frame pixel features from a REAL video decode (MJPEG-in-AVI). */
+  case class VideoFrame(id: Long, frameIdx: Int, offset: Long, nBytes: Int,
+                        width: Int, height: Int, meanLuma: Double)
+
+  /** Real video decode for the one format pure JDK can serve: MJPEG in a
+    * RIFF/AVI container. The container walk is plain chunk arithmetic
+    * (fourcc + LE u32 size, LISTs nest, chunks pad to even offsets); each
+    * `##dc`/`##db` frame payload is handed to decodeImage (the `dc`
+    * payloads of an 'MJPG' stream are ordinary JFIF JPEGs). Returns one
+    * entry per decodable frame: (frameIdx, byte offset, byte size, width,
+    * height, meanLuma). frameIdx counts ALL frame chunks in container
+    * order, so a corrupt frame leaves a hole instead of shifting its
+    * successors. Non-AVI bytes, truncated containers, inter-frame codecs
+    * → empty (dropped-not-failed, like the image/audio paths). */
+  private[graft] def decodeVideoFrames(
+      blob: Array[Byte]): Seq[(Int, Long, Int, Int, Int, Double)] = {
+    def fourcc(off: Int): String =
+      new String(blob, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (blob(off) & 0xffL) | ((blob(off + 1) & 0xffL) << 8) |
+      ((blob(off + 2) & 0xffL) << 16) | ((blob(off + 3) & 0xffL) << 24)
+    try {
+      if (blob.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return Nil
+      val out = Seq.newBuilder[(Int, Long, Int, Int, Int, Double)]
+      var frameIdx = 0
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val size = u32(off + 4)
+          val body = off + 8
+          if (size < 0 || body + size > end) return // truncated: stop clean
+          val sz = size.toInt
+          if (id == "LIST" && sz >= 4) {
+            walk(body + 4, body + sz) // skip the 4-byte list type
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                     (id.endsWith("dc") || id.endsWith("db"))) {
+            val slice = java.util.Arrays.copyOfRange(blob, body, body + sz)
+            decodeImage(slice).foreach { case (w, h, mean, _) =>
+              out += ((frameIdx, body.toLong, sz, w, h, mean))
+            }
+            frameIdx += 1
+          }
+          off = body + sz + (sz & 1) // chunks pad to even boundaries
+        }
+      }
+      walk(12, blob.length)
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Partition-parallel REAL video frame extraction: one output row per
+    * decodable frame, blob dropped immediately (frames never transit a
+    * shuffle — same policy as every decoder here). */
+  def extractVideoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideoFrames(r.blob).map { case (idx, off, nb, w, h, mean) =>
+          VideoFrame(r.id, idx, off, nb, w, h, mean)
+        }
+      }
+    }
+  }
+
+  /** Minimal spec-correct MJPEG/AVI writer (fixture + test counterpart of
+    * decodeVideoFrames — the encode half of the q58 roundtrip proof, like
+    * ImageIO.write is for q53): RIFF(AVI ) { hdrl(avih, strl(strh 'vids'/
+    * 'MJPG', strf BITMAPINFOHEADER) ), movi(00dc ...) }. Frames must be
+    * pre-encoded JPEGs of the given dimensions. */
+  private[graft] def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]],
+                                    width: Int, height: Int,
+                                    fps: Int = 10): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+    val n = jpegFrames.size
+    val avih = le32(1000000 / math.max(fps, 1)) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(math.max(fps, 1)) ++ le32(0) ++ le32(n) ++
+      le32(0) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++
+      le16(24) ++ cc("MJPG") ++ le32(width * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++
+        chunk("strf", strf)))
+    val movi = list("movi",
+      jpegFrames.map(f => chunk("00dc", f)).fold(Array.empty[Byte])(_ ++ _))
+    val riffBody = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(riffBody.length) ++ riffBody
+  }
+
   /** A sampled frame/chunk: fixed-size slice of the blob at a stride —
     * the video-frame-sampling shape (a real decoder would seek keyframes;
     * the slicing, fan-out and output schema are identical). */
@@ -239,7 +348,7 @@ object Multimodal {
           .map { case (off, idx) =>
             val end = math.min(off + frameSize, n)
             val slice = java.util.Arrays.copyOfRange(r.blob, off, end)
-            val (checksum, _) = stubDecode(slice)
+            val (checksum, _) = byteStats(slice)
             MediaFrame(r.id, idx, off.toLong, end - off, checksum)
           }
       }

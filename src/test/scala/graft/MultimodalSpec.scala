@@ -17,8 +17,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.size == docs.count())
   }
 
-  test("stub decoder computes exact byte statistics") {
-    val (sum, hist) = Multimodal.stubDecode("AB".getBytes("UTF-8"))
+  test("byte-stats featurizer computes exact byte statistics") {
+    val (sum, hist) = Multimodal.byteStats("AB".getBytes("UTF-8"))
     assert(sum == 65 + 66)
     assert(hist(4) == 2) // 'A'=0x41, 'B'=0x42 both in bucket 4
     assert(hist.sum == 2)
@@ -104,6 +104,57 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = Seq((99L, Array[Byte](82, 73, 70, 70, 0))).toDF("id", "blob")
     assert(Multimodal.extractAudioFeatures(
       Multimodal.asMedia(junk, "id", "blob", "audio/wav")).count() == 0)
+  }
+
+  test("REAL video decode: MJPEG/AVI blobs through the full Spark pipeline") {
+    // Each blob is a 3-frame MJPEG AVI of solid-GRAY 8×8 frames. Solid
+    // gray survives JPEG bit-exactly (constant block ⇒ DC-only, neutral
+    // chroma; verified for all 256 gray levels), so expected per-frame
+    // meanLuma is the exact gray value — the encode→container-walk→
+    // decode roundtrip is asserted arithmetically.
+    import spark.implicits._
+    def grayJpeg(v: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    def gray(id: Long, f: Int): Int = ((id * 37 + f * 101) % 256).toInt
+    val rows = (0L until 12L).map { id =>
+      val avi = Multimodal.encodeMjpegAvi(
+        (0 until 3).map(f => grayJpeg(gray(id, f))), 8, 8)
+      (id, avi)
+    }
+    val df = rows.toDF("id", "blob").repartition(4)
+    val frames = Multimodal.extractVideoFrames(
+        Multimodal.asMedia(df, "id", "blob", "video/avi"))
+      .collect().groupBy(_.id)
+    assert(frames.size == 12)
+    frames.foreach { case (id, fs) =>
+      assert(fs.map(_.frameIdx).sorted.toSeq == Seq(0, 1, 2), s"id=$id")
+      fs.foreach { fr =>
+        assert(fr.width == 8 && fr.height == 8)
+        assert(fr.meanLuma == gray(id, fr.frameIdx).toDouble,
+          s"id=$id frame=${fr.frameIdx}")
+      }
+    }
+    // non-AVI, truncated, and junk-frame blobs are dropped, not fatal
+    val truncated = rows.head._2.take(40)
+    val junk = Seq((97L, Array[Byte](1, 2, 3)), (98L, truncated)).toDF("id", "blob")
+    assert(Multimodal.extractVideoFrames(
+      Multimodal.asMedia(junk, "id", "blob", "video/avi")).count() == 0)
+    // a corrupt middle frame leaves a HOLE (frame numbering stable)
+    val holey = Multimodal.encodeMjpegAvi(
+      Seq(grayJpeg(10), Array[Byte](9, 9, 9), grayJpeg(30)), 8, 8)
+    val hdf = Seq((5L, holey)).toDF("id", "blob")
+    val got = Multimodal.extractVideoFrames(
+        Multimodal.asMedia(hdf, "id", "blob", "video/avi"))
+      .collect().sortBy(_.frameIdx)
+    assert(got.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(got.map(_.meanLuma).toSeq == Seq(10.0, 30.0))
   }
 
   test("metadata rides alongside the blob with correct byte length") {
