@@ -583,24 +583,38 @@ object SparkEntry {
     * on the identical derived vectors. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     // Persisted: the 64-md5-per-row derivation would otherwise re-run in
-    // fitCentroids' count + sample scans AND the multi-assign (the bench
-    // clears the SQL cache between queries).
+    // fitCentroids' count + sample scans AND the multi-assign. The input
+    // cache is dropped before returning (an eager pass materializes the
+    // pair result first — same total work, the bench's action then reads
+    // the cached pairs), so the query leaves no input-sized cache behind.
     val e = clusteredEmbeddings(s, dir).persist()
-    val cents = operators.IvfIndex.fitCentroids(e, "cvec", "vec_id",
-      nlist = 64)
-    operators.Dedup.embeddingNearDupByIvf(e, "vec_id", "cvec",
-        cents, maxSqDist = 2.0)
-      .orderBy(col("a"), col("b"))
+    val (pairs, scoped) = operators.CacheScope.collect {
+      val cents = operators.IvfIndex.fitCentroids(e, "cvec", "vec_id",
+        nlist = 64)
+      operators.Dedup.embeddingNearDupByIvf(e, "vec_id", "cvec",
+          cents, maxSqDist = 2.0)
+        .orderBy(col("a"), col("b")).persist()
+    }
+    pairs.count()
+    scoped.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    pairs
   }
 
   /** Q52 — cosine near-dup over the FULL clustered table: q50's operator
     * in its pruning regime (normalized IVF blocking over well-separated
     * cluster directions). */
   private def q52(s: SparkSession, dir: String): DataFrame = {
-    val e = clusteredEmbeddings(s, dir).persist() // same rationale as q51
-    operators.Dedup.embeddingNearDupCosine(e, "vec_id", "cvec",
-        nlist = 64, minCosine = 0.99)
-      .orderBy(col("a"), col("b"))
+    val e = clusteredEmbeddings(s, dir).persist() // same lifecycle as q51
+    val (pairs, scoped) = operators.CacheScope.collect {
+      operators.Dedup.embeddingNearDupCosine(e, "vec_id", "cvec",
+          nlist = 64, minCosine = 0.99)
+        .orderBy(col("a"), col("b")).persist()
+    }
+    pairs.count()
+    scoped.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    pairs
   }
 
   /** Q53 — REAL image decode through the multimodal pipeline: per
@@ -724,6 +738,19 @@ object SparkEntry {
         col("meanLuma").as("mean_luma"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** Q59 — the COMPOSED corpus pipeline in the oracle contract: one
+    * CorpusPipeline.prepare call (quality gate → exact fingerprint dedup →
+    * MinHash-LSH candidates verified by exact n-gram Jaccard → per-edge
+    * near-dup removal → deterministic train/val/test split) over the
+    * documents table, with a DuckDB oracle that reproduces EVERY stage.
+    * The components are individually oracle-checked (q15/q18/q19/q20/q36);
+    * this checks their composition — stage ordering, the candidate-doc
+    * semi-join, the per-edge loser rule, and the split over survivors. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusPipeline.prepare(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
 
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
@@ -869,6 +896,7 @@ object SparkEntry {
     "q56_stratified" -> (q56 _),
     "q57_knn_batch_agg" -> (q57 _),
     "q58_video_decode" -> (q58 _),
+    "q59_corpus_pipeline" -> (q59 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1258,6 +1286,51 @@ object SparkEntry {
         |    AS peak_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_knn_batch_agg" -> duckKnnBatchOracle,
+    "q59_corpus_pipeline" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 5
+         |    AND ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |        / greatest(length(text), 1), 6) <= 0.3),
+         |exact AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+         |      ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |       FROM toks WHERE len(t) >= 3),
+         |sig AS ($duckMinhashSig),
+         |bands AS (
+         |  $duckMinhashBands),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |          AND l.doc_id < r.doc_id),
+         |cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+         |sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+         |          FROM sh2 s1 JOIN sh2 s2
+         |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT b AS doc_id
+         |           FROM inter JOIN sz za ON a = za.doc_id
+         |                      JOIN sz zb ON b = zb.doc_id
+         |           WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5)
+         |SELECT e.doc_id, d.lang,
+         |  CASE WHEN e.b < 80 THEN 'train' WHEN e.b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |          % 100 AS b
+         |      FROM exact
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM losers)) e
+         |JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q58_video_decode" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,

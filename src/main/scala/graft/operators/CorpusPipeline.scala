@@ -36,10 +36,20 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               minTokens: Int = 5, maxPunctRatio: Double = 0.3,
               minhashK: Int = 8, minJaccard: Double = 0.5,
-              collapseComponents: Boolean = false): DataFrame =
-    Sampling.trainValTest(
-      dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
-        minhashK, minJaccard, collapseComponents), idCol)
+              collapseComponents: Boolean = false): DataFrame = {
+    // Same cache lifecycle as prepareWithEmbeddings (scaladoc there): the
+    // corpus comes back persisted and materialized, the operator-internal
+    // intermediates (CacheScope) are unpersisted, the caller owns the
+    // corpus's unpersist().
+    val (corpus, scoped) = CacheScope.collect {
+      Sampling.trainValTest(
+        dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
+          minhashK, minJaccard, collapseComponents), idCol).persist()
+    }
+    corpus.count()
+    scoped.foreach(_.unpersist(blocking = false))
+    corpus
+  }
 
   /** prepare() plus a SEMANTIC near-dup stage: after the text-level
     * dedup, documents whose embeddings are near-identical in cosine
@@ -50,7 +60,15 @@ object CorpusPipeline {
     * Embeddings are joined by id AFTER the text stages so the expensive
     * vector machinery only ever sees surviving rows; rows with no
     * embedding pass through unexamined (they can't be semantically
-    * deduped, dropping them would be data loss). */
+    * deduped, dropping them would be data loss).
+    *
+    * Cache lifecycle: the intermediates this call persists (the text-dedup
+    * chain, the survivor-embedding join) are materialized, consumed, and
+    * UNPERSISTED before returning — the returned corpus is itself cached
+    * and already computed (the eager pass doubles as its materialization),
+    * and the caller owns its `unpersist()` (or writes it out and
+    * unpersists) when done. A completed call leaves no intermediate
+    * entries in the session cache. */
   def prepareWithEmbeddings(docs: DataFrame, idCol: String, textCol: String,
                             embeddings: DataFrame, embIdCol: String,
                             embCol: String, nlist: Int = 64,
@@ -58,27 +76,37 @@ object CorpusPipeline {
                             minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                             minhashK: Int = 8, minJaccard: Double = 0.5,
                             collapseComponents: Boolean = false): DataFrame = {
-    // Persisted: the text-dedup chain (quality -> window dedup ->
-    // MinHash -> Jaccard) is read by the survivors join, the final
-    // anti-join, AND the semantic stage's driver actions (centroid
-    // count/sample) — unpersisted it would recompute 4-5 times. Same
-    // convention as every multiply-read dedup intermediate.
-    val deduped = dedupStages(docs, idCol, textCol, minTokens,
-      maxPunctRatio, minhashK, minJaccard, collapseComponents).persist()
-    val emb = embeddings.select(col(embIdCol).as(idCol), col(embCol))
-    // vectors attach to surviving rows only (inner join = also the
-    // "has an embedding" gate for the semantic stage)
-    val survivors = deduped.select(col(idCol)).join(emb, Seq(idCol))
-      .persist()
-    val pairs = Dedup.embeddingNearDupCosine(survivors, idCol, embCol,
-      nlist, minCosine)
-    val losers =
-      if (collapseComponents)
-        Dedup.connectedComponents(pairs)
-          .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
-      else pairs.select(col("b").as(idCol)).distinct()
-    Sampling.trainValTest(deduped.join(losers, Seq(idCol), "left_anti"),
-      idCol)
+    val (corpus, scoped) = CacheScope.collect {
+      // Persisted: the text-dedup chain (quality -> window dedup ->
+      // MinHash -> Jaccard) is read by the survivors join, the final
+      // anti-join, AND the semantic stage's driver actions (centroid
+      // count/sample) — unpersisted it would recompute 4-5 times. Same
+      // convention as every multiply-read dedup intermediate.
+      val deduped = CacheScope.register(
+        dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
+          minhashK, minJaccard, collapseComponents).persist())
+      val emb = embeddings.select(col(embIdCol).as(idCol), col(embCol))
+      // vectors attach to surviving rows only (inner join = also the
+      // "has an embedding" gate for the semantic stage)
+      val survivors = CacheScope.register(
+        deduped.select(col(idCol)).join(emb, Seq(idCol)).persist())
+      val pairs = Dedup.embeddingNearDupCosine(survivors, idCol, embCol,
+        nlist, minCosine)
+      val losers =
+        if (collapseComponents)
+          Dedup.connectedComponents(pairs)
+            .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
+        else pairs.select(col("b").as(idCol)).distinct()
+      Sampling.trainValTest(
+        deduped.join(losers, Seq(idCol), "left_anti"), idCol).persist()
+    }
+    // One eager pass over cached inputs materializes the result, which
+    // then no longer needs the intermediates: unpersist everything the
+    // scope captured (including the operator-internal caches) rather
+    // than leaking input-sized entries into a long-lived session.
+    corpus.count()
+    scoped.foreach(_.unpersist(blocking = false))
+    corpus
   }
 
   private def dedupStages(docs: DataFrame, idCol: String, textCol: String,

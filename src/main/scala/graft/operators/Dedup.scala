@@ -118,11 +118,12 @@ object Dedup {
     // satisfies the distinct's clustering requirement AND both probe sides
     // of the self-join (persisted plans keep their outputPartitioning), so
     // after this repartition the distinct and the join are exchange-free.
-    val all = shingles(docs, idCol, textCol, n, repartitionById = false)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-      .repartition(col("shingle"))
-      .distinct() // set semantics for Jaccard, on cheap (id, long) rows
-      .persist()
+    val all = CacheScope.register(
+      shingles(docs, idCol, textCol, n, repartitionById = false)
+        .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+        .repartition(col("shingle"))
+        .distinct() // set semantics for Jaccard, on cheap (id, long) rows
+        .persist())
     // Document-frequency cap — the scale guard for this operator. A shingle
     // shared by m documents emits m² pair rows from the self-join; at corpus
     // scale boilerplate n-grams ("all rights reserved") have m in the
@@ -196,10 +197,10 @@ object Dedup {
     // relation is nBands rows per DOCUMENT (not per shingle), orders of
     // magnitude smaller than the corpus; at 100 TB it goes to scratch
     // storage instead of memory, same plan shape.
-    val banded = sig.select(col(idCol),
+    val banded = CacheScope.register(sig.select(col(idCol),
         explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
-      .persist()
+      .persist())
     // Bucket-size cap, same scale guard as ngramJaccardPairs' df cap: a
     // band bucket of m documents yields m² candidate rows. Giant buckets
     // come from degenerate signatures (empty/near-empty documents all
@@ -254,11 +255,23 @@ object Dedup {
     * a 1000-hop template chain converges in ~12. Each round is one
     * equi-join + one groupBy over the self-looped edge list (plus the
     * jump's self-join from round 3); the driver sees only a scalar
-    * convergence sum; labels are localCheckpoint'ed so lineage stays
-    * flat (at 100 TB point these at a checkpoint dir instead — same
-    * plan). */
+    * convergence sum; labels are checkpointed each round so lineage
+    * stays flat.
+    *
+    * @param checkpointDir None (default): per-round labels use
+    *        localCheckpoint — blocks live on executors, lineage-flat but
+    *        NOT executor-loss-safe. For a multi-hour 100 TB corpus job,
+    *        pass Some(dir) on reliable storage (HDFS/object store): the
+    *        rounds switch to reliable `checkpoint` with the identical
+    *        plan, and a lost executor replays from files instead of
+    *        failing the job. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b"): DataFrame = {
+                          bCol: String = "b",
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // The pair input is often an expensive join/aggregate (q47 feeds the
     // full n-gram Jaccard pipeline in here). It is read twice by the
     // symmetrization union — persist the directed edges so the input plan
@@ -275,7 +288,7 @@ object Dedup {
     // shuffle on a corpus — with no scale-unsafe hint and without paying
     // an AQE stage round-trip per join per round.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(eager = false).persist()
+      .withColumn("rep", col("id")).transform(ckpt).persist()
     // Self-loops folded into the edge list ONCE: with (x, x) present for
     // every node, the per-round "min over neighbors' reps" aggregate
     // already includes the node's own rep — the hop is a single
@@ -336,7 +349,7 @@ object Dedup {
             col("h.rep") === col("__rid"), "left")
           .select(col("h.id").as("id"),
             coalesce(col("__rrep"), col("h.rep")).as("rep"))
-      val next = jumped.localCheckpoint(eager = false).persist()
+      val next = ckpt(jumped).persist()
       val prev = labels
       labels = next
       val s = repSum(labels) // materializes checkpoint + cache in one job
@@ -345,6 +358,12 @@ object Dedup {
         println(s"[cc] round $rounds sum=$s")
       if (prevSum.exists(_.compareTo(s) == 0)) {
         symLoop.unpersist(); sym.unpersist(); edges.unpersist()
+        // SQL-cache hygiene: the converged labels are already
+        // materialized as checkpoint blocks/files (repSum was the
+        // action), so dropping the cache entry keeps reads fast while
+        // leaving nothing in the session cache once the caller's frame
+        // is garbage-collected.
+        labels.unpersist()
         return labels
       }
       prevSum = Some(s)
@@ -406,8 +425,8 @@ object Dedup {
     // filter below keeps round(d², 6) <= maxSqDist, which admits true d²
     // up to maxSqDist + 5e-7 — the blocking guarantee must cover those
     // pairs too, hence sqrt(maxSqDist + 1e-6), not sqrt(maxSqDist).
-    val expanded = IvfIndex.assignMulti(df, vecCol, centroids,
-      slack = math.sqrt(maxSqDist + 1e-6)).persist()
+    val expanded = CacheScope.register(IvfIndex.assignMulti(df, vecCol,
+      centroids, slack = math.sqrt(maxSqDist + 1e-6)).persist())
     pairsFromLists(expanded, idCol, vecCol, "dist",
       (a, b) => sqDist(a, b), _ <= maxSqDist)
   }
@@ -464,8 +483,8 @@ object Dedup {
     if (cents.isEmpty)
       return df.limit(0).select(col(idCol).as("a"), col(idCol).as("b"),
         lit(0.0).as("cosine"))
-    val expanded = IvfIndex.assignMulti(n, "__nv", cents,
-      slack = math.sqrt(maxSq)).persist()
+    val expanded = CacheScope.register(IvfIndex.assignMulti(n, "__nv",
+      cents, slack = math.sqrt(maxSq)).persist())
     pairsFromLists(expanded, idCol, vecCol, "cosine",
       (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine)
   }

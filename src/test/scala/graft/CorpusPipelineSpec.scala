@@ -66,6 +66,51 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), "every node must reach the chain min")
   }
 
+  test("connectedComponents: reliable checkpoint dir gives identical " +
+       "labels and writes real checkpoint files") {
+    import spark.implicits._
+    // The executor-loss-safe path for multi-hour corpus jobs: same plan,
+    // same convergence, labels checkpointed to storage instead of
+    // executor-local blocks.
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20 until 60).map(i => (i.toLong, i + 1L))).toDF("a", "b")
+    val local = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccckpt")
+    val prevDir = spark.sparkContext.getCheckpointDir
+    try {
+      val reliable = operators.Dedup.connectedComponents(pairs,
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(reliable == local)
+      // files actually landed on reliable storage (not executor blocks)
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(dir.toFile),
+        "reliable path must write checkpoint files under the given dir")
+    } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("prepareWithEmbeddings leaves no intermediate caches behind") {
+    import spark.implicits._
+    // VERDICT r4 hygiene ask: a completed call must not leak input-sized
+    // persists into a long-lived session; the only cache left is the
+    // returned (already materialized) corpus, owned by the caller.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (1L to 30L)
+      .map(i => (i, (1 to 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emb = (1L to 30L)
+      .map(i => (i, Seq(math.cos(i.toDouble), math.sin(i.toDouble), 0.1 * i)))
+      .toDF("vec_id", "embedding")
+    val out = CorpusPipeline.prepareWithEmbeddings(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", nlist = 2, minCosine = 0.999)
+    assert(out.count() == 30)
+    out.unpersist(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("collapseComponents: one survivor per near-dup component") {
     import spark.implicits._
     // d3 overlaps d1 and d2 (J ≈ 10/22 each); d1 and d2 share nothing.
