@@ -264,13 +264,27 @@ object Dedup {
     *        pass Some(dir) on reliable storage (HDFS/object store): the
     *        rounds switch to reliable `checkpoint` with the identical
     *        plan, and a lost executor replays from files instead of
-    *        failing the job. */
+    *        failing the job. setCheckpointDir is session-global state:
+    *        any prior dir is restored on exit (every RDD.checkpoint()
+    *        here captures its path at call time, so restoring after
+    *        return is safe even for the lazily-materialized result); if
+    *        NO dir was set before, Spark has no unset API and ours
+    *        remains the session's dir. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b",
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try connectedComponentsLoop(pairs, aCol, bCol, checkpointDir.isDefined)
+    finally if (checkpointDir.isDefined) prevCkptDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
+                                      bCol: String,
+                                      reliable: Boolean): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      if (reliable) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
     // The pair input is often an expensive join/aggregate (q47 feeds the
     // full n-gram Jaccard pipeline in here). It is read twice by the

@@ -243,28 +243,44 @@ object Multimodal {
         return Nil
       val out = Seq.newBuilder[(Int, Long, Int, Int, Int, Double)]
       var frameIdx = 0
-      def walk(start: Int, end: Int): Unit = {
-        var off = start
-        while (off + 8 <= end) {
+      // Iterative DFS over (start, end) ranges — recursion here would let
+      // an adversarial blob with ~80k nested 12-byte LIST headers per MB
+      // overflow the stack, and StackOverflowError is a VirtualMachineError
+      // the NonFatal policy below cannot turn into a dropped row. Pushing
+      // the LIST body ABOVE the remainder of the current range preserves
+      // container order for frameIdx. A truncated chunk abandons only its
+      // own range; enclosing ranges continue.
+      var stack: List[(Int, Int)] = List((12, blob.length))
+      while (stack.nonEmpty) {
+        var (off, end) = stack.head
+        stack = stack.tail
+        var walking = true
+        while (walking && off + 8 <= end) {
           val id = fourcc(off)
           val size = u32(off + 4)
           val body = off + 8
-          if (size < 0 || body + size > end) return // truncated: stop clean
-          val sz = size.toInt
-          if (id == "LIST" && sz >= 4) {
-            walk(body + 4, body + sz) // skip the 4-byte list type
-          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-                     (id.endsWith("dc") || id.endsWith("db"))) {
-            val slice = java.util.Arrays.copyOfRange(blob, body, body + sz)
-            decodeImage(slice).foreach { case (w, h, mean, _) =>
-              out += ((frameIdx, body.toLong, sz, w, h, mean))
+          if (size < 0 || body + size > end) walking = false // truncated: stop clean
+          else {
+            val sz = size.toInt
+            val next = body + sz + (sz & 1) // chunks pad to even boundaries
+            if (id == "LIST" && sz >= 4) {
+              // descend into the list body first, resume here after
+              stack = (body + 4, body + sz) :: (next, end) :: stack
+              walking = false
+            } else {
+              if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                  (id.endsWith("dc") || id.endsWith("db"))) {
+                val slice = java.util.Arrays.copyOfRange(blob, body, body + sz)
+                decodeImage(slice).foreach { case (w, h, mean, _) =>
+                  out += ((frameIdx, body.toLong, sz, w, h, mean))
+                }
+                frameIdx += 1
+              }
+              off = next
             }
-            frameIdx += 1
           }
-          off = body + sz + (sz & 1) // chunks pad to even boundaries
         }
       }
-      walk(12, blob.length)
       out.result()
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }

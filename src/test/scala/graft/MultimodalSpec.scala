@@ -106,6 +106,28 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.asMedia(junk, "id", "blob", "audio/wav")).count() == 0)
   }
 
+  test("solid-gray JPEG roundtrip is exact for ALL 256 gray levels") {
+    // The q53/q58 closed-form oracles lean on the JDK JPEG codec
+    // preserving solid gray exactly (constant block ⇒ DC-only
+    // coefficients, neutral chroma). That exactness is JDK-implementation
+    // dependent — the luminance DC quantization step must divide
+    // 8·(v−128) for EVERY v — so assert it exhaustively driver-side
+    // instead of assuming it from a sampled fixture.
+    for (v <- 0 until 256) {
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      val got = Multimodal.decodeImage(bos.toByteArray)
+      assert(got.isDefined, s"v=$v failed to decode")
+      val (w, h, mean, _) = got.get
+      assert(w == 8 && h == 8 && mean == v.toDouble,
+        s"v=$v decoded mean=$mean")
+    }
+  }
+
   test("REAL video decode: MJPEG/AVI blobs through the full Spark pipeline") {
     // Each blob is a 3-frame MJPEG AVI of solid-GRAY 8×8 frames. Solid
     // gray survives JPEG bit-exactly (constant block ⇒ DC-only, neutral
@@ -155,6 +177,44 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.frameIdx)
     assert(got.map(_.frameIdx).toSeq == Seq(0, 2))
     assert(got.map(_.meanLuma).toSeq == Seq(10.0, 30.0))
+  }
+
+  test("adversarial 100k-deep LIST nesting decodes iteratively, no overflow") {
+    // ~12 bytes buy one nesting level, so a ~1.2 MB blob can force 100k
+    // levels — a recursive container walk would die with
+    // StackOverflowError, which is a VirtualMachineError the NonFatal
+    // dropped-not-failed policy cannot catch. The iterative walk must
+    // both survive AND still decode the frame at the bottom.
+    val im = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      im.setRGB(x, y, (77 << 16) | (77 << 8) | 77)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val jpeg = bos.toByteArray
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frame = cc("00dc") ++ le32(jpeg.length) ++ jpeg ++
+      (if (jpeg.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val depth = 100000
+    val total = 12 + depth * 12 + frame.length
+    val buf = new Array[Byte](total)
+    def put(off: Int, b: Array[Byte]): Unit =
+      System.arraycopy(b, 0, buf, off, b.length)
+    put(0, cc("RIFF")); put(4, le32(total - 8)); put(8, cc("AVI "))
+    var off = 12
+    for (_ <- 0 until depth) {
+      put(off, cc("LIST")); put(off + 4, le32(total - off - 8))
+      put(off + 8, cc("movi"))
+      off += 12
+    }
+    put(off, frame)
+    val got = Multimodal.decodeVideoFrames(buf)
+    assert(got.size == 1)
+    assert(got.head._6 == 77.0) // meanLuma of the innermost frame
   }
 
   test("metadata rides alongside the blob with correct byte length") {
