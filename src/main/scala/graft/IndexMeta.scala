@@ -35,18 +35,26 @@ case class IndexMeta(
     // licenses serving cosine top-k from the L2 pruning machinery
     // (IndexAwareRules). Option so sidecars written before this field
     // parse unchanged (None = unknown = false).
-    unitNorm: Option[Boolean] = None) {
+    unitNorm: Option[Boolean] = None,
+    // Per-dimension scalar-quantization params when the saved layout
+    // carries an int8 code column (IvfIndex.SqCol). Option: sidecars
+    // written before SQ existed parse unchanged (None = no codes).
+    sq: Option[IndexMeta.SqMeta] = None) {
 
   def gridSpec: Option[GridIndex.GridSpec] =
     grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
 
   def ivfCentroids: Option[IvfIndex.Centroids] =
     centroids.map(_.map(c => (c.listId, c.centroid)))
+
+  def sqParams: Option[IvfIndex.SqParams] =
+    sq.map(s => IvfIndex.SqParams(s.vmin, s.step))
 }
 
 object IndexMeta {
   case class GridMeta(origin: Seq[Double], width: Seq[Double], cells: Seq[Int])
   case class CentroidMeta(listId: Int, centroid: Seq[Double])
+  case class SqMeta(vmin: Seq[Double], step: Seq[Double])
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -56,11 +64,13 @@ object IndexMeta {
   def of(vecCol: String, idCol: String, dim: Int,
          spec: Option[GridIndex.GridSpec],
          cents: Option[IvfIndex.Centroids],
-         unitNorm: Boolean = false): IndexMeta =
+         unitNorm: Boolean = false,
+         sq: Option[IvfIndex.SqParams] = None): IndexMeta =
     IndexMeta(1, vecCol, idCol, dim,
       spec.map(s => GridMeta(s.origin, s.width, s.cells)),
       cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq),
-      Some(unitNorm))
+      Some(unitNorm),
+      sq.map(p => SqMeta(p.vmin, p.step)))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

@@ -752,6 +752,28 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Q60 — scalar-quantized (SQ8) ANN with exact re-rank: int8 codes
+    * (IvfIndex.fitSq/withSqCodes, 1 byte/dim at rest vs 8) drive the
+    * candidate shortlist, the survivors re-rank on full doubles. Declared
+    * at COVERING settings (nProbe = nlist, shortlist = collection size)
+    * so the result is the exact kNN the SQL oracle can express — the q27
+    * pattern; honest tight-shortlist recall (>= exact-probe recall at
+    * equal nProbe) and the bytes-on-disk ratio are pinned in
+    * IvfIndexSpec. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = operators.IvfIndex.fitCentroids(e, "embedding", "vec_id", 16)
+    val sqp = operators.IvfIndex.fitSq(e, "embedding")
+    val index = operators.IvfIndex.withSqCodes(
+      operators.IvfIndex.assign(e, "embedding", "vec_id", centroids),
+      "embedding", sqp)
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    operators.IvfIndex.searchSq(index, "embedding", "vec_id", centroids,
+        sqp, q, k = 12, nProbe = 16, shortlist = e.count().toInt)
+      .select(col("vec_id"), col("dist"))
+  }
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -897,6 +919,7 @@ object SparkEntry {
     "q57_knn_batch_agg" -> (q57 _),
     "q58_video_decode" -> (q58 _),
     "q59_corpus_pipeline" -> (q59 _),
+    "q60_ann_sq" -> (q60 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1331,6 +1354,11 @@ object SparkEntry {
          |      WHERE doc_id NOT IN (SELECT doc_id FROM losers)) e
          |JOIN documents d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q60_ann_sq" ->
+      s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+         |FROM embeddings e,
+         |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
+         |ORDER BY dist, vec_id LIMIT 12""".stripMargin,
     "q58_video_decode" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,

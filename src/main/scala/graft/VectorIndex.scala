@@ -38,7 +38,8 @@ class VectorIndex private (
     val idCol: String,
     val dim: Int,
     gridSpec: Option[GridIndex.GridSpec],
-    centroids: Option[IvfIndex.Centroids]) {
+    centroids: Option[IvfIndex.Centroids],
+    sqParams: Option[IvfIndex.SqParams] = None) {
 
   /** Point count — reference `_pointcount` (hpp:304). */
   def size(): Long = data.count()
@@ -88,6 +89,22 @@ class VectorIndex private (
     IvfIndex.searchCosine(assigned, vecCol, idCol, centroids.get, q, k, nProbe)
   }
 
+  /** Approximate kNN over the int8 scalar-quantized codes with exact
+    * re-ranking (IvfIndex.searchSq) — available on an index save()d with
+    * IVF lists and reloaded, where the candidate scan reads the 1-byte-
+    * per-dim code column instead of the 8-byte doubles. shortlist bounds
+    * the exact re-rank set (k × a small factor is the usual setting;
+    * >= probed rows degenerates to annSearch exactly). */
+  def annSearchSq(q: Seq[Double], k: Int, nProbe: Int = 4,
+                  shortlist: Int = 0): DataFrame = {
+    require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    require(sqParams.isDefined && data.columns.contains(IvfIndex.SqCol),
+      "no SQ codes — save() an IVF index and load() it to enable annSearchSq")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    IvfIndex.searchSq(data, vecCol, idCol, centroids.get, sqParams.get,
+      q, k, nProbe, sl)
+  }
+
   /** Incremental insertion — reference `insert` (hpp:1262). New rows are
     * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
     * clamp to border cells; pruning stays lossless because query-side cell
@@ -101,14 +118,20 @@ class VectorIndex private (
     val withLists = centroids
       .map(c => IvfIndex.assign(withCell, vecCol, idCol, c))
       .getOrElse(withCell)
-    val unioned = data.unionByName(withLists, allowMissingColumns = true)
-    new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids)
+    // loaded SQ layouts: encode the new rows with the SAME stored params
+    // (a re-fit would shift every existing code's meaning)
+    val withCodes = sqParams
+      .map(p => IvfIndex.withSqCodes(withLists, vecCol, p))
+      .getOrElse(withLists)
+    val unioned = data.unionByName(withCodes, allowMissingColumns = true)
+    new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids,
+      sqParams)
   }
 
   /** Re-fit the pruning structures over the current collection. */
   def rebuild(cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex =
-    VectorIndex.create(data.drop("cell_id", "list_id"), vecCol, idCol, dim,
-      cellsPerDim, nlist)
+    VectorIndex.create(data.drop("cell_id", "list_id", IvfIndex.SqCol),
+      vecCol, idCol, dim, cellsPerDim, nlist)
 
   /** Persist as a pruning-friendly parquet index (the 100 TB layout) plus
     * a metadata sidecar (IndexMeta: exact GridSpec + IVF centroids), so
@@ -134,22 +157,36 @@ class VectorIndex private (
         VectorFunctions.sqNorm(col(vecCol)) - 1.0))).head()
       !m.isNullAt(0) && m.getDouble(0) <= 1e-9
     }
-    (gridSpec, centroids) match {
+    val savedSq = (gridSpec, centroids) match {
       case (Some(spec), _) =>
         GridIndex.buildIndex(data, vecCol, spec, path)
         plans.IndexAwareRules.registerIndex(path, spec, unit)
+        None
       case (None, Some(c)) =>
         // rows out of create()/append() already carry the argmin list_id;
         // only raw external frames need assignment here
         val assigned =
           if (data.columns.contains("list_id")) data
           else IvfIndex.assign(data, vecCol, idCol, c)
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        // int8 scalar-quantized codes ride alongside the doubles in the
+        // saved lists (1 byte/dim vs 8): annSearchSq's candidate scan
+        // then reads only the code column. Params are fitted once here
+        // (one tiny-output per-dimension min/max agg) unless the index
+        // was itself loaded from an SQ layout — reusing those params
+        // keeps codes identical across re-saves.
+        val sqp = sqParams.getOrElse(IvfIndex.fitSq(assigned, vecCol))
+        val withCodes =
+          if (assigned.columns.contains(IvfIndex.SqCol)) assigned
+          else IvfIndex.withSqCodes(assigned, vecCol, sqp)
+        withCodes.write.mode("overwrite").partitionBy("list_id").parquet(path)
         plans.IndexAwareRules.registerIvfIndex(path, c, unit)
-      case (None, None) => data.write.mode("overwrite").parquet(path)
+        Some(sqp)
+      case (None, None) =>
+        data.write.mode("overwrite").parquet(path)
+        None
     }
     IndexMeta.write(data.sparkSession, path,
-      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit))
+      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit, savedSq))
   }
 }
 
@@ -218,6 +255,6 @@ object VectorIndex {
       case _ => ()
     }
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
-      meta.ivfCentroids)
+      meta.ivfCentroids, meta.sqParams)
   }
 }

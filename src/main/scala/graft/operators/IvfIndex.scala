@@ -235,4 +235,85 @@ object IvfIndex {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ===========================================================================
+  // Scalar quantization (SQ8) — the standard at-rest compression for vector
+  // corpora at 100 TB: 1 byte per dimension instead of 8, probe on the
+  // codes, re-rank the shortlist exactly on the full-precision vectors.
+  // ===========================================================================
+
+  /** Per-dimension SQ8 parameters: a code c in [-128, 127] reconstructs as
+    * vmin_d + (c + 128) · step_d, where step_d = (vmax_d − vmin_d)/255. A
+    * constant dimension (span 0) gets step 1 and all-min codes, which
+    * reconstruct the constant exactly. Metadata-sized (2·dim doubles) —
+    * rides in the sidecar, embedded as literals in expressions. */
+  case class SqParams(vmin: Seq[Double], step: Seq[Double])
+
+  /** The int8 code column in SQ-enabled index layouts. */
+  val SqCol = "__sq"
+
+  /** Fit per-dimension (min, max) in one pass. posexplode + groupBy(pos)
+    * shuffles only the map-side partial aggregates — numPartitions × dim
+    * tiny rows — never the collection; the driver collects dim rows. */
+  def fitSq(df: DataFrame, vecCol: String): SqParams = {
+    val mm = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("pos"))
+      .collect()
+    val vmin = mm.map(_.getDouble(1)).toSeq
+    val step = mm.map { r =>
+      val s = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      if (s > 0) s else 1.0
+    }.toSeq
+    SqParams(vmin, step)
+  }
+
+  private def sqParamArray(p: SqParams): Column =
+    array(p.vmin.zip(p.step).map { case (m, s) =>
+      struct(lit(m).as("m"), lit(s).as("s"))
+    }: _*)
+
+  /** Encode a vector column to int8 codes — pure builtin expressions
+    * (zip_with against the literal param array), map-side, codegen'd. */
+  def sqEncode(vec: Column, p: SqParams): Column =
+    zip_with(vec.cast("array<double>"), sqParamArray(p), (v, q) =>
+      (least(greatest(round((v - q.getField("m")) / q.getField("s")),
+        lit(0.0)), lit(255.0)) - 128.0).cast("tinyint"))
+
+  /** Reconstruct approximate doubles from int8 codes. */
+  def sqDecode(codes: Column, p: SqParams): Column =
+    zip_with(codes, sqParamArray(p), (c, q) =>
+      q.getField("m") + (c.cast("double") + 128.0) * q.getField("s"))
+
+  /** Add the SQ code column alongside the full-precision vectors. */
+  def withSqCodes(df: DataFrame, vecCol: String, p: SqParams): DataFrame =
+    df.withColumn(SqCol, sqEncode(col(vecCol), p))
+
+  /** ANN top-k over SQ codes with exact re-ranking: the candidate phase
+    * scans ONLY (id, list_id, codes) of the probed lists — column pruning
+    * keeps the 8×-bigger double column out of that scan entirely (the
+    * at-rest I/O win) — takes the `shortlist` best by reconstructed
+    * distance, then re-reads full vectors for just those rows (broadcast
+    * semi-join on id) and ranks them exactly. shortlist >= the probed row
+    * count degenerates to exact in-list search. */
+  def searchSq(index: DataFrame, vecCol: String, idCol: String,
+               centroids: Centroids, p: SqParams, q: Seq[Double], k: Int,
+               nProbe: Int, shortlist: Int, roundTo: Int = 6): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val lists = probeLists(centroids, q, nProbe)
+    val qVec = array(q.map(lit): _*)
+    val probed = index.filter(col("list_id").isin(lists: _*))
+    val cand = probed
+      .select(col(idCol),
+        sqDist(sqDecode(col(SqCol), p), qVec).as("__adist"))
+      .orderBy(col("__adist"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    probed.join(broadcast(cand), Seq(idCol))
+      .withColumn("dist",
+        round(sqDist(col(vecCol).cast("array<double>"), qVec), roundTo))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dev tool: derive an sf1-scale benchmark dataset from the driver's sf0.1
+  * tables (TESTDATA.md says the generated dirs stop at sf0.1; the scaling
+  * curve in BASELINE.md needs one more order of magnitude).
+  *
+  * Each fact table is replicated `copies` times with DISJOINT key ranges
+  * (stride > the source key domain) so referential integrity holds within
+  * every copy and cross-copy joins never collide — row counts scale by
+  * exactly ×copies while join/group cardinalities scale the way a larger
+  * generated dataset would. Content columns are perturbed so similarity
+  * workloads keep their character instead of degenerating:
+  *   - documents.text word-suffixed per copy (`_c<i>`): shingles from
+  *     different copies never match, so near-dup pair counts stay LINEAR
+  *     in copies (replicating text verbatim would manufacture 10-way
+  *     duplicate cliques the real corpus doesn't have — superlinear pair
+  *     blowup that benchmarks the fixture, not the engine);
+  *   - embeddings.embedding dim-0 shifted +100·copy: copies live far
+  *     apart in vector space, same reasoning for ANN/near-dup;
+  *   - dimension tables (region, nation) are NOT replicated — like TPC-H,
+  *     they are fixed-size at every sf.
+  * Deterministic (pure column arithmetic, no randomness): rerunning
+  * produces byte-identical tables.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir dstDir copies]
+  * Defaults: /root/testdata/sf0.1 → .benchdata/sf1 ×10.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else ".benchdata/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = Tables.withGraftConf(
+      SparkSession.builder()
+        .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try write(spark, src, dst, copies)
+    finally spark.stop()
+  }
+
+  def write(spark: SparkSession, src: String, dst: String,
+            copies: Int): Unit = {
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def out(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"$name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+    // one scan → ×copies rows; the literal range side is broadcast
+    def fan(df: DataFrame) =
+      df.crossJoin(spark.range(copies).toDF("__copy"))
+    def shift(stride: Long)(c: Column): Column = c + col("__copy") * stride
+
+    out(read("region"), "region")
+    out(read("nation"), "nation")
+
+    val cust = shift(100000L) _
+    val supp = shift(10000L) _
+    val part = shift(100000L) _
+    val ord = shift(1000000L) _
+
+    out(fan(read("customer"))
+      .withColumn("c_custkey", cust(col("c_custkey")))
+      .drop("__copy"), "customer")
+    out(fan(read("supplier"))
+      .withColumn("s_suppkey", supp(col("s_suppkey")))
+      .drop("__copy"), "supplier")
+    out(fan(read("part"))
+      .withColumn("p_partkey", part(col("p_partkey")))
+      .drop("__copy"), "part")
+    out(fan(read("orders"))
+      .withColumn("o_orderkey", ord(col("o_orderkey")))
+      .withColumn("o_custkey", cust(col("o_custkey")))
+      .drop("__copy"), "orders")
+    out(fan(read("lineitem"))
+      .withColumn("l_orderkey", ord(col("l_orderkey")))
+      .withColumn("l_partkey", part(col("l_partkey")))
+      .withColumn("l_suppkey", supp(col("l_suppkey")))
+      .drop("__copy"), "lineitem")
+    // ts stays put: 10× event density in the same interval (windows get
+    // 10× rows each, the realistic higher-throughput-stream read). Written
+    // back as the long nanos the nanosAsLong reader surfaces — value- and
+    // reader-behavior-identical to the TIMESTAMP(NANOS) source.
+    out(fan(read("events"))
+      .withColumn("event_id", shift(1000000L)(col("event_id")))
+      .withColumn("user_id", shift(10000L)(col("user_id")))
+      .drop("__copy"), "events")
+    out(fan(read("documents"))
+      .withColumn("doc_id", shift(100000L)(col("doc_id")))
+      .withColumn("text", when(col("__copy") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("([^ ]+)"),
+          concat(lit("$1_c"), col("__copy")))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__copy"), "documents")
+    out(fan(read("embeddings"))
+      .withColumn("vec_id", shift(100000L)(col("vec_id")))
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        when(i === 0, x + (col("__copy") * 100).cast("float"))
+          .otherwise(x)))
+      .drop("__copy"), "embeddings")
+  }
+}

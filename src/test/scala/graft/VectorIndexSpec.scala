@@ -176,6 +176,40 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(probed.select("id").collect().map(_.getLong(0)).toSeq == before)
   }
 
+  test("SQ codes ride in the saved IVF layout; annSearchSq after load " +
+       "re-ranks exactly and covers exhaustive search") {
+    val df = randomDf(250, 32, 29)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 32, nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_sq").toString + "/idx"
+    idx.save(path)
+    // codes are physically in the saved lists + params in the sidecar
+    assert(spark.read.parquet(path).columns
+      .contains(graft.operators.IvfIndex.SqCol))
+    assert(IndexMeta.read(spark, path).get.sqParams.isDefined)
+    val re = VectorIndex.load(spark, path)
+    val q = Seq.fill(32)(3.0)
+    // covering settings (nProbe = nlist, shortlist >= n) = exact kNN
+    val sq = re.annSearchSq(q, 5, nProbe = 8, shortlist = 250)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(sq == Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
+      .select("id").collect().map(_.getLong(0)).toSeq)
+    // tight shortlist still returns k rows, re-ranked by exact distance
+    val tight = re.annSearchSq(q, 5, nProbe = 4)
+    assert(tight.count() == 5)
+    val dists = tight.select("dist").collect().map(_.getDouble(0)).toSeq
+    assert(dists == dists.sorted)
+    // append after load encodes new rows with the STORED params (codes
+    // must stay comparable with the existing ones)
+    import spark.implicits._
+    val extra = Seq((9000L, Seq.fill(32)(3.0), "new"))
+      .toDF("id", "vec", "name")
+    val appended = re.append(extra)
+    val hit = appended.annSearchSq(q, 1, nProbe = 8, shortlist = 251)
+      .select("id").head().getLong(0)
+    assert(hit == 9000L, "appended exact-match row must rank first")
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
