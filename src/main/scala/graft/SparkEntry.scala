@@ -774,6 +774,28 @@ object SparkEntry {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Q61 — Gopher-style repetition signals over every document: duplicate
+    * -word fraction (map-side) and top-bigram coverage (doc-local
+    * groupBy). The quality-filter family's repetition axis — the one
+    * degenerate-text class the q15 length/punct heuristics can't see. */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Q62 — benchmark decontamination: training docs (doc_id % 7 != 0)
+    * sharing any word 8-gram with the held-out eval slice (doc_id % 7 =
+    * 0). The fixture's seeded duplicates straddle the split, so the
+    * contaminated set is exactly the cross-split near-dup leak an LLM
+    * pipeline must catch before training. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -920,6 +942,8 @@ object SparkEntry {
     "q58_video_decode" -> (q58 _),
     "q59_corpus_pipeline" -> (q59 _),
     "q60_ann_sq" -> (q60 _),
+    "q61_repetition" -> (q61 _),
+    "q62_decontam" -> (q62 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1359,6 +1383,39 @@ object SparkEntry {
          |FROM embeddings e,
          |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
          |ORDER BY dist, vec_id LIMIT 12""".stripMargin,
+    "q61_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |           ROUND(1.0 - len(list_distinct(t)) / greatest(len(t), 1), 6)
+        |             AS dup_word_frac
+        |         FROM toks),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS bg
+        |       FROM toks WHERE len(t) >= 2),
+        |mx AS (SELECT doc_id, max(c) AS maxbg
+        |       FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+        |  ROUND(least(1.0, COALESCE(mx.maxbg * 2.0, 0)
+        |    / greatest(b.n_tokens, 1)), 6) AS top_bigram_frac
+        |FROM base b LEFT JOIN mx USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q62_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 6),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |             || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |             || ' ' || t[i+7])) AS shingle
+        |       FROM toks WHERE len(t) >= 8),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 != 0),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0)
+        |SELECT tr.doc_id,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_matches
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY tr.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q58_video_decode" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,

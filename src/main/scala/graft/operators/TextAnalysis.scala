@@ -117,6 +117,78 @@ object TextAnalysis {
       .drop("__toks", "__start", "__chunk")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", appendix
+    * A1.1): per-document fractions that catch degenerate repetition the
+    * length/punctuation heuristics miss — boilerplate listings, keyword
+    * stuffing, decoding loops.
+    *
+    *   - dup_word_frac: 1 − |distinct tokens| / |tokens| — map-side only
+    *     (array_distinct inside the row);
+    *   - top_bigram_frac: tokens covered by the single most frequent
+    *     bigram = min(1, 2·max_count / n_tokens) — the ×2 counts both
+    *     tokens of each occurrence, the cap keeps overlapping repeats
+    *     ("a a a a") a fraction. Needs a per-(doc, bigram) count:
+    *     explode → partial-aggregated groupBy keyed by (id, bigram) →
+    *     per-id max. Both aggregates are doc-local keys, so the shuffle
+    *     is combiner-friendly and skew-free at any corpus size; docs
+    *     with <2 tokens get 0.
+    *
+    * The canonical Gopher use is a threshold filter (dup_word_frac > 0.3
+    * or top_bigram_frac > 0.18 → drop) — left to the caller, the signals
+    * compose with CorpusPipeline.prepare's quality stage. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    val base = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(toks)) /
+          greatest(size(toks), lit(1)).cast("double"), 6)
+          .as("dup_word_frac"))
+    val bigrams = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__maxbg"))
+    base.join(bigrams, Seq(idCol), "left")
+      .withColumn("top_bigram_frac",
+        round(least(lit(1.0), coalesce(col("__maxbg") * 2.0, lit(0.0)) /
+          greatest(col("n_tokens"), lit(1))), 6))
+      .drop("__maxbg")
+  }
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * word n-gram with an evaluation set — the pre-training hygiene pass
+    * that keeps test questions out of the training mix (n = 8..13 is the
+    * published range; overlap at those lengths is essentially never
+    * coincidence). Returns one row per CONTAMINATED training doc:
+    * (idCol, n_eval_matches = distinct eval docs sharing a shingle).
+    *
+    * Scale shape: both sides shingle at scan speed (Dedup.shingles);
+    * the join keys on the shingle string over distinct (id, shingle)
+    * pairs. The eval side is benchmark-sized (thousands of docs) —
+    * orders of magnitude below the train side — so AQE broadcasts it
+    * from runtime stats and the 100 TB train stream never shuffles; no
+    * hint pinned, the same regime logic as the dedup joins. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String = "text", n: Int = 8): DataFrame = {
+    val t = Dedup.shingles(train, idCol, textCol, n, repartitionById = false)
+      .distinct()
+    val e = Dedup.shingles(evalSet, idCol, textCol, n,
+        repartitionById = false)
+      .select(col(idCol).as("__eval_id"), col("shingle"))
+      .distinct()
+    t.join(e, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__eval_id")).as("n_eval_matches"))
+  }
+
   /** Top-k tokens per group by tf-idf: tf = token count within the group,
     * idf = ln(n_groups / n_groups_containing_token). The corpus-level
     * term summary of a training-data mix ("what characterizes each

@@ -144,6 +144,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionSignals: hand-computed fractions, <2-token docs get 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),                              // all unique
+      (2L, "a a a a"),                              // degenerate repeat
+      (3L, "x"),                                    // no bigrams
+      (4L, "the cat sat on the mat the cat ran"))   // mixed
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 0.0, 0.5)))       // "a b" etc each once: 2/4
+    assert(got(2L) == ((4L, 0.75, 1.0)))      // "a a" x3: min(1, 6/4) capped
+    assert(got(3L) == ((1L, 0.0, 0.0)))       // bigram-less
+    // 9 tokens, 6 distinct -> 1 - 6/9; "the cat" x2 -> 4/9
+    assert(got(4L) == ((9L, 0.333333, 0.444444)))
+  }
+
+  test("decontaminate: 8-gram overlap flags the leak, counts eval matches") {
+    import spark.implicits._
+    val eightGram = "one two three four five six seven eight"
+    val evalSet = Seq(
+      (100L, s"$eightGram nine ten"),
+      (101L, s"prefix $eightGram"),
+      (102L, "totally different benchmark question here right now ok"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"leading words then $eightGram and a tail"), // hits 100 AND 101
+      (2L, "completely unrelated training text with plenty of tokens"),
+      (3L, "one two three four five six seven"))         // 7 tokens: no 8-gram
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, evalSet, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L), s"got $got")
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
