@@ -20,8 +20,15 @@ import graft.Tables
   *     in copies (replicating text verbatim would manufacture 10-way
   *     duplicate cliques the real corpus doesn't have — superlinear pair
   *     blowup that benchmarks the fixture, not the engine);
-  *   - embeddings.embedding dim-0 shifted +100·copy: copies live far
-  *     apart in vector space, same reasoning for ANN/near-dup;
+  *   - embeddings.embedding cyclically rotated by `copy` positions — an
+  *     ORTHOGONAL map, so every within-copy distance, angle, and norm is
+  *     preserved exactly (near-dup/ANN structure replicates per copy →
+  *     linear growth) while cross-copy vectors decorrelate. A magnitude
+  *     offset here instead would collapse all copies onto one direction
+  *     after unit-normalization and manufacture ~n²/2 genuine cosine
+  *     near-dup pairs (measured: 531× bench blowup on q52);
+  *     embeddings.label shifted per copy so label-blocked operators keep
+  *     constant block sizes (the "more shards at scale" regime);
   *   - dimension tables (region, nation) are NOT replicated — like TPC-H,
   *     they are fixed-size at every sf.
   * Deterministic (pure column arithmetic, no randomness): rerunning
@@ -100,11 +107,15 @@ object ScaleUp {
           concat(lit("$1_c"), col("__copy")))))
       .withColumn("n_chars", length(col("text")))
       .drop("__copy"), "documents")
+    val dim = read("embeddings").selectExpr("size(embedding)").head().getInt(0)
     out(fan(read("embeddings"))
       .withColumn("vec_id", shift(100000L)(col("vec_id")))
-      .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        when(i === 0, x + (col("__copy") * 100).cast("float"))
-          .otherwise(x)))
+      .withColumn("embedding", concat(
+        slice(col("embedding"), col("__copy") + 1,
+          lit(dim) - col("__copy")),
+        slice(col("embedding"), lit(1), col("__copy"))))
+      .withColumn("label",
+        (col("label") + col("__copy") * 1000).cast("int"))
       .drop("__copy"), "embeddings")
   }
 }
