@@ -757,9 +757,9 @@ object SparkEntry {
     * candidate shortlist, the survivors re-rank on full doubles. Declared
     * at COVERING settings (nProbe = nlist, shortlist = collection size)
     * so the result is the exact kNN the SQL oracle can express — the q27
-    * pattern; honest tight-shortlist recall (>= exact-probe recall at
-    * equal nProbe) and the bytes-on-disk ratio are pinned in
-    * IvfIndexSpec. */
+    * pattern; honest tight-shortlist recall (mean >= exact-probe recall
+    * at equal nProbe on the pinned fixture — not a per-query invariant)
+    * and the bytes-on-disk ratio are asserted in IvfIndexSpec. */
   private def q60(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val centroids = operators.IvfIndex.fitCentroids(e, "embedding", "vec_id", 16)

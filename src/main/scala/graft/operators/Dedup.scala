@@ -261,31 +261,38 @@ object Dedup {
     * @param checkpointDir None (default): per-round labels use
     *        localCheckpoint — blocks live on executors, lineage-flat but
     *        NOT executor-loss-safe. For a multi-hour 100 TB corpus job,
-    *        pass Some(dir) on reliable storage (HDFS/object store): the
-    *        rounds switch to reliable `checkpoint` with the identical
-    *        plan, and a lost executor replays from files instead of
-    *        failing the job. setCheckpointDir is session-global state:
-    *        any prior dir is restored on exit (every RDD.checkpoint()
-    *        here captures its path at call time, so restoring after
-    *        return is safe even for the lazily-materialized result); if
-    *        NO dir was set before, Spark has no unset API and ours
-    *        remains the session's dir. */
+    *        pass Some(dir) on reliable storage (HDFS/object store): each
+    *        round's labels are written to parquet under
+    *        dir/cc-<uuid>/round_N and read back, so the lineage cut
+    *        replays from files after executor loss. Implemented WITHOUT
+    *        SparkContext.setCheckpointDir — that call appends a fresh
+    *        UUID subdirectory to whatever it's given, so a set/restore
+    *        dance would nest the session's checkpoint dir one level
+    *        deeper on every invocation; parquet round-trips give the
+    *        same durability with zero session-global mutation. The round
+    *        files outlive the call (the returned frame reads the final
+    *        round — same as Spark's own reliable checkpoints); the
+    *        caller deletes dir once the result is consumed. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b",
-                          checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    val prevCkptDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
-    try connectedComponentsLoop(pairs, aCol, bCol, checkpointDir.isDefined)
-    finally if (checkpointDir.isDefined) prevCkptDir.foreach(sc.setCheckpointDir)
-  }
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsLoop(pairs, aCol, bCol,
+      checkpointDir.map(d => s"$d/cc-${java.util.UUID.randomUUID()}"))
 
   private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
                                       bCol: String,
-                                      reliable: Boolean): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+                                      ckptDir: Option[String]): DataFrame = {
+    var ckptN = 0
+    def ckpt(df: DataFrame): DataFrame = ckptDir match {
+      case Some(dir) =>
+        // Eager by nature (one tiny write job per round — the same extra
+        // job an eager reliable checkpoint would cost); the local path
+        // below keeps the lazy one-job-per-round fusion.
+        val p = s"$dir/round_$ckptN"; ckptN += 1
+        df.write.parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint(eager = false)
+    }
     // The pair input is often an expensive join/aggregate (q47 feeds the
     // full n-gram Jaccard pipeline in here). It is read twice by the
     // symmetrization union — persist the directed edges so the input plan
@@ -317,11 +324,12 @@ object Dedup {
     // modest graphs; sum DECIMAL is exact at any size.)
     // sum over zero rows is SQL null — map it to 0 so an empty pair
     // table converges immediately instead of NPE-ing on compareTo.
-    // Checkpoints are LAZY: the repSum aggregate right after each
+    // Local checkpoints are LAZY: the repSum aggregate right after each
     // checkpoint is the action that materializes it, so each round runs
     // ONE job carrying both the label update and the convergence check
     // (an eager checkpoint + separate aggregate was two jobs per round —
-    // round count dominates wall time at fixture scale).
+    // round count dominates wall time at fixture scale). The reliable
+    // path pays that second (tiny parquet write) job for durability.
     def repSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)

@@ -147,14 +147,11 @@ object TextAnalysis {
         round(lit(1.0) - size(array_distinct(toks)) /
           greatest(size(toks), lit(1)).cast("double"), 6)
           .as("dup_word_frac"))
-    val bigrams = docs
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .filter(size(toks) >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("__bg"))
-      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+    // one shared word-n-gram implementation (tokenization fixes land once)
+    val bigrams = Dedup
+      .shingles(docs.select(col(idCol), col(textCol)), idCol, textCol,
+        n = 2, repartitionById = false)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max(col("__c")).as("__maxbg"))
     base.join(bigrams, Seq(idCol), "left")
       .withColumn("top_bigram_frac",
@@ -175,16 +172,33 @@ object TextAnalysis {
     * pairs. The eval side is benchmark-sized (thousands of docs) —
     * orders of magnitude below the train side — so AQE broadcasts it
     * from runtime stats and the 100 TB train stream never shuffles; no
-    * hint pinned, the same regime logic as the dedup joins. */
+    * hint pinned, the same regime logic as the dedup joins.
+    *
+    * @param maxShingleDf hot-key guard, same rationale and default as
+    *        ngramJaccardPairs: a boilerplate n-gram (license header,
+    *        template sentence) held by d_t train and d_e eval docs joins
+    *        into d_t·d_e rows on ONE key; dropping shingles with
+    *        train-side df > cap bounds every key at cap·|eval| rows.
+    *        What's lost is ubiquitous n-grams — boilerplate, not
+    *        contamination evidence (published decontamination setups
+    *        drop the most common n-grams for the same reason), and a
+    *        true mass leak still surfaces through its rarer shingles.
+    *        No-op unless > maxShingleDf train docs share one n-gram —
+    *        provably inert on the oracle fixtures. */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
-                    textCol: String = "text", n: Int = 8): DataFrame = {
+                    textCol: String = "text", n: Int = 8,
+                    maxShingleDf: Int = 1000): DataFrame = {
+    require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
     val t = Dedup.shingles(train, idCol, textCol, n, repartitionById = false)
       .distinct()
+    val hot = t.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf).select(col("shingle"))
     val e = Dedup.shingles(evalSet, idCol, textCol, n,
         repartitionById = false)
       .select(col(idCol).as("__eval_id"), col("shingle"))
       .distinct()
-    t.join(e, Seq("shingle"))
+    t.join(hot, Seq("shingle"), "left_anti")
+      .join(e, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__eval_id")).as("n_eval_matches"))
   }

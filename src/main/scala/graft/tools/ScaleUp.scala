@@ -108,6 +108,12 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")))
       .drop("__copy"), "documents")
     val dim = read("embeddings").selectExpr("size(embedding)").head().getInt(0)
+    // rotation by `copy` is only injective while copy < dim: copy == dim
+    // would be the identity (exact cross-copy duplicate vectors — the
+    // quadratic-pair trap this perturbation exists to avoid) and
+    // copy > dim a negative slice length
+    require(copies <= dim,
+      s"copies=$copies must be <= embedding dim=$dim for distinct rotations")
     out(fan(read("embeddings"))
       .withColumn("vec_id", shift(100000L)(col("vec_id")))
       .withColumn("embedding", concat(

@@ -88,6 +88,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
         f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
       assert(anyFile(dir.toFile),
         "reliable path must write checkpoint files under the given dir")
+      // zero session-global mutation: the implementation must not touch
+      // SparkContext.setCheckpointDir (which would also nest a UUID
+      // subdir under any pre-existing session dir per call)
+      assert(spark.sparkContext.getCheckpointDir == prevDir,
+        "connectedComponents must leave the session checkpoint dir alone")
     } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
   }
 

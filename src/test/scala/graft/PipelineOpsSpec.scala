@@ -178,6 +178,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = TextAnalysis.decontaminate(train, evalSet, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L), s"got $got")
+    // hot-key guard: with a tiny cap, the leaked 8-grams (df=1 on the
+    // train side here... shared boilerplate below) are dropped once more
+    // train docs than the cap carry them
+    val boiler = "this license text repeats in every single training doc"
+    val train2 = (1L to 4L)
+      .map(i => (i, s"$boiler unique tail token_$i")).toDF("doc_id", "text")
+    val eval2 = Seq((200L, s"$boiler something else entirely here"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.decontaminate(train2, eval2, "doc_id",
+      maxShingleDf = 3).count() == 0, "ubiquitous shingles must be capped")
+    assert(TextAnalysis.decontaminate(train2, eval2, "doc_id",
+      maxShingleDf = 1000).count() == 4, "cap must be inert below df")
   }
 
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
