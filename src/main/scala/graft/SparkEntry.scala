@@ -796,6 +796,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q63 — corpus mixing (Sampling.mixBySource): three sources re-weighted
+    * to a 50/30/20 recipe. With this fixture's equal source counts the
+    * heaviest-weighted source becomes the limiting one (kept whole) and
+    * the others thin to w_s/w_max — the oracle recomputes the per-source
+    * counts, the admitted total T = min(n_s/w_s), and the identical
+    * md5-bucket coins. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.mixBySource(t(s, dir, "documents"), "source",
+        "doc_id", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -944,6 +956,7 @@ object SparkEntry {
     "q60_ann_sq" -> (q60 _),
     "q61_repetition" -> (q61 _),
     "q62_decontam" -> (q62 _),
+    "q63_mix" -> (q63 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1415,6 +1428,22 @@ object SparkEntry {
         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_matches
         |FROM tr JOIN ev USING (shingle)
         |GROUP BY tr.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q63_mix" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents
+        |           WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+        |        ('src2', 0.2)) AS t(source, wt)),
+        |tt AS (SELECT min(ns / wt) AS tot FROM n JOIN w USING (source)),
+        |f AS (SELECT source,
+        |        CAST(floor(least(1.0, (SELECT tot FROM tt) * wt / ns)
+        |          * 10000) AS BIGINT) AS thr
+        |      FROM n JOIN w USING (source))
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f USING (source)
+        |WHERE CAST(('0x' || substr(md5('mix#' || d.source || '#'
+        |        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      % 10000 < thr
         |ORDER BY doc_id""".stripMargin,
     "q58_video_decode" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,

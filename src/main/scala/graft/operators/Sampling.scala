@@ -59,4 +59,46 @@ object Sampling {
     val b = hashBucket(concat_ws("#", col(strataCol), col(idCol)), 10000)
     df.filter(b < (fraction * 10000).toInt)
   }
+
+  /** Corpus mixing — the "data recipe" step of a training pipeline:
+    * deterministically downsample each source so the kept rows follow
+    * the target weight profile, maximizing output size subject to never
+    * upsampling. With n_s rows per source and weights w_s, the largest
+    * total the profile admits is T = min_s(n_s / w_s); the limiting
+    * source is kept whole and every other keeps T·w_s/n_s of its rows
+    * by salted id-hash coin (10⁻⁴ granularity). Sources absent from
+    * `weights` are dropped.
+    *
+    * Cost at 100 TB: ONE tiny per-source count aggregate (partial-agg,
+    * |sources| rows to the driver) to solve for T, then a scan-speed
+    * filter — no shuffle of the corpus. Deterministic and
+    * partition-independent like every sampler here; appending data
+    * re-solves the fractions but each row's coin never changes.
+    *
+    * @return the kept rows with a `keep_frac` column recording the
+    *         fraction applied to that row's source */
+  def mixBySource(df: DataFrame, srcCol: String, idCol: String,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    val counts = df.filter(col(srcCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no rows from any weighted source")
+    val total = present.map { case (s, w) => counts(s) / w }.min
+    // per-source keep threshold over the 10000-bucket coin space; floor
+    // matches the oracle's CAST(floor(f * 10000) AS BIGINT) exactly
+    val thr = present.map { case (s, w) =>
+      s -> math.min(1.0, total * w / counts(s)) }
+    val thrCol = thr.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
+        when(col(srcCol) === s, lit(f)).otherwise(acc) }
+    // "mix" salt: coins independent of stratifiedSample/trainValTest
+    val coin = hashBucket(
+      concat_ws("#", lit("mix"), col(srcCol), col(idCol)), 10000)
+    df.withColumn("keep_frac", thrCol)
+      .filter(col("keep_frac").isNotNull &&
+        coin < floor(col("keep_frac") * 10000).cast("long"))
+  }
 }

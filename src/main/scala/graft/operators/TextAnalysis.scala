@@ -189,13 +189,17 @@ object TextAnalysis {
                     textCol: String = "text", n: Int = 8,
                     maxShingleDf: Int = 1000): DataFrame = {
     require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
+    // 64-bit shingle hashes instead of the strings: ~10× smaller
+    // distinct/join exchanges, same negligible-collision argument as
+    // ngramJaccardPairs (≈ n_shingles²/2⁶⁴, deterministic)
     val t = Dedup.shingles(train, idCol, textCol, n, repartitionById = false)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .distinct()
     val hot = t.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDf).select(col("shingle"))
     val e = Dedup.shingles(evalSet, idCol, textCol, n,
         repartitionById = false)
-      .select(col(idCol).as("__eval_id"), col("shingle"))
+      .select(col(idCol).as("__eval_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
     t.join(hot, Seq("shingle"), "left_anti")
       .join(e, Seq("shingle"))

@@ -192,6 +192,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       maxShingleDf = 1000).count() == 4, "cap must be inert below df")
   }
 
+  test("mixBySource: limiting source kept whole, others thinned to the " +
+       "recipe, deterministic under repartitioning") {
+    import spark.implicits._
+    // A=100, B=100, C=50 rows; weights 0.5/0.25/0.25 ⇒ T = min(100/0.5,
+    // 100/0.25, 50/0.25) = 200 ⇒ keep A 1.0 (limiting with C), B 0.5, C 1.0
+    val rows = (1L to 100L).map(i => (i, "A")) ++
+      (101L to 200L).map(i => (i, "B")) ++
+      (201L to 250L).map(i => (i, "C")) ++
+      (300L to 320L).map(i => (i, "unweighted"))
+    val df = rows.toDF("id", "src")
+    val got = Sampling.mixBySource(df, "src", "id",
+      Map("A" -> 0.5, "B" -> 0.25, "C" -> 0.25))
+    val byFrac = got.select("src", "keep_frac").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byFrac == Map("A" -> 1.0, "B" -> 0.5, "C" -> 1.0))
+    val counts = got.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("A") == 100 && counts("C") == 50) // full-keep is exact
+    assert(math.abs(counts("B") - 50) <= 15, s"B kept ${counts("B")}")
+    assert(!counts.contains("unweighted"), "absent-weight sources drop")
+    // partition-independence: the kept set is a pure function of content
+    val again = Sampling.mixBySource(df.repartition(7), "src", "id",
+      Map("A" -> 0.5, "B" -> 0.25, "C" -> 0.25))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
