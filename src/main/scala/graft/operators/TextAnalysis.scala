@@ -184,27 +184,77 @@ object TextAnalysis {
     *        drop the most common n-grams for the same reason), and a
     *        true mass leak still surfaces through its rarer shingles.
     *        No-op unless > maxShingleDf train docs share one n-gram —
-    *        provably inert on the oracle fixtures. */
+    *        provably inert on the oracle fixtures.
+    * @param bloomPrefilter prune the TRAIN side map-side with a Bloom
+    *        filter built over the eval shingles before any train-side
+    *        shuffle. The eval set is benchmark-sized while train is the
+    *        100 TB corpus, so ~every train shingle is a non-match: the
+    *        Bloom filter (a plan literal, ~10 bits/eval-shingle) drops
+    *        them at scan speed and the two train-side exchanges
+    *        (distinct + df-count) shrink from corpus-sized to
+    *        matches-plus-false-positives. Provably lossless: Bloom has
+    *        no false negatives, so every true overlap survives, and
+    *        false positives are removed by the exact join; the df cap
+    *        is unaffected because survival depends on the shingle value
+    *        alone (a surviving shingle keeps ALL its (id, shingle)
+    *        rows, so its train-side df is unchanged). Builds the filter
+    *        eagerly (two small jobs over the eval side at call time);
+    *        pass false to keep the transform fully lazy. */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String = "text", n: Int = 8,
-                    maxShingleDf: Int = 1000): DataFrame = {
+                    maxShingleDf: Int = 1000,
+                    bloomPrefilter: Boolean = true): DataFrame = {
     require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
     // 64-bit shingle hashes instead of the strings: ~10× smaller
     // distinct/join exchanges, same negligible-collision argument as
     // ngramJaccardPairs (≈ n_shingles²/2⁶⁴, deterministic)
-    val t = Dedup.shingles(train, idCol, textCol, n, repartitionById = false)
+    val tRaw = Dedup.shingles(train, idCol, textCol, n,
+        repartitionById = false)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
-    val hot = t.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf).select(col("shingle"))
     val e = Dedup.shingles(evalSet, idCol, textCol, n,
         repartitionById = false)
       .select(col(idCol).as("__eval_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
+    val t = (if (bloomPrefilter) {
+      e.persist()
+      val nEval = e.count()
+      if (nEval == 0) tRaw.filter(lit(false))
+      else tRaw.filter(mightContain(bloomOf(e, "shingle", nEval),
+        col("shingle")))
+    } else tRaw).distinct()
+    val hot = t.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf).select(col("shingle"))
     t.join(hot, Seq("shingle"), "left_anti")
       .join(e, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__eval_id")).as("n_eval_matches"))
+  }
+
+  /** Serialized Bloom filter over a LongType column, sized at ~10
+    * bits/item (≈1% fpp), capped at 2²⁶ bits (8 MiB — beyond that fpp
+    * degrades gracefully rather than the literal bloating every plan
+    * that embeds it). Runs a job (aggregation to one driver row). */
+  private[graft] def bloomOf(df: DataFrame, colName: String,
+                             estItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.min(1L << 26, math.max(64L, estItems * 10L))
+    df.select(GraftColumn(new BloomFilterAggregate(
+        GraftColumn.expr(col(colName)),
+        Literal(math.max(estItems, 1L)), Literal(numBits))
+      .toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd Bloom membership predicate over a LongType column —
+    * Spark's own runtime-filter expression, driven explicitly. */
+  private[graft] def mightContain(bloom: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftColumn(BloomFilterMightContain(Literal(bloom, BinaryType),
+      GraftColumn.expr(value)))
   }
 
   /** Top-k tokens per group by tf-idf: tf = token count within the group,

@@ -192,6 +192,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       maxShingleDf = 1000).count() == 4, "cap must be inert below df")
   }
 
+  test("decontaminate bloom prefilter: lossless vs the unfiltered path, " +
+       "empty eval set yields empty result") {
+    val docs = Tables.load(spark, sf, "documents")
+    // leak fixture: eval = every 7th doc, train = all docs — the seeded
+    // duplicates plus the eval docs themselves guarantee real overlap
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val on = TextAnalysis.decontaminate(docs, evalSet, "doc_id",
+      bloomPrefilter = true)
+    val off = TextAnalysis.decontaminate(docs, evalSet, "doc_id",
+      bloomPrefilter = false)
+    assert(on.count() > 0, "fixture must actually contain overlap")
+    assert(on.exceptAll(off).isEmpty && off.exceptAll(on).isEmpty,
+      "bloom prefilter must not change the result")
+    assert(TextAnalysis.decontaminate(docs, evalSet.filter(lit(false)),
+      "doc_id", bloomPrefilter = true).count() == 0)
+    // the underlying filter can never false-negative a member
+    import spark.implicits._
+    val members = (1L to 5000L).map(_ * 7919L)
+    val bloom = TextAnalysis.bloomOf(members.toDF("v"), "v", members.size)
+    val missed = members.toDF("v")
+      .filter(!TextAnalysis.mightContain(bloom, col("v"))).count()
+    assert(missed == 0, "bloom filters have no false negatives")
+  }
+
   test("mixBySource: limiting source kept whole, others thinned to the " +
        "recipe, deterministic under repartitioning") {
     import spark.implicits._
