@@ -808,6 +808,74 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Q64 — chunk-level (paragraph) corpus dedup, CCNet-style
+    * (Dedup.dedupChunks): 16-token non-overlapping windows, each chunk
+    * kept only at its first corpus occurrence, documents reassembled
+    * from survivors. The oracle reproduces the winner rule and the
+    * reassembled text (compared by md5, null when a doc lost every
+    * chunk). Catches cross-document boilerplate that q6's whole-doc
+    * fingerprint can't see. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("new_text")).as("text_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Q65 — BM25 keyword search (TextSearch.bm25): Robertson k1=1.2,
+    * b=0.75, Lucene's +1-floored idf, top-20 docs for a 3-term query.
+    * Ranking determinism: the contract orders by the 6-decimal-rounded
+    * score (ties by doc_id) in BOTH engines, so sub-rounding float noise
+    * can't reorder the boundary. */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    operators.TextSearch.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Q66 — hybrid retrieval via reciprocal-rank fusion
+    * (TextSearch.rrfFuse): the cosine top-20 for vec 11's embedding
+    * (q23's brute-force path) fused with the BM25 top-20 for the q65
+    * query, rrf = Σ 1/(60 + rank), top 15 fused. The doc/vec id spaces
+    * coincide by fixture construction. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val vecList = operators.Search.cosineTopK(e, "embedding", "vec_id",
+        e.filter(col("vec_id") === 11)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "embedding", "qid", k = 20)
+      .select(col("vec_id").as("doc_id"), col("sim"))
+    // ranks read the 6-decimal-rounded scores (sim already is), so the
+    // oracle's rank tie-breaks can't diverge on sub-rounding float noise
+    val textList = operators.TextSearch.bm25(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    operators.TextSearch.rrfFuse(vecList, textList, "doc_id",
+        "sim", "score")
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Q67 — banded interval join (RangeJoin.intervalJoin): every error
+    * within 30 minutes after a click by the same user. The oracle is
+    * the naive theta-join; the engine's banded equi-join must reproduce
+    * it exactly (banding only routes candidates — the scaladoc's
+    * exactness argument, here made operational). */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir) // nanos → timestamp normalization
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    operators.RangeJoin.intervalJoin(clicks, errors, "user_id",
+        "ts", "ts", lowerSec = 0L, upperSec = 1800L)
+      .select(col("l_event_id").as("click_id"),
+        col("r_event_id").as("error_id"))
+      .orderBy(col("click_id"), col("error_id"))
+  }
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -957,6 +1025,10 @@ object SparkEntry {
     "q61_repetition" -> (q61 _),
     "q62_decontam" -> (q62 _),
     "q63_mix" -> (q63 _),
+    "q64_chunk_dedup" -> (q64 _),
+    "q65_bm25" -> (q65 _),
+    "q66_hybrid_rrf" -> (q66 _),
+    "q67_interval_join" -> (q67 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1002,6 +1074,31 @@ object SparkEntry {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
        |  FROM d) WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
+
+  /** Shared by q65 (BM25 top-20) and q66 (hybrid fusion of that same
+    * shortlist): one oracle definition of the lexical ranking, so the
+    * two queries can't drift apart. Shortlist cut by RAW score (mirrors
+    * TextSearch.bm25's internal orderBy-limit); consumers rank/emit the
+    * 6-decimal-rounded score. */
+  private val duckBm25: String =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |          FROM documents),
+      |st AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+      |btf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, term,
+      |          CAST(count(*) AS DOUBLE) AS tf
+      |        FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+      |        WHERE term IN ('spark', 'vector', 'query')
+      |        GROUP BY 1, 2, 3),
+      |bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+      |        FROM btf GROUP BY 1),
+      |bm AS (SELECT doc_id,
+      |         sum(ln(1.0 + (st.n - bdf.df + 0.5) / (bdf.df + 0.5))
+      |           * btf.tf * (1.2 + 1.0)
+      |           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * btf.dl / st.avgdl)))
+      |           AS s
+      |       FROM btf JOIN bdf USING (term), st GROUP BY doc_id),
+      |bmtop AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id LIMIT 20)"""
+      .stripMargin
 
   private val duckStopwords =
     operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -1445,6 +1542,59 @@ object SparkEntry {
         |        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |      % 10000 < thr
         |ORDER BY doc_id""".stripMargin,
+    "q64_chunk_dedup" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, generate_subscripts(starts, 1) - 1 AS chunk_idx,
+        |         unnest(starts) AS start, t
+        |  FROM (SELECT doc_id, t,
+        |          range(1, greatest(len(t), 1) + 1, 16) AS starts
+        |        FROM t0)),
+        |c2 AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |         array_to_string(t[start:start+15], ' ') AS chunk
+        |       FROM ch),
+        |k AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM c2),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM c2 GROUP BY 1),
+        |keep AS (SELECT doc_id, count(*) AS n_kept,
+        |           md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS text_fp
+        |         FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_chunks, COALESCE(keep.n_kept, 0) AS n_kept,
+        |       keep.text_fp
+        |FROM tot LEFT JOIN keep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q65_bm25" ->
+      s"""WITH $duckBm25
+         |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    "q66_hybrid_rrf" ->
+      s"""WITH $duckBm25,
+         |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY sim DESC, vec_id) AS BIGINT) AS rank_a
+         |       FROM (SELECT e.vec_id,
+         |               ROUND(${duckCosine("e.embedding", "q.qv")}, 6) AS sim
+         |             FROM embeddings e,
+         |               (SELECT embedding AS qv FROM embeddings
+         |                WHERE vec_id = 11) q
+         |             ORDER BY sim DESC, vec_id LIMIT 20)),
+         |tr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY ROUND(s, 6) DESC, doc_id) AS BIGINT) AS rank_b
+         |       FROM bmtop),
+         |f AS (SELECT COALESCE(vr.doc_id, tr.doc_id) AS doc_id,
+         |        rank_a, rank_b,
+         |        ROUND(COALESCE(1.0 / (60 + rank_a), 0)
+         |          + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
+         |      FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id)
+         |SELECT doc_id, rank_a, rank_b, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q67_interval_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS error_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + CAST(1800 AS BIGINT) * 1000000
+        |WHERE a.event_type = 'click' AND b.event_type = 'error'
+        |ORDER BY click_id, error_id""".stripMargin,
     "q58_video_decode" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,

@@ -510,4 +510,51 @@ object Dedup {
     pairsFromLists(expanded, idCol, vecCol, "cosine",
       (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine)
   }
+
+  /** Chunk-level (paragraph) corpus dedup, CCNet-style (Wenzek et al.
+    * 2020): documents split into non-overlapping token windows, each
+    * chunk kept only at its FIRST corpus occurrence (smallest (id,
+    * chunk_idx)), documents reassembled from their surviving chunks.
+    * Catches the boilerplate document-level dedup can't see — headers,
+    * navigation, license blocks repeated across otherwise-distinct pages.
+    *
+    * Scale design: chunking is the map-side TextAnalysis.chunk fan-out;
+    * the winner rule is one groupBy(chunk key) with a min-struct
+    * aggregate (combiner-friendly, no window over the corpus-wide chunk
+    * relation) followed by an equi-join back — AQE broadcasts it when
+    * the duplicate-chunk relation is small, shuffles otherwise. The
+    * reassembly groupBy is keyed by doc id, skew-free by construction.
+    * Exactly two shuffle keys end-to-end (chunk hash, doc id); the
+    * 128-bit chunk hash stands in for chunk text on the shuffle wire.
+    *
+    * @return one row per input doc: (idCol, n_chunks, n_kept, new_text)
+    *         — new_text null when every chunk was someone else's
+    *         (a fully-boilerplate doc, the natural drop signal)
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int): DataFrame = {
+    val chunks = TextAnalysis.chunk(
+        docs.select(col(idCol), col(textCol)), textCol,
+        chunkTokens, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+
+    val winners = chunks.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__w"))
+
+    val kept = chunks.join(winners, "__h")
+      .filter(col(s"__w.$idCol") === col(idCol) &&
+        col("__w.chunk_idx") === col("chunk_idx"))
+
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"),
+          col("chunk_text")))),
+        c => c("chunk_text")), " ").as("new_text"))
+
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
 }

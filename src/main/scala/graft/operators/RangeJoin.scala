@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded interval (range) join: for every left row, all right rows with
+  * the same key whose timestamp falls in [left.ts + lower, left.ts +
+  * upper) — the attribution / impact-window join of event pipelines
+  * ("errors within 30 minutes after a click").
+  *
+  * Scale design: expressed naively (equi-key + two ts inequalities) Spark
+  * plans a sort-merge join on the key alone and re-filters the full
+  * per-key cross product — O(Σ n_k·m_k) comparisons, quadratic on hot
+  * keys. Banding makes the time predicate part of the EQUI key: both
+  * sides bucket `unix_micros(ts)` by a band width, the left side explodes
+  * to the ⌈span/band⌉+1 buckets its window can touch (2 replicas when
+  * band = span), and the join runs on (key, bucket) with the exact range
+  * predicate re-checked after. Work becomes O(pairs that share a band) —
+  * linear in matches for timestamp-spread data — and the shuffle key
+  * (key, bucket) splits hot keys across reducers by time, so a single
+  * pathological user cannot pin one task the way the key-only sort-merge
+  * does. This is the standard interval-join layout (Flink's interval join
+  * and Spark's own stream-stream time-bound join bucket state the same
+  * way); the reference's analogue is grid-cell pruning of a range query
+  * (include/pktree.hpp:933-938) transplanted to the time axis.
+  *
+  * Exactness: banding only routes candidate pairs; the final
+  * `[lower, upper)` filter decides membership, so the result equals the
+  * naive theta-join's for any band width. Band width tunes replication
+  * (left rows copy to span/band+1 buckets) vs selectivity (band >> span
+  * degrades toward per-key cross products within a bucket); the default
+  * band = span keeps replication at 2 and candidates tight.
+  *
+  * Null semantics: inner join — rows with null key or null timestamp
+  * match nothing and are dropped (a null bucket never equi-matches).
+  */
+object RangeJoin {
+
+  /** @param left     window-anchor side; columns pass through as `l_*`
+    * @param right    probe side; columns pass through as `r_*`
+    * @param key      equi-join key column name (same name both sides)
+    * @param leftTs   left anchor-time column
+    * @param rightTs  right event-time column
+    * @param lowerSec window start offset from left.ts, inclusive (seconds)
+    * @param upperSec window end offset, exclusive; must be > lowerSec
+    * @param bandSec  bucket width in seconds; 0 → use the window span
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerSec: Long, upperSec: Long,
+                   bandSec: Long = 0L): DataFrame = {
+    require(upperSec > lowerSec, "need upperSec > lowerSec")
+    val band = if (bandSec > 0) bandSec else upperSec - lowerSec
+    val bandUs = band * 1000000L
+    val lowerUs = lowerSec * 1000000L
+    val upperUs = upperSec * 1000000L
+
+    // exact floor division in long arithmetic (pmod is non-negative), so
+    // bucket ids stay correct for any epoch sign — no double rounding
+    def floorDiv(a: org.apache.spark.sql.Column, b: Long) =
+      ((a - pmod(a, lit(b))) / b).cast("long")
+
+    val l = left.select(
+      col(key).as("__k") +:
+        unix_micros(col(leftTs).cast("timestamp")).as("__lus") +:
+        left.columns.toSeq.map(c => col(c).as(s"l_$c")): _*)
+      .filter(col("__k").isNotNull && col("__lus").isNotNull)
+      .withColumn("__b", explode(sequence(
+        floorDiv(col("__lus") + lowerUs, bandUs),
+        floorDiv(col("__lus") + upperUs - 1L, bandUs))))
+
+    val r = right.select(
+      col(key).as("__k") +:
+        unix_micros(col(rightTs).cast("timestamp")).as("__rus") +:
+        right.columns.toSeq.map(c => col(c).as(s"r_$c")): _*)
+      .filter(col("__k").isNotNull && col("__rus").isNotNull)
+      .withColumn("__b", floorDiv(col("__rus"), bandUs))
+
+    l.join(r, Seq("__k", "__b"))
+      .filter(col("__rus") >= col("__lus") + lowerUs &&
+        col("__rus") < col("__lus") + upperUs)
+      .drop("__k", "__b", "__lus", "__rus")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword (lexical) search over a document corpus: BM25 scoring and
+  * reciprocal-rank fusion of lexical + vector shortlists — the retrieval
+  * pair every RAG / data-curation stack runs next to the ANN index. The
+  * reference is vector-only (include/pktree.hpp:948-973 kNN is its whole
+  * query surface); lexical scoring is part of the declared LLM-pipeline
+  * extension surface, built the same Spark-first way: postings are a
+  * DataFrame, scoring is builtin expressions, ranking is a top-k.
+  *
+  * Scale design: the postings relation (doc × query-term term
+  * frequencies) is built by explode → filter-to-query-terms → groupBy.
+  * The filter lands BEFORE the aggregation, so the shuffle carries only
+  * rows for the handful of query terms — O(matching postings), not
+  * O(corpus tokens); everything upstream of it is one codegen'd map
+  * stage. Document frequencies reduce from that same filtered relation
+  * (bytes), and the two corpus scalars (N, avgdl) come from one
+  * scan-level aggregate broadcast back as a 1-row cross join. No UDFs,
+  * no driver-side loops; the final top-k is the same orderBy-limit the
+  * kNN family uses.
+  */
+object TextSearch {
+
+  /** Robertson/Sparck-Jones BM25 idf with the +1 floor (as in Lucene):
+    * ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive, so a term
+    * present in most docs dilutes rather than flips the score. */
+  private def idf(n: Column, df: Column): Column =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** BM25 scores for one bag-of-words query over the corpus: the top-k
+    * (id, score) rows, score descending, id ascending on ties. Tokens
+    * are lowercased whitespace splits — the corpus convention shared by
+    * the dedup/quality family (Dedup.shingles).
+    *
+    * @param k1 term-frequency saturation (Robertson's 1.2 default)
+    * @param b  length normalization strength (0.75 default)
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    val toks = docs.select(col(idCol), split(lower(col(textCol)), " ")
+      .as("__toks"))
+
+    // one scan-level reduce for the corpus constants; joined back as a
+    // single broadcast row (BroadcastNestedLoopJoin of 1 row — free)
+    val stats = toks.agg(count(lit(1)).as("__n"),
+      avg(size(col("__toks"))).as("__avgdl"))
+
+    val postings = toks
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(terms: _*)) // before the groupBy shuffle
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+
+    val dfreq = postings.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+
+    val contrib = postings.join(dfreq, "__term").crossJoin(stats)
+      .withColumn("__score",
+        idf(col("__n"), col("__df")) * col("__tf") * (lit(k1) + 1.0) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("__score")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two ranked
+    * shortlists: score(d) = Σ_lists 1/(kRrf + rank_d). Ranks are dense
+    * 1-based positions in each list's own order; a doc missing from a
+    * list contributes nothing for it. Shortlists are top-k outputs
+    * (thousands of rows at most), so the single-partition rank windows
+    * are deliberate — the heavy lifting happened in the retrievers; at
+    * cluster scale this is a driver-sized fuse step, not a data job.
+    *
+    * @param a / b  shortlists: (idCol, <score col>) with HIGHER = better
+    *               in `aScore`/`bScore`; ties broken by id ascending
+    * @return (idCol, rank_a, rank_b, rrf) — null rank when absent,
+    *         fused score descending, id ascending on ties
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              aScore: String, bScore: String, kRrf: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, score: String, out: String) =
+      df.select(col(idCol), row_number().over(
+        Window.orderBy(col(score).desc, col(idCol))).cast("long").as(out))
+
+    val ra = ranked(a, aScore, "rank_a")
+    val rb = ranked(b, bScore, "rank_b")
+    ra.join(rb, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf").desc, col(idCol))
+  }
+}

@@ -198,6 +198,38 @@ class DedupSpec extends AnyFunSuite {
     expanded.unpersist(); e.unpersist()
   }
 
+  test("dedupChunks: first corpus occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2-token chunks; "b1 b2" is shared boilerplate at a chunk boundary in
+    // docs 1, 2 and 3; doc 3 is ONLY boilerplate; doc 1 also repeats a
+    // chunk internally ("a1 a2" twice)
+    val docs = Seq(
+      (1L, "a1 a2 b1 b2 a1 a2"),
+      (2L, "b1 b2 c1 c2"),
+      (3L, "b1 b2")).toDF("doc_id", "text")
+    val got = operators.Dedup.dedupChunks(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toList
+    assert(got === List(
+      (1L, 3L, 2L, Some("a1 a2 b1 b2")), // internal repeat dropped, order kept
+      (2L, 2L, 1L, Some("c1 c2")),       // boilerplate chunk lost to doc 1
+      (3L, 1L, 0L, None)))               // fully-boilerplate doc → null
+  }
+
+  test("dedupChunks: tail chunks shorter than the window still dedup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 x3 tail"),  // chunks: "x1 x2 x3", "tail"
+      (2L, "tail")).toDF("doc_id", "text")
+    val got = operators.Dedup.dedupChunks(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        Option(r.getString(3)))).toList
+    assert(got === List((1L, 2L, Some("x1 x2 x3 tail")), (2L, 0L, None)))
+  }
+
   test("dupStats: HLL estimate within 5% of exact, one pass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextSearch
+
+class TextSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val corpus = Seq(
+    (1L, "spark shuffle join spark spark"),
+    (2L, "vector index search"),
+    (3L, "spark vector spark"),
+    (4L, "the quick brown fox"),
+    (5L, "join join join join join join join join"))
+
+  /** Reference BM25 computed independently in plain Scala. */
+  private def refBm25(terms: Seq[String], k1: Double = 1.2,
+                      b: Double = 0.75): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    toks.flatMap { case (id, ts) =>
+      val s = terms.map { term =>
+        val tf = ts.count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - dfm(term) + 0.5) / (dfm(term) + 0.5)) *
+          tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+  }
+
+  test("bm25 matches an independent plain-Scala computation") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val got = TextSearch.bm25(docs, "id", "text",
+        Seq("spark", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refBm25(Seq("spark", "vector"))
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-12, s"doc $id") }
+  }
+
+  test("bm25 ranking: more occurrences of a rarer term scores higher") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val top = TextSearch.bm25(docs, "id", "text", Seq("vector"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // docs 2 and 3 both contain "vector" once; doc 2 is shorter → higher
+    assert(top === Seq(2L, 3L))
+  }
+
+  test("bm25 repeated query terms count once") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val once = TextSearch.bm25(docs, "id", "text", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val twice = TextSearch.bm25(docs, "id", "text", Seq("spark", "SPARK"),
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(once === twice)
+  }
+
+  test("rrfFuse: hand-checked fusion of two shortlists") {
+    import spark.implicits._
+    // list A ranks: x=1, y=2; list B ranks: y=1, z=2
+    val a = Seq(("x", 0.9), ("y", 0.5)).toDF("id", "s")
+    val b = Seq(("y", 3.0), ("z", 2.0)).toDF("id", "s")
+    val got = TextSearch.rrfFuse(a, b, "id", "s", "s", kRrf = 60)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3))).toList
+    val y = 1.0 / 62 + 1.0 / 61
+    assert(got.map(_._1) === List("y", "x", "z")) // y in both lists wins
+    assert(got.head === (("y", Some(2L), Some(1L), y)))
+    assert(math.abs(got(1)._4 - 1.0 / 61) < 1e-15)
+    assert(got(1)._2 === Some(1L)) // x absent from B
+    assert(got(1)._3 === None)
+  }
+
+  test("rrfFuse ties break by id ascending") {
+    import spark.implicits._
+    // w only in A at rank 1; z only in B at rank 1 → equal rrf
+    val a = Seq(("w", 1.0)).toDF("id", "s")
+    val b = Seq(("z", 1.0)).toDF("id", "s")
+    val got = TextSearch.rrfFuse(a, b, "id", "s", "s")
+      .collect().map(_.getString(0)).toList
+    assert(got === List("w", "z"))
+  }
+
+  test("bm25 postings filter lands before the aggregation (plan audit)") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val plan = TextSearch.bm25(docs, "id", "text", Seq("spark"), k = 5)
+      .queryExecution.optimizedPlan.toString
+    // the term filter must appear under the first aggregate, not above it
+    assert(plan.contains("__term"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
