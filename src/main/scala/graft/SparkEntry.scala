@@ -876,6 +876,21 @@ object SparkEntry {
       .orderBy(col("click_id"), col("error_id"))
   }
 
+  /** Q68 — cross-corpus near-dedup (Dedup.minhashAgainst): fresh docs
+    * (doc_id % 5 != 0) that near-duplicate the standing reference slice
+    * (doc_id % 5 = 0) — MinHash-LSH banding across the two corpora,
+    * exact trigram Jaccard >= 0.5 verification, per-doc match count and
+    * best score. The incremental-crawl companion to q62's exact-8-gram
+    * decontamination. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Dedup.minhashAgainst(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -1029,6 +1044,7 @@ object SparkEntry {
     "q65_bm25" -> (q65 _),
     "q66_hybrid_rrf" -> (q66 _),
     "q67_interval_join" -> (q67 _),
+    "q68_dedup_against" -> (q68 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1588,6 +1604,38 @@ object SparkEntry {
          |      FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id)
          |SELECT doc_id, rank_a, rank_b, rrf FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q68_dedup_against" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |              FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |       FROM toks WHERE len(t) >= 3),
+         |sig AS ($duckMinhashSig),
+         |bands AS (
+         |  $duckMinhashBands),
+         |bf AS (SELECT doc_id AS fid, band_idx, band_val FROM bands
+         |       WHERE doc_id % 5 != 0),
+         |br AS (SELECT doc_id AS rid, band_idx, band_val FROM bands
+         |       WHERE doc_id % 5 = 0),
+         |cand AS (SELECT DISTINCT fid, rid
+         |         FROM bf JOIN br USING (band_idx, band_val)),
+         |shf AS (SELECT doc_id AS fid, shingle FROM sh
+         |        WHERE doc_id IN (SELECT fid FROM cand)),
+         |shr AS (SELECT doc_id AS rid, shingle FROM sh
+         |        WHERE doc_id IN (SELECT rid FROM cand)),
+         |szf AS (SELECT fid, count(*) AS nf FROM shf GROUP BY 1),
+         |szr AS (SELECT rid, count(*) AS nr FROM shr GROUP BY 1),
+         |inter AS (SELECT shf.fid, shr.rid, count(*) AS c
+         |          FROM shf JOIN shr USING (shingle) GROUP BY 1, 2),
+         |jac AS (SELECT i.fid, i.rid,
+         |          ROUND(i.c / (szf.nf + szr.nr - i.c), 6) AS j
+         |        FROM inter i JOIN cand USING (fid, rid)
+         |          JOIN szf USING (fid) JOIN szr USING (rid))
+         |SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS n_ref_dups,
+         |       max(j) AS max_jaccard
+         |FROM jac WHERE j >= 0.5 GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
     "q67_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS error_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

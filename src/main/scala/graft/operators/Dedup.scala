@@ -224,6 +224,74 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus near-dedup: which FRESH documents near-duplicate any
+    * REFERENCE document — the incremental-crawl question ("what of this
+    * batch do we already have?"), asked before fresh data joins a 100 TB
+    * corpus. Same MinHash-LSH blocking + exact-Jaccard verification as
+    * the self-join pair (minhashCandidates → ngramJaccardPairs), but the
+    * band join is fresh × ref instead of a self-join, so cost is
+    * O(cross-side collisions) and the reference's own internal
+    * duplicates are never paired or verified.
+    *
+    * Scale design: signatures are per-document (each side computed
+    * independently, one groupBy each); the band equi-join is the only
+    * cross-corpus contact; verification shingles are semi-joined down to
+    * candidate documents before the intersection join (64-bit hashed on
+    * the wire, same negligible-collision argument as decontaminate);
+    * intersection pairs are inner-joined back to the candidate set so
+    * non-candidate shingle collisions cost nothing downstream. For a
+    * rolling pipeline the ref-side banded relation is a natural
+    * artifact to persist between batches (write it once, join every new
+    * batch against it) — it is nBands rows per document, not per
+    * shingle.
+    *
+    * @return one row per matched fresh doc: (idCol, n_ref_dups,
+    *         max_jaccard) — fresh docs with no match at minJaccard are
+    *         absent (anti-join the result against the batch to keep).
+    */
+  def minhashAgainst(fresh: DataFrame, ref: DataFrame, idCol: String,
+                     textCol: String, k: Int = 8, rowsPerBand: Int = 2,
+                     shingleN: Int = 3,
+                     minJaccard: Double = 0.5): DataFrame = {
+    def banded(docs: DataFrame, out: String): DataFrame = {
+      val sig = minhashSignatures(docs, idCol, textCol, k, shingleN)
+      val nBands = k / rowsPerBand
+      val bandCols = (0 until nBands).map { b =>
+        val parts = (0 until rowsPerBand)
+          .map(r => col(s"mh${b * rowsPerBand + r}"))
+        struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
+      }
+      sig.select(col(idCol).as(out),
+          explode(array(bandCols: _*)).as("band"))
+        .select(col(out), col("band.band_idx"), col("band.band_val"))
+    }
+    val cands = CacheScope.register(
+      banded(fresh, "__fid").join(banded(ref, "__rid"),
+          Seq("band_idx", "band_val"))
+        .select(col("__fid"), col("__rid")).distinct().persist())
+
+    def candShingles(docs: DataFrame, out: String): DataFrame =
+      shingles(docs, idCol, textCol, shingleN, repartitionById = false)
+        .select(col(idCol).as(out), xxhash64(col("shingle")).as("__sh"))
+        .distinct()
+        .join(cands.select(col(out)).distinct(), Seq(out), "left_semi")
+    val shF = candShingles(fresh, "__fid")
+    val shR = candShingles(ref, "__rid")
+    val szF = shF.groupBy(col("__fid")).agg(count(lit(1)).as("__nf"))
+    val szR = shR.groupBy(col("__rid")).agg(count(lit(1)).as("__nr"))
+
+    shF.join(shR, "__sh")
+      .groupBy(col("__fid"), col("__rid")).agg(count(lit(1)).as("__c"))
+      .join(cands, Seq("__fid", "__rid"), "left_semi")
+      .join(szF, "__fid").join(szR, "__rid")
+      .withColumn("__j",
+        round(col("__c") / (col("__nf") + col("__nr") - col("__c")), 6))
+      .filter(col("__j") >= minJaccard)
+      .groupBy(col("__fid"))
+      .agg(count(lit(1)).as("n_ref_dups"), max(col("__j")).as("max_jaccard"))
+      .select(col("__fid").as(idCol), col("n_ref_dups"), col("max_jaccard"))
+  }
+
   /** Per-document SimHash (nBits <= 16): bit j comes from the sign of the
     * sum over distinct tokens of ±1, where a token votes +1 on bit j iff
     * the (j+1)-th hex char of its md5 has odd ASCII code. Engine-portable
@@ -526,6 +594,9 @@ object Dedup {
     * reassembly groupBy is keyed by doc id, skew-free by construction.
     * Exactly two shuffle keys end-to-end (chunk hash, doc id); the
     * 128-bit chunk hash stands in for chunk text on the shuffle wire.
+    * The per-doc chunk total is closed-form (ceil(n_tokens / window)),
+    * so it is projected map-side off the raw docs — no third shuffle
+    * and no second pass over the exploded chunk relation.
     *
     * @return one row per input doc: (idCol, n_chunks, n_kept, new_text)
     *         — new_text null when every chunk was someone else's
@@ -553,7 +624,12 @@ object Dedup {
           col("chunk_text")))),
         c => c("chunk_text")), " ").as("new_text"))
 
-    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    // chunk() emits ceil(n_tokens / chunkTokens) windows (>= 1: a short
+    // doc still yields its single tail chunk), so the total needs no
+    // aggregation over the exploded relation
+    docs.select(col(idCol),
+        greatest(ceil(size(split(col(textCol), " ")) /
+          lit(chunkTokens.toDouble)), lit(1L)).cast("long").as("n_chunks"))
       .join(rebuilt, Seq(idCol), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }

@@ -150,6 +150,41 @@ object EventWindows {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval join: the streaming face of
+    * RangeJoin.intervalJoin — for every left event, all right events
+    * with the same key whose event time falls in [left.ts + lower,
+    * left.ts + upper). Expressed as Structured Streaming's native
+    * time-bound stream-stream join: both sides watermarked, the range
+    * condition part of the join predicate, so the engine derives the
+    * state-retention bound from the time constraint itself (a right row
+    * is dropped from state once the watermark passes its ts + upper —
+    * bounded state at any stream length, same policy Flink's interval
+    * join uses). Batch/stream parity is the contract: on the same
+    * finite input this must produce exactly RangeJoin.intervalJoin's
+    * rows (StreamingSpec drives both and compares).
+    *
+    * Output columns follow the batch operator: `l_*` / `r_*` prefixes.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         lowerSec: Long, upperSec: Long,
+                         watermark: String = "1 minute"): DataFrame = {
+    require(upperSec > lowerSec, "need upperSec > lowerSec")
+    val l = left.select(
+        col(key).as("__lk") +: col(leftTs).as("__lt") +:
+          left.columns.toSeq.map(c => col(c).as(s"l_$c")): _*)
+      .withWatermark("__lt", watermark)
+    val r = right.select(
+        col(key).as("__rk") +: col(rightTs).as("__rt") +:
+          right.columns.toSeq.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("__rt", watermark)
+    l.join(r,
+        col("__lk") === col("__rk") &&
+          col("__rt") >= col("__lt") + expr(s"INTERVAL $lowerSec SECOND") &&
+          col("__rt") < col("__lt") + expr(s"INTERVAL $upperSec SECOND"))
+      .drop("__lk", "__rk", "__lt", "__rt")
+  }
+
   /** foreachBatch incremental index append — the reference-insert analog:
     * each micro-batch is cell-bucketed and appended to the index path.
     * Periodic compaction (rebuild) keeps file counts bounded, exactly like

@@ -230,6 +230,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === List((1L, 2L, Some("x1 x2 x3 tail")), (2L, 0L, None)))
   }
 
+  test("minhashAgainst: fresh docs match ref near-dups, ref-internal dups ignored") {
+    import spark.implicits._
+    val base = "spark shuffles data across executors during wide " +
+      "transformations and the optimizer prunes columns at the scan"
+    val fresh = Seq(
+      (1L, base + " extra"),             // near-dup of ref 101/102
+      (2L, "a completely different sentence about gardening and soil")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (101L, base),                      // near-dup of fresh 1 AND of 102
+      (102L, base + " indeed"),          // ref-internal near-dup of 101
+      (103L, "unrelated reference text about astronomy and telescopes ok")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.minhashAgainst(fresh, ref, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // only fresh doc 1 matches, against both near-identical ref docs;
+    // the 101↔102 ref-internal pair must NOT surface
+    assert(got === List((1L, 2L)))
+  }
+
   test("dupStats: HLL estimate within 5% of exact, one pass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")

@@ -35,6 +35,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch banded interval join") {
+    val dir = SparkTestSession.sf0001
+    def sides(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id")),
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id")))
+    val (sc, se) = sides(EventWindows.readStream(spark, s"$dir/events.parquet"))
+    val q = EventWindows.streamIntervalJoin(sc, se, "user_id",
+        "ts", "ts", lowerSec = 0L, upperSec = 3600L)
+      .select(col("l_event_id"), col("r_event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_ivj").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (bc, be) = sides(Tables.events(spark, dir))
+      val batch = operators.RangeJoin.intervalJoin(bc, be, "user_id",
+          "ts", "ts", lowerSec = 0L, upperSec = 3600L)
+        .select(col("l_event_id"), col("r_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session windows equal the batch computation") {
     val dir = SparkTestSession.sf0001
     val stream = EventWindows.readStream(spark, s"$dir/events.parquet")
