@@ -629,6 +629,7 @@ object SparkEntry {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
     val blobs = ids.mapPartitions { it =>
+      operators.Multimodal.initCodecs() // in-memory ImageIO spooling
       it.map { id =>
         val rgb = ((id * 2654435761L) % 16777216L).toInt
         val im = new java.awt.image.BufferedImage(8, 8,
@@ -709,6 +710,7 @@ object SparkEntry {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
     val blobs = ids.mapPartitions { it =>
+      operators.Multimodal.initCodecs() // in-memory ImageIO spooling
       it.map { id =>
         val frames = (0 until 3).map { f =>
           val v = ((id * 37 + f * 101) % 256).toInt

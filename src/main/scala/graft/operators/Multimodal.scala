@@ -130,10 +130,21 @@ object Multimodal {
   }
 
   private object Headless {
-    private lazy val done: Unit =
+    private lazy val done: Unit = {
       System.setProperty("java.awt.headless", "true")
+      // ImageIO's default read/write path spools through temp FILES; with
+      // 32 decode threads per executor that is a disk-cache stampede on
+      // /tmp (and measurably noisy under load). Blobs here are already
+      // in-memory byte arrays — cache in heap.
+      javax.imageio.ImageIO.setUseCache(false)
+    }
     def ensure(): Unit = done
   }
+
+  /** Executor-side codec init (headless AWT, in-memory ImageIO spooling)
+    * for callers that ENCODE with ImageIO before any decode here has run
+    * — e.g. fixture/blob producers inside mapPartitions. */
+  def initCodecs(): Unit = Headless.ensure()
 
   /** Partition-parallel REAL image feature extraction — same plumbing as
     * extractFeatures with javax.imageio as the inner decode. Blobs no

@@ -53,12 +53,17 @@ object TextSearch {
     val stats = toks.agg(count(lit(1)).as("__n"),
       avg(size(col("__toks"))).as("__avgdl"))
 
-    val postings = toks
+    // persisted: both the per-doc contributions and the document
+    // frequencies read it — without this the corpus-wide explode/filter
+    // pipeline (a full scan) executes twice. The relation itself is
+    // O(matching postings), tiny on the wire.
+    val postings = CacheScope.register(toks
       .select(col(idCol), size(col("__toks")).as("__dl"),
         explode(col("__toks")).as("__term"))
       .filter(col("__term").isin(terms: _*)) // before the groupBy shuffle
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+      .persist())
 
     val dfreq = postings.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df"))
