@@ -878,6 +878,38 @@ object SparkEntry {
       .orderBy(col("click_id"), col("error_id"))
   }
 
+  /** Q69 — product-quantized ANN with exact re-rank (IvfIndex.fitPq/
+    * searchPq): 8 subspaces × 16-centroid codebooks (8 codes/vec at rest
+    * vs 512 B of doubles), ADC candidate scoring from per-query literal
+    * lookup tables, survivors re-ranked on full doubles. Declared at a
+    * COVERING shortlist (= collection size) so the result is the exact
+    * kNN the SQL oracle expresses — q60's contract pattern one
+    * compression tier down; tight-shortlist recall is asserted in
+    * IvfIndexSpec. Shares q60's oracle text: both quantized paths answer
+    * the SAME declared workload. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pq = operators.IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    operators.IvfIndex.searchPq(
+        operators.IvfIndex.withPqCodes(e, "embedding", pq),
+        "embedding", "vec_id", pq, q, k = 12,
+        shortlist = e.count().toInt)
+      .select(col("vec_id"), col("dist"))
+  }
+
+  /** Q70 — sequence packing (Sampling.packSequences): concat-then-chunk
+    * bin assignment at a 2048-token budget over 4 hash shards — the
+    * training-batch construction step. The oracle reproduces the shard
+    * coins and the per-shard running-offset window arithmetic exactly. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.packSequences(t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), budget = 2048, nShards = 4)
+      .select(col("doc_id"), col("shard"), col("bin"),
+        col("offset_in_bin"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Q68 — cross-corpus near-dedup (Dedup.minhashAgainst): fresh docs
     * (doc_id % 5 != 0) that near-duplicate the standing reference slice
     * (doc_id % 5 = 0) — MinHash-LSH banding across the two corpora,
@@ -1047,6 +1079,8 @@ object SparkEntry {
     "q66_hybrid_rrf" -> (q66 _),
     "q67_interval_join" -> (q67 _),
     "q68_dedup_against" -> (q68 _),
+    "q69_ann_pq" -> (q69 _),
+    "q70_pack" -> (q70 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1092,6 +1126,16 @@ object SparkEntry {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
        |  FROM d) WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
+
+  /** Shared by q60 (SQ8) and q69 (PQ): both quantized-candidate + exact
+    * re-rank paths run at COVERING settings, so both must answer the
+    * same exact-kNN workload — one oracle text keeps that equivalence
+    * honest. */
+  private lazy val duckQuantizedKnnOracle: String =
+    s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+       |FROM embeddings e,
+       |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
+       |ORDER BY dist, vec_id LIMIT 12""".stripMargin
 
   /** Shared by q65 (BM25 top-20) and q66 (hybrid fusion of that same
     * shortlist): one oracle definition of the lexical ranking, so the
@@ -1506,11 +1550,22 @@ object SparkEntry {
          |      WHERE doc_id NOT IN (SELECT doc_id FROM losers)) e
          |JOIN documents d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    "q60_ann_sq" ->
-      s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
-         |FROM embeddings e,
-         |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
-         |ORDER BY dist, vec_id LIMIT 12""".stripMargin,
+    "q60_ann_sq" -> duckQuantizedKnnOracle,
+    "q69_ann_pq" -> duckQuantizedKnnOracle,
+    "q70_pack" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 4 AS shard
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+        |      FROM t0)
+        |SELECT doc_id, shard, CAST(floor(strt / 2048) AS BIGINT) AS bin,
+        |       strt % 2048 AS offset_in_bin, n_tokens
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q61_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

@@ -290,6 +290,90 @@ object IvfIndex {
   def withSqCodes(df: DataFrame, vecCol: String, p: SqParams): DataFrame =
     df.withColumn(SqCol, sqEncode(col(vecCol), p))
 
+  /** Product-quantization parameters: `m` subspaces of `subDim` dims,
+    * each with its own codebook (code → sub-centroid). At rest a vector
+    * is `m` small codes (1 byte each at ksub <= 256) instead of
+    * 8·dim bytes — the compression regime BELOW SQ8 (64-dim doubles:
+    * 512 B → 8 B at m=8), which is what makes exhaustive candidate scans
+    * affordable over 100 TB vector corpora. */
+  case class PqParams(m: Int, subDim: Int, codebooks: Seq[Centroids])
+
+  /** The PQ code column (array<int>, length m) in PQ-enabled layouts. */
+  val PqCol = "__pq"
+
+  /** Fit per-subspace codebooks by the same deterministic sample +
+    * seeded driver-side Lloyd used for IVF coarse centroids — one
+    * fitCentroids call per subspace over the sliced vectors (m scans of
+    * the (id, vec) projection; the slice is a map-side expression).
+    * dim must divide evenly into m subspaces. */
+  def fitPq(df: DataFrame, vecCol: String, idCol: String, m: Int,
+            ksub: Int = 16, refineIters: Int = 2): PqParams = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(ksub <= 256, "ksub > 256 would not fit byte codes at rest")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      fitCentroids(
+        df.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
+            .as("__sub")),
+        "__sub", idCol, ksub, refineIters)
+    }
+    PqParams(m, subDim, books)
+  }
+
+  /** Encode a vector to its m nearest-sub-centroid codes — the same
+    * literal-codebook argmin expression shape as `assign`, once per
+    * subspace; map-side, codegen'd, no shuffle. */
+  def pqEncode(vec: Column, p: PqParams): Column =
+    array((0 until p.m).map { j =>
+      val sub = slice(vec.cast("array<double>"), j * p.subDim + 1, p.subDim)
+      val cands = transform(centroidArray(p.codebooks(j)), c =>
+        struct(sqDist(sub, c.getField("centroid")).as("d"),
+          c.getField("list_id").as("list_id")))
+      array_min(cands).getField("list_id")
+    }: _*)
+
+  /** Add the PQ code column alongside the full-precision vectors. */
+  def withPqCodes(df: DataFrame, vecCol: String, p: PqParams): DataFrame =
+    df.withColumn(PqCol, pqEncode(col(vecCol), p))
+
+  /** ANN top-k by asymmetric distance computation (ADC) with exact
+    * re-ranking: the query builds one lookup table per subspace (squared
+    * distance from its sub-vector to every sub-centroid — m·ksub doubles
+    * computed driver-side and shipped as literals), so scoring a stored
+    * vector is m array lookups + adds on the CODE column alone — the
+    * double column stays out of the candidate scan entirely. The
+    * `shortlist` best ADC candidates re-rank on true vectors (broadcast
+    * semi-join), exactly like searchSq; shortlist >= collection size
+    * degenerates to exact kNN. Composes with IVF: run over a probed
+    * list subset instead of the full index to stack both prunings. */
+  def searchPq(index: DataFrame, vecCol: String, idCol: String,
+               p: PqParams, q: Seq[Double], k: Int, shortlist: Int,
+               roundTo: Int = 6): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val luts: Seq[Seq[Double]] = (0 until p.m).map { j =>
+      val qs = q.slice(j * p.subDim, (j + 1) * p.subDim)
+      p.codebooks(j).sortBy(_._1).map { case (_, c) =>
+        qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }
+    }
+    val adc = (0 until p.m).map { j =>
+      element_at(array(luts(j).map(lit): _*),
+        element_at(col(PqCol), j + 1) + 1)
+    }.reduce(_ + _)
+    val qVec = array(q.map(lit): _*)
+    val cand = index
+      .select(col(idCol), adc.as("__adist"))
+      .orderBy(col("__adist"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    index.join(broadcast(cand), Seq(idCol))
+      .withColumn("dist",
+        round(sqDist(col(vecCol).cast("array<double>"), qVec), roundTo))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k over SQ codes with exact re-ranking: the candidate phase
     * scans ONLY (id, list_id, codes) of the probed lists — column pruning
     * keeps the 8×-bigger double column out of that scan entirely (the

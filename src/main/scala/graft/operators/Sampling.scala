@@ -101,4 +101,40 @@ object Sampling {
       .filter(col("keep_frac").isNotNull &&
         coin < floor(col("keep_frac") * 10000).cast("long"))
   }
+
+  /** Sequence packing for training-batch construction: documents are
+    * concatenated in a deterministic order and cut into fixed-token-
+    * budget bins — the concat-then-chunk step every LLM pre-training
+    * pipeline runs between curation and tokenization. A doc's bin is
+    * `floor(start_offset / budget)` of its position in the running
+    * concatenation, so bins fill to the budget and a doc straddling a
+    * boundary spills into the next bin (standard streaming semantics:
+    * no bin exceeds budget + max_doc_tokens − 1; no driver-side bin
+    * state, unlike true first-fit which is inherently sequential).
+    *
+    * Scale design: the corpus shards by id hash into `nShards`
+    * independent packing streams (the parallelism unit — one window
+    * partition each, so no global sort), and the running offset is one
+    * cumulative-sum window per shard. Deterministic under reruns and
+    * any input partitioning: shard and order depend only on ids.
+    *
+    * @param tokenCol expression giving the doc's token count
+    * @return input columns + (shard, bin, offset_in_bin, n_tokens)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCol.cast("long"))
+      .withColumn("shard",
+        hashBucket(concat_ws("#", lit("pack"), col(idCol)), nShards))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__end") - col("n_tokens"))
+      .withColumn("bin", floor(col("__start") / budget).cast("long"))
+      .withColumn("offset_in_bin", (col("__start") % budget).cast("long"))
+      .drop("__end", "__start")
+  }
 }

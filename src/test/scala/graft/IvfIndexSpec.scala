@@ -103,6 +103,37 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a1.values.sum == e.count())
   }
 
+  test("PQ: covering shortlist degenerates to exact; tight ADC shortlist " +
+       "keeps usable recall at 64x compression") {
+    val p = IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    assert(p.subDim == 8 && p.codebooks.size == 8)
+    val index = IvfIndex.withPqCodes(e, "embedding", p).cache()
+    val n = e.count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    // covering shortlist: re-rank sees every row ⇒ exact kNN
+    val q7 = queryVec(7)
+    assert(ids(IvfIndex.searchPq(index, "embedding", "vec_id", p, q7,
+        k = 10, shortlist = n))
+      == ids(Search.knn(e, "embedding", "vec_id",
+        array(q7.map(lit): _*), 10)))
+    // 8 int codes vs 64 doubles at rest = 64x; ADC shortlist of 50/500
+    // must still recover most of the true top-10 after exact re-rank
+    val recalls = (0L until 5L).map { qid =>
+      val q = queryVec(qid)
+      val exact = ids(Search.knn(e, "embedding", "vec_id",
+        array(q.map(lit): _*), 10)).toSet
+      val pq = ids(IvfIndex.searchPq(index, "embedding", "vec_id", p, q,
+        k = 10, shortlist = 50)).toSet
+      (exact intersect pq).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean PQ recall@10 (shortlist 50/$n): $mean%.2f")
+    assert(mean >= 0.5, s"mean PQ recall $mean below floor on fixture")
+    // determinism: refit produces identical codebooks
+    assert(IvfIndex.fitPq(e, "embedding", "vec_id", m = 8) == p)
+  }
+
   test("SQ8: reconstruction error bounded by step/2 per dimension") {
     val p = IvfIndex.fitSq(e, "embedding")
     val recon = e.select(col("vec_id"),

@@ -243,6 +243,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("packSequences: concat-then-chunk bins, straddle spills, order-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // single shard: token counts 5,4,3,6 at budget 8 concatenate to
+    // offsets 0,5,9,12 -> bins 0,0,1,1 (doc 2 straddles 8 and spills)
+    val docs = Seq((1L, 5L), (2L, 4L), (3L, 3L), (4L, 6L))
+      .toDF("doc_id", "toks")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      operators.Sampling.packSequences(df, "doc_id", col("toks"),
+          budget = 8, nShards = 1)
+        .select(col("doc_id"), col("bin"), col("offset_in_bin"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val got = pack(docs)
+    assert(got === Set((1L, 0L, 0L), (2L, 0L, 5L), (3L, 1L, 1L),
+      (4L, 1L, 4L)))
+    // assignment depends only on ids+counts, not input row order
+    assert(pack(docs.orderBy(col("doc_id").desc)) === got)
+    // shards partition the corpus and each bin stays under
+    // budget + max_doc - 1
+    val d2 = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val packed = operators.Sampling.packSequences(d2, "doc_id",
+      size(split(col("text"), " ")), budget = 2048, nShards = 4)
+    assert(packed.count() == d2.count())
+    val maxDoc = packed.agg(max(col("n_tokens"))).head().getLong(0)
+    val worstBin = packed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .agg(max(col("s"))).head().getLong(0)
+    assert(worstBin < 2048 + maxDoc,
+      s"bin of $worstBin tokens exceeds budget+maxDoc bound")
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
