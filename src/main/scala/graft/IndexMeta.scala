@@ -39,7 +39,10 @@ case class IndexMeta(
     // Per-dimension scalar-quantization params when the saved layout
     // carries an int8 code column (IvfIndex.SqCol). Option: sidecars
     // written before SQ existed parse unchanged (None = no codes).
-    sq: Option[IndexMeta.SqMeta] = None) {
+    sq: Option[IndexMeta.SqMeta] = None,
+    // Product-quantization codebooks when the layout carries the PQ code
+    // column (IvfIndex.PqCol) — same backward-compat Option contract.
+    pq: Option[IndexMeta.PqMeta] = None) {
 
   def gridSpec: Option[GridIndex.GridSpec] =
     grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
@@ -49,12 +52,18 @@ case class IndexMeta(
 
   def sqParams: Option[IvfIndex.SqParams] =
     sq.map(s => IvfIndex.SqParams(s.vmin, s.step))
+
+  def pqParams: Option[IvfIndex.PqParams] =
+    pq.map(p => IvfIndex.PqParams(p.m, p.subDim,
+      p.codebooks.map(_.map(c => (c.listId, c.centroid)))))
 }
 
 object IndexMeta {
   case class GridMeta(origin: Seq[Double], width: Seq[Double], cells: Seq[Int])
   case class CentroidMeta(listId: Int, centroid: Seq[Double])
   case class SqMeta(vmin: Seq[Double], step: Seq[Double])
+  case class PqMeta(m: Int, subDim: Int,
+                    codebooks: Seq[Seq[CentroidMeta]])
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -65,12 +74,15 @@ object IndexMeta {
          spec: Option[GridIndex.GridSpec],
          cents: Option[IvfIndex.Centroids],
          unitNorm: Boolean = false,
-         sq: Option[IvfIndex.SqParams] = None): IndexMeta =
+         sq: Option[IvfIndex.SqParams] = None,
+         pq: Option[IvfIndex.PqParams] = None): IndexMeta =
     IndexMeta(1, vecCol, idCol, dim,
       spec.map(s => GridMeta(s.origin, s.width, s.cells)),
       cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq),
       Some(unitNorm),
-      sq.map(p => SqMeta(p.vmin, p.step)))
+      sq.map(p => SqMeta(p.vmin, p.step)),
+      pq.map(p => PqMeta(p.m, p.subDim,
+        p.codebooks.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

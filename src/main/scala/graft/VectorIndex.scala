@@ -39,7 +39,8 @@ class VectorIndex private (
     val dim: Int,
     gridSpec: Option[GridIndex.GridSpec],
     centroids: Option[IvfIndex.Centroids],
-    sqParams: Option[IvfIndex.SqParams] = None) {
+    sqParams: Option[IvfIndex.SqParams] = None,
+    pqParams: Option[IvfIndex.PqParams] = None) {
 
   /** Point count — reference `_pointcount` (hpp:304). */
   def size(): Long = data.count()
@@ -105,6 +106,22 @@ class VectorIndex private (
       q, k, nProbe, sl)
   }
 
+  /** Approximate kNN over the product-quantized codes with exact
+    * re-ranking (IvfIndex.searchPq): IVF list pruning first, then ADC
+    * scoring over the m-byte code column of the probed lists only —
+    * the deepest compression tier of the saved layout (m bytes/vec at
+    * the candidate scan vs dim for SQ8 and 8·dim for doubles). */
+  def annSearchPq(q: Seq[Double], k: Int, nProbe: Int = 4,
+                  shortlist: Int = 0): DataFrame = {
+    require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    require(pqParams.isDefined && data.columns.contains(IvfIndex.PqCol),
+      "no PQ codes — save() an IVF index and load() it to enable annSearchPq")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val lists = IvfIndex.probeLists(centroids.get, q, nProbe)
+    IvfIndex.searchPq(data.filter(col("list_id").isin(lists: _*)),
+      vecCol, idCol, pqParams.get, q, k, sl)
+  }
+
   /** Incremental insertion — reference `insert` (hpp:1262). New rows are
     * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
     * clamp to border cells; pruning stays lossless because query-side cell
@@ -123,14 +140,18 @@ class VectorIndex private (
     val withCodes = sqParams
       .map(p => IvfIndex.withSqCodes(withLists, vecCol, p))
       .getOrElse(withLists)
-    val unioned = data.unionByName(withCodes, allowMissingColumns = true)
+    val withPq = pqParams
+      .map(p => IvfIndex.withPqCodes(withCodes, vecCol, p))
+      .getOrElse(withCodes)
+    val unioned = data.unionByName(withPq, allowMissingColumns = true)
     new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids,
-      sqParams)
+      sqParams, pqParams)
   }
 
   /** Re-fit the pruning structures over the current collection. */
   def rebuild(cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex =
-    VectorIndex.create(data.drop("cell_id", "list_id", IvfIndex.SqCol),
+    VectorIndex.create(
+      data.drop("cell_id", "list_id", IvfIndex.SqCol, IvfIndex.PqCol),
       vecCol, idCol, dim, cellsPerDim, nlist)
 
   /** Persist as a pruning-friendly parquet index (the 100 TB layout) plus
@@ -157,11 +178,12 @@ class VectorIndex private (
         VectorFunctions.sqNorm(col(vecCol)) - 1.0))).head()
       !m.isNullAt(0) && m.getDouble(0) <= 1e-9
     }
-    val savedSq = (gridSpec, centroids) match {
+    val savedSq: (Option[IvfIndex.SqParams], Option[IvfIndex.PqParams]) =
+      (gridSpec, centroids) match {
       case (Some(spec), _) =>
         GridIndex.buildIndex(data, vecCol, spec, path)
         plans.IndexAwareRules.registerIndex(path, spec, unit)
-        None
+        (None, None)
       case (None, Some(c)) =>
         // rows out of create()/append() already carry the argmin list_id;
         // only raw external frames need assignment here
@@ -178,15 +200,28 @@ class VectorIndex private (
         val withCodes =
           if (assigned.columns.contains(IvfIndex.SqCol)) assigned
           else IvfIndex.withSqCodes(assigned, vecCol, sqp)
-        withCodes.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        // PQ codebooks join the layout when the dims sub-divide evenly
+        // (m=8, the embedding-width common case) — the deepest candidate
+        // -scan tier; same reuse-on-resave contract as SQ.
+        val pqp = pqParams.orElse(
+          if (dim % 8 == 0)
+            Some(IvfIndex.fitPq(withCodes, vecCol, idCol, m = 8))
+          else None)
+        val withPq = pqp match {
+          case Some(p) if !withCodes.columns.contains(IvfIndex.PqCol) =>
+            IvfIndex.withPqCodes(withCodes, vecCol, p)
+          case _ => withCodes
+        }
+        withPq.write.mode("overwrite").partitionBy("list_id").parquet(path)
         plans.IndexAwareRules.registerIvfIndex(path, c, unit)
-        Some(sqp)
+        (Some(sqp), pqp)
       case (None, None) =>
         data.write.mode("overwrite").parquet(path)
-        None
+        (None, None)
     }
     IndexMeta.write(data.sparkSession, path,
-      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit, savedSq))
+      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit,
+        savedSq._1, savedSq._2))
   }
 }
 
@@ -255,6 +290,6 @@ object VectorIndex {
       case _ => ()
     }
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
-      meta.ivfCentroids, meta.sqParams)
+      meta.ivfCentroids, meta.sqParams, meta.pqParams)
   }
 }

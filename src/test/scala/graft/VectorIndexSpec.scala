@@ -210,6 +210,42 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hit == 9000L, "appended exact-match row must rank first")
   }
 
+  test("PQ codes ride in the saved IVF layout; annSearchPq after load " +
+       "prunes lists, re-ranks exactly, covers exhaustive search") {
+    val df = randomDf(250, 32, 31)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 32, nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_pq").toString + "/idx"
+    idx.save(path)
+    // 32 % 8 == 0 ⇒ save fits PQ automatically; codes in the layout,
+    // codebooks in the sidecar
+    assert(spark.read.parquet(path).columns
+      .contains(graft.operators.IvfIndex.PqCol))
+    val meta = IndexMeta.read(spark, path).get
+    assert(meta.pqParams.isDefined)
+    assert(meta.pqParams.get.m == 8 && meta.pqParams.get.subDim == 4)
+    val re = VectorIndex.load(spark, path)
+    val q = Seq.fill(32)(3.0)
+    // covering settings (nProbe = nlist, shortlist >= n) = exact kNN
+    val pq = re.annSearchPq(q, 5, nProbe = 8, shortlist = 250)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(pq == Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
+      .select("id").collect().map(_.getLong(0)).toSeq)
+    // tight shortlist still returns k exactly-ranked rows
+    val tight = re.annSearchPq(q, 5, nProbe = 4)
+    assert(tight.count() == 5)
+    val dists = tight.select("dist").collect().map(_.getDouble(0)).toSeq
+    assert(dists == dists.sorted)
+    // append after load encodes new rows with the STORED codebooks
+    import spark.implicits._
+    val extra = Seq((9000L, Seq.fill(32)(3.0), "new"))
+      .toDF("id", "vec", "name")
+    val appended = re.append(extra)
+    val hit = appended.annSearchPq(q, 1, nProbe = 8, shortlist = 251)
+      .select("id").head().getLong(0)
+    assert(hit == 9000L, "appended exact-match row must rank first")
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
