@@ -910,6 +910,33 @@ object SparkEntry {
         col("offset_in_bin"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Q71 — SimHash Hamming-radius near-dup pairs
+    * (Dedup.simhashNearDupPairs): all document pairs whose 16-bit
+    * signatures differ in <= 2 bits, found via pigeonhole banding
+    * (3 bit-bands; any radius-2 pair agrees exactly on one) + the exact
+    * bit_count(xor) filter. The oracle is the naive all-pairs
+    * formulation, so the hash match proves the banding lossless —
+    * completing the q21 signature query into the full Manku-style
+    * near-dup join. */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhashNearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", nBits = 16, maxHamming = 2)
+      .orderBy(col("a"), col("b"))
+
+  /** Q72 — vector centroid aggregation (VectorAgg.meanVector): per-label
+    * elementwise mean of the 64-dim embeddings — the pooling/prototype
+    * aggregate. The contract flattens the centroid to (label, pos,
+    * mean_val) rows so the compare hashes scalars; the operator itself
+    * returns the array column. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    operators.VectorAgg.meanVector(t(s, dir, "embeddings"),
+        Seq("label"), "embedding", dim = 64)
+      .select(col("label"), col("n"),
+        posexplode(col("mean_vec")).as(Seq("pos", "mean_val")))
+      .select(col("label"), col("n"), col("pos").cast("long").as("pos"),
+        round(col("mean_val"), 6).as("mean_val"))
+      .orderBy(col("label"), col("pos"))
+
   /** Q68 — cross-corpus near-dedup (Dedup.minhashAgainst): fresh docs
     * (doc_id % 5 != 0) that near-duplicate the standing reference slice
     * (doc_id % 5 = 0) — MinHash-LSH banding across the two corpora,
@@ -1081,6 +1108,8 @@ object SparkEntry {
     "q68_dedup_against" -> (q68 _),
     "q69_ann_pq" -> (q69 _),
     "q70_pack" -> (q70 _),
+    "q71_simhash_neardup" -> (q71 _),
+    "q72_vector_centroid" -> (q72 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1311,6 +1340,28 @@ object SparkEntry {
          |v AS (SELECT doc_id, $duckSimhashVotes FROM toks GROUP BY doc_id)
          |SELECT doc_id, CAST($duckSimhashBits AS BIGINT) AS simhash
          |FROM v ORDER BY doc_id""".stripMargin,
+    "q71_simhash_neardup" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |                unnest(string_split(text, ' ')) AS tok FROM documents),
+         |v AS (SELECT doc_id, $duckSimhashVotes FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($duckSimhashBits AS BIGINT) AS simhash
+         |       FROM v)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+         |         AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
+    "q72_vector_centroid" ->
+      """WITH ev AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |              unnest(embedding) AS v
+        |            FROM embeddings),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+        |SELECT ev.label, n.n, CAST(ev.pos - 1 AS BIGINT) AS pos,
+        |       ROUND(avg(CAST(ev.v AS DOUBLE)), 6) AS mean_val
+        |FROM ev JOIN n USING (label)
+        |GROUP BY ev.label, n.n, ev.pos
+        |ORDER BY label, pos""".stripMargin,
     "q22_embed_neardup" ->
       s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
          |       ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) AS dist

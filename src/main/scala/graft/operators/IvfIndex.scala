@@ -301,10 +301,13 @@ object IvfIndex {
   /** The PQ code column (array<int>, length m) in PQ-enabled layouts. */
   val PqCol = "__pq"
 
-  /** Fit per-subspace codebooks by the same deterministic sample +
-    * seeded driver-side Lloyd used for IVF coarse centroids — one
-    * fitCentroids call per subspace over the sliced vectors (m scans of
-    * the (id, vec) projection; the slice is a map-side expression).
+  /** Fit per-subspace codebooks by the same deterministic hash-stride
+    * sample + seeded driver-side Lloyd used for IVF coarse centroids.
+    * The FULL vectors are sampled ONCE and sliced driver-side — the
+    * id-keyed stride filter picks identical rows for every subspace, so
+    * this produces bit-identical codebooks to per-subspace fitting at
+    * one count + two sample collects instead of m of each (3 jobs, not
+    * 3m — the whole fit is metadata-sized driver work either way).
     * dim must divide evenly into m subspaces. */
   def fitPq(df: DataFrame, vecCol: String, idCol: String, m: Int,
             ksub: Int = 16, refineIters: Int = 2): PqParams = {
@@ -312,12 +315,28 @@ object IvfIndex {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(ksub <= 256, "ksub > 256 would not fit byte codes at rest")
     val subDim = dim / m
+    val n = df.count()
+    def take(src: DataFrame, k: Int): Array[Array[Double]] = src
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    def strideSample(k: Long): Array[Array[Double]] = {
+      val stride = math.max(n / k, 1L)
+      val s = take(df.filter(
+        pmod(xxhash64(col(idCol)), lit(stride)) === 0), k.toInt)
+      if (s.nonEmpty) s else take(df, k.toInt) // tiny-input fallback
+    }
+    val init = strideSample(ksub.toLong)
+    val sample =
+      if (refineIters <= 0) Array.empty[Array[Double]]
+      else strideSample(math.min(ksub.toLong * 32, 32768L))
+    def slices(rows: Array[Array[Double]], j: Int) =
+      rows.map(_.slice(j * subDim, (j + 1) * subDim))
     val books = (0 until m).map { j =>
-      fitCentroids(
-        df.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
-            .as("__sub")),
-        "__sub", idCol, ksub, refineIters)
+      val cents =
+        if (refineIters <= 0) slices(init, j)
+        else lloyd(slices(init, j), slices(sample, j), refineIters)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     }
     PqParams(m, subDim, books)
   }

@@ -33,4 +33,25 @@ class AggregatesSpec extends AnyFunSuite {
     val names = GraftExtensions.registrations.map(_._1)
     assert(names == Seq("graft_sqdist", "graft_dot", "graft_cosine"))
   }
+
+  test("meanVector: hand-computed centroids, no explode in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("x", Seq(1.0, 2.0, 3.0)),
+      ("x", Seq(3.0, 4.0, 5.0)),
+      ("y", Seq(10.0, 0.0, -2.0))).toDF("g", "vec")
+    val got = operators.VectorAgg.meanVector(df, Seq("g"), "vec", 3)
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Double](2))).toList
+    assert(got === List(
+      ("x", 2L, Seq(2.0, 3.0, 4.0)),
+      ("y", 1L, Seq(10.0, 0.0, -2.0))))
+    // scale shape: one hash aggregate over element_at projections — a
+    // posexplode formulation would show Generate in the plan
+    val plan = operators.VectorAgg.meanVector(df, Seq("g"), "vec", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"))
+  }
 }

@@ -230,6 +230,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got === List((1L, 2L, Some("x1 x2 x3 tail")), (2L, 0L, None)))
   }
 
+  test("simhashNearDupPairs: banded pairs == naive all-pairs at radius 2") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val got = operators.Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = operators.Dedup.simhash(docs, "doc_id", "text")
+    val naive = sig.select(col("doc_id").as("a"), col("simhash").as("sa"))
+      .join(sig.select(col("doc_id").as("b"), col("simhash").as("sb")),
+        col("a") < col("b"))
+      .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("h") <= 2)
+      .select(col("a"), col("b"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
   test("minhashAgainst: fresh docs match ref near-dups, ref-internal dups ignored") {
     import spark.implicits._
     val base = "spark shuffles data across executors during wide " +
