@@ -1657,7 +1657,8 @@ object SparkEntry {
         |        ('src2', 0.2)) AS t(source, wt)),
         |tt AS (SELECT min(ns / wt) AS tot FROM n JOIN w USING (source)),
         |f AS (SELECT source,
-        |        CAST(floor(least(1.0, (SELECT tot FROM tt) * wt / ns)
+        |        CAST(floor(least(1.0,
+        |            round((SELECT tot FROM tt) * wt / ns, 9))
         |          * 10000) AS BIGINT) AS thr
         |      FROM n JOIN w USING (source))
         |SELECT d.doc_id, d.source

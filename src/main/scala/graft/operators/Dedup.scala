@@ -182,25 +182,34 @@ object Dedup {
     * The band equi-join is the blocking step: cost is O(collisions), never
     * O(n²). Returns distinct (a, b), a < b. Verify candidates with
     * ngramJaccardPairs (or any exact measure) downstream. */
+  /** LSH band columns over a minhashSignatures output: (k/rowsPerBand)
+    * (band_idx, band_val) structs — the ONE definition both the
+    * self-join (minhashCandidates) and cross-corpus (minhashAgainst)
+    * blockers band with, so their collision semantics cannot drift. */
+  private def lshBands(idCol: String, k: Int, rowsPerBand: Int)
+      : (DataFrame => DataFrame) = { sig =>
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+  }
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, rowsPerBand: Int = 2,
                         shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
     val sig = minhashSignatures(docs, idCol, textCol, k, shingleN)
-    val nBands = k / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
-    }
     // Persisted: both sides of the self-join read it — without this the
     // whole shingle → md5 → min-agg pipeline executes twice. The banded
     // relation is nBands rows per DOCUMENT (not per shingle), orders of
     // magnitude smaller than the corpus; at 100 TB it goes to scratch
     // storage instead of memory, same plan shape.
-    val banded = CacheScope.register(sig.select(col(idCol),
-        explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_val"))
-      .persist())
+    val banded = CacheScope.register(
+      lshBands(idCol, k, rowsPerBand)(sig).persist())
     // Bucket-size cap, same scale guard as ngramJaccardPairs' df cap: a
     // band bucket of m documents yields m² candidate rows. Giant buckets
     // come from degenerate signatures (empty/near-empty documents all
@@ -251,22 +260,30 @@ object Dedup {
     */
   def minhashAgainst(fresh: DataFrame, ref: DataFrame, idCol: String,
                      textCol: String, k: Int = 8, rowsPerBand: Int = 2,
-                     shingleN: Int = 3,
-                     minJaccard: Double = 0.5): DataFrame = {
-    def banded(docs: DataFrame, out: String): DataFrame = {
-      val sig = minhashSignatures(docs, idCol, textCol, k, shingleN)
-      val nBands = k / rowsPerBand
-      val bandCols = (0 until nBands).map { b =>
-        val parts = (0 until rowsPerBand)
-          .map(r => col(s"mh${b * rowsPerBand + r}"))
-        struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
-      }
-      sig.select(col(idCol).as(out),
-          explode(array(bandCols: _*)).as("band"))
-        .select(col(out), col("band.band_idx"), col("band.band_val"))
-    }
+                     shingleN: Int = 3, minJaccard: Double = 0.5,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
+    def banded(docs: DataFrame, out: String): DataFrame =
+      lshBands(idCol, k, rowsPerBand)(
+        minhashSignatures(docs, idCol, textCol, k, shingleN))
+        .withColumnRenamed(idCol, out)
+    val bf = banded(fresh, "__fid")
+    val br = banded(ref, "__rid")
+    // Same degenerate-signature guard as minhashCandidates, adapted to
+    // the cross product: a bucket emits |fresh∩bucket|·|ref∩bucket|
+    // candidate rows, so the cap is on the COMBINED membership (both
+    // sides must drop the same buckets or the join goes asymmetric).
+    // Default no-op below 1000 combined docs per bucket; q68's oracle
+    // carries no cap, so the declared-scale hash match also certifies
+    // the cap never fired there.
+    val hot = bf.select(col("band_idx"), col("band_val"))
+      .unionByName(br.select(col("band_idx"), col("band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucketSize)
+      .select(col("band_idx"), col("band_val"))
     val cands = CacheScope.register(
-      banded(fresh, "__fid").join(banded(ref, "__rid"),
+      bf.join(hot, Seq("band_idx", "band_val"), "left_anti")
+        .join(br.join(hot, Seq("band_idx", "band_val"), "left_anti"),
           Seq("band_idx", "band_val"))
         .select(col("__fid"), col("__rid")).distinct().persist())
 

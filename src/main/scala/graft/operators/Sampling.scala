@@ -88,9 +88,13 @@ object Sampling {
     require(present.nonEmpty, "no rows from any weighted source")
     val total = present.map { case (s, w) => counts(s) / w }.min
     // per-source keep threshold over the 10000-bucket coin space; floor
-    // matches the oracle's CAST(floor(f * 10000) AS BIGINT) exactly
+    // matches the oracle's CAST(floor(f * 10000) AS BIGINT) exactly.
+    // Round to 9 decimals BEFORE the floor (oracle mirrors): for the
+    // limiting source (n/w)·w/n is algebraically 1 but can evaluate to
+    // 0.999…9 in doubles, and a raw floor would then drop ~1/10000 of
+    // the very source the recipe keeps whole.
     val thr = present.map { case (s, w) =>
-      s -> math.min(1.0, total * w / counts(s)) }
+      s -> math.min(1.0, math.round(total * w / counts(s) * 1e9) / 1e9) }
     val thrCol = thr.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
         when(col(srcCol) === s, lit(f)).otherwise(acc) }

@@ -216,7 +216,9 @@ object TextAnalysis {
       .select(col(idCol).as("__eval_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
     val t = (if (bloomPrefilter) {
-      e.persist()
+      // registered so CacheScope.collect callers can unpersist; read by
+      // the count, the bloom aggregate, and the final join
+      CacheScope.register(e.persist())
       val nEval = e.count()
       if (nEval == 0) tRaw.filter(lit(false))
       else tRaw.filter(mightContain(bloomOf(e, "shingle", nEval),

@@ -76,6 +76,12 @@ object ScaleUp {
 
     out(fan(read("customer"))
       .withColumn("c_custkey", cust(col("c_custkey")))
+      // balances shift per copy so the similarity self-join's pair
+      // density stays CONSTANT per copy: without this every customer
+      // gains copies-1 identical-balance clones and the |Δacctbal|<=1
+      // join's output grows ~copies² for copies× rows — a fixture
+      // artifact that would masquerade as superlinear engine scaling
+      .withColumn("c_acctbal", col("c_acctbal") + col("__copy") * 20000.0)
       .drop("__copy"), "customer")
     out(fan(read("supplier"))
       .withColumn("s_suppkey", supp(col("s_suppkey")))
