@@ -109,6 +109,78 @@ object CorpusPipeline {
     corpus
   }
 
+  /** The FULL modern training-data pipeline — every curation stage this
+    * package implements, composed in production order:
+    *
+    *   1. Gopher repetition gate (dup-word / top-bigram fractions) —
+    *      catches degenerate text the length/punct heuristics pass;
+    *   2. quality gate → exact dedup → LSH+Jaccard near-dup removal
+    *      (the prepare() core);
+    *   3. benchmark decontamination: drop survivors sharing any word
+    *      n-gram with the held-out eval set (Bloom-prefiltered);
+    *   4. corpus mixing to a target source-weight recipe;
+    *   5. deterministic train/val/test split;
+    *   6. sequence packing of the TRAIN slice into token-budget bins
+    *      (val/test rows keep null bin columns — they are not batched).
+    *
+    * Stage order is the cheap-first / pairwise-last discipline of
+    * prepare(), with decontamination after dedup (fewer docs to shingle)
+    * and mixing after decontamination (the recipe should re-weight what
+    * will actually be trained on). Same cache lifecycle as prepare():
+    * result comes back persisted + materialized, intermediates
+    * unpersisted, caller owns the result's unpersist().
+    *
+    * @param evalDocs      held-out eval/bench documents (same id/text
+    *                      columns); None skips decontamination
+    * @param sourceWeights mixing recipe; empty skips mixing
+    * @return input columns + split + (shard, bin, offset_in_bin,
+    *         n_tokens — train rows only, null elsewhere)
+    */
+  def prepareTraining(docs: DataFrame, idCol: String, textCol: String,
+                      evalDocs: Option[DataFrame] = None,
+                      sourceWeights: Map[String, Double] = Map.empty,
+                      srcCol: String = "source",
+                      packBudget: Long = 2048, packShards: Int = 32,
+                      maxDupWordFrac: Double = 0.5,
+                      maxTopBigramFrac: Double = 0.5,
+                      decontamNgram: Int = 8,
+                      minTokens: Int = 5, maxPunctRatio: Double = 0.3,
+                      minhashK: Int = 8, minJaccard: Double = 0.5,
+                      collapseComponents: Boolean = false): DataFrame = {
+    val (out, scoped) = CacheScope.collect {
+      val repFlagged = TextAnalysis.repetitionSignals(docs, idCol)
+        .filter(col("dup_word_frac") > maxDupWordFrac ||
+          col("top_bigram_frac") > maxTopBigramFrac)
+        .select(col(idCol))
+      val gated = docs.join(repFlagged, Seq(idCol), "left_anti")
+      val deduped = CacheScope.register(
+        dedupStages(gated, idCol, textCol, minTokens, maxPunctRatio,
+          minhashK, minJaccard, collapseComponents).persist())
+      val clean = evalDocs match {
+        case Some(ev) =>
+          val tainted = TextAnalysis.decontaminate(deduped, ev, idCol,
+            textCol, n = decontamNgram).select(col(idCol))
+          deduped.join(tainted, Seq(idCol), "left_anti")
+        case None => deduped
+      }
+      val mixed =
+        if (sourceWeights.isEmpty) clean
+        else Sampling.mixBySource(clean, srcCol, idCol, sourceWeights)
+          .drop("keep_frac")
+      val splitDf = CacheScope.register(
+        Sampling.trainValTest(mixed, idCol).persist())
+      val packed = Sampling.packSequences(
+          splitDf.filter(col("split") === "train"), idCol,
+          size(split(col(textCol), " ")), packBudget, packShards)
+        .select(col(idCol), col("shard"), col("bin"),
+          col("offset_in_bin"), col("n_tokens"))
+      splitDf.join(packed, Seq(idCol), "left").persist()
+    }
+    out.count()
+    scoped.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   private def dedupStages(docs: DataFrame, idCol: String, textCol: String,
                           minTokens: Int, maxPunctRatio: Double,
                           minhashK: Int, minJaccard: Double,

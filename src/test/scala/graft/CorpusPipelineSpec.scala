@@ -30,6 +30,47 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("prepareTraining: all gates fire, decontaminated, packed, deterministic") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    def run() = CorpusPipeline.prepareTraining(train, "doc_id", "text",
+      evalDocs = Some(eval), sourceWeights = weights,
+      packBudget = 512, packShards = 2)
+    val out = run()
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < train.count())
+    // 1. decontamination is effective: no survivor shares an 8-gram
+    //    with the eval set
+    val leak = TextAnalysis.decontaminate(
+      out.select(col("doc_id"), col("text")), eval, "doc_id")
+    assert(leak.isEmpty, "surviving docs must have no eval 8-gram overlap")
+    // 2. mixing restricted sources to the recipe
+    val srcs = out.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(srcs.subsetOf(weights.keySet))
+    // 3. packing covers exactly the train split, offsets inside budget,
+    //    no bin exceeds budget + its own largest doc
+    val trainRows = out.filter(col("split") === "train")
+    assert(trainRows.filter(col("bin").isNull).isEmpty)
+    assert(out.filter(col("split") =!= "train" && col("bin").isNotNull)
+      .isEmpty)
+    assert(trainRows.filter(col("offset_in_bin") < 0 ||
+      col("offset_in_bin") >= 512).isEmpty)
+    val maxDoc = trainRows.agg(max(col("n_tokens"))).head().getLong(0)
+    val worst = trainRows.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("s")).agg(max(col("s")))
+      .head().getLong(0)
+    assert(worst < 512 + maxDoc)
+    // 4. deterministic: a rerun reproduces the exact relation
+    val again = run()
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist(); again.unpersist()
+  }
+
   test("connectedComponents: empty pair table yields empty labels, no NPE") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")
