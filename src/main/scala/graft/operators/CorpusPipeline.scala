@@ -152,14 +152,31 @@ object CorpusPipeline {
         .filter(col("dup_word_frac") > maxDupWordFrac ||
           col("top_bigram_frac") > maxTopBigramFrac)
         .select(col(idCol))
-      val gated = docs.join(repFlagged, Seq(idCol), "left_anti")
-      val deduped = CacheScope.register(
-        dedupStages(gated, idCol, textCol, minTokens, maxPunctRatio,
-          minhashK, minJaccard, collapseComponents).persist())
+      // Persisted: unlike prepare(), whose dedupStages input is a raw
+      // scan, this input carries the repetition gate's bigram groupBy in
+      // its lineage — and dedupStages reads its input from several
+      // downstream actions (signature build, shingle semi-join, final
+      // anti-join).
+      val gated = CacheScope.register(
+        docs.join(repFlagged, Seq(idCol), "left_anti").persist())
+      // Lineage CUT, not just a cache: the four stages after dedup each
+      // run their own driver actions (eval-shingle count, Bloom build,
+      // mix counts, the final materialization), and EVERY action
+      // re-analyzes its full logical plan — with the dedup chain
+      // (windows over explodes over self-joins) inline, Catalyst
+      // re-analysis dominated wall time (measured 48 s → 13 s at sf0.1
+      // for the whole pipeline). localCheckpoint truncates the plan to
+      // a leaf; executor-loss trade-off is the same one
+      // connectedComponents' default rounds make, and the blocks are
+      // reclaimed by the ContextCleaner once the call returns.
+      val deduped = dedupStages(gated, idCol, textCol, minTokens,
+        maxPunctRatio, minhashK, minJaccard, collapseComponents)
+        .localCheckpoint(true)
       val clean = evalDocs match {
         case Some(ev) =>
           val tainted = TextAnalysis.decontaminate(deduped, ev, idCol,
             textCol, n = decontamNgram).select(col(idCol))
+            .localCheckpoint(true)
           deduped.join(tainted, Seq(idCol), "left_anti")
         case None => deduped
       }
