@@ -81,7 +81,10 @@ object CorpusPipeline {
       // MinHash -> Jaccard) is read by the survivors join, the final
       // anti-join, AND the semantic stage's driver actions (centroid
       // count/sample) — unpersisted it would recompute 4-5 times. Same
-      // convention as every multiply-read dedup intermediate.
+      // convention as every multiply-read dedup intermediate. (persist,
+      // not prepareTraining's localCheckpoint lineage cut: this method
+      // contractually leaves ZERO cached blocks behind — spec-pinned —
+      // and checkpoint blocks outlive the scope until GC.)
       val deduped = CacheScope.register(
         dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
           minhashK, minJaccard, collapseComponents).persist())
