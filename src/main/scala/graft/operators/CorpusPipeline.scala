@@ -151,7 +151,19 @@ object CorpusPipeline {
                       minhashK: Int = 8, minJaccard: Double = 0.5,
                       collapseComponents: Boolean = false): DataFrame = {
     val (out, scoped) = CacheScope.collect {
-      val repFlagged = TextAnalysis.repetitionSignals(docs, idCol)
+      // The scan-speed quality predicate runs BEFORE the repetition
+      // gate's corpus-wide bigram shuffle, so quality-rejected rows
+      // never enter that shuffle. Both gates are per-document
+      // predicates on the same text, so they commute: dedupStages
+      // re-applies the quality filter to the survivors as its own
+      // stage 1 (an idempotent no-op here) and the final relation is
+      // identical either way.
+      val prefiltered = TextAnalysis.qualityFeatures(docs, textCol)
+        .filter(col("n_tokens") >= minTokens &&
+          col("punct_ratio") <= maxPunctRatio)
+        .select(docs.columns.toIndexedSeq.map(col): _*)
+      val repFlagged = TextAnalysis
+        .repetitionSignals(prefiltered, idCol, textCol)
         .filter(col("dup_word_frac") > maxDupWordFrac ||
           col("top_bigram_frac") > maxTopBigramFrac)
         .select(col(idCol))
@@ -161,7 +173,7 @@ object CorpusPipeline {
       // downstream actions (signature build, shingle semi-join, final
       // anti-join).
       val gated = CacheScope.register(
-        docs.join(repFlagged, Seq(idCol), "left_anti").persist())
+        prefiltered.join(repFlagged, Seq(idCol), "left_anti").persist())
       // Lineage CUT, not just a cache: the four stages after dedup each
       // run their own driver actions (eval-shingle count, Bloom build,
       // mix counts, the final materialization), and EVERY action

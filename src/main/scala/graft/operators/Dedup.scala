@@ -177,11 +177,6 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs: band the k-hash signature into
-    * (k / rowsPerBand) bands; documents agreeing on ANY band are candidates.
-    * The band equi-join is the blocking step: cost is O(collisions), never
-    * O(n²). Returns distinct (a, b), a < b. Verify candidates with
-    * ngramJaccardPairs (or any exact measure) downstream. */
   /** LSH band columns over a minhashSignatures output: (k/rowsPerBand)
     * (band_idx, band_val) structs — the ONE definition both the
     * self-join (minhashCandidates) and cross-corpus (minhashAgainst)
@@ -198,6 +193,11 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
   }
 
+  /** MinHash-LSH candidate pairs: band the k-hash signature into
+    * (k / rowsPerBand) bands; documents agreeing on ANY band are candidates.
+    * The band equi-join is the blocking step: cost is O(collisions), never
+    * O(n²). Returns distinct (a, b), a < b. Verify candidates with
+    * ngramJaccardPairs (or any exact measure) downstream. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, rowsPerBand: Int = 2,
                         shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
@@ -267,8 +267,12 @@ object Dedup {
       lshBands(idCol, k, rowsPerBand)(
         minhashSignatures(docs, idCol, textCol, k, shingleN))
         .withColumnRenamed(idCol, out)
-    val bf = banded(fresh, "__fid")
-    val br = banded(ref, "__rid")
+    // Persisted (same reason as minhashCandidates' banded relation):
+    // each side is read TWICE — by the hot-bucket count union and as a
+    // join probe — and would otherwise re-run its whole shingle → md5 →
+    // min-agg signature pipeline per read.
+    val bf = CacheScope.register(banded(fresh, "__fid").persist())
+    val br = CacheScope.register(banded(ref, "__rid").persist())
     // Same degenerate-signature guard as minhashCandidates, adapted to
     // the cross product: a bucket emits |fresh∩bucket|·|ref∩bucket|
     // candidate rows, so the cap is on the COMBINED membership (both
