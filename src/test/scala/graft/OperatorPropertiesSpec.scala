@@ -222,4 +222,84 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  // random keyed events over a small key/time space: plenty of
+  // same-instant, boundary-exact, and cross-band pairs
+  private val ivjCase: Gen[(List[(Long, Int, Int)], List[(Long, Int, Int)],
+      Int, Int, Int)] =
+    for {
+      nl <- Gen.chooseNum(0, 30); nr <- Gen.chooseNum(0, 30)
+      l <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(0, 3); t <- Gen.chooseNum(0, 600)
+      } yield (0L, k, t))
+      r <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(0, 3); t <- Gen.chooseNum(0, 600)
+      } yield (0L, k, t))
+      lo <- Gen.chooseNum(-120, 120)
+      span <- Gen.chooseNum(1, 300)
+      band <- Gen.oneOf(0, 7, 60, 1000) // 0 = default (= span)
+    } yield (l.zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) },
+      r.zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) },
+      lo, span, band)
+
+  test("banded interval join == in-memory oracle for any band width") {
+    import spark.implicits._
+    run("intervalJoin", Prop.forAll(ivjCase) {
+      case (lrows, rrows, lo, span, band) =>
+        val hi = lo + span
+        val left = lrows.toDF("id", "k", "t")
+          .withColumn("ts", timestamp_seconds(col("t")))
+        val right = rrows.toDF("id", "k", "t")
+          .withColumn("ts", timestamp_seconds(col("t")))
+        val got = graft.operators.RangeJoin.intervalJoin(left, right,
+            "k", "ts", "ts", lo, hi, band)
+          .select(col("l_id"), col("r_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (lid, lk, lt) <- lrows
+          (rid, rk, rt) <- rrows
+          if lk == rk && rt >= lt + lo && rt < lt + hi
+        } yield (lid, rid)).toSet
+        got == want
+    })
+  }
+
+  private val packCase: Gen[(List[Int], Int, Int)] =
+    for {
+      n <- Gen.chooseNum(0, 60)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1, 40))
+      budget <- Gen.chooseNum(5, 80)
+      shards <- Gen.chooseNum(1, 4)
+    } yield (toks, budget, shards)
+
+  /** The md5 shard coin, recomputed independently of Spark. */
+  private def shardOf(id: Long, nShards: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pack#$id".getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % nShards
+  }
+
+  test("packSequences == in-memory concat-then-chunk oracle") {
+    import spark.implicits._
+    run("pack", Prop.forAll(packCase) { case (toks, budget, shards) =>
+      val rows = toks.zipWithIndex.map { case (t, i) => (i.toLong, t.toLong) }
+      val got = graft.operators.Sampling.packSequences(
+          rows.toDF("id", "n"), "id", col("n"), budget.toLong, shards)
+        .select(col("id"), col("shard"), col("bin"), col("offset_in_bin"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = rows.groupBy { case (id, _) => shardOf(id, shards) }
+        .flatMap { case (shard, members) =>
+          members.sortBy(_._1)
+            .scanLeft((-1L, 0L, 0L)) { case ((_, _, end), (id, n)) =>
+              (id, end, end + n) // (id, start, running end)
+            }.tail
+            .map { case (id, start, _) =>
+              (id, shard, start / budget, start % budget) }
+        }.toSet
+      got == want
+    })
+  }
 }
