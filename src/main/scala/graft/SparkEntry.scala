@@ -1189,9 +1189,10 @@ object SparkEntry {
 
   /** Shared by q65 (BM25 top-20) and q66 (hybrid fusion of that same
     * shortlist): one oracle definition of the lexical ranking, so the
-    * two queries can't drift apart. Shortlist cut by RAW score (mirrors
-    * TextSearch.bm25's internal orderBy-limit); consumers rank/emit the
-    * 6-decimal-rounded score. */
+    * two queries can't drift apart. Shortlist cut by the 6-decimal-
+    * rounded score (mirrors TextSearch.bm25's internal rounded
+    * orderBy-limit), so sub-rounding sum-order noise can't pick a
+    * different boundary SET in engine vs oracle. */
   private val duckBm25: String =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
       |          FROM documents),
@@ -1209,7 +1210,8 @@ object SparkEntry {
       |           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * btf.dl / st.avgdl)))
       |           AS s
       |       FROM btf JOIN bdf USING (term), st GROUP BY doc_id),
-      |bmtop AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id LIMIT 20)"""
+      |bmtop AS (SELECT doc_id, ROUND(s, 6) AS s FROM bm
+      |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20)"""
       .stripMargin
 
   private val duckStopwords =
@@ -1636,7 +1638,7 @@ object SparkEntry {
         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
         |      FROM t0)
         |SELECT doc_id, shard, CAST(floor(strt / 2048) AS BIGINT) AS bin,
-        |       strt % 2048 AS offset_in_bin, n_tokens
+        |       CAST(strt % 2048 AS BIGINT) AS offset_in_bin, n_tokens
         |FROM o ORDER BY doc_id""".stripMargin,
     "q61_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1876,7 +1878,7 @@ object SparkEntry {
          |       FROM pk0)
          |SELECT sp.doc_id, sp.source, sp.split, pk.shard,
          |       CAST(floor(pk.strt / 2048) AS BIGINT) AS bin,
-         |       pk.strt % 2048 AS offset_in_bin, pk.n_tokens
+         |       CAST(pk.strt % 2048 AS BIGINT) AS offset_in_bin, pk.n_tokens
          |FROM sp LEFT JOIN pk USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q67_interval_join" ->

@@ -167,8 +167,14 @@ class VectorIndex private (
     * The path is registered with the index-aware optimizer rules, so a
     * plain `graft_sqdist(vec, q) <= r²` filter — or `ORDER BY
     * graft_sqdist(...) LIMIT k` — over a scan of it auto-prunes
-    * (plans.IndexAwareRules, grid and IVF geometries alike). */
-  def save(path: String): Unit = {
+    * (plans.IndexAwareRules, grid and IVF geometries alike).
+    *
+    * @param fitPq also fit + store PQ codebooks/codes for IVF layouts
+    *              when dim is divisible by 8 (the deepest scan tier).
+    *              Fitting costs a count + two small collects + a per-row
+    *              encode and widens the written layout — callers that
+    *              never serve searchPq can opt out. */
+  def save(path: String, fitPq: Boolean = true): Unit = {
     // Unit-norm detection (one tiny-output agg over the collection — the
     // index write next to it already scans everything): a normalized
     // index additionally serves COSINE top-k through the same pruning,
@@ -204,7 +210,7 @@ class VectorIndex private (
         // (m=8, the embedding-width common case) — the deepest candidate
         // -scan tier; same reuse-on-resave contract as SQ.
         val pqp = pqParams.orElse(
-          if (dim % 8 == 0)
+          if (fitPq && dim % 8 == 0)
             Some(IvfIndex.fitPq(withCodes, vecCol, idCol, m = 8))
           else None)
         val withPq = pqp match {

@@ -20,6 +20,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist intermediates (CacheScope is a no-op outside a
+      // collect scope); without this the ~80-query dump accumulates every
+      // cached relation — MEMORY_AND_DISK pressure, not correctness
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -55,10 +55,12 @@ object RangeJoin {
     val lowerUs = lowerSec * 1000000L
     val upperUs = upperSec * 1000000L
 
-    // exact floor division in long arithmetic (pmod is non-negative), so
-    // bucket ids stay correct for any epoch sign — no double rounding
+    // exact floor division in long arithmetic (pmod is non-negative, so
+    // the subtraction is exactly divisible and `div` — Spark's integral
+    // divide — never rounds); bucket ids stay correct for any epoch sign
+    // and any magnitude, with no double-precision cliff at |micros| ≥ 2^53
     def floorDiv(a: org.apache.spark.sql.Column, b: Long) =
-      ((a - pmod(a, lit(b))) / b).cast("long")
+      call_function("div", a - pmod(a, lit(b)), lit(b))
 
     val l = left.select(
       col(key).as("__k") +:

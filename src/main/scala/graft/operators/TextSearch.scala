@@ -38,10 +38,15 @@ object TextSearch {
     *
     * @param k1 term-frequency saturation (Robertson's 1.2 default)
     * @param b  length normalization strength (0.75 default)
+    * @param roundTo decimals the returned score is rounded to BEFORE the
+    *                top-k cut (same contract as Search.cosineTopK): the
+    *                groupBy-sum's addend order differs between engines,
+    *                so a raw-double cut could pick different boundary
+    *                SETS when two docs tie at rounded precision
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val terms = queryTerms.map(_.toLowerCase).distinct
 
@@ -75,12 +80,13 @@ object TextSearch {
             (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
 
     contrib.groupBy(col(idCol))
-      .agg(sum(col("__score")).as("score"))
+      .agg(sum(col("__score")).as("__raw"))
+      .select(col(idCol), round(col("__raw"), roundTo).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
-  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two ranked
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
     * shortlists: score(d) = Σ_lists 1/(kRrf + rank_d). Ranks are dense
     * 1-based positions in each list's own order; a doc missing from a
     * list contributes nothing for it. Shortlists are top-k outputs
@@ -88,23 +94,33 @@ object TextSearch {
     * are deliberate — the heavy lifting happened in the retrievers; at
     * cluster scale this is a driver-sized fuse step, not a data job.
     *
-    * @param a / b  shortlists: (idCol, <score col>) with HIGHER = better
-    *               in `aScore`/`bScore`; ties broken by id ascending
-    * @return (idCol, rank_a, rank_b, rrf) — null rank when absent,
+    * @param lists shortlists as (df, scoreCol) with HIGHER = better;
+    *              ties broken by id ascending. Real hybrid stacks fuse
+    *              3+ retrievers (lexical + dense + metadata) — the
+    *              formula is list-count-independent.
+    * @return (idCol, rank_1..rank_N, rrf) — null rank when absent,
     *         fused score descending, id ascending on ties
     */
-  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
-              aScore: String, bScore: String, kRrf: Int = 60): DataFrame = {
-    def ranked(df: DataFrame, score: String, out: String) =
+  def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
+              kRrf: Int): DataFrame = {
+    require(lists.size >= 2, "need at least two shortlists")
+    val ranked = lists.zipWithIndex.map { case ((df, score), i) =>
       df.select(col(idCol), row_number().over(
-        Window.orderBy(col(score).desc, col(idCol))).cast("long").as(out))
-
-    val ra = ranked(a, aScore, "rank_a")
-    val rb = ranked(b, bScore, "rank_b")
-    ra.join(rb, Seq(idCol), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)))
-      .orderBy(col("rrf").desc, col(idCol))
+        Window.orderBy(col(score).desc, col(idCol)))
+        .cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = ranked.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val rrf = ranked.indices.map(i =>
+      coalesce(lit(1.0) / (lit(kRrf) + col(s"rank_${i + 1}")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", rrf).orderBy(col("rrf").desc, col(idCol))
   }
+
+  /** Two-list convenience face of [[rrfFuse]] with the historical
+    * rank_a / rank_b column names (q66's declared schema). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              aScore: String, bScore: String, kRrf: Int = 60): DataFrame =
+    rrfFuse(Seq(a -> aScore, b -> bScore), idCol, kRrf)
+      .withColumnRenamed("rank_1", "rank_a")
+      .withColumnRenamed("rank_2", "rank_b")
 }

@@ -41,8 +41,9 @@ class TextSearchSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val want = refBm25(Seq("spark", "vector"))
     assert(got.keySet === want.keySet)
+    // scores come back rounded to 6 decimals (the pre-cut contract)
     got.foreach { case (id, s) =>
-      assert(math.abs(s - want(id)) < 1e-12, s"doc $id") }
+      assert(math.abs(s - want(id)) < 5e-7, s"doc $id") }
   }
 
   test("bm25 ranking: more occurrences of a rarer term scores higher") {
@@ -91,6 +92,29 @@ class TextSearchSpec extends AnyFunSuite {
     val got = TextSearch.rrfFuse(a, b, "id", "s", "s")
       .collect().map(_.getString(0)).toList
     assert(got === List("w", "z"))
+  }
+
+  test("rrfFuse fuses three shortlists (rank_1..rank_3)") {
+    import spark.implicits._
+    // A: x=1, y=2; B: y=1, z=2; C: x=1, z=2
+    val a = Seq(("x", 0.9), ("y", 0.5)).toDF("id", "s")
+    val b = Seq(("y", 3.0), ("z", 2.0)).toDF("id", "s")
+    val c = Seq(("x", 7.0), ("z", 1.0)).toDF("id", "s")
+    val got = TextSearch.rrfFuse(Seq(a -> "s", b -> "s", c -> "s"), "id",
+        kRrf = 60)
+      .collect().map(r => (r.getString(0),
+        (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])),
+        r.getDouble(4))).toList
+    val x = 1.0 / 61 + 1.0 / 61          // rank 1 in A and C
+    val y = 1.0 / 62 + 1.0 / 61          // rank 2 in A, rank 1 in B
+    val z = 1.0 / 62 + 1.0 / 62          // rank 2 in B and C
+    assert(got.map(_._1) === List("x", "y", "z"))
+    assert(got(0)._2 === Seq(Some(1L), None, Some(1L)))
+    assert(got(1)._2 === Seq(Some(2L), Some(1L), None))
+    assert(got(2)._2 === Seq(None, Some(2L), Some(2L)))
+    assert(math.abs(got(0)._3 - x) < 1e-15)
+    assert(math.abs(got(1)._3 - y) < 1e-15)
+    assert(math.abs(got(2)._3 - z) < 1e-15)
   }
 
   test("bm25 postings filter lands before the aggregation (plan audit)") {
