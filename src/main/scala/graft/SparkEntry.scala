@@ -972,6 +972,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
+    * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
+    * web-dedup regime q71's 16-bit variant could not reach before the
+    * two-digest signature landed. At 64 bits random pairs live at
+    * expected hamming 32, so radius 3 admits only true near-dups — the
+    * banded candidate set is output-sized, not fixture-dense. The oracle
+    * is the naive all-pairs join over the same two-md5 construction
+    * (hi/lo 32-bit halves so no BIGINT sign-bit literal), proving the
+    * 4×16-bit pigeonhole banding lossless at full width. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhashNearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", nBits = 64, maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+
   /** Q55 — skew-salted join (SkewJoin.saltedInner): the manual hot-key
     * mitigation for engines/pipelines with AQE off. Result is provably
     * identical to the plain equi-join (the salt only splits reducer
@@ -1131,6 +1145,7 @@ object SparkEntry {
     "q71_simhash_neardup" -> (q71 _),
     "q72_vector_centroid" -> (q72 _),
     "q73_training_pipeline" -> (q73 _),
+    "q74_simhash64_neardup" -> (q74 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1235,6 +1250,19 @@ object SparkEntry {
     .mkString(", ")
   private val duckSimhashBits = (0 until 16).map(j =>
     s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  /** 64-bit mirror of Dedup.simhash: bits 0-31 from md5(tok) hex chars,
+    * bits 32-63 from md5(tok || '#1') — exposed as two 32-bit halves so
+    * the oracle never writes the BIGINT sign-bit literal; hamming over
+    * the halves equals hamming over the packed 64-bit signature. */
+  private val duckSimhash64Votes = (0 until 64).map { j =>
+    val src = if (j < 32) s"substr(md5(tok), ${j + 1}, 1)"
+              else s"substr(md5(tok || '#1'), ${j - 31}, 1)"
+    s"sum(ascii($src) % 2 * 2 - 1) AS v$j"
+  }.mkString(", ")
+  private val duckSimhash64Lo = (0 until 32).map(j =>
+    s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  private val duckSimhash64Hi = (32 until 64).map(j =>
+    s"(CASE WHEN v$j > 0 THEN ${1L << (j - 32)} ELSE 0 END)").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q1_filter" ->
@@ -1374,6 +1402,19 @@ object SparkEntry {
          |         AS hamming
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
+    "q74_simhash64_neardup" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |                unnest(string_split(text, ' ')) AS tok FROM documents),
+         |v AS (SELECT doc_id, $duckSimhash64Votes FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($duckSimhash64Lo AS BIGINT) AS lo,
+         |         CAST($duckSimhash64Hi AS BIGINT) AS hi
+         |       FROM v)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.lo, y.lo))
+         |          + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
          |ORDER BY a, b""".stripMargin,
     "q72_vector_centroid" ->
       """WITH ev AS (SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -313,24 +313,39 @@ object Dedup {
       .select(col("__fid").as(idCol), col("n_ref_dups"), col("max_jaccard"))
   }
 
-  /** Per-document SimHash (nBits <= 16): bit j comes from the sign of the
+  /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the
     * sum over distinct tokens of ±1, where a token votes +1 on bit j iff
-    * the (j+1)-th hex char of its md5 has odd ASCII code. Engine-portable
-    * (md5 + ascii + arithmetic only) and one groupBy with nBits sums. */
+    * the hex char backing that bit has odd ASCII code. Bits 0-31 read the
+    * 32 hex chars of md5(tok); bits 32-63 read md5(tok || '#1') — the
+    * same digest-salting convention as minhashSignatures, so one extra
+    * md5 per distinct token buys the full production signature width
+    * (Manku 2007 web dedup uses 64). Engine-portable (md5 + ascii +
+    * arithmetic only) and one groupBy with nBits sums; bits 0-15 are
+    * bit-identical to the historical 16-bit construction, so existing
+    * 16-bit signatures and oracles are unchanged. The sign bit (j = 63)
+    * is assembled by bitwise OR, not addition, so the BIGINT simply goes
+    * negative — no overflow under ANSI arithmetic. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               nBits: Int = 16): DataFrame = {
-    require(nBits <= 16, "one hex char per bit: md5 prefix of 16 chars")
+    require(nBits >= 1 && nBits <= 64,
+      "one hex char per bit: two md5 digests back at most 64 bits")
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .distinct()
       .withColumn("h", md5(col("tok")))
+    val withH1 =
+      if (nBits <= 32) toks
+      else toks.withColumn("h1", md5(concat(col("tok"), lit("#1"))))
     val votes = (0 until nBits).map { j =>
-      sum(ascii(substring(col("h"), j + 1, 1)) % 2 * 2 - 1).as(s"v$j")
+      val ch =
+        if (j < 32) substring(col("h"), j + 1, 1)
+        else substring(col("h1"), j - 31, 1)
+      sum(ascii(ch) % 2 * 2 - 1).as(s"v$j")
     }
-    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val agg = withH1.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val hash = (0 until nBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), hash.cast("long").as("simhash"))
   }
 
@@ -351,12 +366,14 @@ object Dedup {
     * signature relation (8 bytes/doc) is persisted across its three
     * consumers.
     *
-    * Selectivity note: at the engine-portable 16-bit signature width
-    * (simhash's md5-hex construction) radius 2 is permissive — a
-    * homogeneous corpus yields dense pair sets (the declared fixture
-    * emits ~n²/500). Production web-dedup uses 64-bit signatures; the
-    * banding/verify SHAPE here is width-independent, so widening the
-    * signature only changes the hash expression, not the plan. */
+    * Selectivity note: at 16 bits radius 2 is permissive — a homogeneous
+    * corpus yields dense pair sets (the declared 16-bit fixture emits
+    * ~n²/500); that width exists for compatibility with the frozen q21
+    * oracle. Production web-dedup runs nBits = 64 (Manku 2007), which
+    * simhash now produces directly — at that width random pairs sit at
+    * expected hamming 32 and only true near-dups fall inside small radii,
+    * so the band join's candidate set is output-sized. The banding/verify
+    * shape is width-independent. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           nBits: Int = 16,
                           maxHamming: Int = 2): DataFrame = {
@@ -368,9 +385,12 @@ object Dedup {
       .map(b => nBits / bands + (if (b < nBits % bands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until bands).map { b =>
+      // width 64 (maxHamming = 0 on a full-width signature): 1L << 64
+      // wraps to 1, so the mask is written as -1L (all bits) explicitly
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band_idx"),
         shiftrightunsigned(col("simhash"), offsets(b))
-          .bitwiseAND(lit((1L << widths(b)) - 1)).as("band_val"))
+          .bitwiseAND(lit(mask)).as("band_val"))
     }
     val banded = sig.select(col(idCol),
         explode(array(bandCols: _*)).as("band"))

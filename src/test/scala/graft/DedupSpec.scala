@@ -246,6 +246,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got === naive && got.nonEmpty)
   }
 
+  test("simhash 64-bit: low bits frozen, deterministic, full width used") {
+    val s16 = Dedup.simhash(docs, "doc_id", "text", nBits = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s64a = Dedup.simhash(docs, "doc_id", "text", nBits = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s64b = Dedup.simhash(docs.repartition(6), "doc_id", "text", nBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s64a == s64b)
+    // widening only ADDS bits: the historical 16-bit signature is the
+    // low half-word of the 64-bit one (frozen q21/q71 oracle contract)
+    assert(s64a.forall { case (id, v) => (v & 0xFFFFL) == s16(id) })
+    // the upper digest's bits actually participate (some signature has a
+    // bit set above 31 — vacuously true signatures would mean the second
+    // md5 never fed the vote)
+    assert(s64a.values.exists(v => (v >>> 32) != 0L))
+  }
+
+  test("simhashNearDupPairs at 64 bits: pigeonhole banding lossless vs naive") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        nBits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = operators.Dedup.simhash(docs, "doc_id", "text", nBits = 64)
+    val naive = sig.select(col("doc_id").as("a"), col("simhash").as("sa"))
+      .join(sig.select(col("doc_id").as("b"), col("simhash").as("sb")),
+        col("a") < col("b"))
+      .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("h") <= 3)
+      .select(col("a"), col("b"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive && got.nonEmpty)
+    // and the radius really is discriminative at full width: the admitted
+    // set is a strict subset of the permissive 16-bit radius-2 pairs
+    val got16 = operators.Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size < got16.size)
+  }
+
   test("minhashAgainst: fresh docs match ref near-dups, ref-internal dups ignored") {
     import spark.implicits._
     val base = "spark shuffles data across executors during wide " +
