@@ -972,6 +972,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q75 — BM25 over the SAVED postings index (TextSearch.buildIndex /
+    * bm25Indexed): the q65 workload served from the at-rest inverted
+    * index instead of a corpus re-scan — bucket partition pruning routes
+    * the probe to the query terms' directories, the term predicate
+    * pushes to row groups, and the corpus scalars ride in the sidecar.
+    * Shares q65's oracle text: the index path must answer the exact
+    * ranking the scan path answers (the q60/q69 shared-oracle pattern,
+    * for lexical search). */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    operators.TextSearch.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+      path, nBuckets = 16)
+    operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
     * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
     * web-dedup regime q71's 16-bit variant could not reach before the
@@ -1146,6 +1165,7 @@ object SparkEntry {
     "q72_vector_centroid" -> (q72 _),
     "q73_training_pipeline" -> (q73 _),
     "q74_simhash64_neardup" -> (q74 _),
+    "q75_bm25_indexed" -> (q75 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1228,6 +1248,12 @@ object SparkEntry {
       |bmtop AS (SELECT doc_id, ROUND(s, 6) AS s FROM bm
       |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20)"""
       .stripMargin
+
+  /** Shared by q65 (corpus-scan BM25) and q75 (saved-index BM25). */
+  private lazy val duckBm25TopOracle: String =
+    s"""WITH $duckBm25
+       |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
+       |ORDER BY score DESC, doc_id""".stripMargin
 
   private val duckStopwords =
     operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -1753,10 +1779,10 @@ object SparkEntry {
         |       keep.text_fp
         |FROM tot LEFT JOIN keep USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    "q65_bm25" ->
-      s"""WITH $duckBm25
-         |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
-         |ORDER BY score DESC, doc_id""".stripMargin,
+    "q65_bm25" -> duckBm25TopOracle,
+    // the saved-index path must answer the scan path's exact ranking —
+    // one oracle text keeps the equivalence honest (q60/q69 pattern)
+    "q75_bm25_indexed" -> duckBm25TopOracle,
     "q66_hybrid_rrf" ->
       s"""WITH $duckBm25,
          |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (

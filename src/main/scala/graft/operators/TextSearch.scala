@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
 
 /** Keyword (lexical) search over a document corpus: BM25 scoring and
   * reciprocal-rank fusion of lexical + vector shortlists — the retrieval
@@ -70,10 +73,21 @@ object TextSearch {
       .agg(count(lit(1)).cast("double").as("__tf"))
       .persist())
 
+    scoreTopK(postings.crossJoin(stats), idCol, k, k1, b, roundTo)
+  }
+
+  /** The shared BM25 scoring tail: a query-term postings relation with
+    * (idCol, __dl, __term, __tf, __n, __avgdl) columns → the rounded,
+    * tie-broken top-k. Document frequencies reduce from the postings
+    * themselves (one row per (doc, term) ⇒ count = df), so the scan path
+    * and the saved-index path score through the ONE formula and cannot
+    * drift apart. */
+  private def scoreTopK(postings: DataFrame, idCol: String, k: Int,
+                        k1: Double, b: Double, roundTo: Int): DataFrame = {
     val dfreq = postings.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df"))
 
-    val contrib = postings.join(dfreq, "__term").crossJoin(stats)
+    val contrib = postings.join(dfreq, "__term")
       .withColumn("__score",
         idf(col("__n"), col("__df")) * col("__tf") * (lit(k1) + 1.0) /
           (col("__tf") + lit(k1) *
@@ -84,6 +98,118 @@ object TextSearch {
       .select(col(idCol), round(col("__raw"), roundTo).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  // ===========================================================================
+  // Saved inverted index — the lexical counterpart of VectorIndex.save's
+  // partitioned layouts. A standing 100 TB corpus cannot re-tokenize itself
+  // on every query; the postings live at rest, partitioned by term hash
+  // bucket, and a query reads only its terms' buckets.
+  // ===========================================================================
+
+  /** The postings partition column in saved index layouts. Hash buckets,
+    * not raw terms: partitionBy(term) at web scale would mint one
+    * directory per vocabulary entry (millions); a fixed bucket count
+    * keeps the layout listable while still letting a query prune to
+    * terms/nBuckets of the files. Inside a bucket the term predicate
+    * pushes to parquet row groups. */
+  val BucketCol = "__bucket"
+
+  /** Sidecar metadata for a saved postings index: the two corpus scalars
+    * every BM25 evaluation needs (total docs, average doc length) and the
+    * bucket-hash geometry the probe must reproduce. Same pattern as
+    * IndexMeta: an underscore-named JSON file inside the index directory,
+    * written via the Hadoop FileSystem API (local/HDFS/object store). */
+  case class TextIndexMeta(version: Int, idCol: String, nDocs: Long,
+                           avgdl: Double, nBuckets: Int)
+
+  object TextIndexMeta {
+    val FileName = "_graft_text_meta.json"
+    private implicit val formats: Formats = DefaultFormats
+
+    def write(spark: SparkSession, indexPath: String,
+              meta: TextIndexMeta): Unit = {
+      val p = new Path(indexPath, FileName)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(Serialization.write(meta).getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    def read(spark: SparkSession, indexPath: String): Option[TextIndexMeta] = {
+      val p = new Path(indexPath, FileName)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          Some(Serialization.read[TextIndexMeta](new String(bytes, "UTF-8")))
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Materialize the full inverted index at `path`: one row per
+    * (doc, term) with the term frequency and doc length —
+    * (idCol, __dl, __term, __tf), partitioned by the term's hash bucket
+    * — plus the TextIndexMeta sidecar. One corpus scan, one groupBy
+    * shuffle on (doc, term) — this is the whole build; no driver-side
+    * state beyond the two sidecar scalars. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol), split(lower(col(textCol)), " ")
+      .as("__toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("__toks"))).as("avgdl")).head()
+    toks.select(col(idCol), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+      .withColumn(BucketCol,
+        pmod(xxhash64(col("__term")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    TextIndexMeta.write(spark, path,
+      TextIndexMeta(1, idCol, stats.getLong(0), stats.getDouble(1), nBuckets))
+  }
+
+  /** BM25 over a SAVED postings index — same contract as [[bm25]] (it
+    * shares the scoring tail), but the corpus is never re-scanned: the
+    * probe filters the postings parquet to the query terms' hash buckets
+    * (partition pruning — only those directories are read) and then to
+    * the terms themselves (row-group pushdown inside the bucket), and
+    * the corpus scalars come from the sidecar as literals instead of a
+    * scan-level aggregate. Per-query work is O(matching postings) I/O —
+    * the annSearch-probes-lists shape, for terms. */
+  def bm25Indexed(spark: SparkSession, indexPath: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${TextIndexMeta.FileName} under $indexPath — not a text index"))
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // bucket ids for the query terms: evaluated through the same engine
+    // expression as the build-side bucket column (a job over a local
+    // |terms|-row relation — no table scan), so build and probe cannot
+    // disagree on the hash
+    import spark.implicits._
+    val buckets = terms.toDF("__term")
+      .select(pmod(xxhash64(col("__term")), lit(meta.nBuckets)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val postings = CacheScope.register(spark.read.parquet(indexPath)
+      .filter(col(BucketCol).isin(buckets: _*) &&
+        col("__term").isin(terms: _*))
+      .drop(BucketCol)
+      .persist())
+    scoreTopK(postings
+        .withColumn("__n", lit(meta.nDocs))
+        .withColumn("__avgdl", lit(meta.avgdl)),
+      meta.idCol, k, k1, b, roundTo)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked

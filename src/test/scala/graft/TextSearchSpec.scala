@@ -117,6 +117,53 @@ class TextSearchSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - z) < 1e-15)
   }
 
+  test("bm25Indexed: saved-index ranking identical to the scan path") {
+    import spark.implicits._
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_text_idx").toString
+    try {
+      TextSearch.buildIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+      val scan = TextSearch.bm25(docs, "doc_id", "text",
+          Seq("spark", "vector", "query"), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val probed = TextSearch.bm25Indexed(spark, dir,
+          Seq("spark", "vector", "query"), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(probed === scan && scan.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("bm25Indexed probe prunes to the query terms' buckets (plan audit)") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_text_idx").toString
+    try {
+      TextSearch.buildIndex(docs, "id", "text", dir, nBuckets = 8)
+      val q = TextSearch.bm25Indexed(spark, dir, Seq("spark"), k = 5)
+      val physical = q.queryExecution.executedPlan.toString
+      // the bucket predicate must reach the scan's PartitionFilters (only
+      // the matching bucket directories are listed/read) and the term
+      // predicate the row-group PushedFilters — both named in the scan
+      // node, not applied post-hoc above it
+      assert(physical.contains("PartitionFilters") &&
+        physical.contains(TextSearch.BucketCol), physical)
+      // single-term isin folds to EqualTo; either form must be PUSHED
+      assert(physical.contains("PushedFilters") &&
+        (physical.contains("In(__term") ||
+          physical.contains("EqualTo(__term")), physical)
+      // and the pruned probe still scores correctly
+      val got = q.collect().map(_.getLong(0)).toList
+      assert(got === TextSearch.bm25(docs, "id", "text", Seq("spark"), k = 5)
+        .collect().map(_.getLong(0)).toList)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bm25 postings filter lands before the aggregation (plan audit)") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text")
