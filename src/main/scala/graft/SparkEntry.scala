@@ -972,6 +972,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q76 — the STACKED IVF+PQ serving path, provably exact
+    * (IvfIndex.searchPqExact): ball-radius proof on code+residual
+    * columns → lossless list pruning via centroid radii → ADC seed of
+    * 48 → certified expansion re-rank. Every pruning step carries its
+    * own data-independent certificate, so the result is the exact
+    * global kNN on ANY collection — which is what licenses sharing
+    * q60/q69's exact-kNN oracle while the scan touches only code
+    * columns plus a bounded set of full vectors. The fixed-parameter
+    * approximate face (searchPqProbed) and its certificate margins are
+    * spec-covered in IvfIndexSpec. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = operators.IvfIndex.fitCentroids(e, "embedding", "vec_id", 16)
+    val pq = operators.IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    val index = operators.IvfIndex.withPqResiduals(
+      operators.IvfIndex.withPqCodes(
+        operators.IvfIndex.assign(e, "embedding", "vec_id", centroids),
+        "embedding", pq),
+      "embedding", pq)
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    operators.IvfIndex.searchPqExact(index, "embedding", "vec_id",
+      centroids, pq, q, k = 12, seed = 48)
+  }
+
   /** Q75 — BM25 over the SAVED postings index (TextSearch.buildIndex /
     * bm25Indexed): the q65 workload served from the at-rest inverted
     * index instead of a corpus re-scan — bucket partition pruning routes
@@ -1166,6 +1191,7 @@ object SparkEntry {
     "q73_training_pipeline" -> (q73 _),
     "q74_simhash64_neardup" -> (q74 _),
     "q75_bm25_indexed" -> (q75 _),
+    "q76_ann_pq_exact" -> (q76 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1212,10 +1238,10 @@ object SparkEntry {
        |  FROM d) WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
 
-  /** Shared by q60 (SQ8) and q69 (PQ): both quantized-candidate + exact
-    * re-rank paths run at COVERING settings, so both must answer the
-    * same exact-kNN workload — one oracle text keeps that equivalence
-    * honest. */
+  /** Shared by q60 (SQ8), q69 (PQ at covering settings), and q76 (the
+    * self-certifying stacked PQ path): every quantized-candidate + exact
+    * re-rank variant must answer the same exact-kNN workload — one
+    * oracle text keeps that equivalence honest. */
   private lazy val duckQuantizedKnnOracle: String =
     s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
        |FROM embeddings e,
@@ -1693,6 +1719,8 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "q60_ann_sq" -> duckQuantizedKnnOracle,
     "q69_ann_pq" -> duckQuantizedKnnOracle,
+    // the self-certifying stacked path answers the same exact workload
+    "q76_ann_pq_exact" -> duckQuantizedKnnOracle,
     "q70_pack" ->
       """WITH t0 AS (
         |  SELECT doc_id,

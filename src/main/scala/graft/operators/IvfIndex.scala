@@ -357,6 +357,20 @@ object IvfIndex {
   def withPqCodes(df: DataFrame, vecCol: String, p: PqParams): DataFrame =
     df.withColumn(PqCol, pqEncode(col(vecCol), p))
 
+  /** Reconstruct the quantized vector from its m codes: the concatenation
+    * of each subspace's coded sub-centroid (codebooks as literal arrays —
+    * map-side, no shuffle). The ADC score of a stored vector is exactly
+    * the squared distance from the query to THIS reconstruction, which is
+    * what makes the residual-bound certificate in [[certifyPqProbed]]
+    * sound. */
+  def pqDecode(codes: Column, p: PqParams): Column =
+    flatten(array((0 until p.m).map { j =>
+      val book = array(p.codebooks(j).sortBy(_._1).map { case (_, c) =>
+        array(c.map(lit): _*)
+      }: _*)
+      element_at(book, element_at(codes, j + 1) + 1)
+    }: _*))
+
   /** ANN top-k by asymmetric distance computation (ADC) with exact
     * re-ranking: the query builds one lookup table per subspace (squared
     * distance from its sub-vector to every sub-centroid — m·ksub doubles
@@ -371,26 +385,254 @@ object IvfIndex {
                p: PqParams, q: Seq[Double], k: Int, shortlist: Int,
                roundTo: Int = 6): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val luts: Seq[Seq[Double]] = (0 until p.m).map { j =>
-      val qs = q.slice(j * p.subDim, (j + 1) * p.subDim)
-      p.codebooks(j).sortBy(_._1).map { case (_, c) =>
-        qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }
-    }
-    val adc = (0 until p.m).map { j =>
-      element_at(array(luts(j).map(lit): _*),
-        element_at(col(PqCol), j + 1) + 1)
-    }.reduce(_ + _)
-    val qVec = array(q.map(lit): _*)
     val cand = index
-      .select(col(idCol), adc.as("__adist"))
+      .select(col(idCol), adcExpr(p, q).as("__adist"))
       .orderBy(col("__adist"), col(idCol))
       .limit(shortlist)
       .select(col(idCol))
+    val qVec = array(q.map(lit): _*)
     index.join(broadcast(cand), Seq(idCol))
       .withColumn("dist",
         round(sqDist(col(vecCol).cast("array<double>"), qVec), roundTo))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
+  }
+
+  /** The ADC scoring expression for one query: per-subspace lookup tables
+    * (squared distance from the query's sub-vector to every sub-centroid
+    * — m·ksub doubles computed driver-side, shipped as literals) indexed
+    * by the stored code column. Equals sqDist(q, pqDecode(codes)) by
+    * construction, evaluated as m array lookups + adds. */
+  private def adcExpr(p: PqParams, q: Seq[Double]): Column = {
+    val luts: Seq[Seq[Double]] = (0 until p.m).map { j =>
+      val qs = q.slice(j * p.subDim, (j + 1) * p.subDim)
+      p.codebooks(j).sortBy(_._1).map { case (_, c) =>
+        qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }
+    }
+    (0 until p.m).map { j =>
+      element_at(array(luts(j).map(lit): _*),
+        element_at(col(PqCol), j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The STACKED 100 TB serving shape: coarse probe (only nProbe lists'
+    * partitions are read) × ADC candidate scan on the code column alone ×
+    * exact re-rank of the `shortlist` survivors. Both prunings compose:
+    * I/O is the probed lists' code columns plus `shortlist` full vectors.
+    * Approximate in general; [[certifyPqProbed]] states the checkable
+    * conditions under which the result is provably the exact kNN (the
+    * proveRadius bound-argument family). */
+  def searchPqProbed(index: DataFrame, vecCol: String, idCol: String,
+                     centroids: Centroids, p: PqParams, q: Seq[Double],
+                     k: Int, nProbe: Int, shortlist: Int,
+                     roundTo: Int = 6): DataFrame = {
+    val lists = probeLists(centroids, q, nProbe)
+    searchPq(index.filter(col("list_id").isin(lists: _*)),
+      vecCol, idCol, p, q, k, shortlist, roundTo)
+  }
+
+  /** The per-vector PQ reconstruction-residual column in exact-serving
+    * layouts: ||x − decode(code(x))||, one double at rest. Turns the ADC
+    * score into SOUND per-vector distance bounds (true dist within
+    * ±residual of sqrt(adc)) — what [[searchPqExact]]'s certificates
+    * consume. */
+  val PqResCol = "__pqres"
+
+  /** Add the residual column alongside the PQ codes (map-side, one
+    * distance expression — build-time work, like the codes). */
+  def withPqResiduals(df: DataFrame, vecCol: String, p: PqParams): DataFrame =
+    df.withColumn(PqResCol,
+      sqrt(sqDist(col(vecCol).cast("array<double>"),
+        pqDecode(col(PqCol), p))))
+
+  /** PROVABLY-EXACT stacked ANN serving over an IVF+PQ layout: returns
+    * the exact global top-k while scanning only code/residual columns
+    * plus a bounded set of full vectors. Unlike [[searchPqProbed]]
+    * (fixed nProbe/shortlist, approximate unless [[certifyPqProbed]]'s
+    * margins clear), every pruning step here carries its own
+    * data-independent certificate, so the result is exact on ANY
+    * collection — the knobs tune COST, never correctness:
+    *
+    *   1. Ball radius proof (the proveRadius family): grow r by doubling
+    *      until >= k vectors have CERTAIN distance <= r, using the sound
+    *      upper bound sqrt(adc) + residual on the code columns alone —
+    *      so the true d_k is <= r.
+    *   2. Lossless list pruning: any x with ||q−x|| <= r lives in a list
+    *      whose centroid satisfies ||q−c|| <= r + radius(c) (triangle
+    *      inequality), so restricting to those lists loses nothing from
+    *      the ball — on clustered corpora this is the partition-pruning
+    *      win; on overlapping clusters it degrades to more lists, never
+    *      to a wrong answer.
+    *   3. ADC seed + certified expansion: exact-rank the `seed` best ADC
+    *      candidates (full vectors, broadcast semi-join) giving d_k0;
+    *      then exact-rank every probed vector whose LOWER bound
+    *      sqrt(adc) − residual is <= d_k0. A vector outside that set has
+    *      true distance > d_k0 >= final d_k, so it cannot belong to the
+    *      top-k; the k vectors achieving d_k0 are inside it by
+    *      construction. Seed size only shifts work between the two
+    *      passes.
+    *
+    * Driver cost: a few count/scalar jobs (the doubling loop + d_k0),
+    * all metadata-sized collects. At 100 TB the radii come from the
+    * sidecar (build-time listRadii) and step 3's vector reads are the
+    * only full-precision I/O.
+    *
+    * @param seed ADC shortlist size for the first exact pass (>= k);
+    *             larger seed → tighter d_k0 → smaller expansion pass
+    * @param radii per-list max member-to-centroid distances; None
+    *              computes them (one job) — at scale pass the sidecar's
+    */
+  def searchPqExact(index: DataFrame, vecCol: String, idCol: String,
+                    centroids: Centroids, p: PqParams, q: Seq[Double],
+                    k: Int, seed: Int,
+                    radii: Option[Map[Int, Double]] = None,
+                    roundTo: Int = 6): DataFrame = {
+    require(seed >= k, s"seed $seed < k $k")
+    require(index.columns.contains(PqCol) && index.columns.contains(PqResCol),
+      s"index must carry $PqCol and $PqResCol (withPqCodes + withPqResiduals)")
+    val radiiM = radii.getOrElse(listRadii(index, vecCol, centroids))
+    def qDist(c: Seq[Double]): Double = math.sqrt(
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val centDists = centroids.map { case (id, c) => id -> qDist(c) }
+    def listsFor(r: Double): Seq[Int] = centDists.collect {
+      case (id, d) if d <= r + radiiM.getOrElse(id, 0.0) => id
+    }
+    val adc = adcExpr(p, q)
+    val certainWithin = (r: Double) =>
+      sqrt(adc) + col(PqResCol) <= lit(r) // upper bound ⇒ certainly in ball
+    // 1+2. prove a radius r (and its lossless list set) containing >= k
+    // vectors — counts run on code/residual columns only
+    val maxR = centDists.map { case (id, d) =>
+      d + radiiM.getOrElse(id, 0.0) }.max
+    var r = math.max(centDists.map { case (id, d) =>
+      math.max(d - radiiM.getOrElse(id, 0.0), 0.0) }.min, maxR / 1024)
+    var lists: Seq[Int] = Seq.empty
+    var proven = false
+    while (!proven && r < maxR) {
+      val ls = listsFor(r)
+      if (ls.nonEmpty &&
+        index.filter(col("list_id").isin(ls: _*)).filter(certainWithin(r))
+          .limit(k).count() >= k) { proven = true; lists = ls }
+      else r *= 2
+    }
+    if (!proven) lists = centroids.map(_._1) // degenerate: scan all lists
+    // the candidate relation carries ONLY id + code-derived scalars —
+    // column pruning keeps the 8×-bigger double column out of this scan
+    // and out of the cache (the at-rest I/O win searchSq documents)
+    val codes = CacheScope.register(index
+      .filter(col("list_id").isin(lists: _*))
+      .select(col(idCol), adc.as("__adist"), col(PqResCol))
+      .persist())
+    val probedVecs = index.filter(col("list_id").isin(lists: _*))
+    // 3a. exact-rank the ADC seed (vector reads: seed rows only, via
+    // broadcast semi-join on id)
+    val qVec = array(q.map(lit): _*)
+    val seedIds = codes
+      .orderBy(col("__adist"), col(idCol))
+      .limit(seed).select(col(idCol))
+    val dk0 = probedVecs.join(broadcast(seedIds), Seq(idCol))
+      .select(sqrt(sqDist(col(vecCol).cast("array<double>"), qVec)).as("__d"))
+      .orderBy(col("__d")).limit(k)
+      .agg(max(col("__d"))).head().getDouble(0)
+    // 3b. certified expansion: every probed vector whose lower bound
+    // undercuts d_k0 gets the exact treatment; the rest provably cannot
+    // place. (Includes the relevant seed members: lower <= true <= d_k0.)
+    // The expansion id set is ball-occupancy-bounded, not broadcast-
+    // forced — AQE picks the join strategy.
+    val expandIds = codes
+      .filter(sqrt(col("__adist")) - col(PqResCol) <= lit(dk0))
+      .select(col(idCol))
+    probedVecs.join(expandIds, Seq(idCol))
+      .withColumn("dist",
+        round(sqDist(col(vecCol).cast("array<double>"), qVec), roundTo))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Per-list max member-to-centroid distance — the list radii the
+    * probe-ring pruning certificate needs. One map-side distance + one
+    * groupBy(list_id) shuffle of nlist partial maxes; the collect is
+    * nlist rows (metadata-sized). At scale this is a build-time artifact
+    * (computed once per index build, stored in the sidecar), not
+    * per-query work. */
+  def listRadii(index: DataFrame, vecCol: String,
+                centroids: Centroids): Map[Int, Double] = {
+    val cents = centroidArray(centroids)
+    index
+      .withColumn("__cd", sqrt(sqDist(col(vecCol),
+        element_at(filter(cents,
+          c => c.getField("list_id") === col("list_id")), 1)
+          .getField("centroid"))))
+      .groupBy(col("list_id")).agg(max(col("__cd")).as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Max PQ reconstruction residual max_i ||x_i − decode(code_i)|| over
+    * the collection — one map-side distance + a scalar max (build-time
+    * sidecar material, like listRadii). */
+  def maxPqResidual(index: DataFrame, vecCol: String, p: PqParams): Double =
+    index.agg(max(sqrt(sqDist(col(vecCol).cast("array<double>"),
+      pqDecode(col(PqCol), p))))).head().getDouble(0)
+
+  /** Exactness certificate for [[searchPqProbed]] at given parameters:
+    * returns (probeMargin, shortlistMargin); BOTH strictly positive
+    * proves the stacked result IS the exact global kNN. Let d_k be the
+    * k-th exact distance among the re-ranked shortlist.
+    *
+    *   - probe ring: a vector x in unprobed list c' satisfies
+    *     ||q−x|| >= ||q−c'|| − radius(c') (triangle inequality via its
+    *     centroid), so probeMargin = min over unprobed lists of that
+    *     lower bound minus d_k > 0 ⇒ no unprobed vector beats the top-k.
+    *     +Infinity when every list is probed.
+    *   - shortlist: ADC is the exact distance to the RECONSTRUCTION, and
+    *     ||q−x|| >= ||q−decode(x)|| − ||x−decode(x)|| >= sqrt(adc) − R
+    *     (R = max residual). Every probed vector outside the top-s ADC
+    *     shortlist has sqrt(adc) >= T (the SMALLEST excluded ADC), so
+    *     shortlistMargin = (T − R) − d_k > 0 ⇒ none of them beats it.
+    *     +Infinity when the shortlist covers the whole probed set
+    *     (nothing is excluded — trivially exact within the ring).
+    *
+    * Driver cost: the same metadata-sized jobs the search itself runs
+    * (plus listRadii / maxPqResidual, build-time artifacts at scale).
+    * Used by specs and capacity planning to PROVE a (nProbe, shortlist)
+    * operating point exact on a given collection rather than hoping. */
+  def certifyPqProbed(index: DataFrame, vecCol: String, idCol: String,
+                      centroids: Centroids, p: PqParams, q: Seq[Double],
+                      k: Int, nProbe: Int,
+                      shortlist: Int): (Double, Double) = {
+    val lists = probeLists(centroids, q, nProbe).toSet
+    val probed = index.filter(col("list_id").isin(lists.toSeq: _*))
+    val adcs = probed
+      .select(col(idCol), adcExpr(p, q).as("__adist"))
+      .orderBy(col("__adist"), col(idCol))
+      .limit(shortlist + 1) // one past the cut: the smallest EXCLUDED adc
+      .collect()
+    val candIds = adcs.take(shortlist).map(_.get(0))
+    // d_k from the un-rounded exact re-rank of the ADC shortlist
+    val qVec = array(q.map(lit): _*)
+    val dk = probed
+      .filter(col(idCol).isin(candIds: _*))
+      .select(sqrt(sqDist(col(vecCol).cast("array<double>"), qVec)).as("__d"))
+      .orderBy(col("__d")).limit(k)
+      .agg(max(col("__d"))).head().getDouble(0)
+    val shortlistBound =
+      if (adcs.length <= shortlist) Double.PositiveInfinity // nothing excluded
+      else {
+        val t = math.sqrt(adcs.last.getDouble(1)) // smallest excluded adc
+        t - maxPqResidual(probed, vecCol, p)
+      }
+    val radii = listRadii(index, vecCol, centroids)
+    def qDist(c: Seq[Double]): Double = math.sqrt(
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val ringBound = centroids.collect {
+      case (id, c) if !lists.contains(id) =>
+        qDist(c) - radii.getOrElse(id, 0.0)
+    } match {
+      case Seq() => Double.PositiveInfinity // every list probed
+      case bs => bs.min
+    }
+    (ringBound - dk, shortlistBound - dk)
   }
 
   /** ANN top-k over SQ codes with exact re-ranking: the candidate phase

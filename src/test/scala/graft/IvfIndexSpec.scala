@@ -134,6 +134,107 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.fitPq(e, "embedding", "vec_id", m = 8) == p)
   }
 
+  test("searchPqExact: exact global top-k at any seed (self-certifying path)") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val p = IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    val index = IvfIndex.withPqResiduals(
+      IvfIndex.withPqCodes(
+        IvfIndex.assign(e, "embedding", "vec_id", cents), "embedding", p),
+      "embedding", p).cache()
+    for (qid <- Seq(0L, 7L, 23L); seed <- Seq(10, 64)) {
+      val q = queryVec(qid)
+      val got = IvfIndex.searchPqExact(index, "embedding", "vec_id", cents,
+          p, q, k = 10, seed = seed)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = Search.knn(e, "embedding", "vec_id",
+          array(q.map(lit): _*), 10)
+        .select(col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == brute, s"qid=$qid seed=$seed")
+    }
+    index.unpersist()
+  }
+
+  test("certifyPqProbed: separated clusters certify a pruned operating " +
+       "point; overlapping fixture honestly refuses") {
+    import spark.implicits._
+    // four clusters 200 apart in 8 dims, deterministic sub-unit offsets;
+    // codebooks enumerate every distinct sub-vector so the PQ residual is
+    // exactly 0 and ADC is the true distance — the geometry where the
+    // worst-case bounds are tight enough to certify a FINITE shortlist
+    val centers = Seq(
+      Seq(0.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(200.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 200, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 0, 200, 0, 0, 0, 0, 0))
+    val pts = for (c <- 0 until 4; i <- 0 until 40) yield {
+      val id = (c * 40 + i).toLong
+      val off = (0 until 8).map(d => ((id * 31 + d * 7) % 11).toDouble / 10.0)
+      (id, centers(c).zip(off).map { case (a, b) => a + b })
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents: IvfIndex.Centroids =
+      centers.zipWithIndex.map { case (c, i) => (i, c) }
+    val books = (0 until 4).map { j =>
+      pts.map(_._2.slice(j * 2, j * 2 + 2)).distinct.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+    }
+    val p = IvfIndex.PqParams(4, 2, books)
+    val index = IvfIndex.withPqResiduals(
+      IvfIndex.withPqCodes(
+        IvfIndex.assign(df, "embedding", "vec_id", cents), "embedding", p),
+      "embedding", p).cache()
+    // zero residuals: the codebooks contain every point
+    assert(index.agg(max(col(IvfIndex.PqResCol))).head().getDouble(0) < 1e-9)
+    val q = centers(0).map(_ + 0.05)
+    val (pm, sm) = IvfIndex.certifyPqProbed(index, "embedding", "vec_id",
+      cents, p, q, k = 5, nProbe = 1, shortlist = 12)
+    assert(pm > 0 && sm > 0, s"margins ($pm, $sm) should certify")
+    // certified ⇒ the stacked probed search IS brute force
+    val got = IvfIndex.searchPqProbed(index, "embedding", "vec_id", cents,
+        p, q, k = 5, nProbe = 1, shortlist = 12)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Search.knn(df, "embedding", "vec_id",
+        array(q.map(lit): _*), 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+    index.unpersist()
+    // honesty: the real fixture's overlapping clusters do NOT certify at
+    // a tight operating point — searchPqExact exists precisely because
+    // fixed (nProbe, shortlist) cannot be proven there
+    val ecents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 16)
+    val ep = IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    val eindex = IvfIndex.withPqResiduals(
+      IvfIndex.withPqCodes(
+        IvfIndex.assign(e, "embedding", "vec_id", ecents), "embedding", ep),
+      "embedding", ep)
+    val (epm, esm) = IvfIndex.certifyPqProbed(eindex, "embedding", "vec_id",
+      ecents, ep, queryVec(11), k = 10, nProbe = 4, shortlist = 48)
+    assert(epm < 0 || esm < 0)
+  }
+
+  test("searchPqProbed: non-covering nProbe keeps usable recall (approx regime)") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 16)
+    val p = IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    val index = IvfIndex.withPqCodes(
+      IvfIndex.assign(e, "embedding", "vec_id", cents), "embedding", p)
+      .cache()
+    val recalls = (0L until 5L).map { qid =>
+      val q = queryVec(qid)
+      val exact = Search.knn(e, "embedding", "vec_id",
+          array(q.map(lit): _*), 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = IvfIndex.searchPqProbed(index, "embedding", "vec_id", cents,
+          p, q, k = 10, nProbe = 4, shortlist = 50)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean stacked-PQ recall@10 (nProbe 4/16, shortlist 50): $mean%.2f")
+    assert(mean >= 0.4, s"mean stacked recall $mean below floor on fixture")
+    index.unpersist()
+  }
+
   test("SQ8: reconstruction error bounded by step/2 per dimension") {
     val p = IvfIndex.fitSq(e, "embedding")
     val recon = e.select(col("vec_id"),
