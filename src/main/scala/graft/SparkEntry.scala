@@ -957,6 +957,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q77 — q73's full training pipeline WITH the chunk-level dedup stage
+    * (prepareTraining(chunkDedupTokens = 16)): cross-document boilerplate
+    * chunks keep their first corpus occurrence only, documents are
+    * reassembled, and every later stage — near-dup shingles,
+    * decontamination 8-grams, packing token counts — sees the REWRITTEN
+    * text (which is why the stage sits between exact and near-dup).
+    * text_fp = md5 of the final text proves the reassembly flows through
+    * the whole composition, not just the chunk operator (q64 covers it
+    * standalone). */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.CorpusPipeline.prepareTraining(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        evalDocs = Some(docs.filter(col("doc_id") % 7 === 0)),
+        sourceWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        packBudget = 2048, packShards = 4, maxDupWordFrac = 0.6,
+        chunkDedupTokens = Some(16))
+      .select(col("doc_id"), col("source"), col("split"),
+        md5(col("text")).as("text_fp"), col("shard"), col("bin"),
+        col("offset_in_bin"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q68 — cross-corpus near-dedup (Dedup.minhashAgainst): fresh docs
     * (doc_id % 5 != 0) that near-duplicate the standing reference slice
     * (doc_id % 5 = 0) — MinHash-LSH banding across the two corpora,
@@ -1192,6 +1215,7 @@ object SparkEntry {
     "q74_simhash64_neardup" -> (q74 _),
     "q75_bm25_indexed" -> (q75 _),
     "q76_ann_pq_exact" -> (q76 _),
+    "q77_training_pipeline_chunked" -> (q77 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1274,6 +1298,149 @@ object SparkEntry {
       |bmtop AS (SELECT doc_id, ROUND(s, 6) AS s FROM bm
       |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20)"""
       .stripMargin
+
+  /** Shared builder for q73 (chunkWindow = None) and q77 (Some(w)) — one
+    * text for the full training-pipeline oracle, so the chunked variant
+    * cannot drift from the baseline. When chunked, the q64 reassembly
+    * SQL is spliced between the exact and near-dup stages (rewritten
+    * text feeds every later stage — shingles, 8-grams, token counts)
+    * and the final projection adds text_fp = md5 of the surviving text. */
+  private def duckTrainingPipelineOracle(chunkWindow: Option[Int]): String = {
+    val chunkCtes = chunkWindow.map { w =>
+      s"""
+         |cht AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+         |chx AS (SELECT doc_id, generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         |          unnest(starts) AS start, t
+         |        FROM (SELECT doc_id, t,
+         |                range(1, greatest(len(t), 1) + 1, $w) AS starts
+         |              FROM cht)),
+         |chc AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |          array_to_string(t[start:start+${w - 1}], ' ') AS chunk
+         |        FROM chx),
+         |chk AS (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+         |        FROM chc),
+         |chr AS (SELECT doc_id,
+         |          string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+         |        FROM chk WHERE rn = 1 GROUP BY doc_id),
+         |chunked AS MATERIALIZED (SELECT chr.doc_id, chr.text AS text, e.source
+         |            FROM chr JOIN exact e USING (doc_id)),""".stripMargin
+    }.getOrElse("")
+    val corpus = if (chunkWindow.isDefined) "chunked" else "exact"
+    val fpCol = if (chunkWindow.isDefined) " md5(sp.text) AS text_fp," else ""
+    s"""WITH tr0 AS (SELECT doc_id, text, source FROM documents
+       |             WHERE doc_id % 7 != 0),
+       |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr0),
+       |rbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+       |            ROUND(1.0 - len(list_distinct(t))
+       |              / greatest(len(t), 1), 6) AS dwf
+       |          FROM rt),
+       |rbg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg
+       |        FROM rt WHERE len(t) >= 2),
+       |rmx AS (SELECT doc_id, max(c) AS maxbg
+       |        FROM (SELECT doc_id, bg, count(*) AS c FROM rbg
+       |              GROUP BY 1, 2)
+       |        GROUP BY 1),
+       |rsig AS (SELECT b.doc_id, b.dwf,
+       |           ROUND(least(1.0, COALESCE(m.maxbg * 2.0, 0)
+       |             / greatest(b.n_toks, 1)), 6) AS tbf
+       |         FROM rbase b LEFT JOIN rmx m USING (doc_id)),
+       |g AS (SELECT tr0.* FROM tr0 JOIN rsig USING (doc_id)
+       |      WHERE NOT (rsig.dwf > 0.6 OR rsig.tbf > 0.5)),
+       |quality AS (
+       |  SELECT doc_id, text, source FROM g
+       |  WHERE len(string_split(lower(text), ' ')) >= 5
+       |    AND ROUND((length(text) - length(regexp_replace(text,
+       |          '[.,!?;:]', '', 'g')))
+       |        / greatest(length(text), 1), 6) <= 0.3),
+       |exact AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+       |      ORDER BY doc_id) AS rn
+       |    FROM quality) WHERE rn = 1),$chunkCtes
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpus),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |       FROM toks WHERE len(t) >= 3),
+       |sig AS ($duckMinhashSig),
+       |bands AS (
+       |  $duckMinhashBands),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bands l JOIN bands r
+       |           ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |          AND l.doc_id < r.doc_id),
+       |cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+       |sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs USING (doc_id)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+       |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+       |          FROM sh2 s1 JOIN sh2 s2
+       |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+       |          GROUP BY 1, 2),
+       |losers AS (SELECT DISTINCT b AS doc_id
+       |           FROM inter JOIN sz za ON a = za.doc_id
+       |                      JOIN sz zb ON b = zb.doc_id
+       |           WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
+       |dedup AS MATERIALIZED (SELECT * FROM $corpus
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM dedup),
+       |dsh AS (SELECT DISTINCT doc_id,
+       |          unnest(list_transform(range(1, len(t) - 6),
+       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+       |              || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
+       |              || t[i+6] || ' ' || t[i+7])) AS shingle
+       |        FROM dt WHERE len(t) >= 8),
+       |et AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |       WHERE doc_id % 7 = 0),
+       |esh AS (SELECT DISTINCT
+       |          unnest(list_transform(range(1, len(t) - 6),
+       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+       |              || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
+       |              || t[i+6] || ' ' || t[i+7])) AS shingle
+       |        FROM et WHERE len(t) >= 8),
+       |tainted AS (SELECT DISTINCT dsh.doc_id
+       |            FROM dsh JOIN esh USING (shingle)),
+       |clean AS MATERIALIZED (SELECT * FROM dedup
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM tainted)),
+       |mn AS (SELECT source, count(*) AS ns FROM clean
+       |       WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+       |mw AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+       |         ('src2', 0.2)) AS t(source, wt)),
+       |mtt AS (SELECT min(ns / wt) AS tot FROM mn JOIN mw USING (source)),
+       |mf AS (SELECT source,
+       |         CAST(floor(least(1.0,
+       |             round((SELECT tot FROM mtt) * wt / ns, 9))
+       |           * 10000) AS BIGINT) AS thr
+       |       FROM mn JOIN mw USING (source)),
+       |mixed AS (SELECT c.* FROM clean c JOIN mf USING (source)
+       |          WHERE CAST(('0x' || substr(md5('mix#' || c.source || '#'
+       |                  || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+       |                % 10000 < thr),
+       |sp AS (SELECT doc_id, source, text,
+       |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM (SELECT *, CAST(('0x' || substr(md5(
+       |                 CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+       |               % 100 AS b
+       |             FROM mixed)),
+       |pk0 AS (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |          CAST(CAST(('0x' || substr(md5('pack#'
+       |              || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+       |            % 4 AS BIGINT) AS shard
+       |        FROM sp WHERE split = 'train'),
+       |pk AS (SELECT doc_id, n_tokens, shard,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+       |       FROM pk0)
+       |SELECT sp.doc_id, sp.source, sp.split,$fpCol pk.shard,
+       |       CAST(floor(pk.strt / 2048) AS BIGINT) AS bin,
+       |       CAST(pk.strt % 2048 AS BIGINT) AS offset_in_bin, pk.n_tokens
+       |FROM sp LEFT JOIN pk USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared by q65 (corpus-scan BM25) and q75 (saved-index BM25). */
   private lazy val duckBm25TopOracle: String =
@@ -1863,119 +2030,8 @@ object SparkEntry {
          |       max(j) AS max_jaccard
          |FROM jac WHERE j >= 0.5 GROUP BY 1
          |ORDER BY doc_id""".stripMargin,
-    "q73_training_pipeline" ->
-      s"""WITH tr0 AS (SELECT doc_id, text, source FROM documents
-         |             WHERE doc_id % 7 != 0),
-         |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr0),
-         |rbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
-         |            ROUND(1.0 - len(list_distinct(t))
-         |              / greatest(len(t), 1), 6) AS dwf
-         |          FROM rt),
-         |rbg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |          i -> t[i] || ' ' || t[i+1])) AS bg
-         |        FROM rt WHERE len(t) >= 2),
-         |rmx AS (SELECT doc_id, max(c) AS maxbg
-         |        FROM (SELECT doc_id, bg, count(*) AS c FROM rbg
-         |              GROUP BY 1, 2)
-         |        GROUP BY 1),
-         |rsig AS (SELECT b.doc_id, b.dwf,
-         |           ROUND(least(1.0, COALESCE(m.maxbg * 2.0, 0)
-         |             / greatest(b.n_toks, 1)), 6) AS tbf
-         |         FROM rbase b LEFT JOIN rmx m USING (doc_id)),
-         |g AS (SELECT tr0.* FROM tr0 JOIN rsig USING (doc_id)
-         |      WHERE NOT (rsig.dwf > 0.6 OR rsig.tbf > 0.5)),
-         |quality AS (
-         |  SELECT doc_id, text, source FROM g
-         |  WHERE len(string_split(lower(text), ' ')) >= 5
-         |    AND ROUND((length(text) - length(regexp_replace(text,
-         |          '[.,!?;:]', '', 'g')))
-         |        / greatest(length(text), 1), 6) <= 0.3),
-         |exact AS (
-         |  SELECT doc_id, text, source FROM (
-         |    SELECT doc_id, text, source, ROW_NUMBER() OVER (
-         |      PARTITION BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
-         |      ORDER BY doc_id) AS rn
-         |    FROM quality) WHERE rn = 1),
-         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-         |       FROM toks WHERE len(t) >= 3),
-         |sig AS ($duckMinhashSig),
-         |bands AS (
-         |  $duckMinhashBands),
-         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |         FROM bands l JOIN bands r
-         |           ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-         |          AND l.doc_id < r.doc_id),
-         |cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
-         |sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs USING (doc_id)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
-         |          FROM sh2 s1 JOIN sh2 s2
-         |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-         |          GROUP BY 1, 2),
-         |losers AS (SELECT DISTINCT b AS doc_id
-         |           FROM inter JOIN sz za ON a = za.doc_id
-         |                      JOIN sz zb ON b = zb.doc_id
-         |           WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
-         |dedup AS (SELECT * FROM exact
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-         |dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM dedup),
-         |dsh AS (SELECT DISTINCT doc_id,
-         |          unnest(list_transform(range(1, len(t) - 6),
-         |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
-         |              || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
-         |              || t[i+6] || ' ' || t[i+7])) AS shingle
-         |        FROM dt WHERE len(t) >= 8),
-         |et AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |       WHERE doc_id % 7 = 0),
-         |esh AS (SELECT DISTINCT
-         |          unnest(list_transform(range(1, len(t) - 6),
-         |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
-         |              || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
-         |              || t[i+6] || ' ' || t[i+7])) AS shingle
-         |        FROM et WHERE len(t) >= 8),
-         |tainted AS (SELECT DISTINCT dsh.doc_id
-         |            FROM dsh JOIN esh USING (shingle)),
-         |clean AS (SELECT * FROM dedup
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM tainted)),
-         |mn AS (SELECT source, count(*) AS ns FROM clean
-         |       WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
-         |mw AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
-         |         ('src2', 0.2)) AS t(source, wt)),
-         |mtt AS (SELECT min(ns / wt) AS tot FROM mn JOIN mw USING (source)),
-         |mf AS (SELECT source,
-         |         CAST(floor(least(1.0,
-         |             round((SELECT tot FROM mtt) * wt / ns, 9))
-         |           * 10000) AS BIGINT) AS thr
-         |       FROM mn JOIN mw USING (source)),
-         |mixed AS (SELECT c.* FROM clean c JOIN mf USING (source)
-         |          WHERE CAST(('0x' || substr(md5('mix#' || c.source || '#'
-         |                  || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-         |                % 10000 < thr),
-         |sp AS (SELECT doc_id, source, text,
-         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-         |              ELSE 'test' END AS split
-         |       FROM (SELECT *, CAST(('0x' || substr(md5(
-         |                 CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-         |               % 100 AS b
-         |             FROM mixed)),
-         |pk0 AS (SELECT doc_id,
-         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |          CAST(CAST(('0x' || substr(md5('pack#'
-         |              || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-         |            % 4 AS BIGINT) AS shard
-         |        FROM sp WHERE split = 'train'),
-         |pk AS (SELECT doc_id, n_tokens, shard,
-         |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
-         |       FROM pk0)
-         |SELECT sp.doc_id, sp.source, sp.split, pk.shard,
-         |       CAST(floor(pk.strt / 2048) AS BIGINT) AS bin,
-         |       CAST(pk.strt % 2048 AS BIGINT) AS offset_in_bin, pk.n_tokens
-         |FROM sp LEFT JOIN pk USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q73_training_pipeline" -> duckTrainingPipelineOracle(None),
+    "q77_training_pipeline_chunked" -> duckTrainingPipelineOracle(Some(16)),
     "q67_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS error_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -117,8 +117,8 @@ object CorpusPipeline {
     *
     *   1. Gopher repetition gate (dup-word / top-bigram fractions) —
     *      catches degenerate text the length/punct heuristics pass;
-    *   2. quality gate → exact dedup → LSH+Jaccard near-dup removal
-    *      (the prepare() core);
+    *   2. quality gate → exact dedup → (optional) chunk-level dedup →
+    *      LSH+Jaccard near-dup removal (the prepare() core);
     *   3. benchmark decontamination: drop survivors sharing any word
     *      n-gram with the held-out eval set (Bloom-prefiltered);
     *   4. corpus mixing to a target source-weight recipe;
@@ -136,6 +136,16 @@ object CorpusPipeline {
     * @param evalDocs      held-out eval/bench documents (same id/text
     *                      columns); None skips decontamination
     * @param sourceWeights mixing recipe; empty skips mixing
+    * @param chunkDedupTokens Some(window) inserts CCNet-style chunk
+    *                      dedup (Dedup.dedupChunks) between the exact
+    *                      and near-dup stages — there because it
+    *                      REWRITES the text (cross-document boilerplate
+    *                      chunks keep their first corpus occurrence
+    *                      only), and the near-dup shingles, the
+    *                      decontamination n-grams, and the packing token
+    *                      counts must all see the rewritten text. Docs
+    *                      that lose every chunk drop out. None (default)
+    *                      skips the stage.
     * @return input columns + split + (shard, bin, offset_in_bin,
     *         n_tokens — train rows only, null elsewhere)
     */
@@ -147,6 +157,7 @@ object CorpusPipeline {
                       maxDupWordFrac: Double = 0.5,
                       maxTopBigramFrac: Double = 0.5,
                       decontamNgram: Int = 8,
+                      chunkDedupTokens: Option[Int] = None,
                       minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                       minhashK: Int = 8, minJaccard: Double = 0.5,
                       collapseComponents: Boolean = false): DataFrame = {
@@ -185,7 +196,8 @@ object CorpusPipeline {
       // connectedComponents' default rounds make, and the blocks are
       // reclaimed by the ContextCleaner once the call returns.
       val deduped = dedupStages(gated, idCol, textCol, minTokens,
-        maxPunctRatio, minhashK, minJaccard, collapseComponents)
+        maxPunctRatio, minhashK, minJaccard, collapseComponents,
+        chunkDedupTokens)
         .localCheckpoint(true)
       val clean = evalDocs match {
         case Some(ev) =>
@@ -216,7 +228,8 @@ object CorpusPipeline {
   private def dedupStages(docs: DataFrame, idCol: String, textCol: String,
                           minTokens: Int, maxPunctRatio: Double,
                           minhashK: Int, minJaccard: Double,
-                          collapseComponents: Boolean): DataFrame = {
+                          collapseComponents: Boolean,
+                          chunkDedupTokens: Option[Int] = None): DataFrame = {
     // 1. quality gate — scan-speed, no shuffle
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
       .filter(col("n_tokens") >= minTokens &&
@@ -228,6 +241,24 @@ object CorpusPipeline {
       quality.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp")
 
+    // 2b. optional chunk-level dedup — BEFORE near-dup because it
+    //     rewrites the text the shingles will see (boilerplate chunks
+    //     surviving into the MinHash signatures would manufacture
+    //     near-dup pairs out of pages that share only navigation).
+    //     Persisted when on: the rewrite chain (chunk groupBy + winner
+    //     join + reassembly) feeds the signature build, the candidate
+    //     semi-join, the Jaccard verification, and the final anti-join.
+    val chunked = chunkDedupTokens match {
+      case Some(w) =>
+        val cd = Dedup.dedupChunks(exact, idCol, textCol, w)
+        CacheScope.register(exact
+          .join(cd.filter(col("n_kept") > 0)
+            .select(col(idCol), col("new_text")), Seq(idCol))
+          .withColumn(textCol, col("new_text")).drop("new_text")
+          .persist())
+      case None => exact
+    }
+
     // 3. near-dup removal: MinHash-LSH candidates, verified by exact
     //    n-gram Jaccard (pairs only among candidates — never O(n²)).
     //    Default removal is PER-EDGE: drop a row iff it is the larger side
@@ -235,9 +266,9 @@ object CorpusPipeline {
     //    pair graph, so documents that aren't near-dups of each other can
     //    both survive even inside one component. collapseComponents=true
     //    keeps exactly one (min-id) representative per component instead.
-    val cands = Dedup.minhashCandidates(exact, idCol, textCol, k = minhashK)
+    val cands = Dedup.minhashCandidates(chunked, idCol, textCol, k = minhashK)
     val verified = Dedup.ngramJaccardPairs(
-        exact.join(
+        chunked.join(
           cands.select(col("a").as(idCol))
             .union(cands.select(col("b").as(idCol))).distinct(),
           Seq(idCol), "left_semi"),
@@ -248,6 +279,6 @@ object CorpusPipeline {
           .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
       else verified.select(col("b").as(idCol)).distinct()
     // callers add the deterministic split (scan-speed, no shuffle)
-    exact.join(losers, Seq(idCol), "left_anti")
+    chunked.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -71,6 +71,53 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.unpersist(); again.unpersist()
   }
 
+  test("prepareTraining(chunkDedupTokens): boilerplate chunks deduped, " +
+       "rewritten text feeds packing, all-boilerplate docs drop") {
+    import spark.implicits._
+    // 3-token chunk window. Docs 1-3 share the boilerplate chunk; doc 4
+    // is NOTHING BUT that chunk; doc 5 is unrelated. Texts are built to
+    // pass the quality gate (>= 5 tokens, no repetition-gate trips) and
+    // to not be near-dups of each other once the boilerplate is gone.
+    val bp = "all rights reserved"
+    val docs = Seq(
+      (1L, s"$bp alpha beta gamma delta one", "src0"),
+      (2L, s"$bp epsilon zeta etaa theta two", "src0"),
+      (3L, s"$bp iota kappa lambda mu three", "src0"),
+      (4L, bp, "src0"),
+      (5L, "totally unrelated words here flow five", "src0"))
+      .toDF("doc_id", "text", "source")
+    // repetition gate opened wide: doc 4's 3-token text would trip the
+    // top-bigram gate before ever reaching the chunk stage, muddying the
+    // attribution this test is about
+    val out = CorpusPipeline.prepareTraining(docs, "doc_id", "text",
+      chunkDedupTokens = Some(3), packShards = 1, minTokens = 1,
+      maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0)
+    val texts = out.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 (smallest id) keeps the boilerplate; 2 and 3 lose that chunk
+    assert(texts(1L) == s"$bp alpha beta gamma delta one")
+    assert(texts(2L) == "epsilon zeta etaa theta two")
+    assert(texts(3L) == "iota kappa lambda mu three")
+    // doc 4 lost its only chunk → dropped from the corpus entirely
+    assert(!texts.contains(4L))
+    assert(texts.contains(5L))
+    // packing token counts reflect the REWRITTEN text (5 tokens, not 8)
+    val toks = out.filter(col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    toks.get(2L).foreach(n => assert(n == 5L))
+    toks.get(3L).foreach(n => assert(n == 5L))
+    // default off: the stage must not fire without the parameter
+    val off = CorpusPipeline.prepareTraining(docs, "doc_id", "text",
+      packShards = 1, minTokens = 1,
+      maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0)
+    val offTexts = off.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(offTexts(2L) == s"$bp epsilon zeta etaa theta two")
+    assert(offTexts.contains(4L))
+    out.unpersist(); off.unpersist()
+  }
+
   test("connectedComponents: empty pair table yields empty labels, no NPE") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")
