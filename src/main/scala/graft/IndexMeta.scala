@@ -42,7 +42,13 @@ case class IndexMeta(
     sq: Option[IndexMeta.SqMeta] = None,
     // Product-quantization codebooks when the layout carries the PQ code
     // column (IvfIndex.PqCol) — same backward-compat Option contract.
-    pq: Option[IndexMeta.PqMeta] = None) {
+    pq: Option[IndexMeta.PqMeta] = None,
+    // Per-list max member-to-centroid distances, written when the layout
+    // carries PQ residuals (IvfIndex.PqResCol): the probe-ring bounds
+    // searchPqExact's lossless list pruning consumes. Recomputed at every
+    // save (never reused) — stale radii would be an UNSOUND bound after
+    // appends. Same backward-compat Option contract.
+    radii: Option[Seq[IndexMeta.RadiusMeta]] = None) {
 
   def gridSpec: Option[GridIndex.GridSpec] =
     grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
@@ -56,6 +62,9 @@ case class IndexMeta(
   def pqParams: Option[IvfIndex.PqParams] =
     pq.map(p => IvfIndex.PqParams(p.m, p.subDim,
       p.codebooks.map(_.map(c => (c.listId, c.centroid)))))
+
+  def listRadiiMap: Option[Map[Int, Double]] =
+    radii.map(_.map(r => r.listId -> r.radius).toMap)
 }
 
 object IndexMeta {
@@ -64,6 +73,7 @@ object IndexMeta {
   case class SqMeta(vmin: Seq[Double], step: Seq[Double])
   case class PqMeta(m: Int, subDim: Int,
                     codebooks: Seq[Seq[CentroidMeta]])
+  case class RadiusMeta(listId: Int, radius: Double)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -75,14 +85,16 @@ object IndexMeta {
          cents: Option[IvfIndex.Centroids],
          unitNorm: Boolean = false,
          sq: Option[IvfIndex.SqParams] = None,
-         pq: Option[IvfIndex.PqParams] = None): IndexMeta =
+         pq: Option[IvfIndex.PqParams] = None,
+         radii: Option[Map[Int, Double]] = None): IndexMeta =
     IndexMeta(1, vecCol, idCol, dim,
       spec.map(s => GridMeta(s.origin, s.width, s.cells)),
       cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq),
       Some(unitNorm),
       sq.map(p => SqMeta(p.vmin, p.step)),
       pq.map(p => PqMeta(p.m, p.subDim,
-        p.codebooks.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))))
+        p.codebooks.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))),
+      radii.map(_.toSeq.sorted.map { case (i, r) => RadiusMeta(i, r) }))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

@@ -40,7 +40,8 @@ class VectorIndex private (
     gridSpec: Option[GridIndex.GridSpec],
     centroids: Option[IvfIndex.Centroids],
     sqParams: Option[IvfIndex.SqParams] = None,
-    pqParams: Option[IvfIndex.PqParams] = None) {
+    pqParams: Option[IvfIndex.PqParams] = None,
+    listRadii: Option[Map[Int, Double]] = None) {
 
   /** Point count — reference `_pointcount` (hpp:304). */
   def size(): Long = data.count()
@@ -122,6 +123,23 @@ class VectorIndex private (
       vecCol, idCol, pqParams.get, q, k, sl)
   }
 
+  /** PROVABLY-EXACT kNN over the saved IVF+PQ layout
+    * (IvfIndex.searchPqExact): ball-radius proof on the code+residual
+    * columns, lossless list pruning via the sidecar's per-list radii,
+    * ADC seed, certified expansion re-rank. Exact on any collection —
+    * `seed` tunes cost only. Requires a save()d-then-load()ed PQ layout
+    * (the residual column ships in it); after append() the stored radii
+    * are stale-unsound and are recomputed on the fly until re-save. */
+  def annSearchPqExact(q: Seq[Double], k: Int, seed: Int = 0): DataFrame = {
+    require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    require(pqParams.isDefined && data.columns.contains(IvfIndex.PqResCol),
+      "no PQ residuals — save() an IVF index and load() it to enable " +
+        "annSearchPqExact")
+    val sd = if (seed > 0) seed else 4 * k
+    IvfIndex.searchPqExact(data, vecCol, idCol, centroids.get,
+      pqParams.get, q, k, sd, listRadii)
+  }
+
   /** Incremental insertion — reference `insert` (hpp:1262). New rows are
     * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
     * clamp to border cells; pruning stays lossless because query-side cell
@@ -143,7 +161,17 @@ class VectorIndex private (
     val withPq = pqParams
       .map(p => IvfIndex.withPqCodes(withCodes, vecCol, p))
       .getOrElse(withCodes)
-    val unioned = data.unionByName(withPq, allowMissingColumns = true)
+    // loaded exact-serving layouts: new rows need residuals too (null
+    // residuals would silently vanish from searchPqExact's filters)
+    val withRes = pqParams match {
+      case Some(p) if data.columns.contains(IvfIndex.PqResCol) =>
+        IvfIndex.withPqResiduals(withPq, vecCol, p)
+      case _ => withPq
+    }
+    val unioned = data.unionByName(withRes, allowMissingColumns = true)
+    // listRadii dropped, NOT carried: appended rows can exceed a stored
+    // list radius, and an undersized radius is an unsound pruning bound —
+    // annSearchPqExact recomputes until the next save()
     new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids,
       sqParams, pqParams)
   }
@@ -151,7 +179,8 @@ class VectorIndex private (
   /** Re-fit the pruning structures over the current collection. */
   def rebuild(cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex =
     VectorIndex.create(
-      data.drop("cell_id", "list_id", IvfIndex.SqCol, IvfIndex.PqCol),
+      data.drop("cell_id", "list_id", IvfIndex.SqCol, IvfIndex.PqCol,
+        IvfIndex.PqResCol),
       vecCol, idCol, dim, cellsPerDim, nlist)
 
   /** Persist as a pruning-friendly parquet index (the 100 TB layout) plus
@@ -184,12 +213,13 @@ class VectorIndex private (
         VectorFunctions.sqNorm(col(vecCol)) - 1.0))).head()
       !m.isNullAt(0) && m.getDouble(0) <= 1e-9
     }
-    val savedSq: (Option[IvfIndex.SqParams], Option[IvfIndex.PqParams]) =
+    val savedSq: (Option[IvfIndex.SqParams], Option[IvfIndex.PqParams],
+                  Option[Map[Int, Double]]) =
       (gridSpec, centroids) match {
       case (Some(spec), _) =>
         GridIndex.buildIndex(data, vecCol, spec, path)
         plans.IndexAwareRules.registerIndex(path, spec, unit)
-        (None, None)
+        (None, None, None)
       case (None, Some(c)) =>
         // rows out of create()/append() already carry the argmin list_id;
         // only raw external frames need assignment here
@@ -218,16 +248,27 @@ class VectorIndex private (
             IvfIndex.withPqCodes(withCodes, vecCol, p)
           case _ => withCodes
         }
-        withPq.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        // PQ layouts additionally carry the per-vector reconstruction
+        // residual (1 double at rest) and per-list radii in the sidecar
+        // — the bounds annSearchPqExact's certificates consume. Radii
+        // are RECOMPUTED every save, never reused: a stale (smaller)
+        // radius after appends would be an unsound pruning bound.
+        val withRes = pqp match {
+          case Some(p) if !withPq.columns.contains(IvfIndex.PqResCol) =>
+            IvfIndex.withPqResiduals(withPq, vecCol, p)
+          case _ => withPq
+        }
+        withRes.write.mode("overwrite").partitionBy("list_id").parquet(path)
         plans.IndexAwareRules.registerIvfIndex(path, c, unit)
-        (Some(sqp), pqp)
+        val radii = pqp.map(_ => IvfIndex.listRadii(withRes, vecCol, c))
+        (Some(sqp), pqp, radii)
       case (None, None) =>
         data.write.mode("overwrite").parquet(path)
-        (None, None)
+        (None, None, None)
     }
     IndexMeta.write(data.sparkSession, path,
       IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit,
-        savedSq._1, savedSq._2))
+        savedSq._1, savedSq._2, savedSq._3))
   }
 }
 
@@ -296,6 +337,6 @@ object VectorIndex {
       case _ => ()
     }
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
-      meta.ivfCentroids, meta.sqParams, meta.pqParams)
+      meta.ivfCentroids, meta.sqParams, meta.pqParams, meta.listRadiiMap)
   }
 }

@@ -246,6 +246,41 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hit == 9000L, "appended exact-match row must rank first")
   }
 
+  test("PQ residuals + list radii ride in the saved layout/sidecar; " +
+       "annSearchPqExact after load is exact; append stays sound") {
+    val df = randomDf(250, 32, 33)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 32, nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_pqx").toString + "/idx"
+    idx.save(path)
+    // the exact-serving artifacts are at rest: residual column in the
+    // layout, per-list radii in the sidecar
+    assert(spark.read.parquet(path).columns
+      .contains(graft.operators.IvfIndex.PqResCol))
+    val meta = IndexMeta.read(spark, path).get
+    assert(meta.listRadiiMap.isDefined && meta.listRadiiMap.get.nonEmpty)
+    val re = VectorIndex.load(spark, path)
+    val q = Seq.fill(32)(2.5)
+    def brute(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Search.knn(d, "vec", "id", array(q.map(lit): _*), k)
+        .select(col("id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // tight seed, pruned lists — still provably exact (values AND ids)
+    val got = re.annSearchPqExact(q, 5, seed = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute(df, 5))
+    // append: new rows get residuals, stale radii are NOT reused — the
+    // appended exact-match row must surface (an unsound stale bound
+    // could prune its list away)
+    import spark.implicits._
+    val extra = Seq((9000L, Seq.fill(32)(2.5), "new"))
+      .toDF("id", "vec", "name")
+    val appended = re.append(extra)
+    val hit = appended.annSearchPqExact(q, 1, seed = 8)
+      .select("id").head().getLong(0)
+    assert(hit == 9000L, "appended exact-match row must rank first")
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
