@@ -245,17 +245,22 @@ object CorpusPipeline {
     //     rewrites the text the shingles will see (boilerplate chunks
     //     surviving into the MinHash signatures would manufacture
     //     near-dup pairs out of pages that share only navigation).
-    //     Persisted when on: the rewrite chain (chunk groupBy + winner
-    //     join + reassembly) feeds the signature build, the candidate
-    //     semi-join, the Jaccard verification, and the final anti-join.
+    //     Lineage CUT when on, not just a cache: the rewrite chain
+    //     (chunk groupBy + winner join + reassembly) feeds the signature
+    //     build, the candidate semi-join, the Jaccard verification, and
+    //     the final anti-join — four consumers each re-ANALYZING the
+    //     inlined chain (persist caches data, not the plan; the
+    //     prepareTraining re-analysis lesson, measured q77 23.3 → ~12 s
+    //     at sf0.1). Only prepareTraining can turn this stage on, and it
+    //     already accepts localCheckpoint's executor-loss trade-off.
     val chunked = chunkDedupTokens match {
       case Some(w) =>
         val cd = Dedup.dedupChunks(exact, idCol, textCol, w)
-        CacheScope.register(exact
+        exact
           .join(cd.filter(col("n_kept") > 0)
             .select(col(idCol), col("new_text")), Seq(idCol))
           .withColumn(textCol, col("new_text")).drop("new_text")
-          .persist())
+          .localCheckpoint(true)
       case None => exact
     }
 

@@ -453,10 +453,14 @@ object IvfIndex {
     * data-independent certificate, so the result is exact on ANY
     * collection — the knobs tune COST, never correctness:
     *
-    *   1. Ball radius proof (the proveRadius family): grow r by doubling
-    *      until >= k vectors have CERTAIN distance <= r, using the sound
-    *      upper bound sqrt(adc) + residual on the code columns alone —
-    *      so the true d_k is <= r.
+    *   1. Ball radius proof (the proveRadius family, collapsed to ONE
+    *      job): r* = the k-th smallest certain-distance upper bound
+    *      sqrt(adc) + residual, read off the code columns alone — by
+    *      construction >= k vectors lie certainly within r*, so the true
+    *      d_k is <= r*, and r* is the TIGHTEST radius these upper bounds
+    *      can prove (a doubling loop would converge to a looser one in
+    *      ~10 driver jobs; measured 10.2 s → the job count, not data,
+    *      dominated at sf0.1).
     *   2. Lossless list pruning: any x with ||q−x|| <= r lives in a list
     *      whose centroid satisfies ||q−c|| <= r + radius(c) (triangle
     *      inequality), so restricting to those lists loses nothing from
@@ -498,24 +502,16 @@ object IvfIndex {
       case (id, d) if d <= r + radiiM.getOrElse(id, 0.0) => id
     }
     val adc = adcExpr(p, q)
-    val certainWithin = (r: Double) =>
-      sqrt(adc) + col(PqResCol) <= lit(r) // upper bound ⇒ certainly in ball
-    // 1+2. prove a radius r (and its lossless list set) containing >= k
-    // vectors — counts run on code/residual columns only
-    val maxR = centDists.map { case (id, d) =>
-      d + radiiM.getOrElse(id, 0.0) }.max
-    var r = math.max(centDists.map { case (id, d) =>
-      math.max(d - radiiM.getOrElse(id, 0.0), 0.0) }.min, maxR / 1024)
-    var lists: Seq[Int] = Seq.empty
-    var proven = false
-    while (!proven && r < maxR) {
-      val ls = listsFor(r)
-      if (ls.nonEmpty &&
-        index.filter(col("list_id").isin(ls: _*)).filter(certainWithin(r))
-          .limit(k).count() >= k) { proven = true; lists = ls }
-      else r *= 2
-    }
-    if (!proven) lists = centroids.map(_._1) // degenerate: scan all lists
+    // 1+2. prove the ball radius and its lossless list set in ONE
+    // code-column job: the k-th smallest upper bound is a radius with
+    // >= k certain members. (Any vector x achieving one of those k
+    // bounds lives in a list with ||q−c|| <= ||q−x|| + radius(c)
+    // <= r* + radius(c), so the pruned list set is never empty.)
+    val rStar = index
+      .select((sqrt(adc) + col(PqResCol)).as("__u"))
+      .orderBy(col("__u")).limit(k)
+      .agg(max(col("__u"))).head().getDouble(0)
+    val lists = listsFor(rStar)
     // the candidate relation carries ONLY id + code-derived scalars —
     // column pruning keeps the 8×-bigger double column out of this scan
     // and out of the cache (the at-rest I/O win searchSq documents)
