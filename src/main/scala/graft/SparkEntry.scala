@@ -1039,6 +1039,51 @@ object SparkEntry {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Q78 — incremental ingest into the SAVED postings index
+    * (TextSearch.appendIndex): the index is built over HALF the corpus,
+    * the other half is appended — new files under the existing bucket
+    * directories, sidecar scalars recombined from exact integer token
+    * sums — and the probe must then answer the EXACT ranking the q65
+    * scan path answers over the full corpus. Shares q65/q75's oracle
+    * text: the rolling-crawl ingest path and the full rebuild are
+    * indistinguishable to a query, which is the whole claim. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idxa_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, nBuckets = 16)
+    operators.TextSearch.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
+      "text", path)
+    operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Q79 — incremental ingest into the SAVED IVF+PQ vector layout
+    * (VectorIndex.appendSaved): the index is saved over the even half of
+    * the collection (centroids/SQ/PQ all fitted there and FROZEN), the
+    * odd half is appended at rest — encoded with the sidecar's frozen
+    * artifacts, per-list radii GROWN to cover the new members — and the
+    * provably-exact stacked serving path then runs over the loaded
+    * layout. The query vector itself (vec_id 11, odd) arrived by
+    * append. Shares the q60/q69/q76 exact-kNN oracle: append + exact
+    * serving must be indistinguishable from a full build, radii-merge
+    * soundness included. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_vec_idxa_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    VectorIndex.create(e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", dim, nlist = 16).save(path)
+    VectorIndex.appendSaved(s, path, e.filter(col("vec_id") % 2 =!= 0))
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    VectorIndex.load(s, path).annSearchPqExact(q, k = 12, seed = 48)
+  }
+
   /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
     * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
     * web-dedup regime q71's 16-bit variant could not reach before the
@@ -1216,6 +1261,8 @@ object SparkEntry {
     "q75_bm25_indexed" -> (q75 _),
     "q76_ann_pq_exact" -> (q76 _),
     "q77_training_pipeline_chunked" -> (q77 _),
+    "q78_bm25_index_append" -> (q78 _),
+    "q79_ann_index_append" -> (q79 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1888,6 +1935,9 @@ object SparkEntry {
     "q69_ann_pq" -> duckQuantizedKnnOracle,
     // the self-certifying stacked path answers the same exact workload
     "q76_ann_pq_exact" -> duckQuantizedKnnOracle,
+    // saved-layout append: build-on-half + append-half must be
+    // indistinguishable from the full build to an exact query
+    "q79_ann_index_append" -> duckQuantizedKnnOracle,
     "q70_pack" ->
       """WITH t0 AS (
         |  SELECT doc_id,
@@ -1978,6 +2028,8 @@ object SparkEntry {
     // the saved-index path must answer the scan path's exact ranking —
     // one oracle text keeps the equivalence honest (q60/q69 pattern)
     "q75_bm25_indexed" -> duckBm25TopOracle,
+    // incremental postings append answers the scan path's exact ranking
+    "q78_bm25_index_append" -> duckBm25TopOracle,
     "q66_hybrid_rrf" ->
       s"""WITH $duckBm25,
          |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (

@@ -312,6 +312,83 @@ object VectorIndex {
     new VectorIndex(withLists, vecCol, idCol, dim, spec, cents)
   }
 
+  /** Incremental ingest into a SAVED IVF layout at rest — the reference's
+    * `insert` (include/pktree.hpp:1262) for the index-on-disk story: at
+    * 100 TB an index cannot be rewritten to absorb a day's crawl. New rows
+    * are encoded with the SIDECAR's frozen artifacts — centroid
+    * assignment, SQ codes, PQ codes + residuals, exactly what save()
+    * would produce for them — and appended as new parquet files under the
+    * existing `list_id=` partition directories; existing files are never
+    * touched.
+    *
+    * The sidecar is then updated so every serving guarantee survives:
+    *   - per-list radii GROW to max(stored, new rows' max) — a radius
+    *     only needs to be >= every member's centroid distance, so
+    *     growing keeps annSearchPqExact's ring-pruning certificate
+    *     sound (shrinking would not; radii are never shrunk here);
+    *   - unitNorm degrades to false the moment one appended vector is
+    *     off the unit sphere (it licenses cosine rewrites — one tiny
+    *     agg over the NEW rows only re-checks it).
+    * Quantizer drift is the one cost: centroids/codebooks stay frozen
+    * (re-fitting would orphan every stored code), so heavy drift
+    * eventually wants load().rebuild().save() — the batch analog of the
+    * reference's restructure, same contract as in-memory append().
+    *
+    * IVF layouts only: grid layouts are cell-sorted bucket files whose
+    * row-group pruning an unsorted append would erode — rebuild those.
+    * Caller contract: ids must be new (append-only ingest; exact dedup
+    * runs upstream). */
+  def appendSaved(spark: SparkSession, path: String, rows: DataFrame): Unit = {
+    val meta = IndexMeta.read(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
+          "VectorIndex"))
+    val cents = meta.ivfCentroids.getOrElse(throw
+      new IllegalArgumentException(
+        "appendSaved supports IVF layouts only (grid layouts are " +
+          "cell-sorted bucket files — load().rebuild().save() those)"))
+    require(meta.grid.isEmpty, "unexpected grid+IVF hybrid layout")
+    val typed = rows.withColumn(meta.vecCol,
+      col(meta.vecCol).cast("array<double>"))
+    val bad = typed.filter(!coalesce(
+      VectorFunctions.dimCheck(col(meta.vecCol), meta.dim), lit(false)))
+      .limit(1)
+    require(bad.isEmpty,
+      s"input contains null vectors or vectors with dim != ${meta.dim}")
+    if (typed.isEmpty) return
+    val assigned = IvfIndex.assign(typed, meta.vecCol, meta.idCol, cents)
+    val withSq = meta.sqParams
+      .map(p => IvfIndex.withSqCodes(assigned, meta.vecCol, p))
+      .getOrElse(assigned)
+    val encoded = meta.pqParams match {
+      case Some(p) => IvfIndex.withPqResiduals(
+        IvfIndex.withPqCodes(withSq, meta.vecCol, p), meta.vecCol, p)
+      case None => withSq
+    }
+    // column order matched to the existing files so the layout keeps one
+    // schema shape; a payload column the layout has but the rows lack
+    // fails here, loudly, instead of writing ragged files
+    val layoutCols = spark.read.parquet(path).columns
+    encoded.select(layoutCols.map(col): _*)
+      .write.mode("append").partitionBy("list_id").parquet(path)
+    // sidecar refresh from the NEW rows only (metadata-sized jobs)
+    val unit = meta.unitNorm.getOrElse(false) && {
+      val m = encoded.agg(max(abs(
+        VectorFunctions.sqNorm(col(meta.vecCol)) - 1.0))).head()
+      !m.isNullAt(0) && m.getDouble(0) <= 1e-9
+    }
+    val mergedRadii = meta.listRadiiMap.map { old =>
+      val grown = IvfIndex.listRadii(encoded, meta.vecCol, cents)
+      (old.keySet ++ grown.keySet).map(l => l -> math.max(
+        old.getOrElse(l, 0.0), grown.getOrElse(l, 0.0))).toMap
+    }
+    IndexMeta.write(spark, path, IndexMeta.of(meta.vecCol, meta.idCol,
+      meta.dim, None, Some(cents), unit, meta.sqParams, meta.pqParams,
+      mergedRadii))
+    // unitNorm may have flipped — refresh the optimizer-rule registration
+    plans.IndexAwareRules.registerIvfIndex(path, cents, unit)
+  }
+
   /** Reload a saved index from its sidecar metadata: the EXACT GridSpec
     * the stored cell_id column was computed in (a re-fit could differ —
     * different cellsPerDim, or an extent widened since build — and would

@@ -119,9 +119,19 @@ object TextSearch {
     * every BM25 evaluation needs (total docs, average doc length) and the
     * bucket-hash geometry the probe must reproduce. Same pattern as
     * IndexMeta: an underscore-named JSON file inside the index directory,
-    * written via the Hadoop FileSystem API (local/HDFS/object store). */
+    * written via the Hadoop FileSystem API (local/HDFS/object store).
+    *
+    * `sumDl` (total token count) is what makes [[appendIndex]] exact:
+    * avgdl cannot be recombined from two averages without float drift,
+    * but the integer token sum can — (sumDl1 + sumDl2) / (n1 + n2) is
+    * bit-identical to the scan path's `avg` as long as the sum stays
+    * below 2^53 (double-exact integer range; Spark's avg accumulates
+    * integer inputs exactly there too). Option: sidecars written before
+    * incremental append existed parse unchanged (None = rebuild to
+    * enable append). */
   case class TextIndexMeta(version: Int, idCol: String, nDocs: Long,
-                           avgdl: Double, nBuckets: Int)
+                           avgdl: Double, nBuckets: Int,
+                           sumDl: Option[Long] = None)
 
   object TextIndexMeta {
     val FileName = "_graft_text_meta.json"
@@ -163,8 +173,13 @@ object TextSearch {
     val spark = docs.sparkSession
     val toks = docs.select(col(idCol), split(lower(col(textCol)), " ")
       .as("__toks"))
+    // count + exact integer token sum (not avg): sum/count reproduces
+    // avg bit-for-bit below 2^53, and the SUM recombines exactly across
+    // incremental appends where two averages could not
     val stats = toks.agg(count(lit(1)).as("n"),
-      avg(size(col("__toks"))).as("avgdl")).head()
+      sum(size(col("__toks"))).as("sumdl")).head()
+    require(stats.getLong(0) > 0, "cannot index an empty corpus")
+    val (n, sumDl) = (stats.getLong(0), stats.getLong(1))
     toks.select(col(idCol), size(col("__toks")).as("__dl"),
         explode(col("__toks")).as("__term"))
       .groupBy(col(idCol), col("__dl"), col("__term"))
@@ -173,7 +188,54 @@ object TextSearch {
         pmod(xxhash64(col("__term")), lit(nBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
     TextIndexMeta.write(spark, path,
-      TextIndexMeta(1, idCol, stats.getLong(0), stats.getDouble(1), nBuckets))
+      TextIndexMeta(1, idCol, n, sumDl.toDouble / n, nBuckets, Some(sumDl)))
+  }
+
+  /** Incrementally ingest new documents into a SAVED postings index —
+    * the rolling-crawl face of [[buildIndex]]: a standing 100 TB corpus
+    * gains a day's crawl without re-tokenizing itself. The new docs'
+    * postings rows are built exactly like the full build (one scan of
+    * the NEW docs only), bucketed with the SIDECAR's hash geometry, and
+    * appended as new files under the existing bucket directories; the
+    * sidecar's corpus scalars recombine exactly (integer token sums).
+    * Document frequencies need no maintenance at all — [[bm25Indexed]]
+    * reduces df from the probed postings themselves, so appended rows
+    * are counted the moment they land.
+    *
+    * After append, `bm25Indexed` answers EXACTLY what a scan-path
+    * [[bm25]] over the unioned corpus answers (spec-pinned). Caller
+    * contract: doc ids must be new — re-appending an existing id would
+    * double its postings (same contract as any append-only ingest; run
+    * exact dedup upstream). */
+  def appendIndex(docs: DataFrame, textCol: String, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${TextIndexMeta.FileName} under $indexPath — not a text index"))
+    val sumDl0 = meta.sumDl.getOrElse(throw new IllegalArgumentException(
+      "index sidecar predates incremental append (no exact token sum) — " +
+        "rebuild with buildIndex to enable appendIndex"))
+    val toks = docs.select(col(meta.idCol), split(lower(col(textCol)), " ")
+      .as("__toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("__toks"))).as("sumdl")).head()
+    val n2 = stats.getLong(0)
+    if (n2 > 0) {
+      val sumDl2 = stats.getLong(1)
+      // column order matched to the existing files (partition column
+      // excluded) so every file in the layout carries one schema shape
+      toks.select(col(meta.idCol), size(col("__toks")).as("__dl"),
+          explode(col("__toks")).as("__term"))
+        .groupBy(col(meta.idCol), col("__dl"), col("__term"))
+        .agg(count(lit(1)).cast("double").as("__tf"))
+        .withColumn(BucketCol,
+          pmod(xxhash64(col("__term")), lit(meta.nBuckets)).cast("int"))
+        .write.mode("append").partitionBy(BucketCol).parquet(indexPath)
+      val n = meta.nDocs + n2
+      val s = sumDl0 + sumDl2
+      TextIndexMeta.write(spark, indexPath,
+        meta.copy(nDocs = n, avgdl = s.toDouble / n, sumDl = Some(s)))
+    }
   }
 
   /** BM25 over a SAVED postings index — same contract as [[bm25]] (it

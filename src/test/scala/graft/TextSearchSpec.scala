@@ -136,6 +136,55 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("appendIndex: incremental ingest answers the full-corpus scan " +
+       "ranking; sidecar scalars recombine exactly") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_text_idx_app").toString
+    val dirF = java.nio.file.Files
+      .createTempDirectory("graft_text_idx_full").toString
+    try {
+      TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dirA, nBuckets = 8)
+      TextSearch.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
+        "text", dirA)
+      val scan = TextSearch.bm25(docs, "doc_id", "text",
+          Seq("spark", "vector", "query"), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val probed = TextSearch.bm25Indexed(spark, dirA,
+          Seq("spark", "vector", "query"), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(probed === scan && scan.nonEmpty)
+      // the appended sidecar is BIT-identical to a full build's (integer
+      // token sums recombine exactly — no float drift across ingests)
+      TextSearch.buildIndex(docs, "doc_id", "text", dirF, nBuckets = 8)
+      val ma = TextSearch.TextIndexMeta.read(spark, dirA).get
+      val mf = TextSearch.TextIndexMeta.read(spark, dirF).get
+      assert(ma === mf)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirF))
+    }
+  }
+
+  test("appendIndex refuses a sidecar without the exact token sum") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_text_idx_old").toString
+    try {
+      TextSearch.buildIndex(docs, "id", "text", dir, nBuckets = 4)
+      val meta = TextSearch.TextIndexMeta.read(spark, dir).get
+      TextSearch.TextIndexMeta.write(spark, dir, meta.copy(sumDl = None))
+      val e = intercept[IllegalArgumentException] {
+        TextSearch.appendIndex(docs.limit(1), "text", dir)
+      }
+      assert(e.getMessage.contains("rebuild"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bm25Indexed probe prunes to the query terms' buckets (plan audit)") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text")

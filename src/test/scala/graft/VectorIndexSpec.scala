@@ -281,6 +281,68 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hit == 9000L, "appended exact-match row must rank first")
   }
 
+  test("appendSaved: at-rest ingest into the IVF+PQ layout — appended " +
+       "rows fully encoded, radii stay sound, exact path exact on union") {
+    val df = randomDf(250, 32, 41)
+    val even = df.filter(col("id") % 2 === 0)
+    val odd = df.filter(col("id") % 2 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_apps").toString + "/idx"
+    VectorIndex.create(even, "vec", "id", dim = 32, nlist = 8).save(path)
+    val radiiBefore = IndexMeta.read(spark, path).get.listRadiiMap.get
+    VectorIndex.appendSaved(spark, path, odd)
+    // every appended row landed fully encoded — no null codes/residuals
+    // that would silently vanish from the exact path's filters
+    val onDisk = spark.read.parquet(path)
+    assert(onDisk.count() == 250)
+    assert(onDisk.filter(col(graft.operators.IvfIndex.SqCol).isNull ||
+      col(graft.operators.IvfIndex.PqCol).isNull ||
+      col(graft.operators.IvfIndex.PqResCol).isNull).isEmpty)
+    // sidecar radii: grown where needed (never shrunk), and the invariant
+    // the ring-pruning certificate rests on — radius(l) >= every member's
+    // centroid distance — holds over the UNION
+    val meta = IndexMeta.read(spark, path).get
+    val radiiAfter = meta.listRadiiMap.get
+    radiiBefore.foreach { case (l, r) =>
+      assert(radiiAfter.getOrElse(l, 0.0) >= r, s"list $l radius shrank") }
+    val trueRadii = graft.operators.IvfIndex.listRadii(
+      onDisk, "vec", meta.ivfCentroids.get)
+    trueRadii.foreach { case (l, r) =>
+      assert(radiiAfter.getOrElse(l, 0.0) >= r - 1e-9,
+        s"list $l sidecar radius $r unsound") }
+    // the provably-exact serving path is exact over the union — the
+    // query hits appended (odd-id) neighborhoods too
+    val re = VectorIndex.load(spark, path)
+    val q = Seq.fill(32)(2.5)
+    val got = re.annSearchPqExact(q, 5, seed = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
+      .select(col("id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+    assert(got.exists(_._1 % 2 == 1), "union result should include " +
+      "appended rows for this fixture") // guards the fixture, not the op
+  }
+
+  test("appendSaved refuses grid layouts and ragged dims") {
+    val low = randomDf(50, 2, 7)
+    val gpath = java.nio.file.Files
+      .createTempDirectory("graft_vi_appg").toString + "/idx"
+    VectorIndex.create(low, "vec", "id", dim = 2).save(gpath)
+    val eg = intercept[IllegalArgumentException] {
+      VectorIndex.appendSaved(spark, gpath, low)
+    }
+    assert(eg.getMessage.contains("IVF layouts only"))
+    val hi = randomDf(80, 16, 9)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_appd").toString + "/idx"
+    VectorIndex.create(hi, "vec", "id", dim = 16, nlist = 4).save(path)
+    val ed = intercept[IllegalArgumentException] {
+      VectorIndex.appendSaved(spark, path, randomDf(5, 8, 11))
+    }
+    assert(ed.getMessage.contains("dim"))
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
