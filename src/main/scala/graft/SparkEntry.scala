@@ -1084,6 +1084,29 @@ object SparkEntry {
     VectorIndex.load(s, path).annSearchPqExact(q, k = 12, seed = 48)
   }
 
+  /** Q80 — cross-corpus near-dedup against a SAVED reference index
+    * (Dedup.buildRefIndex / appendRefIndex / minhashAgainstIndex): the
+    * standing ref slice's banded signatures + hashed verification
+    * shingles live at rest (built over its even half, the odd half
+    * appended — per-doc relations, so append is trivially exact), and
+    * the q68 batch probes them by bucket — literal-IN partition pruning
+    * on both relations, the reference corpus never re-read. Shares
+    * q68's oracle text: the rolling-crawl serving path must answer the
+    * recompute path's exact result. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_idx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    operators.Dedup.buildRefIndex(ref.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", path, nBuckets = 16)
+    operators.Dedup.appendRefIndex(ref.filter(col("doc_id") % 10 =!= 0),
+      "text", path)
+    operators.Dedup.minhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), path, "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
     * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
     * web-dedup regime q71's 16-bit variant could not reach before the
@@ -1263,6 +1286,7 @@ object SparkEntry {
     "q77_training_pipeline_chunked" -> (q77 _),
     "q78_bm25_index_append" -> (q78 _),
     "q79_ann_index_append" -> (q79 _),
+    "q80_dedup_against_index" -> (q80 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1313,6 +1337,43 @@ object SparkEntry {
     * self-certifying stacked PQ path): every quantized-candidate + exact
     * re-rank variant must answer the same exact-kNN workload — one
     * oracle text keeps that equivalence honest. */
+  /** Shared by q68 (recompute path) and q80 (saved-index path): one
+    * oracle definition of the cross-corpus near-dedup result, so the
+    * two paths can't drift apart — the index probe must answer the
+    * recompute path's exact result. */
+  private lazy val duckCrossDedupOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |              FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |       FROM toks WHERE len(t) >= 3),
+         |sig AS ($duckMinhashSig),
+         |bands AS (
+         |  $duckMinhashBands),
+         |bf AS (SELECT doc_id AS fid, band_idx, band_val FROM bands
+         |       WHERE doc_id % 5 != 0),
+         |br AS (SELECT doc_id AS rid, band_idx, band_val FROM bands
+         |       WHERE doc_id % 5 = 0),
+         |cand AS (SELECT DISTINCT fid, rid
+         |         FROM bf JOIN br USING (band_idx, band_val)),
+         |shf AS (SELECT doc_id AS fid, shingle FROM sh
+         |        WHERE doc_id IN (SELECT fid FROM cand)),
+         |shr AS (SELECT doc_id AS rid, shingle FROM sh
+         |        WHERE doc_id IN (SELECT rid FROM cand)),
+         |szf AS (SELECT fid, count(*) AS nf FROM shf GROUP BY 1),
+         |szr AS (SELECT rid, count(*) AS nr FROM shr GROUP BY 1),
+         |inter AS (SELECT shf.fid, shr.rid, count(*) AS c
+         |          FROM shf JOIN shr USING (shingle) GROUP BY 1, 2),
+         |jac AS (SELECT i.fid, i.rid,
+         |          ROUND(i.c / (szf.nf + szr.nr - i.c), 6) AS j
+         |        FROM inter i JOIN cand USING (fid, rid)
+         |          JOIN szf USING (fid) JOIN szr USING (rid))
+         |SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS n_ref_dups,
+         |       max(j) AS max_jaccard
+         |FROM jac WHERE j >= 0.5 GROUP BY 1
+         |ORDER BY doc_id""".stripMargin
+
   private lazy val duckQuantizedKnnOracle: String =
     s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
        |FROM embeddings e,
@@ -2050,38 +2111,11 @@ object SparkEntry {
          |      FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id)
          |SELECT doc_id, rank_a, rank_b, rrf FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
-    "q68_dedup_against" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-         |              FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-         |       FROM toks WHERE len(t) >= 3),
-         |sig AS ($duckMinhashSig),
-         |bands AS (
-         |  $duckMinhashBands),
-         |bf AS (SELECT doc_id AS fid, band_idx, band_val FROM bands
-         |       WHERE doc_id % 5 != 0),
-         |br AS (SELECT doc_id AS rid, band_idx, band_val FROM bands
-         |       WHERE doc_id % 5 = 0),
-         |cand AS (SELECT DISTINCT fid, rid
-         |         FROM bf JOIN br USING (band_idx, band_val)),
-         |shf AS (SELECT doc_id AS fid, shingle FROM sh
-         |        WHERE doc_id IN (SELECT fid FROM cand)),
-         |shr AS (SELECT doc_id AS rid, shingle FROM sh
-         |        WHERE doc_id IN (SELECT rid FROM cand)),
-         |szf AS (SELECT fid, count(*) AS nf FROM shf GROUP BY 1),
-         |szr AS (SELECT rid, count(*) AS nr FROM shr GROUP BY 1),
-         |inter AS (SELECT shf.fid, shr.rid, count(*) AS c
-         |          FROM shf JOIN shr USING (shingle) GROUP BY 1, 2),
-         |jac AS (SELECT i.fid, i.rid,
-         |          ROUND(i.c / (szf.nf + szr.nr - i.c), 6) AS j
-         |        FROM inter i JOIN cand USING (fid, rid)
-         |          JOIN szf USING (fid) JOIN szr USING (rid))
-         |SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS n_ref_dups,
-         |       max(j) AS max_jaccard
-         |FROM jac WHERE j >= 0.5 GROUP BY 1
-         |ORDER BY doc_id""".stripMargin,
+    "q68_dedup_against" -> duckCrossDedupOracle,
+    // the saved-index probe (build on half the ref slice + append the
+    // rest + pruned-bucket probe) must answer the recompute path's exact
+    // result — ingest and rebuild indistinguishable to a query
+    "q80_dedup_against_index" -> duckCrossDedupOracle,
     "q73_training_pipeline" -> duckTrainingPipelineOracle(None),
     "q77_training_pipeline_chunked" -> duckTrainingPipelineOracle(Some(16)),
     "q67_interval_join" ->

@@ -273,34 +273,53 @@ object Dedup {
     // min-agg signature pipeline per read.
     val bf = CacheScope.register(banded(fresh, "__fid").persist())
     val br = CacheScope.register(banded(ref, "__rid").persist())
-    // Same degenerate-signature guard as minhashCandidates, adapted to
-    // the cross product: a bucket emits |fresh∩bucket|·|ref∩bucket|
-    // candidate rows, so the cap is on the COMBINED membership (both
-    // sides must drop the same buckets or the join goes asymmetric).
-    // Default no-op below 1000 combined docs per bucket; q68's oracle
-    // carries no cap, so the declared-scale hash match also certifies
-    // the cap never fired there.
-    val hot = bf.select(col("band_idx"), col("band_val"))
-      .unionByName(br.select(col("band_idx"), col("band_val")))
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucketSize)
-      .select(col("band_idx"), col("band_val"))
-    val cands = CacheScope.register(
-      bf.join(hot, Seq("band_idx", "band_val"), "left_anti")
-        .join(br.join(hot, Seq("band_idx", "band_val"), "left_anti"),
-          Seq("band_idx", "band_val"))
-        .select(col("__fid"), col("__rid")).distinct().persist())
-
+    val cands = crossBandCandidates(bf, br, maxBucketSize)
     def candShingles(docs: DataFrame, out: String): DataFrame =
       shingles(docs, idCol, textCol, shingleN, repartitionById = false)
         .select(col(idCol).as(out), xxhash64(col("shingle")).as("__sh"))
         .distinct()
         .join(cands.select(col(out)).distinct(), Seq(out), "left_semi")
-    val shF = candShingles(fresh, "__fid")
-    val shR = candShingles(ref, "__rid")
+    crossVerifyTail(cands, candShingles(fresh, "__fid"),
+      candShingles(ref, "__rid"), idCol, minJaccard)
+  }
+
+  /** The cross-corpus band join: fresh bands × ref bands → distinct
+    * (__fid, __rid) candidates, with the combined-membership hot-bucket
+    * cap. ONE definition under both the recompute path (minhashAgainst)
+    * and the saved-index path (minhashAgainstIndex), so their collision
+    * semantics cannot drift.
+    *
+    * The cap guard (same degenerate-signature story as
+    * minhashCandidates, adapted to the cross product): a bucket emits
+    * |fresh∩bucket|·|ref∩bucket| candidate rows, so the cap is on the
+    * COMBINED membership — both sides must drop the same buckets or the
+    * join goes asymmetric. Default no-op below 1000 combined docs per
+    * bucket; q68's oracle carries no cap, so the declared-scale hash
+    * match also certifies the cap never fired there. */
+  private def crossBandCandidates(bf: DataFrame, br: DataFrame,
+                                  maxBucketSize: Int): DataFrame = {
+    val hot = bf.select(col("band_idx"), col("band_val"))
+      .unionByName(br.select(col("band_idx"), col("band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucketSize)
+      .select(col("band_idx"), col("band_val"))
+    CacheScope.register(
+      bf.join(hot, Seq("band_idx", "band_val"), "left_anti")
+        .join(br.join(hot, Seq("band_idx", "band_val"), "left_anti"),
+          Seq("band_idx", "band_val"))
+        .select(col("__fid"), col("__rid")).distinct().persist())
+  }
+
+  /** The exact-Jaccard verification tail shared by minhashAgainst and
+    * minhashAgainstIndex: candidate-filtered hashed-shingle relations in,
+    * (idCol, n_ref_dups, max_jaccard) out. Expects shF as (__fid, __sh)
+    * and shR as (__rid, __sh), both DISTINCT and already semi-joined to
+    * the candidate documents. */
+  private def crossVerifyTail(cands: DataFrame, shF: DataFrame,
+                              shR: DataFrame, idCol: String,
+                              minJaccard: Double): DataFrame = {
     val szF = shF.groupBy(col("__fid")).agg(count(lit(1)).as("__nf"))
     val szR = shR.groupBy(col("__rid")).agg(count(lit(1)).as("__nr"))
-
     shF.join(shR, "__sh")
       .groupBy(col("__fid"), col("__rid")).agg(count(lit(1)).as("__c"))
       .join(cands, Seq("__fid", "__rid"), "left_semi")
@@ -311,6 +330,177 @@ object Dedup {
       .groupBy(col("__fid"))
       .agg(count(lit(1)).as("n_ref_dups"), max(col("__j")).as("max_jaccard"))
       .select(col("__fid").as(idCol), col("n_ref_dups"), col("max_jaccard"))
+  }
+
+  // ===========================================================================
+  // Saved LSH reference index — the standing-corpus side of cross-corpus
+  // near-dedup at rest. A rolling crawl asks "what of this batch do we
+  // already have?" against the SAME 100 TB reference every day;
+  // recomputing the reference's signatures and shingles per batch is the
+  // lexical equivalent of re-tokenizing the corpus per BM25 query. The
+  // index stores the two ref-side relations the probe needs — banded
+  // signatures and hashed verification shingles — each partitioned by a
+  // hash bucket of its probe key, so a batch reads only the buckets its
+  // own bands/candidates name (the bm25Indexed literal-IN pattern).
+  // ===========================================================================
+
+  /** Sidecar for a saved LSH reference index: the signature geometry the
+    * probe must reproduce byte-for-byte (k, rowsPerBand, shingleN) and
+    * the bucket counts. Same pattern as TextSearch.TextIndexMeta. */
+  case class LshIndexMeta(version: Int, idCol: String, k: Int,
+                          rowsPerBand: Int, shingleN: Int, nBuckets: Int)
+
+  object LshIndexMeta {
+    val FileName = "_graft_lsh_meta.json"
+    private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+
+    def write(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+              meta: LshIndexMeta): Unit = {
+      val p = new org.apache.hadoop.fs.Path(indexPath, FileName)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(org.json4s.jackson.Serialization.write(meta)
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    def read(spark: org.apache.spark.sql.SparkSession,
+             indexPath: String): Option[LshIndexMeta] = {
+      val p = new org.apache.hadoop.fs.Path(indexPath, FileName)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          Some(org.json4s.jackson.Serialization
+            .read[LshIndexMeta](new String(bytes, "UTF-8")))
+        } finally in.close()
+      }
+    }
+  }
+
+  /** The two relation subdirectories of a saved LSH reference index and
+    * their partition columns. Bands partition by a hash bucket of
+    * band_val (the probe's join key); shingles by a hash bucket of the
+    * doc id (the probe's candidate semi-join key). */
+  val LshBandsDir = "bands"
+  val LshShinglesDir = "shingles"
+  val LshBandBucketCol = "__bb"
+  val LshRidBucketCol = "__rb"
+
+  /** Materialize the reference side of [[minhashAgainst]] at `path`:
+    * banded MinHash signatures (nBands rows per doc) under `bands/`,
+    * partitioned by a band-value hash bucket, and distinct 64-bit hashed
+    * verification shingles under `shingles/`, partitioned by a doc-id
+    * hash bucket, plus the geometry sidecar. One signature pipeline +
+    * one shingle scan — the same work ONE minhashAgainst call spends on
+    * the ref side, paid once instead of per batch. */
+  def buildRefIndex(ref: DataFrame, idCol: String, textCol: String,
+                    path: String, k: Int = 8, rowsPerBand: Int = 2,
+                    shingleN: Int = 3, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val spark = ref.sparkSession
+    writeRefRelations(ref, idCol, textCol, path, k, rowsPerBand, shingleN,
+      nBuckets, org.apache.spark.sql.SaveMode.Overwrite)
+    LshIndexMeta.write(spark, path,
+      LshIndexMeta(1, idCol, k, rowsPerBand, shingleN, nBuckets))
+  }
+
+  /** Incrementally ingest new reference documents into a saved LSH
+    * index: their bands and shingles land as new files under the
+    * existing bucket directories, computed with the SIDECAR's frozen
+    * geometry — nothing recombines, nothing is rewritten (the index
+    * stores per-doc relations, not corpus aggregates, so append is
+    * trivially exact). Caller contract: ids must be new (append-only
+    * ingest; exact dedup upstream). */
+  def appendRefIndex(newRef: DataFrame, textCol: String,
+                     path: String): Unit = {
+    val spark = newRef.sparkSession
+    val meta = LshIndexMeta.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${LshIndexMeta.FileName} under $path — not an LSH index"))
+    writeRefRelations(newRef, meta.idCol, textCol, path, meta.k,
+      meta.rowsPerBand, meta.shingleN, meta.nBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def writeRefRelations(ref: DataFrame, idCol: String,
+                                textCol: String, path: String, k: Int,
+                                rowsPerBand: Int, shingleN: Int,
+                                nBuckets: Int,
+                                mode: org.apache.spark.sql.SaveMode): Unit = {
+    lshBands(idCol, k, rowsPerBand)(
+        minhashSignatures(ref, idCol, textCol, k, shingleN))
+      .withColumnRenamed(idCol, "__rid")
+      .withColumn(LshBandBucketCol,
+        pmod(xxhash64(col("band_val")), lit(nBuckets)).cast("int"))
+      .write.mode(mode).partitionBy(LshBandBucketCol)
+      .parquet(s"$path/$LshBandsDir")
+    shingles(ref, idCol, textCol, shingleN, repartitionById = false)
+      .select(col(idCol).as("__rid"), xxhash64(col("shingle")).as("__sh"))
+      .distinct()
+      .withColumn(LshRidBucketCol,
+        pmod(xxhash64(col("__rid")), lit(nBuckets)).cast("int"))
+      .write.mode(mode).partitionBy(LshRidBucketCol)
+      .parquet(s"$path/$LshShinglesDir")
+  }
+
+  /** [[minhashAgainst]] served from a SAVED reference index: same
+    * contract, same result, but the reference corpus is never touched —
+    * the batch's own bands name the band buckets to read (literal IN →
+    * partition pruning), and the band join's candidates name the shingle
+    * buckets for verification the same way. Per-batch ref-side I/O is
+    * O(colliding buckets), not O(corpus): the annSearch-probes-lists
+    * shape, for near-dedup.
+    *
+    * Exactness vs the recompute path: band values and shingle hashes
+    * are engine-deterministic functions of the text, buckets partition
+    * them losslessly, and every band value the batch lacks can produce
+    * neither a collision nor a cap decision that affects one — so
+    * pruned-probe results equal full-recompute results (spec-pinned,
+    * and q80 shares q68's oracle). */
+  def minhashAgainstIndex(fresh: DataFrame, indexPath: String,
+                          textCol: String, minJaccard: Double = 0.5,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
+    val spark = fresh.sparkSession
+    val meta = LshIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
+    val idCol = meta.idCol
+    val bf = CacheScope.register(
+      lshBands(idCol, meta.k, meta.rowsPerBand)(
+        minhashSignatures(fresh, idCol, textCol, meta.k, meta.shingleN))
+        .withColumnRenamed(idCol, "__fid").persist())
+    // the batch's band buckets — a distinct over the (tiny) banded batch
+    // relation; its values are the ONLY partitions of bands/ a collision
+    // can live in
+    val bandBuckets = bf
+      .select(pmod(xxhash64(col("band_val")), lit(meta.nBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val br = spark.read.parquet(s"$indexPath/$LshBandsDir")
+      .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
+      .drop(LshBandBucketCol)
+    val cands = crossBandCandidates(bf, br, maxBucketSize)
+    // candidate ref docs' shingle buckets — metadata-sized collect
+    // (<= nBuckets values), names the shingles/ partitions to verify in
+    val ridBuckets = cands
+      .select(pmod(xxhash64(col("__rid")), lit(meta.nBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val shR = spark.read.parquet(s"$indexPath/$LshShinglesDir")
+      .filter(col(LshRidBucketCol).isin(ridBuckets: _*))
+      .drop(LshRidBucketCol)
+      .join(cands.select(col("__rid")).distinct(), Seq("__rid"), "left_semi")
+    val shF = shingles(fresh, idCol, textCol, meta.shingleN,
+        repartitionById = false)
+      .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
+      .distinct()
+      .join(cands.select(col("__fid")).distinct(), Seq("__fid"), "left_semi")
+    crossVerifyTail(cands, shF, shR, idCol, minJaccard)
   }
 
   /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the

@@ -306,6 +306,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got === List((1L, 2L)))
   }
 
+  test("minhashAgainstIndex: saved ref index (build + append) answers " +
+       "the recompute path exactly; probes prune to buckets (plan audit)") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val fresh = docs.filter(col("doc_id") % 5 =!= 0)
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_idx").toString + "/idx"
+    try {
+      operators.Dedup.buildRefIndex(ref.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", dir, nBuckets = 8)
+      operators.Dedup.appendRefIndex(ref.filter(col("doc_id") % 10 =!= 0),
+        "text", dir)
+      val viaIndex = operators.Dedup.minhashAgainstIndex(fresh, dir, "text")
+      val physical = viaIndex.queryExecution.executedPlan.toString
+      // both saved relations must be read through partition pruning —
+      // the band buckets the batch names, the shingle buckets the
+      // candidates name
+      assert(physical.contains(operators.Dedup.LshBandBucketCol) &&
+        physical.contains(operators.Dedup.LshRidBucketCol) &&
+        physical.contains("PartitionFilters"), physical)
+      val got = viaIndex
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toList
+      val want = operators.Dedup.minhashAgainst(fresh, ref, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toList
+      assert(got === want && want.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("dupStats: HLL estimate within 5% of exact, one pass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
