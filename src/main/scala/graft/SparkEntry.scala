@@ -1107,6 +1107,49 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q81 — deletion from the SAVED vector layout
+    * (VectorIndex.deleteSaved): the full collection is indexed, every
+    * odd id is tombstoned — no partition file rewritten — and the
+    * provably-exact serving path must answer the exact kNN over the
+    * SURVIVORS. The query vector is vec_id 11's embedding, itself a
+    * deleted row: its distance-0 hit must NOT appear. Radii stay sound
+    * under deletion for free (removing members can only shrink a
+    * list's true max distance below the stored bound). */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_vec_idxd_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    VectorIndex.create(e, "embedding", "vec_id", dim, nlist = 16).save(path)
+    VectorIndex.deleteSaved(s, path,
+      e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id")))
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    VectorIndex.load(s, path).annSearchPqExact(q, k = 12, seed = 48)
+  }
+
+  /** Q82 — deletion from the SAVED postings index
+    * (TextSearch.deleteFromIndex): full corpus indexed, odd doc_ids
+    * tombstoned, and the probe must answer the exact BM25 ranking of
+    * an index REBUILT on the survivors — which requires more than
+    * hiding rows: term document-frequencies shrink through the
+    * anti-join below the df reduction, and the sidecar's N/avgdl
+    * shrink through exact integer token sums recovered from the
+    * victims' stored doc lengths. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idxd_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextSearch.buildIndex(docs, "doc_id", "text", path,
+      nBuckets = 16)
+    operators.TextSearch.deleteFromIndex(s, path,
+      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id")))
+    operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
     * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
     * web-dedup regime q71's 16-bit variant could not reach before the
@@ -1287,6 +1330,8 @@ object SparkEntry {
     "q78_bm25_index_append" -> (q78 _),
     "q79_ann_index_append" -> (q79 _),
     "q80_dedup_against_index" -> (q80 _),
+    "q81_ann_index_delete" -> (q81 _),
+    "q82_bm25_index_delete" -> (q82 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1374,11 +1419,13 @@ object SparkEntry {
          |FROM jac WHERE j >= 0.5 GROUP BY 1
          |ORDER BY doc_id""".stripMargin
 
-  private lazy val duckQuantizedKnnOracle: String =
+  private def duckQuantizedKnn(where: String = ""): String =
     s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
        |FROM embeddings e,
        |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
+       |$where
        |ORDER BY dist, vec_id LIMIT 12""".stripMargin
+  private lazy val duckQuantizedKnnOracle: String = duckQuantizedKnn()
 
   /** Shared by q65 (BM25 top-20) and q66 (hybrid fusion of that same
     * shortlist): one oracle definition of the lexical ranking, so the
@@ -1386,9 +1433,9 @@ object SparkEntry {
     * rounded score (mirrors TextSearch.bm25's internal rounded
     * orderBy-limit), so sub-rounding sum-order noise can't pick a
     * different boundary SET in engine vs oracle. */
-  private val duckBm25: String =
-    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
-      |          FROM documents),
+  private def duckBm25(where: String = ""): String =
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |          FROM documents$where),
       |st AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
       |btf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, term,
       |          CAST(count(*) AS DOUBLE) AS tf
@@ -1552,7 +1599,7 @@ object SparkEntry {
 
   /** Shared by q65 (corpus-scan BM25) and q75 (saved-index BM25). */
   private lazy val duckBm25TopOracle: String =
-    s"""WITH $duckBm25
+    s"""WITH ${duckBm25()}
        |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
        |ORDER BY score DESC, doc_id""".stripMargin
 
@@ -1999,6 +2046,11 @@ object SparkEntry {
     // saved-layout append: build-on-half + append-half must be
     // indistinguishable from the full build to an exact query
     "q79_ann_index_append" -> duckQuantizedKnnOracle,
+    // tombstone deletion: the exact serving path answers the kNN over
+    // the SURVIVORS (the deleted query row's distance-0 hit must not
+    // appear)
+    "q81_ann_index_delete" ->
+      duckQuantizedKnn("WHERE e.vec_id % 2 = 0"),
     "q70_pack" ->
       """WITH t0 AS (
         |  SELECT doc_id,
@@ -2091,8 +2143,14 @@ object SparkEntry {
     "q75_bm25_indexed" -> duckBm25TopOracle,
     // incremental postings append answers the scan path's exact ranking
     "q78_bm25_index_append" -> duckBm25TopOracle,
+    // tombstone deletion: the probe answers a rebuilt-on-survivors
+    // index exactly (df, N, avgdl all shrink)
+    "q82_bm25_index_delete" ->
+      s"""WITH ${duckBm25(" WHERE doc_id % 2 = 0")}
+         |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
+         |ORDER BY score DESC, doc_id""".stripMargin,
     "q66_hybrid_rrf" ->
-      s"""WITH $duckBm25,
+      s"""WITH ${duckBm25()},
          |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
          |           ORDER BY sim DESC, vec_id) AS BIGINT) AS rank_a
          |       FROM (SELECT e.vec_id,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -389,6 +390,47 @@ object VectorIndex {
     plans.IndexAwareRules.registerIvfIndex(path, cents, unit)
   }
 
+  /** Subdirectory holding delete tombstones inside a saved index. The
+    * underscore prefix makes parquet directory listings of the index
+    * path ignore it, so data reads stay clean. */
+  val TombstoneDir = "_graft_tombstones"
+
+  /** Delete rows from a SAVED index by id — the third lifecycle verb of
+    * the at-rest layout (build/save, appendSaved, now delete). At 100 TB
+    * deletion cannot rewrite partition files; it writes TOMBSTONES — an
+    * id relation inside the index directory that load() anti-joins
+    * against the data. Every serving guarantee survives deletion
+    * unchanged: per-list radii remain SOUND upper bounds (removing
+    * members can only shrink the true max, never exceed it), SQ/PQ
+    * codes of surviving rows are untouched, and annSearchPqExact's
+    * certificates never reference deleted rows once the anti-join runs
+    * below them. Tombstones are append-only and idempotent (distinct
+    * ids); compaction = load().save(newPath), which writes only
+    * survivors and starts with an empty tombstone set. */
+  def deleteSaved(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val meta = IndexMeta.read(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
+          "VectorIndex"))
+    require(ids.columns.length == 1, "pass a single-column id relation")
+    ids.select(col(ids.columns.head).as(meta.idCol)).distinct()
+      .write.mode("append").parquet(s"$path/$TombstoneDir")
+  }
+
+  /** The tombstone-filtered data relation for a saved index path: the
+    * raw layout anti-joined against the tombstone ids (a no-op when no
+    * delete ever ran). Tombstone relations are deleted-id-sized; AQE
+    * picks the join strategy (broadcast for the typical tiny case). */
+  private def liveData(spark: SparkSession, path: String,
+                       idCol: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val t = new Path(s"$path/$TombstoneDir")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) df
+    else df.join(spark.read.parquet(t.toString).select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Reload a saved index from its sidecar metadata: the EXACT GridSpec
     * the stored cell_id column was computed in (a re-fit could differ —
     * different cellsPerDim, or an extent widened since build — and would
@@ -401,7 +443,7 @@ object VectorIndex {
         s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
         "VectorIndex (indexes written before the sidecar existed must be " +
         "rebuilt with create(...).save(path))"))
-    val df = spark.read.parquet(path)
+    val df = liveData(spark, path, meta.idCol)
     val spec = meta.gridSpec
     (spec, meta.ivfCentroids) match {
       case (Some(s), _) => plans.IndexAwareRules.registerIndex(path, s,

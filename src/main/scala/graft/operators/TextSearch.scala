@@ -238,6 +238,57 @@ object TextSearch {
     }
   }
 
+  /** Tombstone subdirectory inside a saved postings index (underscore
+    * prefix: invisible to parquet listings of the postings layout). */
+  val TextTombstoneDir = "_graft_text_tombstones"
+
+  /** Delete documents from a SAVED postings index by id — tombstones,
+    * never file rewrites (the at-rest deletion model shared with
+    * VectorIndex.deleteSaved). Exactness needs more than hiding rows:
+    * BM25's corpus scalars must shrink too, or every surviving score
+    * drifts from a rebuilt-on-survivors index. The deleted docs' token
+    * counts are recovered from the index itself — one column-pruned
+    * scan collecting each victim's stored __dl — and subtracted from
+    * the sidecar's integer sums, so N and avgdl recombine exactly
+    * (same no-float-drift argument as appendIndex). Document
+    * frequencies need no sidecar at all: [[bm25Indexed]] reduces df
+    * from live postings, and the tombstone anti-join runs below that
+    * reduction. Idempotent: already-tombstoned or absent ids are
+    * ignored. Compaction = rebuild to a new path. */
+  def deleteFromIndex(spark: SparkSession, indexPath: String,
+                      ids: DataFrame): Unit = {
+    val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${TextIndexMeta.FileName} under $indexPath — not a text index"))
+    val sumDl0 = meta.sumDl.getOrElse(throw new IllegalArgumentException(
+      "index sidecar predates incremental maintenance (no exact token " +
+        "sum) — rebuild with buildIndex to enable deleteFromIndex"))
+    require(ids.columns.length == 1, "pass a single-column id relation")
+    val tPath = new Path(indexPath, TextTombstoneDir)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh0 = ids.select(col(ids.columns.head).as(meta.idCol)).distinct()
+    val fresh = if (!fs.exists(tPath)) fresh0
+      else fresh0.join(spark.read.parquet(tPath.toString),
+        Seq(meta.idCol), "left_anti")
+    // one column-pruned pass over the postings recovers each victim's
+    // doc length (any posting row of a doc carries __dl); docs absent
+    // from the index contribute nothing — which also makes absent ids
+    // harmless to tombstone
+    val gone = spark.read.parquet(indexPath)
+      .join(fresh, Seq(meta.idCol), "left_semi")
+      .groupBy(col(meta.idCol)).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("s")).head()
+    val nGone = gone.getLong(0)
+    fresh.write.mode("append").parquet(tPath.toString)
+    if (nGone > 0) {
+      val n = meta.nDocs - nGone
+      val s = sumDl0 - gone.getLong(1)
+      require(n > 0, "deleting every indexed document — rebuild instead")
+      TextIndexMeta.write(spark, indexPath,
+        meta.copy(nDocs = n, avgdl = s.toDouble / n, sumDl = Some(s)))
+    }
+  }
+
   /** BM25 over a SAVED postings index — same contract as [[bm25]] (it
     * shares the scoring tail), but the corpus is never re-scanned: the
     * probe filters the postings parquet to the query terms' hash buckets
@@ -263,11 +314,19 @@ object TextSearch {
     val buckets = terms.toDF("__term")
       .select(pmod(xxhash64(col("__term")), lit(meta.nBuckets)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val postings = CacheScope.register(spark.read.parquet(indexPath)
+    val tPath = new Path(indexPath, TextTombstoneDir)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probed = spark.read.parquet(indexPath)
       .filter(col(BucketCol).isin(buckets: _*) &&
         col("__term").isin(terms: _*))
       .drop(BucketCol)
-      .persist())
+    // tombstone anti-join BELOW the df reduction and scoring: deleted
+    // docs vanish from term document-frequencies too, so the probe
+    // equals a rebuilt-on-survivors index exactly (spec-pinned)
+    val live = if (!fs.exists(tPath)) probed
+      else probed.join(spark.read.parquet(tPath.toString),
+        Seq(meta.idCol), "left_anti")
+    val postings = CacheScope.register(live.persist())
     scoreTopK(postings
         .withColumn("__n", lit(meta.nDocs))
         .withColumn("__avgdl", lit(meta.avgdl)),

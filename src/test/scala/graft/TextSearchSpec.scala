@@ -167,6 +167,38 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteFromIndex: probe equals an index REBUILT on survivors " +
+       "(df, N, avgdl all shrink); idempotent") {
+    import spark.implicits._
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val dirD = java.nio.file.Files
+      .createTempDirectory("graft_text_idx_del").toString
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft_text_idx_reb").toString
+    try {
+      TextSearch.buildIndex(docs, "doc_id", "text", dirD, nBuckets = 8)
+      val victims = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id")
+      TextSearch.deleteFromIndex(spark, dirD, victims)
+      // repeat + absent ids: no double-subtraction, no error
+      TextSearch.deleteFromIndex(spark, dirD,
+        Seq(1L, 3L, 999999L).toDF("doc_id"))
+      TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dirR, nBuckets = 8)
+      def top(d: String) = TextSearch.bm25Indexed(spark, d,
+          Seq("spark", "vector", "query"), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(top(dirD) === top(dirR) && top(dirR).nonEmpty)
+      // sidecar scalars equal the rebuilt index's exactly
+      val md = TextSearch.TextIndexMeta.read(spark, dirD).get
+      val mr = TextSearch.TextIndexMeta.read(spark, dirR).get
+      assert(md.nDocs == mr.nDocs && md.sumDl == mr.sumDl &&
+        md.avgdl == mr.avgdl)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirD))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirR))
+    }
+  }
+
   test("appendIndex refuses a sidecar without the exact token sum") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text")

@@ -343,6 +343,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(ed.getMessage.contains("dim"))
   }
 
+  test("deleteSaved: tombstoned rows vanish from every search path; " +
+       "idempotent; appended rows deletable too") {
+    val df = randomDf(200, 32, 51)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_del").toString + "/idx"
+    VectorIndex.create(df.filter(col("id") < 150), "vec", "id",
+      dim = 32, nlist = 8).save(path)
+    VectorIndex.appendSaved(spark, path, df.filter(col("id") >= 150))
+    import spark.implicits._
+    VectorIndex.deleteSaved(spark, path,
+      (0 until 200).filter(_ % 3 == 0).map(_.toLong).toDF("id"))
+    // repeat-delete + absent ids: harmless
+    VectorIndex.deleteSaved(spark, path, Seq(0L, 3L, 9999L).toDF("x"))
+    val re = VectorIndex.load(spark, path)
+    val survivors = df.filter(col("id") % 3 =!= 0)
+    assert(re.size() == survivors.count())
+    val q = Seq.fill(32)(1.5)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSeq
+    val brute = Search.knn(survivors, "vec", "id",
+      array(q.map(lit): _*), 7)
+    assert(ids(re.knn(q, 7)) == ids(brute))
+    assert(ids(re.annSearchPqExact(q, 7, seed = 10)) == ids(brute))
+    assert(ids(re.annSearch(q, 7, nProbe = 8)) == ids(brute)) // covering
+    assert(!ids(re.knn(q, 200)).exists(_ % 3 == 0))
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
