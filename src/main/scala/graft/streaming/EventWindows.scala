@@ -206,4 +206,45 @@ object EventWindows {
           .write.mode("append").parquet(indexPath)
       }
       .start()
+
+  /** The STREAMING rolling crawl: each micro-batch of fresh documents is
+    * (1) screened against the standing LSH reference index — matched
+    * near-dup docs are dropped — and (2) the SURVIVORS are appended to
+    * that same index, so later batches dedup against earlier ones too.
+    * This is the full incremental-crawl loop (q68/q80's question, asked
+    * continuously) as one foreachBatch sink: the saved index
+    * (Dedup.buildRefIndex's layout) is both the filter and the sink.
+    *
+    * Batch-parity: each micro-batch's kept set equals what
+    * Dedup.minhashAgainstIndex + anti-join would keep given the same
+    * index state (spec-pinned in StreamingSpec). foreachBatch gives
+    * at-least-once sink semantics on restart — the batch-id parquet
+    * subdirectory of `outPath` makes replayed batches overwrite
+    * instead of duplicate, and re-appending a replayed batch to the
+    * index only adds duplicate band/shingle rows, which change no
+    * probe answer (bands join distinct, shingles count distinct after
+    * the index's distinct write — so screening stays correct). */
+  def dedupAgainstIndexSink(docs: DataFrame, indexPath: String,
+                            textCol: String, outPath: String,
+                            checkpoint: String,
+                            minJaccard: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val idCol = graft.operators.Dedup.LshIndexMeta
+            .read(b.sparkSession, indexPath).get.idCol
+          val matched = graft.operators.Dedup
+            .minhashAgainstIndex(b, indexPath, textCol, minJaccard)
+            .select(org.apache.spark.sql.functions.col(idCol))
+          val kept = b.join(matched, Seq(idCol), "left_anti")
+            .persist()
+          kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+          graft.operators.Dedup.appendRefIndex(kept, textCol, indexPath)
+          kept.unpersist()
+          ()
+        } finally b.unpersist()
+      }
+      .start()
 }

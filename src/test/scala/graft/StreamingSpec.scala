@@ -206,4 +206,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(index.count() == 200)
     assert(index.columns.contains("cell_id"))
   }
+
+  test("streaming rolling crawl: each batch screens against AND grows " +
+       "the saved LSH index (later batches dedup against earlier ones)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    val baseA = "spark shuffles data across executors during wide " +
+      "transformations and the optimizer prunes columns at the scan"
+    val baseB = "a completely different sentence about gardening and " +
+      "rich loamy soil with earthworms and compost in early spring"
+    operators.Dedup.buildRefIndex(Seq((100L, baseA)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/idx", nBuckets = 8)
+    val srcDir = s"$tmp/src"
+    Seq((1L, baseA + " extra"), (2L, baseB)) // 1 dups the standing ref
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = EventWindows.dedupAgainstIndexSink(stream, s"$tmp/idx", "text",
+      s"$tmp/out", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 3 near-dups doc 2 — a SURVIVOR of batch 1, never in
+      // the original reference — so dropping it proves the index grew
+      Seq((3L, baseB + " indeed"),
+          (4L, "totally novel text about astronomy telescopes and the " +
+            "moons of jupiter visible tonight"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
 }
