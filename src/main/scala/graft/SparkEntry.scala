@@ -1150,6 +1150,22 @@ object SparkEntry {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Q83 — duplicated-span analysis (Dedup.duplicateSpans): the
+    * distributed form of Lee-et-al exact substring dedup. Every 8-word
+    * window occurring >= 2 times corpus-wide (counting within-doc
+    * repeats) marks its tokens as boilerplate; per doc the contract pins
+    * the window count, the covered-token count, and the md5 of the text
+    * with ALL covered tokens removed. The oracle recomputes windows,
+    * global duplication, coverage, and the rewrite from first principles
+    * — so the hash match proves the window-hash shuffle, the semi-join
+    * verdict, and the anti-join rewrite end-to-end. */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.duplicateSpans(t(s, dir, "documents"),
+        "doc_id", "text", windowTokens = 8, minDf = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+        col("dup_tokens"), md5(col("scrubbed")).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+
   /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
     * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
     * web-dedup regime q71's 16-bit variant could not reach before the
@@ -1332,6 +1348,7 @@ object SparkEntry {
     "q80_dedup_against_index" -> (q80 _),
     "q81_ann_index_delete" -> (q81 _),
     "q82_bm25_index_delete" -> (q82 _),
+    "q83_span_dedup" -> (q83 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2290,5 +2307,38 @@ object SparkEntry {
         |       user_id, count(*) AS n, ROUND(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q83_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(t) - 6),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |          || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |          || ' ' || t[i+7]) AS gs
+        |      FROM toks WHERE len(t) >= 8),
+        |wins AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT)
+        |           AS pos, unnest(gs) AS gram FROM g),
+        |dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+        |dw AS (SELECT doc_id, pos FROM wins JOIN dup USING (gram)),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        |       FROM dw GROUP BY doc_id),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+        |        FROM dw, (SELECT unnest(range(0, 8)) AS o)),
+        |cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+        |       FROM cov GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT)
+        |         AS p, unnest(t) AS tok FROM toks),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+        |         FROM tp LEFT JOIN cov
+        |           ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |         WHERE cov.p IS NULL),
+        |scr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS scrubbed
+        |        FROM kept GROUP BY doc_id)
+        |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  COALESCE(nd.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+        |  COALESCE(cs.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+        |  md5(COALESCE(scr.scrubbed, '')) AS scrub_fp
+        |FROM toks LEFT JOIN nd USING (doc_id)
+        |  LEFT JOIN cs USING (doc_id) LEFT JOIN scr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -349,4 +349,43 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(row.getLong(1) - exact) / exact <= 0.05)
     assert(row.getDouble(2) >= 0.45 && row.getDouble(2) <= 0.55)
   }
+
+  test("duplicateSpans: hand-built fixture — coverage, counts, scrub") {
+    import spark.implicits._
+    // doc 1 and 2 share the 4-token span "a b c d"; doc 3 repeats its own
+    // span twice (within-doc duplication); doc 4 is clean; doc 5 shorter
+    // than the window
+    val fx = Seq(
+      (1L, "x a b c d y"),
+      (2L, "p q a b c d"),
+      (3L, "m n o r m n o r"),
+      (4L, "u v w z zz zzz"),
+      (5L, "s t")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(fx, "doc_id", "text",
+        windowTokens = 4, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: windows at pos 2 ("a b c d") duplicated -> covers pos 2-5
+    assert(out(1L) == ((6L, 1L, 4L, "x y")))
+    assert(out(2L) == ((6L, 1L, 4L, "p q")))
+    // doc 3: "m n o r" appears at pos 1 and 5 (plus rolling windows
+    // "n o r m", "o r m n", "r m n o" each appear once) -> 2 dup
+    // windows covering pos 1-4 and 5-8 = all 8 tokens
+    assert(out(3L) == ((8L, 2L, 8L, "")))
+    assert(out(4L) == ((6L, 0L, 0L, "u v w z zz zzz")))
+    assert(out(5L) == ((2L, 0L, 0L, "s t")))
+  }
+
+  test("duplicateSpans: minDf above the max multiplicity marks nothing") {
+    import spark.implicits._
+    val fx = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(fx, "doc_id", "text",
+      windowTokens = 3, minDf = 3)
+    assert(out.agg(sum("n_dup_windows")).head().getLong(0) == 0L)
+    // and at minDf=2 every window of both docs is covered
+    val all = Dedup.duplicateSpans(fx, "doc_id", "text",
+      windowTokens = 3, minDf = 2)
+    assert(all.select("dup_tokens").collect().forall(_.getLong(0) == 5L))
+  }
 }
