@@ -1166,6 +1166,23 @@ object SparkEntry {
         col("dup_tokens"), md5(col("scrubbed")).as("scrub_fp"))
       .orderBy(col("doc_id"))
 
+  /** Q84 — quality-aware canonical selection (Dedup.canonicalPick):
+    * q47's verified near-dup components, but each cluster keeps its
+    * HIGHEST-n_chars member (ties to the smallest id) instead of the
+    * min id — the curation decision of which near-duplicate copy
+    * survives. Singletons keep themselves. The oracle extends q47's
+    * recursive-CTE transitive closure with a per-component rank, so the
+    * hash match proves both the component labels and the min-struct
+    * winner aggregate (the skew-immune form of the argmax). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    operators.Dedup.canonicalPick(docs, "doc_id", col("n_chars"), pairs)
+      .select(col("doc_id"), col("rep"), col("n_members"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q74 — SimHash near-dup pairs at the PRODUCTION signature width
     * (Dedup.simhashNearDupPairs, nBits = 64, radius 3): the Manku-2007
     * web-dedup regime q71's 16-bit variant could not reach before the
@@ -1349,6 +1366,7 @@ object SparkEntry {
     "q81_ann_index_delete" -> (q81 _),
     "q82_bm25_index_delete" -> (q82 _),
     "q83_span_dedup" -> (q83 _),
+    "q84_canonical_pick" -> (q84 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2340,5 +2358,39 @@ object SparkEntry {
         |FROM toks LEFT JOIN nd USING (doc_id)
         |  LEFT JOIN cs USING (doc_id) LEFT JOIN scr USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q84_canonical_pick" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |          WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |         FROM reach GROUP BY src),
+        |allc AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep,
+        |           d.n_chars
+        |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |rk AS (SELECT doc_id, rep,
+        |         ROW_NUMBER() OVER (PARTITION BY rep
+        |           ORDER BY n_chars DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY rep) AS n_members
+        |       FROM allc)
+        |SELECT doc_id, rep, CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM rk ORDER BY doc_id""".stripMargin,
   )
 }

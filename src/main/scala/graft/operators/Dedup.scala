@@ -1005,4 +1005,41 @@ object Dedup {
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("scrubbed", coalesce(col("scrubbed"), lit("")))
   }
+
+  /** Quality-aware canonical selection: collapse each near-duplicate
+    * cluster to its single BEST member instead of the smallest id. Min-id
+    * winner rules (exactByKey, dedupChunks) are arbitrary — when a
+    * cluster holds a clean original and a mangled scrape, curation wants
+    * the highest-quality copy kept. Components come from
+    * [[connectedComponents]] over the verified pair graph; docs in no
+    * pair are their own singleton component.
+    *
+    * Winner rule: maximum `scoreCol`, ties to the smallest id — computed
+    * as ONE min-struct aggregate per component ((-score, id) lexicographic),
+    * which is combiner-friendly and immune to giant-component skew, where
+    * a row_number window over the component would funnel a 100M-member
+    * boilerplate cluster through one task.
+    *
+    * @param scoreCol numeric quality score (higher = better), e.g.
+    *                 character count or a [[TextAnalysis.qualityFeatures]]
+    *                 signal
+    * @return one row per input doc:
+    *         (idCol, rep, score, n_members, keep ∈ {0,1})
+    */
+  def canonicalPick(docs: DataFrame, idCol: String, scoreCol: Column,
+                    pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, checkpointDir)
+      .withColumnRenamed("id", idCol)
+    val scored = docs.select(col(idCol), scoreCol.cast("double").as("score"))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+    val winners = scored.groupBy(col("rep")).agg(
+      min(struct((-col("score")).as("ns"), col(idCol).as("wid"))).as("__w"),
+      count(lit(1)).as("n_members"))
+      .select(col("rep"), col("__w.wid").as("__wid"), col("n_members"))
+    scored.join(winners, Seq("rep"))
+      .select(col(idCol), col("rep"), col("score"), col("n_members"),
+        (col(idCol) === col("__wid")).cast("long").as("keep"))
+  }
 }

@@ -377,6 +377,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ((2L, 0L, 0L, "s t")))
   }
 
+  test("canonicalPick: best score wins its cluster, singletons keep themselves") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // one cluster: 2 wins (max score, min id tie)
+      (4L, 5L)).toDF("doc_id", "score") // singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.canonicalPick(fx, "doc_id", col("score"), pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 0L), (2L, 1L, 3L, 1L), (3L, 1L, 3L, 0L),
+      (4L, 4L, 1L, 1L)))
+  }
+
   test("duplicateSpans: minDf above the max multiplicity marks nothing") {
     import spark.implicits._
     val fx = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
