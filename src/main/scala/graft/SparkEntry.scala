@@ -1166,6 +1166,27 @@ object SparkEntry {
         col("dup_tokens"), md5(col("scrubbed")).as("scrub_fp"))
       .orderBy(col("doc_id"))
 
+  /** Q85 — exact phrase search (TextSearch.phraseSearch): docs
+    * containing "table hash" as a consecutive token run, ranked by
+    * occurrence count — the positional query the bag-of-words BM25
+    * family cannot express. The contains() prefilter is lossless (a
+    * consecutive-token match IS a substring match on single-space
+    * text); the oracle rebuilds bigram positions from first principles,
+    * so the hash match proves prefilter + window-equality + count. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    operators.TextSearch.phraseSearch(t(s, dir, "documents"),
+      "doc_id", "text", Seq("table", "hash"), k = 20)
+
+  /** Q86 — proximity search (TextSearch.proximitySearch): docs where
+    * "spark" and "vector" occur within 3 token positions, closest pair
+    * first — classical IR NEAR over positional postings. Per-doc
+    * position lists of two specific terms are postings-sized, so the
+    * per-doc position join is tiny; the oracle is the naive token-
+    * position self-join. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    operators.TextSearch.proximitySearch(t(s, dir, "documents"),
+      "doc_id", "text", "spark", "vector", maxDist = 3, k = 20)
+
   /** Q84 — quality-aware canonical selection (Dedup.canonicalPick):
     * q47's verified near-dup components, but each cluster keeps its
     * HIGHEST-n_chars member (ties to the smallest id) instead of the
@@ -1367,6 +1388,8 @@ object SparkEntry {
     "q82_bm25_index_delete" -> (q82 _),
     "q83_span_dedup" -> (q83 _),
     "q84_canonical_pick" -> (q84 _),
+    "q85_phrase" -> (q85 _),
+    "q86_proximity" -> (q86 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2392,5 +2415,32 @@ object SparkEntry {
         |SELECT doc_id, rep, CAST(n_members AS BIGINT) AS n_members,
         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM rk ORDER BY doc_id""".stripMargin,
+    "q85_phrase" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |w AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT)
+        |        AS pos, unnest(gs) AS g
+        |      FROM (SELECT doc_id, list_transform(range(1, len(t)),
+        |              i -> t[i] || ' ' || t[i+1]) AS gs
+        |            FROM toks WHERE len(t) >= 2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  min(pos) AS first_pos
+        |FROM w WHERE g = 'table hash'
+        |GROUP BY doc_id
+        |ORDER BY n_hits DESC, first_pos, doc_id LIMIT 20""".stripMargin,
+    "q86_proximity" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT)
+        |         AS p, unnest(t) AS tok FROM toks),
+        |pr AS (SELECT a.doc_id, abs(a.p - b.p) AS d
+        |       FROM tp a JOIN tp b
+        |         ON a.doc_id = b.doc_id
+        |        AND a.tok = 'spark' AND b.tok = 'vector'
+        |       WHERE abs(a.p - b.p) <= 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  min(d) AS min_dist
+        |FROM pr GROUP BY doc_id
+        |ORDER BY min_dist, n_pairs DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -370,4 +370,84 @@ object TextSearch {
     rrfFuse(Seq(a -> aScore, b -> bScore), idCol, kRrf)
       .withColumnRenamed("rank_1", "rank_a")
       .withColumnRenamed("rank_2", "rank_b")
+
+  /** Exact phrase search: documents containing the query tokens as a
+    * CONSECUTIVE run, ranked by occurrence count — the positional query
+    * BM25's bag-of-words scoring cannot answer ("new york" ≠ docs with
+    * "new" and "york" anywhere). Occurrences may overlap ("a a a"
+    * contains "a a" twice), matching positional-postings semantics.
+    *
+    * Scale shape: a `contains` prefilter runs at scan speed and is
+    * provably lossless (a token-consecutive match IS a substring match
+    * when tokens are single-space joined — the converse can false-
+    * positive across token boundaries, which the positional check then
+    * rejects). Only surviving docs pay the window materialization, and
+    * the phrase-match filter sits in the same codegen stage as the
+    * explode, so the topmost shuffle carries one row per occurrence.
+    *
+    * @return top-k (idCol, n_hits, first_pos), hits descending, first
+    *         occurrence ascending, id ascending — 1-based positions
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.map(_.toLowerCase)
+    val m = terms.size
+    val needle = terms.mkString(" ")
+    val toksCol = col("__toks")
+    val grams = transform(
+      sequence(lit(1), size(toksCol) - (m - 1)),
+      i => struct(i.cast("long").as("pos"),
+        concat_ws(" ", (0 until m).map(o => element_at(toksCol, i + o)): _*)
+          .as("g")))
+    docs.select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(col("__t").contains(needle)) // lossless scan-speed prefilter
+      .select(col(idCol), split(col("__t"), " ").as("__toks"))
+      .filter(size(toksCol) >= m)
+      .select(col(idCol), explode(grams).as("__w"))
+      .filter(col("__w.g") === needle)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("__w.pos")).as("first_pos"))
+      .orderBy(col("n_hits").desc, col("first_pos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Proximity search: documents where `termA` and `termB` occur within
+    * `maxDist` token positions of each other, ranked by closeness — the
+    * NEAR operator of classical IR. Both terms' position lists are tiny
+    * per doc (specific-term postings), so the per-doc position join is
+    * output-bounded; docs lacking either term never leave the scan
+    * (two `contains` prefilters, lossless for single-space-joined text
+    * by the same argument as [[phraseSearch]], then exact token-equality
+    * positions decide).
+    *
+    * @return top-k (idCol, n_pairs, min_dist): position pairs within
+    *         range, smallest |posA − posB| first, then more pairs first,
+    *         then id
+    */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      termA: String, termB: String, maxDist: Int,
+                      k: Int = 20): DataFrame = {
+    require(termA.toLowerCase != termB.toLowerCase,
+      "termA and termB must differ (self-proximity is degenerate)")
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val (ta, tb) = (termA.toLowerCase, termB.toLowerCase)
+    val toksCol = col("__toks")
+    val posOf = (t: String) => filter(
+      transform(sequence(lit(1), size(toksCol)),
+        i => struct(i.cast("long").as("p"), element_at(toksCol, i).as("w"))),
+      s => s("w") === t)
+    val pairs = docs.select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(col("__t").contains(ta) && col("__t").contains(tb))
+      .select(col(idCol), split(col("__t"), " ").as("__toks"))
+      .select(col(idCol), posOf(ta).as("__pa"), posOf(tb).as("__pb"))
+      .select(col(idCol), explode(col("__pa.p")).as("pa"), col("__pb"))
+      .select(col(idCol), col("pa"), explode(col("__pb.p")).as("pb"))
+      .withColumn("__d", abs(col("pa") - col("pb")))
+      .filter(col("__d") <= maxDist)
+    pairs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), min(col("__d")).as("min_dist"))
+      .orderBy(col("min_dist"), col("n_pairs").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -254,4 +254,35 @@ class TextSearchSpec extends AnyFunSuite {
     assert(plan.contains("__term"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("phraseSearch: overlapping occurrences count, boundary substrings don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),          // "a a" occurs at pos 1 and 2 (overlap)
+      (2L, "concat dogma x y"), // substring "cat dog" but NOT token-consecutive
+      (3L, "cat dog runs"),
+      (4L, "no match here")).toDF("id", "text")
+    val aa = TextSearch.phraseSearch(docs, "id", "text", Seq("a", "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(aa.toSeq == Seq((1L, 2L, 1L)))
+    val cd = TextSearch.phraseSearch(docs, "id", "text",
+        Seq("cat", "dog"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cd.toSeq == Seq((3L, 1L, 1L))) // doc 2's prefilter hit is rejected
+  }
+
+  test("proximitySearch: distance window and ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha x beta"),        // dist 2
+      (2L, "alpha beta"),          // dist 1
+      (3L, "alpha x x x x beta"),  // dist 5 > maxDist
+      (4L, "beta y alpha y beta")  // dists 2 and 2 -> two pairs
+    ).toDF("id", "text")
+    val out = TextSearch.proximitySearch(docs, "id", "text",
+        "alpha", "beta", maxDist = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // min_dist asc, then n_pairs desc, then id
+    assert(out.toSeq == Seq((2L, 1L, 1L), (4L, 2L, 2L), (1L, 1L, 2L)))
+  }
 }
