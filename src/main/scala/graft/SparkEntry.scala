@@ -1187,6 +1187,26 @@ object SparkEntry {
     operators.TextSearch.proximitySearch(t(s, dir, "documents"),
       "doc_id", "text", "spark", "vector", maxDist = 3, k = 20)
 
+  /** Q87 — temperature-scaled mixing (Sampling.mixByTemperature,
+    * alpha = 0.5): the XLM/mT5 p_s ∝ n_s^alpha recipe. The fixture's
+    * sources are deliberately uniform AND source = src(doc_id % 20), so
+    * the query first derives a skewed sub-corpus from the DECORRELATED
+    * block index doc_id div 20 (source srcK keeps ~(K+1) of its 20-row
+    * blocks — counts grade 2..25), then the mix must flatten it:
+    * weights sqrt(n_s), never-upsample total solve, md5 coins. sqrt is
+    * IEEE-correctly-rounded in both engines — the reason alpha = 0.5 is
+    * the oracle-anchored regime. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val skewed = t(s, dir, "documents")
+      .filter(expr("(doc_id div 20) % 20") <
+        substring(col("source"), 4, 10).cast("int") + 1)
+      .select(col("doc_id"), col("source"))
+    operators.Sampling.mixByTemperature(skewed, "source", "doc_id",
+        alpha = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q84 — quality-aware canonical selection (Dedup.canonicalPick):
     * q47's verified near-dup components, but each cluster keeps its
     * HIGHEST-n_chars member (ties to the smallest id) instead of the
@@ -1390,6 +1410,7 @@ object SparkEntry {
     "q84_canonical_pick" -> (q84 _),
     "q85_phrase" -> (q85 _),
     "q86_proximity" -> (q86 _),
+    "q87_temperature_mix" -> (q87 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2442,5 +2463,23 @@ object SparkEntry {
         |  min(d) AS min_dist
         |FROM pr GROUP BY doc_id
         |ORDER BY min_dist, n_pairs DESC, doc_id LIMIT 20""".stripMargin,
+    "q87_temperature_mix" ->
+      """WITH dsk AS (SELECT doc_id, source FROM documents
+        |             WHERE (doc_id // 20) % 20
+        |                   < CAST(substr(source, 4) AS INT) + 1),
+        |n AS (SELECT source, count(*) AS ns FROM dsk GROUP BY source),
+        |w AS (SELECT source, ns, sqrt(CAST(ns AS DOUBLE)) AS wt FROM n),
+        |tt AS (SELECT min(ns / wt) AS tot FROM w),
+        |f AS (SELECT source,
+        |        CAST(floor(least(1.0,
+        |            round((SELECT tot FROM tt) * wt / ns, 9))
+        |          * 10000) AS BIGINT) AS thr
+        |      FROM w)
+        |SELECT d.doc_id, d.source
+        |FROM dsk d JOIN f USING (source)
+        |WHERE CAST(('0x' || substr(md5('mix#' || d.source || '#'
+        |        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      % 10000 < thr
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -125,6 +125,34 @@ object Sampling {
     * @param tokenCol expression giving the doc's token count
     * @return input columns + (shard, bin, offset_in_bin, n_tokens)
     */
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * sampling rule of XLM (Conneau & Lample 2019) and mT5: keep
+    * probabilities follow p_s ∝ n_s^alpha, so alpha = 1 is natural
+    * sampling (everything kept), and alpha → 0 flattens toward uniform
+    * across sources (large sources downsampled to the smallest's scale).
+    * Delegates to [[mixBySource]] with weights n_s^alpha over ALL
+    * sources present, inheriting its never-upsample total solve, its
+    * 10⁻⁴-granular content-hash coins, and its one-tiny-aggregate +
+    * scan-speed-filter cost shape.
+    *
+    * alpha = 0.5 (the common "square-root temperature") goes through
+    * `sqrt`, which IEEE 754 requires to be correctly rounded in every
+    * engine — so an SQL oracle reproduces the weights bit-for-bit;
+    * `pow` carries no such guarantee (other alphas are spec-tested,
+    * not oracle-anchored). */
+  def mixByTemperature(df: DataFrame, srcCol: String, idCol: String,
+                       alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else math.pow(n.toDouble, alpha)
+    mixBySource(df, srcCol, idCol,
+      counts.map { case (s, n) => s -> weight(n) })
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
                     budget: Long, nShards: Int): DataFrame = {
     require(budget > 0 && nShards > 0, "budget and nShards must be > 0")

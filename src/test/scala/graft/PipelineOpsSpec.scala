@@ -243,6 +243,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixByTemperature: alpha=1 keeps all, alpha=0.5 flattens to sqrt ratio") {
+    import spark.implicits._
+    // A=400, B=100 rows: alpha=0.5 -> weights 20/10, T = min(400/20,
+    // 100/10) = 10 -> keep A 10*20/400 = 0.5 (~200 rows), B whole
+    val rows = (1L to 400L).map(i => (i, "A")) ++
+      (401L to 500L).map(i => (i, "B"))
+    val df = rows.toDF("id", "src")
+    val natural = Sampling.mixByTemperature(df, "src", "id", alpha = 1.0)
+    assert(natural.count() == 500) // alpha=1: every source limiting, all kept
+    val flat = Sampling.mixByTemperature(df, "src", "id", alpha = 0.5)
+    val counts = flat.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("B") == 100, "limiting source kept whole")
+    assert(math.abs(counts("A") - 200) <= 30, s"A kept ${counts("A")}")
+  }
+
   test("packSequences: concat-then-chunk bins, straddle spills, order-stable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
