@@ -1207,6 +1207,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q88 — packed-bin boundary manifest (Sampling.packManifest): q70's
+    * packing rolled up to the per-bin metadata a training loader reads —
+    * sequence count, token count, and the ordered document-boundary
+    * spans that drive blockwise attention masks, canonicalized to an
+    * id:offset:len string. The oracle re-derives the packing AND the
+    * span string, so the hash match pins the whole manifest row. */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.packManifest(
+      operators.Sampling.packSequences(t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), budget = 2048, nShards = 4),
+      "doc_id")
+      .orderBy(col("shard"), col("bin"))
+
   /** Q84 — quality-aware canonical selection (Dedup.canonicalPick):
     * q47's verified near-dup components, but each cluster keeps its
     * HIGHEST-n_chars member (ties to the smallest id) instead of the
@@ -1411,6 +1424,7 @@ object SparkEntry {
     "q85_phrase" -> (q85 _),
     "q86_proximity" -> (q86 _),
     "q87_temperature_mix" -> (q87 _),
+    "q88_pack_manifest" -> (q88 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2481,5 +2495,27 @@ object SparkEntry {
         |        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |      % 10000 < thr
         |ORDER BY doc_id""".stripMargin,
+    "q88_pack_manifest" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 4 AS shard
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+        |      FROM t0),
+        |p AS (SELECT doc_id, shard,
+        |        CAST(floor(strt / 2048) AS BIGINT) AS bin,
+        |        CAST(strt % 2048 AS BIGINT) AS off, n_tokens
+        |      FROM o)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(off AS VARCHAR) || ':'
+        |    || CAST(n_tokens AS VARCHAR), ';' ORDER BY off) AS spans
+        |FROM p GROUP BY shard, bin
+        |ORDER BY shard, bin""".stripMargin,
   )
 }

@@ -169,4 +169,30 @@ object Sampling {
       .withColumn("offset_in_bin", (col("__start") % budget).cast("long"))
       .drop("__end", "__start")
   }
+
+  /** Per-bin manifest of a packed corpus — the metadata a training
+    * loader needs beside the token stream: sequence count, token count,
+    * and the document-boundary spans. Packed bins hold tokens from many
+    * documents; blockwise-causal attention must not let them attend
+    * across boundaries, so the loader wants each bin's ordered
+    * (doc, offset, length) list. Spans are canonicalized to an
+    * "id:offset:len" ';'-join in offset order (the same string-join
+    * canonical form the contract uses for arrays, q37) so the manifest
+    * is flat, checker-hashable, and parquet-trivial.
+    *
+    * One groupBy (shard, bin) over [[packSequences]]' output — bins are
+    * budget-bounded by construction, so the collect_list is bounded and
+    * the aggregation skew-free.
+    *
+    * @return (shard, bin, n_seqs, bin_tokens, spans) — bin_tokens
+    *         counts a straddling doc fully in its assigned bin
+    */
+  def packManifest(packed: DataFrame, idCol: String): DataFrame =
+    packed.groupBy(col("shard"), col("bin")).agg(
+      count(lit(1)).as("n_seqs"),
+      sum(col("n_tokens")).as("bin_tokens"),
+      array_join(transform(array_sort(collect_list(struct(
+        col("offset_in_bin").as("o"), col(idCol).as("i"),
+        col("n_tokens").as("n")))),
+        s => concat_ws(":", s("i"), s("o"), s("n"))), ";").as("spans"))
 }

@@ -291,6 +291,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"bin of $worstBin tokens exceeds budget+maxDoc bound")
   }
 
+  test("packManifest: per-bin seq/token counts and ordered boundary spans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same fixture as the packing test: bins 0 = docs 1,2 / 1 = docs 3,4
+    val docs = Seq((1L, 5L), (2L, 4L), (3L, 3L), (4L, 6L))
+      .toDF("doc_id", "toks")
+    val m = operators.Sampling.packManifest(
+      operators.Sampling.packSequences(docs, "doc_id", col("toks"),
+        budget = 8, nShards = 1), "doc_id")
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(m.toSeq == Seq(
+      (0L, 2L, 9L, "1:0:5;2:5:4"),
+      (1L, 2L, 9L, "3:1:3;4:4:6")))
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
