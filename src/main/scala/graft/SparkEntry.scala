@@ -1220,6 +1220,17 @@ object SparkEntry {
       "doc_id")
       .orderBy(col("shard"), col("bin"))
 
+  /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
+    * distinct counts and stringified native-type ranges over lineitem,
+    * computed in ONE aggregate job (multi-distinct via Expand; the
+    * approx=true HLL form is the 100 TB path, spec-tested since
+    * sketches aren't cross-engine). The oracle is a per-column
+    * UNION ALL of the same aggregates. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    operators.Profiling.profile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_shipdate"))
+
   /** Q84 — quality-aware canonical selection (Dedup.canonicalPick):
     * q47's verified near-dup components, but each cluster keeps its
     * HIGHEST-n_chars member (ties to the smallest id) instead of the
@@ -1425,6 +1436,7 @@ object SparkEntry {
     "q86_proximity" -> (q86 _),
     "q87_temperature_mix" -> (q87 _),
     "q88_pack_manifest" -> (q88 _),
+    "q89_profile" -> (q89 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2517,5 +2529,17 @@ object SparkEntry {
         |    || CAST(n_tokens AS VARCHAR), ';' ORDER BY off) AS spans
         |FROM p GROUP BY shard, bin
         |ORDER BY shard, bin""".stripMargin,
+    "q89_profile" ->
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_shipdate").map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
   )
 }

@@ -54,4 +54,25 @@ class AggregatesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"))
   }
+
+  test("profile: null/distinct/range per column in one job; approx close") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, null), (null, "b"), (5L, "c"))
+      .toDF("k", "s")
+    val got = operators.Profiling.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    assert(got("k") == ((5L, 1L, 4L, "1", "5")))
+    assert(got("s") == ((5L, 1L, 3L, "a", "c")))
+    // HLL path: same shape, cardinalities within the sketch's tolerance
+    val li = Tables.load(spark, SparkTestSession.sf0001, "lineitem")
+    val exact = operators.Profiling.profile(li, Seq("l_orderkey"))
+      .head().getLong(3)
+    val approx = operators.Profiling.profile(li, Seq("l_orderkey"),
+      approx = true).head().getLong(3)
+    // default sketch rsd is 5%; allow 2 sigma
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10)
+  }
 }
