@@ -1220,6 +1220,27 @@ object SparkEntry {
       "doc_id")
       .orderBy(col("shard"), col("bin"))
 
+  /** Q90 — q73's full training pipeline WITH the duplicated-span scrub
+    * stage (prepareTraining(spanScrubTokens = 8)): every 8-token window
+    * still duplicated after exact dedup loses ALL its copies (q83's
+    * operator composed where q77 composes chunk dedup), and the
+    * near-dup shingles, decontamination 8-grams, and packing token
+    * counts all see the scrubbed text. text_fp = md5 of the final text
+    * proves the rewrite flows through the whole composition. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.CorpusPipeline.prepareTraining(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        evalDocs = Some(docs.filter(col("doc_id") % 7 === 0)),
+        sourceWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        packBudget = 2048, packShards = 4, maxDupWordFrac = 0.6,
+        spanScrubTokens = Some(8))
+      .select(col("doc_id"), col("source"), col("split"),
+        md5(col("text")).as("text_fp"), col("shard"), col("bin"),
+        col("offset_in_bin"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1437,6 +1458,7 @@ object SparkEntry {
     "q87_temperature_mix" -> (q87 _),
     "q88_pack_manifest" -> (q88 _),
     "q89_profile" -> (q89 _),
+    "q90_training_pipeline_spanscrub" -> (q90 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1559,13 +1581,17 @@ object SparkEntry {
       |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20)"""
       .stripMargin
 
-  /** Shared builder for q73 (chunkWindow = None) and q77 (Some(w)) — one
-    * text for the full training-pipeline oracle, so the chunked variant
-    * cannot drift from the baseline. When chunked, the q64 reassembly
-    * SQL is spliced between the exact and near-dup stages (rewritten
-    * text feeds every later stage — shingles, 8-grams, token counts)
-    * and the final projection adds text_fp = md5 of the surviving text. */
-  private def duckTrainingPipelineOracle(chunkWindow: Option[Int]): String = {
+  /** Shared builder for q73 (no rewrite stages), q77 (chunkWindow =
+    * Some(w)), and q90 (spanWindow = Some(w)) — one text for the full
+    * training-pipeline oracle, so no variant can drift from the
+    * baseline. When a rewrite stage is on, its SQL (q64's chunk
+    * reassembly / q83's span scrub) is spliced between the exact and
+    * near-dup stages (rewritten text feeds every later stage —
+    * shingles, 8-grams, token counts) and the final projection adds
+    * text_fp = md5 of the surviving text. */
+  private def duckTrainingPipelineOracle(chunkWindow: Option[Int],
+                                         spanWindow: Option[Int] = None)
+      : String = {
     val chunkCtes = chunkWindow.map { w =>
       s"""
          |cht AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
@@ -1586,8 +1612,38 @@ object SparkEntry {
          |chunked AS MATERIALIZED (SELECT chr.doc_id, chr.text AS text, e.source
          |            FROM chr JOIN exact e USING (doc_id)),""".stripMargin
     }.getOrElse("")
-    val corpus = if (chunkWindow.isDefined) "chunked" else "exact"
-    val fpCol = if (chunkWindow.isDefined) " md5(sp.text) AS text_fp," else ""
+    val afterChunk = if (chunkWindow.isDefined) "chunked" else "exact"
+    val spanCtes = spanWindow.map { w =>
+      val gram = (0 until w).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      s"""
+         |spt AS (SELECT doc_id, string_split(text, ' ') AS t
+         |        FROM $afterChunk),
+         |spg AS (SELECT doc_id, list_transform(range(1, len(t) - ${w - 2}),
+         |          i -> $gram) AS gs
+         |        FROM spt WHERE len(t) >= $w),
+         |spw AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT)
+         |          AS pos, unnest(gs) AS gram FROM spg),
+         |spd AS (SELECT gram FROM spw GROUP BY gram HAVING count(*) >= 2),
+         |spdw AS (SELECT doc_id, pos FROM spw JOIN spd USING (gram)),
+         |spcov AS (SELECT DISTINCT doc_id, pos + o AS p
+         |          FROM spdw, (SELECT unnest(range(0, $w)) AS o)),
+         |sptp AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT)
+         |           AS p, unnest(t) AS tok FROM spt),
+         |spkept AS (SELECT sptp.doc_id, sptp.p, sptp.tok
+         |           FROM sptp LEFT JOIN spcov
+         |             ON sptp.doc_id = spcov.doc_id AND sptp.p = spcov.p
+         |           WHERE spcov.p IS NULL),
+         |spscr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+         |          FROM spkept GROUP BY doc_id),
+         |spanned AS MATERIALIZED (SELECT s.doc_id, s.text, e.source
+         |            FROM spscr s JOIN $afterChunk e USING (doc_id)),"""
+        .stripMargin
+    }.getOrElse("")
+    val corpus = if (spanWindow.isDefined) "spanned" else afterChunk
+    val fpCol =
+      if (chunkWindow.isDefined || spanWindow.isDefined)
+        " md5(sp.text) AS text_fp,"
+      else ""
     s"""WITH tr0 AS (SELECT doc_id, text, source FROM documents
        |             WHERE doc_id % 7 != 0),
        |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr0),
@@ -1619,7 +1675,7 @@ object SparkEntry {
        |    SELECT doc_id, text, source, ROW_NUMBER() OVER (
        |      PARTITION BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
        |      ORDER BY doc_id) AS rn
-       |    FROM quality) WHERE rn = 1),$chunkCtes
+       |    FROM quality) WHERE rn = 1),$chunkCtes$spanCtes
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpus),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
@@ -2281,6 +2337,8 @@ object SparkEntry {
     "q80_dedup_against_index" -> duckCrossDedupOracle,
     "q73_training_pipeline" -> duckTrainingPipelineOracle(None),
     "q77_training_pipeline_chunked" -> duckTrainingPipelineOracle(Some(16)),
+    "q90_training_pipeline_spanscrub" ->
+      duckTrainingPipelineOracle(None, Some(8)),
     "q67_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS error_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -146,6 +146,16 @@ object CorpusPipeline {
     *                      counts must all see the rewritten text. Docs
     *                      that lose every chunk drop out. None (default)
     *                      skips the stage.
+    * @param spanScrubTokens Some(window) inserts Lee-et-al duplicated-
+    *                      span removal (Dedup.duplicateSpans) right
+    *                      after the chunk stage: every token covered by
+    *                      a window still duplicated corpus-wide is
+    *                      deleted from EVERY copy (the chunk stage keeps
+    *                      first occurrences; this one removes residual
+    *                      boilerplate outright). Same placement logic —
+    *                      all later stages see the scrubbed text; docs
+    *                      scrubbed to nothing drop out. None (default)
+    *                      skips the stage.
     * @return input columns + split + (shard, bin, offset_in_bin,
     *         n_tokens — train rows only, null elsewhere)
     */
@@ -158,6 +168,7 @@ object CorpusPipeline {
                       maxTopBigramFrac: Double = 0.5,
                       decontamNgram: Int = 8,
                       chunkDedupTokens: Option[Int] = None,
+                      spanScrubTokens: Option[Int] = None,
                       minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                       minhashK: Int = 8, minJaccard: Double = 0.5,
                       collapseComponents: Boolean = false): DataFrame = {
@@ -197,7 +208,7 @@ object CorpusPipeline {
       // reclaimed by the ContextCleaner once the call returns.
       val deduped = dedupStages(gated, idCol, textCol, minTokens,
         maxPunctRatio, minhashK, minJaccard, collapseComponents,
-        chunkDedupTokens)
+        chunkDedupTokens, spanScrubTokens)
         .localCheckpoint(true)
       val clean = evalDocs match {
         case Some(ev) =>
@@ -229,7 +240,8 @@ object CorpusPipeline {
                           minTokens: Int, maxPunctRatio: Double,
                           minhashK: Int, minJaccard: Double,
                           collapseComponents: Boolean,
-                          chunkDedupTokens: Option[Int] = None): DataFrame = {
+                          chunkDedupTokens: Option[Int] = None,
+                          spanScrubTokens: Option[Int] = None): DataFrame = {
     // 1. quality gate — scan-speed, no shuffle
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
       .filter(col("n_tokens") >= minTokens &&
@@ -264,6 +276,25 @@ object CorpusPipeline {
       case None => exact
     }
 
+    // 2c. optional duplicated-span scrub — after the chunk stage (both
+    //     rewrite text: chunks keep FIRST occurrences, the span scrub
+    //     deletes EVERY copy of a window still duplicated corpus-wide),
+    //     before near-dup for the same reason the chunk stage is:
+    //     shingles, decontamination 8-grams, and packing token counts
+    //     must see the scrubbed text. Docs scrubbed to nothing drop.
+    //     Same lineage-cut rationale as 2b (the scrub chain feeds four
+    //     downstream consumers).
+    val corpus = spanScrubTokens match {
+      case Some(w) =>
+        val ds = Dedup.duplicateSpans(chunked, idCol, textCol, w)
+        chunked
+          .join(ds.filter(length(col("scrubbed")) > 0)
+            .select(col(idCol), col("scrubbed")), Seq(idCol))
+          .withColumn(textCol, col("scrubbed")).drop("scrubbed")
+          .localCheckpoint(true)
+      case None => chunked
+    }
+
     // 3. near-dup removal: MinHash-LSH candidates, verified by exact
     //    n-gram Jaccard (pairs only among candidates — never O(n²)).
     //    Default removal is PER-EDGE: drop a row iff it is the larger side
@@ -271,9 +302,9 @@ object CorpusPipeline {
     //    pair graph, so documents that aren't near-dups of each other can
     //    both survive even inside one component. collapseComponents=true
     //    keeps exactly one (min-id) representative per component instead.
-    val cands = Dedup.minhashCandidates(chunked, idCol, textCol, k = minhashK)
+    val cands = Dedup.minhashCandidates(corpus, idCol, textCol, k = minhashK)
     val verified = Dedup.ngramJaccardPairs(
-        chunked.join(
+        corpus.join(
           cands.select(col("a").as(idCol))
             .union(cands.select(col("b").as(idCol))).distinct(),
           Seq(idCol), "left_semi"),
@@ -284,6 +315,6 @@ object CorpusPipeline {
           .filter(col("rep") =!= col("id")).select(col("id").as(idCol))
       else verified.select(col("b").as(idCol)).distinct()
     // callers add the deterministic split (scan-speed, no shuffle)
-    chunked.join(losers, Seq(idCol), "left_anti")
+    corpus.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -118,6 +118,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.unpersist(); off.unpersist()
   }
 
+  test("prepareTraining(spanScrubTokens): duplicated spans deleted from " +
+       "EVERY copy, scrubbed text feeds packing, all-span docs drop") {
+    import spark.implicits._
+    // 3-token spans. Docs 1 and 2 share one; doc 3 is nothing but a
+    // span doc 4 also carries; doc 5 is clean. Unlike chunk dedup, NO
+    // copy of a duplicated span survives.
+    val sp = "click here now"
+    val docs = Seq(
+      (1L, s"$sp alpha beta gamma delta one", "src0"),
+      (2L, s"$sp epsilon zeta etaa theta two", "src0"),
+      (3L, sp, "src0"),
+      (4L, s"$sp iota kappa lambda mu three", "src0"),
+      (5L, "totally unrelated words here flow five", "src0"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepareTraining(docs, "doc_id", "text",
+      spanScrubTokens = Some(3), packShards = 1, minTokens = 1,
+      maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0)
+    val texts = out.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every copy of the span is gone — including doc 1's
+    assert(texts(1L) == "alpha beta gamma delta one")
+    assert(texts(2L) == "epsilon zeta etaa theta two")
+    assert(texts(4L) == "iota kappa lambda mu three")
+    // doc 3 was scrubbed to nothing → dropped
+    assert(!texts.contains(3L))
+    assert(texts.contains(5L))
+    // packing token counts reflect the scrubbed text
+    val toks = out.filter(col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    toks.get(1L).foreach(n => assert(n == 5L))
+    toks.get(2L).foreach(n => assert(n == 5L))
+    out.unpersist()
+  }
+
   test("connectedComponents: empty pair table yields empty labels, no NPE") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")
