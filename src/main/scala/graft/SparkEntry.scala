@@ -1241,6 +1241,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q91 — the packed corpus at rest (Sampling.writeShards /
+    * readShardManifest): q88's packing written to the shard-partitioned
+    * layout, then the MANIFEST READ BACK FROM DISK must answer the
+    * recompute path's exact rows — shares q88's oracle, the same
+    * build-then-probe contract every saved index query makes. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    operators.Sampling.writeShards(
+      operators.Sampling.packSequences(t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), budget = 2048, nShards = 4),
+      "doc_id", path)
+    operators.Sampling.readShardManifest(s, path)
+      .orderBy(col("shard"), col("bin"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1459,6 +1475,7 @@ object SparkEntry {
     "q88_pack_manifest" -> (q88 _),
     "q89_profile" -> (q89 _),
     "q90_training_pipeline_spanscrub" -> (q90 _),
+    "q91_shard_roundtrip" -> (q91 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1798,6 +1815,33 @@ object SparkEntry {
     s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
   private val duckSimhash64Hi = (32 until 64).map(j =>
     s"(CASE WHEN v$j > 0 THEN ${1L << (j - 32)} ELSE 0 END)").mkString(" + ")
+
+  /** Shared by q88 (recompute) and q91 (the saved shard layout's
+    * manifest read back from disk): one definition of the packed-bin
+    * manifest, so the at-rest loader metadata cannot drift from the
+    * recompute path. */
+  private lazy val duckPackManifestOracle: String =
+    """WITH t0 AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)),
+      |      1, 8)) AS UBIGINT) % 4 AS shard
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+      |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+      |      FROM t0),
+      |p AS (SELECT doc_id, shard,
+      |        CAST(floor(strt / 2048) AS BIGINT) AS bin,
+      |        CAST(strt % 2048 AS BIGINT) AS off, n_tokens
+      |      FROM o)
+      |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_seqs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  string_agg(CAST(doc_id AS VARCHAR) || ':'
+      |    || CAST(off AS VARCHAR) || ':'
+      |    || CAST(n_tokens AS VARCHAR), ';' ORDER BY off) AS spans
+      |FROM p GROUP BY shard, bin
+      |ORDER BY shard, bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_filter" ->
@@ -2565,28 +2609,8 @@ object SparkEntry {
         |        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |      % 10000 < thr
         |ORDER BY doc_id""".stripMargin,
-    "q88_pack_manifest" ->
-      """WITH t0 AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)),
-        |      1, 8)) AS UBIGINT) % 4 AS shard
-        |  FROM documents),
-        |o AS (SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
-        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
-        |      FROM t0),
-        |p AS (SELECT doc_id, shard,
-        |        CAST(floor(strt / 2048) AS BIGINT) AS bin,
-        |        CAST(strt % 2048 AS BIGINT) AS off, n_tokens
-        |      FROM o)
-        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_seqs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
-        |  string_agg(CAST(doc_id AS VARCHAR) || ':'
-        |    || CAST(off AS VARCHAR) || ':'
-        |    || CAST(n_tokens AS VARCHAR), ';' ORDER BY off) AS spans
-        |FROM p GROUP BY shard, bin
-        |ORDER BY shard, bin""".stripMargin,
+    "q88_pack_manifest" -> duckPackManifestOracle,
+    "q91_shard_roundtrip" -> duckPackManifestOracle,
     "q89_profile" ->
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         "l_shipdate").map(c =>

@@ -195,4 +195,39 @@ object Sampling {
         col("offset_in_bin").as("o"), col(idCol).as("i"),
         col("n_tokens").as("n")))),
         s => concat_ws(":", s("i"), s("o"), s("n"))), ";").as("spans"))
+
+  /** The packed corpus AT REST — the terminal sink of the training
+    * pipeline: sequence rows under shard-partitioned directories (a
+    * loader rank reads ONLY its shard's directory — partition pruning
+    * is the distribution mechanism) plus the [[packManifest]] relation
+    * beside them. The shard value is duplicated into a partition alias
+    * column rather than partitioned directly, so the data files keep
+    * the typed `shard` column (partition-column type inference would
+    * silently narrow long → int on read-back).
+    *
+    * Layout: parquet files under path/data/shard_part=K/ and
+    * path/manifest/ — same parquet-plus-relations shape as the
+    * vector/postings index layouts (VectorIndex.save,
+    * TextSearch.buildIndex). */
+  def writeShards(packed: DataFrame, idCol: String, path: String): Unit = {
+    packed.withColumn("shard_part", col("shard"))
+      .write.partitionBy("shard_part").mode("overwrite")
+      .parquet(s"$path/data")
+    packManifest(packed, idCol)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Sequence rows of a saved shard layout (all shards, or one rank's
+    * via `shard = Some(k)` — pruned to that directory at plan time). */
+  def readShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                 shard: Option[Long] = None): DataFrame = {
+    val all = spark.read.parquet(s"$path/data")
+    shard.fold(all)(k => all.filter(col("shard_part") === k))
+      .drop("shard_part")
+  }
+
+  /** The saved manifest relation of [[writeShards]]' layout. */
+  def readShardManifest(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(s"$path/manifest")
 }

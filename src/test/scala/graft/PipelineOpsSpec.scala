@@ -259,6 +259,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(counts("A") - 200) <= 30, s"A kept ${counts("A")}")
   }
 
+  test("writeShards: data+manifest round-trip, typed shard col, pruned read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val packed = operators.Sampling.packSequences(
+      docs.select("doc_id", "text"), "doc_id",
+      size(split(col("text"), " ")), budget = 512, nShards = 4)
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    operators.Sampling.writeShards(packed, "doc_id", path)
+    // read-back data matches the recompute, with shard still LongType
+    val back = operators.Sampling.readShards(spark, path)
+    assert(back.schema("shard").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val cols = Seq("doc_id", "shard", "bin", "offset_in_bin")
+    assert(back.select(cols.map(col): _*).except(
+      packed.select(cols.map(col): _*)).count() == 0)
+    assert(back.count() == packed.count())
+    // one rank's read prunes to its shard directory
+    val one = operators.Sampling.readShards(spark, path, shard = Some(2L))
+    assert(one.select("shard").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("shard_part"), "partition filter should show")
+    // manifest on disk == manifest recomputed
+    val m1 = operators.Sampling.readShardManifest(spark, path)
+    val m2 = operators.Sampling.packManifest(packed, "doc_id")
+    assert(m1.except(m2).count() == 0 && m2.except(m1).count() == 0)
+  }
+
   test("packSequences: concat-then-chunk bins, straddle spills, order-stable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
