@@ -1257,6 +1257,20 @@ object SparkEntry {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Q92 — distributed k-means (Clustering.kmeans, k = 4, iters = 2):
+    * the IVF trainer's Lloyd fixed-point run over the FULL collection —
+    * broadcast-literal argmin assignment (no join/shuffle), one k-row
+    * mean-update shuffle per round, centroids and distances rounded to
+    * 6 dp each round so both engines iterate on bit-identical state.
+    * The oracle unrolls the same two iterations in SQL; the hash match
+    * proves init, assignment tie-breaks, the empty-cluster rule, and
+    * the mean updates end-to-end. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    operators.Clustering.kmeans(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 2)._1
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1476,6 +1490,7 @@ object SparkEntry {
     "q89_profile" -> (q89 _),
     "q90_training_pipeline_spanscrub" -> (q90 _),
     "q91_shard_roundtrip" -> (q91 _),
+    "q92_kmeans" -> (q92 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1815,6 +1830,46 @@ object SparkEntry {
     s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
   private val duckSimhash64Hi = (32 until 64).map(j =>
     s"(CASE WHEN v$j > 0 THEN ${1L << (j - 32)} ELSE 0 END)").mkString(" + ")
+
+  /** Q92's oracle: Clustering.kmeans' two Lloyd iterations unrolled in
+    * SQL — init = the k lowest-id vectors (index order, which equals
+    * vec_id on this fixture), assignment = rounded-distance argmin with
+    * lowest-cid ties, update = per-dimension rounded means with the
+    * empty-cluster carry-forward. */
+  private lazy val duckKmeansOracle: String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, v, cid, d FROM (
+         |    SELECT vec_id, v, cid, d, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM (SELECT e.vec_id, e.v, c.cid,
+         |            ROUND(${duckSqDist("e.v", "c.v")}, 6) AS d
+         |          FROM e CROSS JOIN $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(asg: String, prev: String, out: String) =
+      s"""${out}_p AS (
+         |  SELECT cid, pos, ROUND(avg(val), 6) AS m
+         |  FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+         |          unnest(v) AS val
+         |        FROM $asg)
+         |  GROUP BY cid, pos),
+         |${out}_n AS (SELECT cid, list(m ORDER BY pos) AS v
+         |             FROM ${out}_p GROUP BY cid),
+         |$out AS (SELECT p.cid, COALESCE(n.v, p.v) AS v
+         |         FROM $prev p LEFT JOIN ${out}_n n USING (cid))"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e
+       |       WHERE vec_id < 4),
+       |${assign("c0", "a1")},
+       |${update("a1", "c0", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c1", "c2")},
+       |${assign("c2", "a3")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
+       |FROM a3 ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared by q88 (recompute) and q91 (the saved shard layout's
     * manifest read back from disk): one definition of the packed-bin
@@ -2611,6 +2666,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q88_pack_manifest" -> duckPackManifestOracle,
     "q91_shard_roundtrip" -> duckPackManifestOracle,
+    "q92_kmeans" -> duckKmeansOracle,
     "q89_profile" ->
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         "l_shipdate").map(c =>

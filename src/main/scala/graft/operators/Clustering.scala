@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.sqDist
+
+/** Distributed clustering over embedding columns. The reference ships no
+  * clustering (its tree is a spatial index, not a partitioner —
+  * include/pktree.hpp:44); this is declared extension surface: the same
+  * Lloyd trainer IvfIndex runs driver-side over a bounded sample
+  * (IvfIndex.fitCentroids), re-expressed as a DISTRIBUTED fixed-point so
+  * the full corpus participates — the semantic-dedup / corpus-organization
+  * primitive (SemDeDup-style cluster-then-prune needs every row assigned,
+  * not a sample).
+  *
+  * Scale design per iteration: assignment is a broadcast-literal argmin
+  * expression — k×dim doubles folded into the projection, NO join and NO
+  * shuffle; the update is ONE map-side-combined groupBy(cluster) of dim
+  * scalar averages (the q72 meanVector shape — never rows×dim explode);
+  * the driver sees k×dim doubles per round. Total cost: iters scans +
+  * iters k-row shuffles.
+  *
+  * Determinism across engines and reruns: init is the first k vectors by
+  * id; distances AND centroid components round to `roundTo` decimals
+  * every iteration, so each round's input is bit-identical in any engine
+  * that agrees at that precision (float sum order differs between Spark's
+  * partial aggregates and a sequential engine; rounding absorbs the ulps
+  * — same contract as q72). Ties in the argmin go to the lowest cluster
+  * id via struct ordering on (dist, cid). Empty clusters keep their
+  * previous centroid (IvfIndex.lloyd's rule).
+  */
+object Clustering {
+
+  /** @return (assignments, centroids): one row per input —
+    *         (idCol, cluster, dist) with dist the rounded squared L2 to
+    *         the FINAL centroid — and the final (cid, components). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int, roundTo: Int = 6)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val base = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    var cents: Seq[(Int, Seq[Double])] = base.orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    require(cents.size == k, s"need at least $k rows to seed $k clusters")
+    val dim = cents.head._2.size
+
+    def assigned: DataFrame = {
+      val options = array(cents.map { case (cid, c) =>
+        struct(
+          round(sqDist(col("__v"), array(c.map(lit): _*)), roundTo)
+            .as("d"),
+          lit(cid).as("c"))
+      }: _*)
+      base.withColumn("__b", array_min(options))
+        .select(col(idCol), col("__v"),
+          col("__b.c").cast("long").as("cluster"), col("__b.d").as("dist"))
+    }
+
+    for (_ <- 0 until iters) {
+      val aggs = (0 until dim).map(i =>
+        round(avg(element_at(col("__v"), i + 1)), roundTo).as(s"__m$i"))
+      val rows = assigned.groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val updated = rows.map { r =>
+        r.getLong(0).toInt -> (0 until dim).map(i => r.getDouble(i + 1))
+      }.toMap
+      cents = cents.map { case (cid, c) =>
+        cid -> updated.getOrElse(cid, c)
+      }
+    }
+    (assigned.drop("__v"), cents)
+  }
+}

@@ -363,4 +363,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(again == refined, "refinement must be partition-order-stable")
     ce.unpersist()
   }
+
+  test("kmeans: separable blobs recovered, assignment partition-stable") {
+    import spark.implicits._
+    // two tight blobs around (0,0) and (100,100); seeds 0 and 1 land one
+    // in each blob, so 2 iterations settle exactly
+    val pts = (0L until 20L).map { i =>
+      val (cx, off) = if (i % 2 == 0) (0.0, i.toDouble / 100)
+                      else (100.0, i.toDouble / 100)
+      (i, Seq(cx + off, cx - off))
+    }
+    val df = pts.toDF("id", "vec")
+    val (asg, cents) = operators.Clustering.kmeans(df, "id", "vec",
+      k = 2, iters = 2)
+    val byCluster = asg.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 20L).forall(i => byCluster(i) == i % 2),
+      "blob membership should follow parity seeding")
+    assert(cents.size == 2)
+    assert(math.abs(cents(0)._2.head) < 1.0 &&
+      math.abs(cents(1)._2.head - 100.0) < 1.0)
+    // content-deterministic: repartitioning must not change assignments
+    val (asg2, cents2) = operators.Clustering.kmeans(df.repartition(7),
+      "id", "vec", k = 2, iters = 2)
+    assert(cents2 == cents)
+    assert(asg2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      asg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
