@@ -1271,6 +1271,18 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster"), col("dist"))
       .orderBy(col("vec_id"))
 
+  /** Q93 — SemDeDup (Dedup.semanticDedup, k = 4, iters = 2, cosine >=
+    * 0.3): q92's clusters, then within-cluster cosine pruning — the
+    * published cluster-scoped semantic dedup (pairs never cross
+    * clusters; the larger id of a pair above threshold loses). The
+    * oracle extends the shared kmeans CTEs with the pair join, so the
+    * hash match pins clustering AND pruning as one composition. */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 2, minCosine = 0.3)
+      .select(col("vec_id"), col("cluster"), col("keep"))
+      .orderBy(col("vec_id"))
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1491,6 +1503,7 @@ object SparkEntry {
     "q90_training_pipeline_spanscrub" -> (q90 _),
     "q91_shard_roundtrip" -> (q91 _),
     "q92_kmeans" -> (q92 _),
+    "q93_semantic_dedup" -> (q93 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1836,7 +1849,16 @@ object SparkEntry {
     * vec_id on this fixture), assignment = rounded-distance argmin with
     * lowest-cid ties, update = per-dimension rounded means with the
     * empty-cluster carry-forward. */
-  private lazy val duckKmeansOracle: String = {
+  private lazy val duckKmeansOracle: String =
+    s"""WITH $duckKmeansCtes
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
+       |FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** The two unrolled Lloyd iterations as a CTE body ending in `a3`
+    * (vec_id, v, cid, d) — shared by q92's assignment dump and q93's
+    * SemDeDup tail, so the semantic-dedup oracle cannot drift from the
+    * clustering oracle it builds on. */
+  private lazy val duckKmeansCtes: String = {
     def assign(cents: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, v, cid, d FROM (
@@ -1858,7 +1880,7 @@ object SparkEntry {
          |$out AS (SELECT p.cid, COALESCE(n.v, p.v) AS v
          |         FROM $prev p LEFT JOIN ${out}_n n USING (cid))"""
         .stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e
        |       WHERE vec_id < 4),
@@ -1866,9 +1888,7 @@ object SparkEntry {
        |${update("a1", "c0", "c1")},
        |${assign("c1", "a2")},
        |${update("a2", "c1", "c2")},
-       |${assign("c2", "a3")}
-       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
-       |FROM a3 ORDER BY vec_id""".stripMargin
+       |${assign("c2", "a3")}""".stripMargin
   }
 
   /** Shared by q88 (recompute) and q91 (the saved shard layout's
@@ -2667,6 +2687,17 @@ object SparkEntry {
     "q88_pack_manifest" -> duckPackManifestOracle,
     "q91_shard_roundtrip" -> duckPackManifestOracle,
     "q92_kmeans" -> duckKmeansOracle,
+    "q93_semantic_dedup" ->
+      s"""WITH $duckKmeansCtes,
+         |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |       FROM a3 x JOIN a3 y
+         |         ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |       WHERE ROUND(${duckCosine("x.v", "y.v")}, 6) >= 0.3),
+         |losers AS (SELECT DISTINCT b FROM pr)
+         |SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster,
+         |  CAST(CASE WHEN l.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM a3 LEFT JOIN losers l ON a3.vec_id = l.b
+         |ORDER BY vec_id""".stripMargin,
     "q89_profile" ->
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         "l_shipdate").map(c =>

@@ -1042,4 +1042,48 @@ object Dedup {
       .select(col(idCol), col("rep"), col("score"), col("n_members"),
         (col(idCol) === col("__wid")).cast("long").as("keep"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embeddings
+    * with k-means, then prune near-identical members WITHIN each
+    * cluster — semantically-duplicate pairs (paraphrases, re-crawls,
+    * translations with shared embedding geometry) that no lexical
+    * fingerprint catches. Cluster-scoped pairing is the published
+    * algorithm's scale contract: pairs never cross clusters, so k
+    * controls the quadratic tail (cluster ≈ n/k rows; the join is per-
+    * cluster). This is deliberately NOT [[embeddingNearDupCosine]]'s
+    * lossless slack-blocking — that operator finds EVERY pair above
+    * threshold; SemDeDup trades cluster-boundary pairs for a k-fold
+    * smaller candidate set, the accepted trade at corpus scale.
+    *
+    * Winner rule: within a pair above `minCosine` (cosine rounded to
+    * `roundTo`, the cross-engine contract), the larger id loses —
+    * survivors are local minima of the per-cluster pair graph, matching
+    * CorpusPipeline's per-edge removal semantics.
+    *
+    * @return one row per input: (idCol, cluster, keep ∈ {0,1})
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, minCosine: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val (asg0, _) = Clustering.kmeans(df, idCol, vecCol, k, iters, roundTo)
+    // read three times (both pair sides + the output spine)
+    val asg = CacheScope.register(asg0.persist())
+    val vecs = df.select(col(idCol),
+      VectorFunctions.toDouble(col(vecCol)).as("__v"))
+    val withVec = asg.select(col(idCol), col("cluster"))
+      .join(vecs, Seq(idCol))
+    val l = withVec.select(col("cluster"), col(idCol).as("__a"),
+      col("__v").as("__va"))
+    val r = withVec.select(col("cluster"), col(idCol).as("__b"),
+      col("__v").as("__vb"))
+    val losers = l.join(r, "cluster").filter(col("__a") < col("__b"))
+      .filter(round(VectorFunctions.cosine(col("__va"), col("__vb")),
+        roundTo) >= minCosine)
+      .select(col("__b").as(idCol)).distinct()
+    asg.select(col(idCol), col("cluster"))
+      .join(losers.withColumn("__lose", lit(1L)), Seq(idCol), "left")
+      .withColumn("keep", when(col("__lose").isNull, 1L).otherwise(0L))
+      .drop("__lose")
+  }
 }

@@ -391,6 +391,26 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, 1L, 1L)))
   }
 
+  test("semanticDedup: within-cluster near-identicals pruned, larger id loses") {
+    import spark.implicits._
+    // blob A near (1,0): ids 0,2,4 — 2 and 4 nearly parallel to 0;
+    // blob B near (0,1): ids 1,3 — 3 nearly parallel to 1.
+    // seeds = ids 0 and 1, one per blob; cosine >= 0.99 prunes within.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), (4L, Seq(0.998, 0.02)),
+      (1L, Seq(0.0, 1.0)), (3L, Seq(0.01, 0.999)))
+      .toDF("id", "vec")
+    val out = Dedup.semanticDedup(vecs, "id", "vec", k = 2, iters = 1,
+        minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // lowest id of each near-identical group survives; others pruned
+    assert(out(0L)._2 == 1L && out(1L)._2 == 1L)
+    assert(out(2L)._2 == 0L && out(4L)._2 == 0L && out(3L)._2 == 0L)
+    // cluster-scoped by construction: blobs landed in different clusters
+    assert(out(0L)._1 != out(1L)._1)
+  }
+
   test("duplicateSpans: minDf above the max multiplicity marks nothing") {
     import spark.implicits._
     val fx = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
