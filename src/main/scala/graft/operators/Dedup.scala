@@ -977,14 +977,22 @@ object Dedup {
     val dupHashes = wins.groupBy(col("gh"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= minDf)
       .select(col("gh"))
-    val dupWins = wins.join(dupHashes, Seq("gh"), "leftsemi")
+    // persisted: duplication-sized (dup windows only — small in a clean
+    // corpus), and both per-doc stats and the coverage explode read it;
+    // without the cache each consumer rebuilds the corpus-window
+    // relation AND its count shuffle (measured 16 scans of the raw
+    // text in the uncached plan)
+    val dupWins = CacheScope.register(
+      wins.join(dupHashes, Seq("gh"), "leftsemi").persist())
 
     val nDup = dupWins.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_windows"))
-    val covered = dupWins
+    // persisted for the same reason: read by the count and the rewrite's
+    // anti-join; ≤ w × dup-windows rows
+    val covered = CacheScope.register(dupWins
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
-      .distinct()
+      .distinct().persist())
     val covCount = covered.groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_tokens"))
 
