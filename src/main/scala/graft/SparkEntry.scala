@@ -1283,6 +1283,98 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster"), col("keep"))
       .orderBy(col("vec_id"))
 
+  /** Q94 — postings-index COMPACTION (TextSearch.compactIndex): the
+    * full at-rest lifecycle in one contract — build on the even half,
+    * append the odd half (small files land), tombstone every odd doc,
+    * then compact: tombstoned postings leave the layout physically,
+    * each bucket's files merge to one, the tombstone dir disappears —
+    * and the probe must STILL answer the rebuilt-on-survivors ranking
+    * exactly (shares q82's oracle). Compaction changes cost, never
+    * results. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idxc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, nBuckets = 16)
+    operators.TextSearch.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
+      "text", path)
+    operators.TextSearch.deleteFromIndex(s, path,
+      docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id")))
+    operators.TextSearch.compactIndex(s, path)
+    operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Q95 — IVF+PQ layout COMPACTION (VectorIndex.compactSaved): create
+    * on the even half, appendSaved the odd half, tombstone every odd
+    * vec_id, compact — deleted rows leave the partition files, each
+    * list's append-era small files merge to one, radii snap back from
+    * append-grown bounds to the exact survivor maxima — and the
+    * provably-exact serving path must answer the exact kNN over the
+    * survivors (shares q81's oracle; the query vector vec_id 11 is
+    * itself compacted away, so its distance-0 hit must not appear). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_vec_idxc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    VectorIndex.create(e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", dim, nlist = 16).save(path)
+    VectorIndex.appendSaved(s, path, e.filter(col("vec_id") % 2 =!= 0))
+    VectorIndex.deleteSaved(s, path,
+      e.filter(col("vec_id") % 2 =!= 0).select(col("vec_id")))
+    VectorIndex.compactSaved(s, path)
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    VectorIndex.load(s, path).annSearchPqExact(q, k = 12, seed = 48)
+  }
+
+  /** Q96 — per-source quality calibration (TextAnalysis.
+    * calibrateQuality): the stop-ratio quality proxy rank-normalized
+    * WITHIN each source — percent_rank with tie sharing, computed from
+    * the per-(source, score) histogram instead of a per-row window (no
+    * whole-source single-task sort). The oracle is DuckDB's own
+    * percent_rank window, so the hash match proves the histogram
+    * running-sum formulation IS percent_rank. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val feat = operators.TextAnalysis.qualityFeatures(
+      t(s, dir, "documents"))
+    operators.TextAnalysis.calibrateQuality(feat, "doc_id",
+        col("stop_ratio"), col("source"))
+      .select(col("doc_id"), col("source"), col("stop_ratio"),
+        col("quality_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q97 — unigram-LM surprisal scoring (TextAnalysis.
+    * unigramSurprisal): the corpus is its own language model and every
+    * document scores its mean per-token -ln p(tok) — the perplexity
+    * quality filter's distributed scoring shape. The oracle rebuilds
+    * the count model and the mean from first principles, proving the
+    * model shuffle, the vocab join, and the broadcast total. */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Q98 — cluster prototypicality / outlier pruning (Clustering.
+    * prototypicality): q92's k-means assignments extended with each
+    * row's within-cluster distance percentile; the farthest 10% of
+    * every cluster is flagged for removal (the D4 noise knob, the
+    * complement of q93's SemDeDup density knob). The oracle extends the
+    * shared unrolled-Lloyd CTEs with DuckDB's own percent_rank window,
+    * proving clustering + histogram percentile + threshold as one
+    * composition. */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    operators.Clustering.prototypicality(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2, dropFrac = 0.1)
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        col("dist_pct"), col("keep"))
+      .orderBy(col("vec_id"))
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1504,6 +1596,11 @@ object SparkEntry {
     "q91_shard_roundtrip" -> (q91 _),
     "q92_kmeans" -> (q92 _),
     "q93_semantic_dedup" -> (q93 _),
+    "q94_bm25_index_compact" -> (q94 _),
+    "q95_ann_index_compact" -> (q95 _),
+    "q96_quality_calibrate" -> (q96 _),
+    "q97_unigram_surprisal" -> (q97 _),
+    "q98_prototypicality" -> (q98 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2331,6 +2428,11 @@ object SparkEntry {
     // appear)
     "q81_ann_index_delete" ->
       duckQuantizedKnn("WHERE e.vec_id % 2 = 0"),
+    // compaction changes the physical layout, never the result: the
+    // build+append+delete+compact lifecycle answers the same exact kNN
+    // over the survivors as the tombstone-only path
+    "q95_ann_index_compact" ->
+      duckQuantizedKnn("WHERE e.vec_id % 2 = 0"),
     "q70_pack" ->
       """WITH t0 AS (
         |  SELECT doc_id,
@@ -2429,6 +2531,36 @@ object SparkEntry {
       s"""WITH ${duckBm25(" WHERE doc_id % 2 = 0")}
          |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
          |ORDER BY score DESC, doc_id""".stripMargin,
+    // physical compaction of the postings layout preserves the
+    // rebuilt-on-survivors ranking bit-for-bit
+    "q94_bm25_index_compact" ->
+      s"""WITH ${duckBm25(" WHERE doc_id % 2 = 0")}
+         |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    // the oracle uses the engine's OWN percent_rank window — the hash
+    // match proves the histogram running-sum formulation IS percent_rank
+    "q96_quality_calibrate" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  ROUND(len(list_filter(string_split(lower(text), ' '),
+         |            t -> t IN ($duckStopwords)))
+         |        / greatest(len(string_split(lower(text), ' ')), 1), 6)
+         |    AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, source, stop_ratio,
+         |  ROUND(percent_rank() OVER (
+         |    PARTITION BY source ORDER BY stop_ratio), 6) AS quality_pct
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "q97_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |t AS (SELECT sum(c) AS tot FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  ROUND(avg(-ln(CAST(c AS DOUBLE) / CAST((SELECT tot FROM t)
+        |    AS DOUBLE))), 6) AS mean_surprisal
+        |FROM toks JOIN v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q66_hybrid_rrf" ->
       s"""WITH ${duckBm25()},
          |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
@@ -2698,6 +2830,19 @@ object SparkEntry {
          |  CAST(CASE WHEN l.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM a3 LEFT JOIN losers l ON a3.vec_id = l.b
          |ORDER BY vec_id""".stripMargin,
+    // clustering + within-cluster distance percentile + threshold as
+    // one composition, on the SAME unrolled-Lloyd CTEs as q92/q93
+    "q98_prototypicality" ->
+      s"""WITH $duckKmeansCtes,
+         |pr AS (SELECT vec_id, cid, d,
+         |         ROUND(percent_rank() OVER (
+         |           PARTITION BY cid ORDER BY d), 6) AS dist_pct
+         |       FROM a3)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist,
+         |  dist_pct,
+         |  CAST(CASE WHEN dist_pct <= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep
+         |FROM pr ORDER BY vec_id""".stripMargin,
     "q89_profile" ->
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         "l_shipdate").map(c =>

@@ -417,6 +417,71 @@ object VectorIndex {
       .write.mode("append").parquet(s"$path/$TombstoneDir")
   }
 
+  /** Physically compact a SAVED IVF layout in place — the fourth
+    * lifecycle verb (save / appendSaved / deleteSaved / compactSaved).
+    * Every [[appendSaved]] lands one more small file under each touched
+    * `list_id=` directory and every [[deleteSaved]] adds tombstones the
+    * serving path re-anti-joins per query; compaction pays both debts
+    * once: tombstoned rows leave the layout for good, each list's files
+    * merge into one (`repartition` on list_id — each list hashes to one
+    * writer task), and the tombstone directory disappears.
+    *
+    * The sidecar is then REFRESHED from the survivors, and two bounds
+    * get strictly better: per-list radii are recomputed exact (append
+    * only ever GREW them; deletes could not shrink them — after
+    * compaction they are again the true max member distance, so
+    * annSearchPqExact prunes more lists), and unitNorm is re-measured
+    * (a delete may have removed the very rows that de-normalized the
+    * collection, re-licensing cosine rewrites). Serving results are
+    * bit-identical before and after (q95 shares q81's oracle); only
+    * cost improves. The rewrite commits to a sibling `.compacting`
+    * directory before the swap — a crash mid-compact leaves the
+    * original layout (plus tombstones) fully serviceable. */
+  def compactSaved(spark: SparkSession, path: String): Unit = {
+    val meta = IndexMeta.read(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
+          "VectorIndex"))
+    val cents = meta.ivfCentroids.getOrElse(throw
+      new IllegalArgumentException(
+        "compactSaved supports IVF layouts only (grid layouts are " +
+          "cell-sorted bucket files — load().rebuild().save() those)"))
+    require(meta.grid.isEmpty, "unexpected grid+IVF hybrid layout")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = liveData(spark, path, meta.idCol)
+    val tmp = new Path(path + ".compacting")
+    fs.delete(tmp, true)
+    // one writer task per list → one merged file per list directory
+    live.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("list_id=") || n == TombstoneDir)
+        fs.delete(st.getPath, true)
+    }
+    fs.listStatus(tmp).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("list_id="))
+        fs.rename(st.getPath, new Path(root, n))
+    }
+    fs.delete(tmp, true)
+    // sidecar refresh from the COMPACTED files (smaller than the
+    // pre-compaction scan and no anti-join in the plan)
+    val df = spark.read.parquet(path)
+    val unit = {
+      val m = df.agg(max(abs(
+        VectorFunctions.sqNorm(col(meta.vecCol)) - 1.0))).head()
+      !m.isNullAt(0) && m.getDouble(0) <= 1e-9
+    }
+    val radii = meta.pqParams.map(_ =>
+      IvfIndex.listRadii(df, meta.vecCol, cents))
+    IndexMeta.write(spark, path, IndexMeta.of(meta.vecCol, meta.idCol,
+      meta.dim, None, Some(cents), unit, meta.sqParams, meta.pqParams,
+      radii))
+    plans.IndexAwareRules.registerIvfIndex(path, cents, unit)
+  }
+
   /** The tombstone-filtered data relation for a saved index path: the
     * raw layout anti-joined against the tombstone ids (a no-op when no
     * delete ever ran). Tombstone relations are deleted-id-sized; AQE

@@ -32,6 +32,33 @@ import graft.functions.VectorFunctions.sqDist
   */
 object Clustering {
 
+  /** SSL-prototypes / D4-style outlier pruning over a clustered
+    * embedding space: every row gets its squared-L2 distance to its
+    * final centroid as a WITHIN-CLUSTER percentile (percent_rank, ties
+    * share), and the farthest `dropFrac` fraction is flagged for
+    * removal — the "off-manifold" tail of each cluster, where OCR
+    * garbage and mislabeled content concentrate. The complement knob of
+    * [[graft.operators.Dedup.semanticDedup]]: SemDeDup prunes the
+    * densest neighborhoods (redundancy), this prunes the sparsest
+    * (noise); D4 runs both.
+    *
+    * The percentile is the same histogram percent_rank as
+    * TextAnalysis.calibrateQuality (distances are rounded to `roundTo`,
+    * so the histogram is value-cardinality-sized) — no per-row window,
+    * no whole-cluster single-task sort. keep is decided on the ROUNDED
+    * percentile, so the boundary is engine-deterministic. */
+  def prototypicality(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, dropFrac: Double = 0.1,
+                      roundTo: Int = 6): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac in [0, 1)")
+    val (assigned, _) = kmeans(df, idCol, vecCol, k, iters, roundTo)
+    TextAnalysis.calibrateQuality(assigned, idCol, col("dist"),
+        col("cluster"), roundTo)
+      .withColumnRenamed("quality_pct", "dist_pct")
+      .withColumn("keep",
+        when(col("dist_pct") <= lit(1.0 - dropFrac), 1L).otherwise(0L))
+  }
+
   /** @return (assignments, centroids): one row per input —
     *         (idCol, cluster, dist) with dist the rounded squared L2 to
     *         the FINAL centroid — and the final (cid, components). */

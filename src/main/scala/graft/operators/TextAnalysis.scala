@@ -37,6 +37,80 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(nStop / greatest(nTok, lit(1)), 6))
   }
 
+  /** Per-source calibration of a quality score: each document's score
+    * becomes its percentile WITHIN its source (percent_rank: (rank-1)/
+    * (n-1), ties share a rank, a 1-row source scores 0.0). Quality
+    * classifiers are miscalibrated across domains — the same raw score
+    * means different things on web crawl vs reference text — so
+    * curation thresholds ("keep the top 30%") are applied per source on
+    * the rank-normalized score; this is the distributed form of that
+    * calibration step.
+    *
+    * Scale design: NOT a per-row window (a window partitioned by source
+    * sorts whole sources in single tasks — the q89 lesson at 100 TB).
+    * percent_rank with tie sharing is a function of the per-(source,
+    * score) HISTOGRAM: rank(s) - 1 = #rows below s. So: one groupBy to
+    * value-cardinality-sized counts, a running sum over that histogram
+    * (window over distinct values, not rows), and a join back that AQE
+    * broadcasts in the typical case. Rows shuffle once, by (source,
+    * score); nothing ever sorts a whole source in one task.
+    *
+    * @param scoreCol raw quality score (pre-rounded scores keep the
+    *                 histogram small); ties share a percentile, so the
+    *                 result is deterministic with no id tie-break */
+  def calibrateQuality(docs: DataFrame, idCol: String, scoreCol: Column,
+                       sourceCol: Column, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.withColumn("__src", sourceCol)
+      .withColumn("__score", scoreCol)
+    val hist = base.groupBy(col("__src"), col("__score"))
+      .agg(count(lit(1)).as("__c"))
+    // RANGE running frame over the histogram: one row per distinct
+    // (source, score), so the cumulative sum is over values, not rows
+    val running = Window.partitionBy(col("__src")).orderBy(col("__score"))
+    val whole = Window.partitionBy(col("__src"))
+    val pct = hist
+      .withColumn("__below", sum(col("__c")).over(running) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("quality_pct", round(when(col("__n") > 1,
+        col("__below") / (col("__n") - lit(1))).otherwise(lit(0.0)),
+        roundTo))
+      .select(col("__src"), col("__score"), col("quality_pct"))
+    base.join(pct, Seq("__src", "__score")).drop("__src", "__score")
+  }
+
+  /** Unigram language-model scoring — the perplexity-style quality
+    * filter: the corpus itself is the model (p(tok) = corpus count /
+    * corpus tokens) and each document scores its mean per-token
+    * surprisal -ln p(tok) in nats. Gibberish and off-distribution text
+    * score high, boilerplate scores low; CCNet/Gopher-style pipelines
+    * threshold exactly this signal (theirs from a trained KenLM — this
+    * operator is the distributed SCORING shape; swap the count model
+    * for trained weights by substituting the vocab relation).
+    *
+    * Scale: one token-count shuffle builds the model (map-side
+    * combined, vocabulary-sized output), the model joins back to the
+    * token stream by token (AQE broadcasts a bounded vocabulary), and
+    * one per-doc shuffle takes the mean. The corpus total rides as a
+    * 1-row broadcast. No sort, no window, no driver state.
+    *
+    * @param roundTo decimals the mean is rounded to AFTER aggregation
+    *                (addend order differs between engines — the q35/q65
+    *                contract) */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       roundTo: Int = 6): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("__tok"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val total = vocab.agg(sum(col("__c")).as("__tot"))
+    toks.join(vocab, "__tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("__c").cast("double") /
+          col("__tot").cast("double"))), roundTo).as("mean_surprisal"))
+  }
+
   /** Deterministic rule-based language ID (n-gram/marker heuristic).
     * Ordered rules over distinctive scripts/words; defaults to "en".
     * Not a real classifier — the operator contract is determinism and

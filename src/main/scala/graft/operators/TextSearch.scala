@@ -289,6 +289,56 @@ object TextSearch {
     }
   }
 
+  /** Physically compact a SAVED postings index in place — the fourth
+    * lifecycle verb (build / append / delete / compact). Appends leave
+    * one small file per ingest under every bucket directory and deletes
+    * leave tombstones that every probe re-anti-joins; at 100 TB both
+    * accumulate into the classic small-files + read-amplification tax.
+    * Compaction rewrites the layout to what [[buildIndex]] over the
+    * survivors would have produced physically: tombstoned docs'
+    * postings are dropped for good, each bucket's rows merge into one
+    * file (`repartition` on the bucket column — each bucket hashes to
+    * exactly one writer task), and the tombstone directory disappears.
+    *
+    * Nothing about the CONTRACT changes: the sidecar's N/avgdl/sumDl
+    * were already maintained exactly by [[deleteFromIndex]], document
+    * frequencies always reduce from live postings, so [[bm25Indexed]]
+    * answers bit-identically before and after (q94 shares q82's
+    * oracle). The rewrite lands in a sibling `.compacting` directory
+    * first and swaps in only after the write commits — a crash mid-
+    * compact leaves the original layout (plus tombstones) fully
+    * serviceable. */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+    val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${TextIndexMeta.FileName} under $indexPath — not a text index"))
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tPath = new Path(indexPath, TextTombstoneDir)
+    val raw = spark.read.parquet(indexPath)
+    val live = if (!fs.exists(tPath)) raw
+      else raw.join(spark.read.parquet(tPath.toString),
+        Seq(meta.idCol), "left_anti")
+    val tmp = new Path(indexPath + ".compacting")
+    fs.delete(tmp, true)
+    // one writer task per bucket value → one merged file per directory
+    live.repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    // swap: the old bucket dirs + tombstones go, the compacted bucket
+    // dirs move in; the sidecar (still exact) stays untouched
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(BucketCol + "=") || n == TextTombstoneDir)
+        fs.delete(st.getPath, true)
+    }
+    fs.listStatus(tmp).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(BucketCol + "="))
+        fs.rename(st.getPath, new Path(root, n))
+    }
+    fs.delete(tmp, true)
+  }
+
   /** BM25 over a SAVED postings index — same contract as [[bm25]] (it
     * shares the scoring tail), but the corpus is never re-scanned: the
     * probe filters the postings parquet to the query terms' hash buckets

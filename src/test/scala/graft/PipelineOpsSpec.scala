@@ -337,6 +337,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 2L, 9L, "3:1:3;4:4:6")))
   }
 
+  test("calibrateQuality: hand-computed percent_rank, ties share a " +
+       "percentile, 1-row source scores 0.0") {
+    import spark.implicits._
+    // srcA: scores 0.1, 0.2, 0.2, 0.4 → pct 0, 1/3, 1/3, 1
+    // srcB: single row → 0.0
+    val docs = Seq(
+      (1L, "srcA", 0.1), (2L, "srcA", 0.2), (3L, "srcA", 0.2),
+      (4L, "srcA", 0.4), (5L, "srcB", 0.9))
+      .toDF("id", "src", "score")
+    val got = TextAnalysis.calibrateQuality(docs, "id",
+        col("score"), col("src"))
+      .select(col("id"), col("quality_pct"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.333333 && got(3L) == 0.333333)
+    assert(got(4L) == 1.0)
+    assert(got(5L) == 0.0)
+    // row count preserved (the join back loses nothing)
+    assert(TextAnalysis.calibrateQuality(docs, "id",
+      col("score"), col("src")).count() == 5)
+  }
+
+  test("unigramSurprisal: hand-computed count model and means") {
+    import spark.implicits._
+    // corpus: a:2 b:2 c:1, total 5
+    // doc1 "a a b": all tokens p=0.4 → mean -ln(0.4) = 0.916291
+    // doc2 "b c": (-ln(0.4) + -ln(0.2)) / 2 = 1.262864
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L) == ((3L, 0.916291)))
+    assert(got(2L) == ((2L, 1.262864)))
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()

@@ -199,6 +199,49 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIndex: tombstones applied physically, one file per " +
+       "bucket, probe result bit-identical") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_text_idx_cpt").toString
+    try {
+      TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, nBuckets = 8)
+      TextSearch.appendIndex(docs.filter(col("doc_id") % 2 =!= 0),
+        "text", dir)
+      TextSearch.deleteFromIndex(spark, dir,
+        docs.filter(col("doc_id") % 2 =!= 0).select("doc_id"))
+      def top() = TextSearch.bm25Indexed(spark, dir,
+          Seq("spark", "vector", "query"), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val before = top()
+      val metaBefore = TextSearch.TextIndexMeta.read(spark, dir).get
+      TextSearch.compactIndex(spark, dir)
+      assert(top() === before && before.nonEmpty)
+      // the tombstone directory is gone and no .compacting residue
+      val root = new java.io.File(dir)
+      assert(!root.listFiles().exists(
+        _.getName == TextSearch.TextTombstoneDir))
+      assert(!new java.io.File(dir + ".compacting").exists())
+      // every bucket dir collapsed to exactly one data file (append had
+      // left at least two), and no tombstoned doc's postings remain
+      val buckets = root.listFiles().filter(
+        _.getName.startsWith(TextSearch.BucketCol + "="))
+      assert(buckets.nonEmpty)
+      buckets.foreach { b =>
+        assert(b.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"bucket ${b.getName} not merged to one file")
+      }
+      assert(spark.read.parquet(dir)
+        .filter(col("doc_id") % 2 =!= 0).isEmpty)
+      // sidecar untouched: the scalars were already exact
+      val metaAfter = TextSearch.TextIndexMeta.read(spark, dir).get
+      assert(metaAfter === metaBefore)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("appendIndex refuses a sidecar without the exact token sum") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text")

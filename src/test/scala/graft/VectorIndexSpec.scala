@@ -370,6 +370,54 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(!ids(re.knn(q, 200)).exists(_ % 3 == 0))
   }
 
+  test("compactSaved: tombstones applied physically, one file per list, " +
+       "radii tighten to exact survivor maxima, serving unchanged") {
+    val df = randomDf(200, 32, 61)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_cpt").toString + "/idx"
+    VectorIndex.create(df.filter(col("id") < 150), "vec", "id",
+      dim = 32, nlist = 8).save(path)
+    VectorIndex.appendSaved(spark, path, df.filter(col("id") >= 150))
+    VectorIndex.deleteSaved(spark, path,
+      df.filter(col("id") % 3 === 0).select("id"))
+    val q = Seq.fill(32)(1.5)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSeq
+    val before = ids(VectorIndex.load(spark, path)
+      .annSearchPqExact(q, 7, seed = 10))
+    val radiiBefore = IndexMeta.read(spark, path).get.listRadiiMap.get
+    VectorIndex.compactSaved(spark, path)
+    // layout physically clean: no tombstone dir, no .compacting residue,
+    // one merged file per list directory, no tombstoned row on disk
+    val root = new java.io.File(path)
+    assert(!root.listFiles().exists(
+      _.getName == VectorIndex.TombstoneDir))
+    assert(!new java.io.File(path + ".compacting").exists())
+    val lists = root.listFiles().filter(_.getName.startsWith("list_id="))
+    assert(lists.nonEmpty)
+    lists.foreach { l =>
+      assert(l.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"list ${l.getName} not merged to one file")
+    }
+    val onDisk = spark.read.parquet(path)
+    assert(onDisk.count() == df.filter(col("id") % 3 =!= 0).count())
+    // radii snapped back to the exact survivor maxima: none grew, and
+    // they equal a fresh recompute over the compacted files
+    val meta = IndexMeta.read(spark, path).get
+    val radiiAfter = meta.listRadiiMap.get
+    radiiAfter.foreach { case (l, r) =>
+      assert(r <= radiiBefore.getOrElse(l, Double.MaxValue) + 1e-12,
+        s"list $l radius grew under compaction") }
+    val trueRadii = graft.operators.IvfIndex.listRadii(
+      onDisk, "vec", meta.ivfCentroids.get)
+    trueRadii.foreach { case (l, r) =>
+      assert(math.abs(radiiAfter.getOrElse(l, -1.0) - r) <= 1e-12,
+        s"list $l radius not exact after compaction") }
+    // serving bit-identical across the rewrite
+    assert(ids(VectorIndex.load(spark, path)
+      .annSearchPqExact(q, 7, seed = 10)) == before)
+  }
+
   test("ANN works after save/load (centroids persisted in the sidecar)") {
     val df = randomDf(200, 16, 17)
     val idx = VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8)
