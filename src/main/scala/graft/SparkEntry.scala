@@ -1375,6 +1375,19 @@ object SparkEntry {
         col("dist_pct"), col("keep"))
       .orderBy(col("vec_id"))
 
+  /** Q99 — token-distribution drift (TextAnalysis.tokenDrift): the
+    * src0 slice vs the rest of the corpus, Laplace-smoothed unigram
+    * log-ratios over the union vocabulary, top 50 movers by |llr| —
+    * the ingest/mixing monitoring report. The oracle rebuilds both
+    * distributions, the smoothing, and the ranked cut from first
+    * principles. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.tokenDrift(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), "text", topN = 50)
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1601,6 +1614,7 @@ object SparkEntry {
     "q96_quality_calibrate" -> (q96 _),
     "q97_unigram_surprisal" -> (q97 _),
     "q98_prototypicality" -> (q98 _),
+    "q99_token_drift" -> (q99 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2830,6 +2844,24 @@ object SparkEntry {
          |  CAST(CASE WHEN l.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM a3 LEFT JOIN losers l ON a3.vec_id = l.b
          |ORDER BY vec_id""".stripMargin,
+    "q99_token_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents WHERE source = 'src0'),
+        |tb AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |       FROM documents WHERE source <> 'src0'),
+        |ca AS (SELECT token, count(*) AS ca FROM ta GROUP BY token),
+        |cb AS (SELECT token, count(*) AS cb FROM tb GROUP BY token),
+        |u AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |        CAST(COALESCE(ca, 0) AS BIGINT) AS count_a,
+        |        CAST(COALESCE(cb, 0) AS BIGINT) AS count_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |s AS (SELECT sum(count_a) AS na, sum(count_b) AS nb,
+        |        count(*) AS v FROM u)
+        |SELECT token, count_a, count_b,
+        |  ROUND(ln(((count_a + 1.0) / (na + v))
+        |         / ((count_b + 1.0) / (nb + v))), 6) + 0.0 AS llr
+        |FROM u, s
+        |ORDER BY abs(llr) DESC, token LIMIT 50""".stripMargin,
     // clustering + within-cluster distance percentile + threshold as
     // one composition, on the SAME unrolled-Lloyd CTEs as q92/q93
     "q98_prototypicality" ->

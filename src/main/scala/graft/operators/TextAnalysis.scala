@@ -111,6 +111,48 @@ object TextAnalysis {
           col("__tot").cast("double"))), roundTo).as("mean_surprisal"))
   }
 
+  /** Token-distribution drift between two corpus slices — the dataset
+    * monitoring primitive: which tokens are over-represented in slice A
+    * vs slice B? Each side's unigram distribution is Laplace-smoothed
+    * over the UNION vocabulary (p(t) = (c+1)/(total+|V|), so a token
+    * absent from one side still gets a finite ratio) and tokens rank by
+    * |ln(p_a/p_b)| — the top movers are the drift report. Run it crawl
+    * batch vs standing corpus (ingest monitoring), train split vs eval
+    * split (leakage/skew), or source vs source (mixing diagnostics).
+    *
+    * Scale: two token-count shuffles (map-side combined, vocab-sized
+    * outputs), one vocab-sized full outer join, three scalars in one
+    * broadcast row, and a top-N over the vocabulary. The corpus is
+    * scanned once per side; no row-sized relation survives the counts.
+    *
+    * Determinism: the log ratio is rounded to `roundTo` BEFORE the
+    * rank-order and the top-N cut (the q65 boundary-set contract), ties
+    * break by token ascending. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 topN: Int = 50, roundTo: Int = 6): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val u = counts(a, "__ca").join(counts(b, "__cb"), Seq("token"),
+        "full_outer")
+      .select(col("token"),
+        coalesce(col("__ca"), lit(0L)).as("count_a"),
+        coalesce(col("__cb"), lit(0L)).as("count_b"))
+    val scalars = u.agg(sum(col("count_a")).as("__na"),
+      sum(col("count_b")).as("__nb"), count(lit(1)).as("__v"))
+    u.crossJoin(broadcast(scalars))
+      // + 0.0 normalizes IEEE -0.0 to +0.0 (Spark's BigDecimal round
+      // can't emit -0 but other engines' can — the rendered "-0" vs "0"
+      // would break cross-engine comparison of a no-drift token)
+      .withColumn("llr", round(
+        log(((col("count_a") + lit(1.0)) / (col("__na") + col("__v"))) /
+            ((col("count_b") + lit(1.0)) / (col("__nb") + col("__v")))),
+        roundTo) + lit(0.0))
+      .select(col("token"), col("count_a"), col("count_b"), col("llr"))
+      .orderBy(abs(col("llr")).desc, col("token"))
+      .limit(topN)
+  }
+
   /** Deterministic rule-based language ID (n-gram/marker heuristic).
     * Ordered rules over distinctive scripts/words; defaults to "en".
     * Not a real classifier — the operator contract is determinism and

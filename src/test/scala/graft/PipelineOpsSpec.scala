@@ -372,6 +372,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 1.262864)))
   }
 
+  test("tokenDrift: hand-computed smoothed log-ratios, |llr| ranking") {
+    import spark.implicits._
+    // A = "a a b" (a:2 b:1, na=3), B = "a c" (a:1 c:1, nb=2), |V|=3
+    // llr(a) = ln((3/6)/(2/5)) = 0.223144; llr(b) = ln((2/6)/(1/5))
+    //        = 0.510826; llr(c) = ln((1/6)/(2/5)) = -0.875469
+    val a = Seq((1L, "a a b")).toDF("id", "text")
+    val b = Seq((2L, "a c")).toDF("id", "text")
+    val got = TextAnalysis.tokenDrift(a, b, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(got == List(
+      ("c", 0L, 1L, -0.875469),
+      ("b", 1L, 0L, 0.510826),
+      ("a", 2L, 1L, 0.223144)))
+  }
+
   test("tfidf top terms: k rows per group, scores descending and >= 0") {
     val out = TextAnalysis.tfidfTopTerms(
       Tables.load(spark, sf, "documents"), "lang", "text", k = 3).collect()
