@@ -1388,6 +1388,22 @@ object SparkEntry {
       docs.filter(col("source") =!= "src0"), "text", topN = 50)
   }
 
+  /** Q100 — FUZZY benchmark decontamination: q62's exact 8-gram check
+    * catches verbatim leaks; paraphrased or lightly-edited eval
+    * content slips it. Pointing the cross-corpus near-dedup operator
+    * (Dedup.minhashAgainst) at the eval slice closes that gap —
+    * MinHash-LSH banding + exact trigram Jaccard >= 0.5 against the
+    * q62 eval split (doc_id % 7 = 0). Same parameterized oracle as
+    * q68/q80, instantiated on this split. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Dedup.minhashAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1615,6 +1631,7 @@ object SparkEntry {
     "q97_unigram_surprisal" -> (q97 _),
     "q98_prototypicality" -> (q98 _),
     "q99_token_drift" -> (q99 _),
+    "q100_fuzzy_decontam" -> (q100 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1669,7 +1686,11 @@ object SparkEntry {
     * oracle definition of the cross-corpus near-dedup result, so the
     * two paths can't drift apart — the index probe must answer the
     * recompute path's exact result. */
-  private lazy val duckCrossDedupOracle: String =
+  /** Cross-corpus near-dedup oracle, parameterized by the fresh/ref
+    * split predicates — shared by q68/q80 (the %5 standing-corpus
+    * split) and q100 (the %7 eval split, i.e. fuzzy decontamination:
+    * the same operator pointed at the eval slice). */
+  private def duckCrossDedup(freshPred: String, refPred: String): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
          |              FROM documents),
          |sh AS (SELECT DISTINCT doc_id,
@@ -1680,9 +1701,9 @@ object SparkEntry {
          |bands AS (
          |  $duckMinhashBands),
          |bf AS (SELECT doc_id AS fid, band_idx, band_val FROM bands
-         |       WHERE doc_id % 5 != 0),
+         |       WHERE $freshPred),
          |br AS (SELECT doc_id AS rid, band_idx, band_val FROM bands
-         |       WHERE doc_id % 5 = 0),
+         |       WHERE $refPred),
          |cand AS (SELECT DISTINCT fid, rid
          |         FROM bf JOIN br USING (band_idx, band_val)),
          |shf AS (SELECT doc_id AS fid, shingle FROM sh
@@ -1701,6 +1722,9 @@ object SparkEntry {
          |       max(j) AS max_jaccard
          |FROM jac WHERE j >= 0.5 GROUP BY 1
          |ORDER BY doc_id""".stripMargin
+
+  private lazy val duckCrossDedupOracle: String =
+    duckCrossDedup("doc_id % 5 != 0", "doc_id % 5 = 0")
 
   private def duckQuantizedKnn(where: String = ""): String =
     s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
@@ -2844,6 +2868,10 @@ object SparkEntry {
          |  CAST(CASE WHEN l.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM a3 LEFT JOIN losers l ON a3.vec_id = l.b
          |ORDER BY vec_id""".stripMargin,
+    // the near-dup decontamination gate: q68's operator aimed at the
+    // q62 eval split
+    "q100_fuzzy_decontam" ->
+      duckCrossDedup("doc_id % 7 != 0", "doc_id % 7 = 0"),
     "q99_token_drift" ->
       """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS token
         |        FROM documents WHERE source = 'src0'),
