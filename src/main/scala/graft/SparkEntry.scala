@@ -1404,6 +1404,14 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q101 — vocabulary coverage (TextAnalysis.vocabCoverage): the top
+    * 64 corpus tokens with rank and cumulative coverage fraction — the
+    * tokenizer-planning / OOV-rate report. The oracle rebuilds the
+    * frequency ranking and the running coverage with its own windows. */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.vocabCoverage(
+      t(s, dir, "documents"), "text", vocabSize = 64)
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1632,6 +1640,7 @@ object SparkEntry {
     "q98_prototypicality" -> (q98 _),
     "q99_token_drift" -> (q99 _),
     "q100_fuzzy_decontam" -> (q100 _),
+    "q101_vocab_coverage" -> (q101 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2872,6 +2881,21 @@ object SparkEntry {
     // q62 eval split
     "q100_fuzzy_decontam" ->
       duckCrossDedup("doc_id % 7 != 0", "doc_id % 7 = 0"),
+    "q101_vocab_coverage" ->
+      """WITH c AS (SELECT token, count(*) AS cnt FROM (
+        |        SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents) GROUP BY token),
+        |t AS (SELECT sum(cnt) AS tot FROM c),
+        |r AS (SELECT token, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, token
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(cnt AS BIGINT) AS count,
+        |  ROUND(CAST(cum AS DOUBLE) / (SELECT tot FROM t), 6)
+        |    AS cum_coverage
+        |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
     "q99_token_drift" ->
       """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS token
         |        FROM documents WHERE source = 'src0'),

@@ -153,6 +153,41 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Vocabulary coverage analysis — the tokenizer-planning primitive:
+    * the top `vocabSize` corpus tokens by frequency, each with its rank
+    * and the CUMULATIVE fraction of all corpus tokens a vocabulary cut
+    * at that rank would cover. The complement of the last row's
+    * coverage is the OOV rate a `vocabSize`-entry word-level tokenizer
+    * would pay; the curve's shape says whether growing the vocabulary
+    * is still buying coverage.
+    *
+    * Scale: one token-count shuffle (map-side combined, vocab-sized),
+    * a top-N cut, and a rank window over the RETURNED vocabSize rows
+    * only — single-partition by contract, same bounded-shortlist
+    * argument as rrfFuse (the heavy lifting is the count shuffle; this
+    * is a driver-sized report). Ordering ties break by token ascending,
+    * so ranks are engine-deterministic. */
+  def vocabCoverage(docs: DataFrame, textCol: String, vocabSize: Int,
+                    roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1, "vocabSize >= 1")
+    val counts = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("count"))
+    val total = counts.agg(sum(col("count")).as("__tot"))
+    val order = Seq(col("count").desc, col("token").asc)
+    val w = Window.orderBy(order: _*)
+    counts.orderBy(order: _*).limit(vocabSize)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_coverage", round(
+        sum(col("count")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("__tot"), roundTo))
+      .select(col("rank"), col("token"), col("count"),
+        col("cum_coverage"))
+      .orderBy(col("rank"))
+  }
+
   /** Deterministic rule-based language ID (n-gram/marker heuristic).
     * Ordered rules over distinctive scripts/words; defaults to "en".
     * Not a real classifier — the operator contract is determinism and
