@@ -1412,6 +1412,24 @@ object SparkEntry {
     operators.TextAnalysis.vocabCoverage(
       t(s, dir, "documents"), "text", vocabSize = 64)
 
+  /** Q102 — curriculum packing (Sampling.packSequences with a score
+    * ordering): q70's concat-then-chunk bin construction, but each
+    * shard packs documents by ASCENDING unigram surprisal (easy-first
+    * curriculum) instead of id order — q97's scorer feeding q70's
+    * packer. The oracle chains both CTE families with the window
+    * ordered by (score, id), proving scoring and score-ordered offsets
+    * as one composition. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val scored = operators.TextAnalysis.unigramSurprisal(
+      t(s, dir, "documents"), "doc_id", "text")
+    operators.Sampling.packSequences(scored, "doc_id", col("n_tokens"),
+        budget = 2048, nShards = 4,
+        orderBy = Seq(col("mean_surprisal").asc))
+      .select(col("doc_id"), col("shard"), col("mean_surprisal"),
+        col("bin"), col("offset_in_bin"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1641,6 +1659,7 @@ object SparkEntry {
     "q99_token_drift" -> (q99 _),
     "q100_fuzzy_decontam" -> (q100 _),
     "q101_vocab_coverage" -> (q101 _),
+    "q102_curriculum_pack" -> (q102 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2881,6 +2900,32 @@ object SparkEntry {
     // q62 eval split
     "q100_fuzzy_decontam" ->
       duckCrossDedup("doc_id % 7 != 0", "doc_id % 7 = 0"),
+    // q97's scorer feeding q70's packer: the shard window orders by
+    // (rounded score, id) instead of id
+    "q102_curriculum_pack" ->
+      """WITH toks AS (SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |t AS (SELECT sum(c) AS tot FROM v),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        ROUND(avg(-ln(CAST(c AS DOUBLE)
+        |          / CAST((SELECT tot FROM t) AS DOUBLE))), 6)
+        |          AS mean_surprisal
+        |      FROM toks JOIN v USING (tok) GROUP BY doc_id),
+        |o AS (SELECT doc_id, n_tokens, mean_surprisal,
+        |        CAST(CAST(('0x' || substr(md5('pack#'
+        |            || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |          % 4 AS BIGINT) AS shard
+        |      FROM s),
+        |p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+        |          ORDER BY mean_surprisal, doc_id
+        |          ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+        |      FROM o)
+        |SELECT doc_id, shard, mean_surprisal,
+        |  CAST(floor(strt / 2048) AS BIGINT) AS bin,
+        |  CAST(strt % 2048 AS BIGINT) AS offset_in_bin, n_tokens
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q101_vocab_coverage" ->
       """WITH c AS (SELECT token, count(*) AS cnt FROM (
         |        SELECT unnest(string_split(lower(text), ' ')) AS token

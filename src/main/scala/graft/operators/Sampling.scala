@@ -123,6 +123,13 @@ object Sampling {
     * any input partitioning: shard and order depend only on ids.
     *
     * @param tokenCol expression giving the doc's token count
+    * @param orderBy  optional curriculum ordering WITHIN each shard:
+    *                 documents pack in this order (e.g. ascending
+    *                 difficulty score for easy-first curriculum
+    *                 training) instead of the id default; the id is
+    *                 always appended as the final tie-break, so the
+    *                 order stays total and rerun-deterministic.
+    *                 Rounded score columns keep it engine-portable.
     * @return input columns + (shard, bin, offset_in_bin, n_tokens)
     */
   /** Temperature-scaled source mixing — the multilingual/multi-source
@@ -154,11 +161,12 @@ object Sampling {
   }
 
   def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
-                    budget: Long, nShards: Int): DataFrame = {
+                    budget: Long, nShards: Int,
+                    orderBy: Seq[Column] = Seq.empty): DataFrame = {
     require(budget > 0 && nShards > 0, "budget and nShards must be > 0")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col(idCol))
+      .orderBy(orderBy :+ col(idCol).asc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", tokenCol.cast("long"))
       .withColumn("shard",

@@ -320,6 +320,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"bin of $worstBin tokens exceeds budget+maxDoc bound")
   }
 
+  test("packSequences orderBy: curriculum order drives offsets, id " +
+       "breaks ties, default unchanged") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L, 0.9), (2L, 20L, 0.1), (3L, 30L, 0.1))
+      .toDF("id", "nt", "score")
+    val packed = Sampling.packSequences(docs, "id", col("nt"),
+        budget = 1000, nShards = 1, orderBy = Seq(col("score").asc))
+      .select(col("id"), col("offset_in_bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // score order: id2 (0.1), id3 (0.1, id tie-break), id1 (0.9)
+    assert(packed == Map(2L -> 0L, 3L -> 20L, 1L -> 50L))
+    val default = Sampling.packSequences(docs, "id", col("nt"),
+        budget = 1000, nShards = 1)
+      .select(col("id"), col("offset_in_bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(default == Map(1L -> 0L, 2L -> 10L, 3L -> 30L))
+  }
+
   test("packManifest: per-bin seq/token counts and ordered boundary spans") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
