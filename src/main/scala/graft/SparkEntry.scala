@@ -1430,6 +1430,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q103 — the training pipeline with SEMANTIC dedup composed in
+    * (prepareTraining(embeddings = ...)): q93's SemDeDup spliced after
+    * decontamination — the SURVIVORS' embeddings cluster (seeds = first
+    * k surviving ids, so the fixed point depends on the pipeline state)
+    * and within-cluster cosine >= 0.3 drops the larger id BEFORE
+    * mixing/split/packing see the counts. The oracle grafts the shared
+    * Lloyd CTEs onto the pipeline oracle's post-decontamination state —
+    * the first composition in the contract that crosses the text and
+    * vector surfaces. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    operators.CorpusPipeline.prepareTraining(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        evalDocs = Some(docs.filter(col("doc_id") % 7 === 0)),
+        sourceWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        packBudget = 2048, packShards = 4, maxDupWordFrac = 0.6,
+        embeddings = Some(emb))
+      .select(col("doc_id"), col("source"), col("split"), col("shard"),
+        col("bin"), col("offset_in_bin"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1660,6 +1684,7 @@ object SparkEntry {
     "q100_fuzzy_decontam" -> (q100 _),
     "q101_vocab_coverage" -> (q101 _),
     "q102_curriculum_pack" -> (q102 _),
+    "q103_training_pipeline_semantic" -> (q103 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -1798,7 +1823,8 @@ object SparkEntry {
     * shingles, 8-grams, token counts) and the final projection adds
     * text_fp = md5 of the surviving text. */
   private def duckTrainingPipelineOracle(chunkWindow: Option[Int],
-                                         spanWindow: Option[Int] = None)
+                                         spanWindow: Option[Int] = None,
+                                         semantic: Boolean = false)
       : String = {
     val chunkCtes = chunkWindow.map { w =>
       s"""
@@ -1848,6 +1874,29 @@ object SparkEntry {
         .stripMargin
     }.getOrElse("")
     val corpus = if (spanWindow.isDefined) "spanned" else afterChunk
+    // the in-pipeline SemDeDup stage: survivors' embeddings cluster via
+    // the SHARED Lloyd CTEs (seeds = first 4 surviving ids by rank) and
+    // within-cluster cosine >= 0.3 drops the larger id — q93's oracle
+    // tail, instantiated on the pipeline's post-decontamination state
+    val semCtes =
+      if (!semantic) ""
+      else "\n" + duckLloydCtes(
+        """SELECT c.doc_id AS vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+          |        FROM clean c JOIN embeddings em ON em.vec_id = c.doc_id"""
+          .stripMargin,
+        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+          |          AS cid, v
+          |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)"""
+          .stripMargin) +
+        s""",
+           |spr AS (SELECT x.vec_id AS a, y.vec_id AS b
+           |        FROM a3 x JOIN a3 y
+           |          ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |        WHERE ROUND(${duckCosine("x.v", "y.v")}, 6) >= 0.3),
+           |semclean AS MATERIALIZED (SELECT * FROM clean
+           |        WHERE doc_id NOT IN (SELECT DISTINCT b FROM spr)),"""
+          .stripMargin
+    val afterClean = if (semantic) "semclean" else "clean"
     val fpCol =
       if (chunkWindow.isDefined || spanWindow.isDefined)
         " md5(sp.text) AS text_fp,"
@@ -1927,8 +1976,8 @@ object SparkEntry {
        |tainted AS (SELECT DISTINCT dsh.doc_id
        |            FROM dsh JOIN esh USING (shingle)),
        |clean AS MATERIALIZED (SELECT * FROM dedup
-       |          WHERE doc_id NOT IN (SELECT doc_id FROM tainted)),
-       |mn AS (SELECT source, count(*) AS ns FROM clean
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM tainted)),$semCtes
+       |mn AS (SELECT source, count(*) AS ns FROM $afterClean
        |       WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
        |mw AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
        |         ('src2', 0.2)) AS t(source, wt)),
@@ -1938,7 +1987,7 @@ object SparkEntry {
        |             round((SELECT tot FROM mtt) * wt / ns, 9))
        |           * 10000) AS BIGINT) AS thr
        |       FROM mn JOIN mw USING (source)),
-       |mixed AS (SELECT c.* FROM clean c JOIN mf USING (source)
+       |mixed AS (SELECT c.* FROM $afterClean c JOIN mf USING (source)
        |          WHERE CAST(('0x' || substr(md5('mix#' || c.source || '#'
        |                  || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
        |                % 10000 < thr),
@@ -2018,10 +2067,11 @@ object SparkEntry {
        |FROM a3 ORDER BY vec_id""".stripMargin
 
   /** The two unrolled Lloyd iterations as a CTE body ending in `a3`
-    * (vec_id, v, cid, d) — shared by q92's assignment dump and q93's
-    * SemDeDup tail, so the semantic-dedup oracle cannot drift from the
-    * clustering oracle it builds on. */
-  private lazy val duckKmeansCtes: String = {
+    * (vec_id, v, cid, d), given the `e` (vectors) and `c0` (seed
+    * centroids) CTE bodies — shared by q92's assignment dump, q93's
+    * SemDeDup tail, and q103's in-pipeline semantic stage, so no
+    * clustering-derived oracle can drift from the others. */
+  private def duckLloydCtes(eDef: String, c0Def: String): String = {
     def assign(cents: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, v, cid, d FROM (
@@ -2043,16 +2093,19 @@ object SparkEntry {
          |$out AS (SELECT p.cid, COALESCE(n.v, p.v) AS v
          |         FROM $prev p LEFT JOIN ${out}_n n USING (cid))"""
         .stripMargin
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e
-       |       WHERE vec_id < 4),
+    s"""e AS ($eDef),
+       |c0 AS ($c0Def),
        |${assign("c0", "a1")},
        |${update("a1", "c0", "c1")},
        |${assign("c1", "a2")},
        |${update("a2", "c1", "c2")},
        |${assign("c2", "a3")}""".stripMargin
   }
+
+  private lazy val duckKmeansCtes: String = duckLloydCtes(
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings""".stripMargin,
+    "SELECT CAST(vec_id AS INT) AS cid, v FROM e WHERE vec_id < 4")
 
   /** Shared by q88 (recompute) and q91 (the saved shard layout's
     * manifest read back from disk): one definition of the packed-bin
@@ -2656,6 +2709,8 @@ object SparkEntry {
     "q77_training_pipeline_chunked" -> duckTrainingPipelineOracle(Some(16)),
     "q90_training_pipeline_spanscrub" ->
       duckTrainingPipelineOracle(None, Some(8)),
+    "q103_training_pipeline_semantic" ->
+      duckTrainingPipelineOracle(None, None, semantic = true),
     "q67_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS error_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -169,6 +169,10 @@ object CorpusPipeline {
                       decontamNgram: Int = 8,
                       chunkDedupTokens: Option[Int] = None,
                       spanScrubTokens: Option[Int] = None,
+                      embeddings: Option[DataFrame] = None,
+                      embVecCol: String = "embedding",
+                      semanticK: Int = 4, semanticIters: Int = 2,
+                      semanticMinCosine: Double = 0.3,
                       minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                       minhashK: Int = 8, minJaccard: Double = 0.5,
                       collapseComponents: Boolean = false): DataFrame = {
@@ -218,9 +222,29 @@ object CorpusPipeline {
           deduped.join(tainted, Seq(idCol), "left_anti")
         case None => deduped
       }
+      // Optional SemDeDup stage (q93's operator composed in): the
+      // SURVIVORS' embeddings cluster (k-means seeds = first k
+      // surviving ids, so the fixed point is a function of the
+      // pipeline state, not the raw table) and within-cluster cosine
+      // near-dups drop, larger id losing. Runs after decontamination —
+      // semantic redundancy is judged on the corpus that will actually
+      // mix/split — and before mixing, so source budgets see the
+      // thinned counts. Embeddings must be keyed by idCol.
+      val semClean = embeddings match {
+        case Some(emb) =>
+          val survEmb = CacheScope.register(emb
+            .join(clean.select(col(idCol)), Seq(idCol), "left_semi")
+            .persist())
+          val losers = Dedup.semanticDedup(survEmb, idCol, embVecCol,
+              semanticK, semanticIters, semanticMinCosine)
+            .filter(col("keep") === 0L).select(col(idCol))
+            .localCheckpoint(true)
+          clean.join(losers, Seq(idCol), "left_anti")
+        case None => clean
+      }
       val mixed =
-        if (sourceWeights.isEmpty) clean
-        else Sampling.mixBySource(clean, srcCol, idCol, sourceWeights)
+        if (sourceWeights.isEmpty) semClean
+        else Sampling.mixBySource(semClean, srcCol, idCol, sourceWeights)
           .drop("keep_frac")
       val splitDf = CacheScope.register(
         Sampling.trainValTest(mixed, idCol).persist())

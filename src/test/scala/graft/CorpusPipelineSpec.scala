@@ -153,6 +153,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("prepareTraining(embeddings): semantic stage thins the corpus, " +
+       "unreachable threshold degrades to the text-only pipeline") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    def ids(minCos: Double) = CorpusPipeline.prepareTraining(
+        train, "doc_id", "text", embeddings = Some(emb),
+        semanticMinCosine = minCos, packShards = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val without = CorpusPipeline.prepareTraining(
+        train, "doc_id", "text", packShards = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cosine is bounded by 1: a threshold above it makes the stage a
+    // provable no-op, so the composed pipeline equals the text-only one
+    assert(ids(1.1) == without)
+    // at the declared threshold the stage actually fires and only
+    // removes docs (never adds)
+    val sem = ids(0.3)
+    assert(sem.subsetOf(without) && sem.size < without.size)
+  }
+
   test("connectedComponents: empty pair table yields empty labels, no NPE") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")
