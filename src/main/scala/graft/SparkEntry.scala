@@ -1454,6 +1454,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q104 — three-retriever hybrid fusion (the varargs face of
+    * TextSearch.rrfFuse): dense cosine top-20 ⊕ BM25 top-20 ⊕ exact
+    * phrase top-20 — the lexical + dense + positional stack real
+    * hybrid search runs. Each list's MEMBERSHIP is its own operator's
+    * cut; fusion ranks are (score desc, id) within each list; rrf =
+    * Σ 1/(60 + rank) over present lists, rounded before the final cut.
+    * The oracle chains all three rankings through two full outer
+    * joins. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val vecList = operators.Search.cosineTopK(e, "embedding", "vec_id",
+        e.filter(col("vec_id") === 11)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "embedding", "qid", k = 20)
+      .select(col("vec_id").as("doc_id"), col("sim"))
+    val textList = operators.TextSearch.bm25(docs, "doc_id", "text",
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    val phraseList = operators.TextSearch.phraseSearch(docs, "doc_id",
+      "text", Seq("table", "hash"), k = 20)
+    operators.TextSearch.rrfFuse(Seq(vecList -> "sim",
+        textList -> "score", phraseList -> "n_hits"), "doc_id", kRrf = 60)
+      .select(col("doc_id"), col("rank_1"), col("rank_2"), col("rank_3"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1685,6 +1714,7 @@ object SparkEntry {
     "q101_vocab_coverage" -> (q101 _),
     "q102_curriculum_pack" -> (q102 _),
     "q103_training_pipeline_semantic" -> (q103 _),
+    "q104_hybrid_rrf3" -> (q104 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -2699,6 +2729,45 @@ object SparkEntry {
          |          + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
          |      FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id)
          |SELECT doc_id, rank_a, rank_b, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    // three shortlists, two full outer joins — the varargs fusion
+    "q104_hybrid_rrf3" ->
+      s"""WITH ${duckBm25()},
+         |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY sim DESC, vec_id) AS BIGINT) AS rank_1
+         |       FROM (SELECT e.vec_id,
+         |               ROUND(${duckCosine("e.embedding", "q.qv")}, 6) AS sim
+         |             FROM embeddings e,
+         |               (SELECT embedding AS qv FROM embeddings
+         |                WHERE vec_id = 11) q
+         |             ORDER BY sim DESC, vec_id LIMIT 20)),
+         |tr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY ROUND(s, 6) DESC, doc_id) AS BIGINT) AS rank_2
+         |       FROM bmtop),
+         |ptoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+         |          FROM documents),
+         |pw AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT)
+         |         AS pos, unnest(gs) AS g
+         |       FROM (SELECT doc_id, list_transform(range(1, len(t)),
+         |               i -> t[i] || ' ' || t[i+1]) AS gs
+         |             FROM ptoks WHERE len(t) >= 2)),
+         |pl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |         min(pos) AS first_pos
+         |       FROM pw WHERE g = 'table hash' GROUP BY doc_id
+         |       ORDER BY n_hits DESC, first_pos, doc_id LIMIT 20),
+         |pr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank_3
+         |       FROM pl),
+         |f12 AS (SELECT COALESCE(vr.doc_id, tr.doc_id) AS doc_id,
+         |          rank_1, rank_2
+         |        FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id),
+         |f AS (SELECT COALESCE(f12.doc_id, pr.doc_id) AS doc_id,
+         |        rank_1, rank_2, rank_3,
+         |        ROUND(COALESCE(1.0 / (60 + rank_1), 0)
+         |          + COALESCE(1.0 / (60 + rank_2), 0)
+         |          + COALESCE(1.0 / (60 + rank_3), 0), 6) AS rrf
+         |      FROM f12 FULL OUTER JOIN pr ON f12.doc_id = pr.doc_id)
+         |SELECT doc_id, rank_1, rank_2, rank_3, rrf FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     "q68_dedup_against" -> duckCrossDedupOracle,
     // the saved-index probe (build on half the ref slice + append the
