@@ -1483,6 +1483,107 @@ object SparkEntry {
       .limit(15)
   }
 
+  /** Q105 — per-source document cap (Sampling.capPerGroup): each source
+    * keeps its top-10 documents by quality proxy (stop_ratio DESC,
+    * doc_id tie-break) — the domain-cap curation step that stops one
+    * over-crawled domain from dominating the mix regardless of its raw
+    * size. The rank filter plans a partial WindowGroupLimit (operator
+    * scaladoc has the 100 TB argument: the exchange carries O(sources ×
+    * cap) rows, never a whole domain into one task). Oracle: DuckDB's
+    * own ROW_NUMBER over the same rounded proxy. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val feat = operators.TextAnalysis.qualityFeatures(
+      t(s, dir, "documents"))
+    operators.Sampling.capPerGroup(feat, col("source"),
+        Seq(col("stop_ratio").desc, col("doc_id")), n = 10)
+      .select(col("doc_id"), col("source"), col("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q109 — contrastive hard-negative mining (Search.hardNegatives):
+    * for each of 10 anchors, the 5 nearest embeddings whose label
+    * differs from the anchor's — the (anchor, hard-negative) tuples a
+    * triplet/InfoNCE pipeline materializes corpus-wide. The label
+    * filter fuses into the scan stage before any distance evaluates;
+    * otherwise q4's exact physics (broadcast anchors, partial
+    * WindowGroupLimit cut). */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("qid"), col("embedding"), col("label"))
+    operators.Search.hardNegatives(e, "embedding", "vec_id", "label",
+        anchors, "embedding", "qid", "label", k = 5)
+      .select(col("qid"), col("vec_id"), col("label"), col("dist"),
+        col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Q106 — ordered-funnel conversion over the event stream (Funnel.
+    * funnel): users who viewed, then clicked within 24 h of their FIRST
+    * view, then purchased within 24 h of that click — the strict
+    * sequential funnel (ClickHouse windowFunnel shape). One user-keyed
+    * aggregate per step over shrinking relations; no per-user sort
+    * anywhere. The oracle is the same earliest-qualifying recurrence as
+    * correlated min CTEs. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = 86400L)
+      .orderBy(col("step"))
+
+  /** Q107 — Count-Min sketch frequency estimation (Sketches): the
+    * depth×width counter array built over the document token stream
+    * with engine-portable md5 hashes, then point-queried for the 30
+    * most frequent tokens next to their exact counts. est ≥ exact
+    * always (collisions only ever ADD); the oracle rebuilds the
+    * identical sketch in SQL, so the hash match proves the counter
+    * array bit-for-bit, not just the estimates. The counters relation
+    * is the mergeable streaming heavy-hitter structure — depth×width
+    * rows regardless of corpus size. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val counters = operators.Sketches.countMinCounters(
+      toks, col("token"), depth = 4, width = 512)
+    val probes = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token")).limit(30)
+    val est = operators.Sketches.cmsEstimate(
+      counters, probes.select(col("token")), col("token"),
+      depth = 4, width = 512)
+    probes.join(est, probes("token") === est("key"))
+      .select(col("token"), col("exact"), col("est"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
+  /** Q108 — PageRank over the supplier–part co-occurrence graph (Graph.
+    * pageRank): distinct (supplier, part) lineitem pairs as undirected
+    * edges (both directions, so no dangling mass), 3 iterations at
+    * damping 0.85, top-50 nodes. Iterative rank state follows the q92
+    * rounding contract, which is what lets the oracle unroll the
+    * iterations as CTEs and match bit-for-bit. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "lineitem").select(
+      concat(lit("s"), col("l_suppkey")).as("src"),
+      concat(lit("p"), col("l_partkey")).as("dst"))
+    val edges = sp.union(sp.select(col("dst").as("src"),
+      col("src").as("dst")))
+    operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(50)
+  }
+
+  /** Q110 — bigram-LM surprisal scoring with Laplace smoothing
+    * (TextAnalysis.bigramSurprisal): q97 one model order up — mean
+    * -ln p(tok|prev) per document, bigrams built at the array level
+    * inside the scan stage. The oracle rebuilds both count models, the
+    * vocabulary size, and the smoothed conditional from first
+    * principles. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1715,6 +1816,12 @@ object SparkEntry {
     "q102_curriculum_pack" -> (q102 _),
     "q103_training_pipeline_semantic" -> (q103 _),
     "q104_hybrid_rrf3" -> (q104 _),
+    "q105_source_cap" -> (q105 _),
+    "q106_funnel" -> (q106 _),
+    "q107_cms_heavy" -> (q107 _),
+    "q108_pagerank" -> (q108 _),
+    "q109_hard_negatives" -> (q109 _),
+    "q110_bigram_surprisal" -> (q110 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -3108,5 +3215,118 @@ object SparkEntry {
            |  CAST(max($c) AS VARCHAR) AS max_val
            |FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // the cap is DuckDB's own ROW_NUMBER over the same rounded quality
+    // proxy — per-group top-N with an explicit total order
+    "q105_source_cap" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  ROUND(len(list_filter(string_split(lower(text), ' '),
+         |            t -> t IN ($duckStopwords)))
+         |        / greatest(len(string_split(lower(text), ' ')), 1), 6)
+         |    AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, source, stop_ratio FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY stop_ratio DESC, doc_id) AS rn
+         |  FROM q) WHERE rn <= 10
+         |ORDER BY doc_id""".stripMargin,
+    // earliest-qualifying recurrence as correlated min CTEs; strictly
+    // sequential, 24 h max gap between consecutive steps
+    "q106_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t
+        |         AND e.ts <= t1.t + INTERVAL 86400 SECOND
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |         AND e.ts <= t2.t + INTERVAL 86400 SECOND
+        |       GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+    // the oracle rebuilds the identical md5-hashed counter array, so
+    // the match proves the sketch itself, not just the 30 estimates
+    "q107_cms_heavy" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' '))
+        |                AS token FROM documents),
+        |v AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |cms AS (SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR)
+        |            || '#' || token), 1, 8)) AS UBIGINT) % 512 AS bucket,
+        |          sum(c) AS counter
+        |        FROM v, range(4) r(d) GROUP BY 1, 2),
+        |p AS (SELECT token, c FROM v ORDER BY c DESC, token LIMIT 30),
+        |pb AS (SELECT token, c, d, CAST(('0x' || substr(md5(
+        |           CAST(d AS VARCHAR) || '#' || token), 1, 8))
+        |           AS UBIGINT) % 512 AS bucket
+        |       FROM p, range(4) r(d))
+        |SELECT token, CAST(c AS BIGINT) AS exact,
+        |  CAST(min(counter) AS BIGINT) AS est
+        |FROM pb JOIN cms USING (d, bucket)
+        |GROUP BY token, c
+        |ORDER BY exact DESC, token""".stripMargin,
+    // 3 unrolled PageRank iterations; per-iteration ROUND(…, 9) is the
+    // q92 iterative-float contract that makes the fixed point portable
+    "q108_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nodes.node,
+           |  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |      / (SELECT n FROM nn)
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(s.w, 0.0), 9) AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / deg.deg) AS w
+           |    FROM e JOIN $prev r ON e.src = r.node
+           |           JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |             'p' || CAST(l_partkey AS VARCHAR) AS dst
+         |           FROM lineitem
+         |           UNION
+         |           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+         |             's' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+         |         AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+    },
+    "q110_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i + 1])) AS k
+        |       FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT k, count(*) AS c2 FROM bg GROUP BY k),
+        |c1 AS (SELECT split_part(k, ' ', 1) AS p, count(*) AS c1
+        |       FROM bg GROUP BY p),
+        |vv AS (SELECT count(DISTINCT tok) AS v
+        |       FROM (SELECT unnest(t) AS tok FROM toks))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(avg(-ln((CAST(c2 AS DOUBLE) + 1.0)
+        |    / CAST(c1 + (SELECT v FROM vv) AS DOUBLE))), 6)
+        |    AS mean_surprisal
+        |FROM bg JOIN c2 USING (k)
+        |JOIN c1 ON split_part(bg.k, ' ', 1) = c1.p
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q109_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id <= 9),
+         |d AS (SELECT q.qid, e.vec_id, e.label,
+         |        ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+         |      FROM embeddings e, q WHERE e.label <> q.ql)
+         |SELECT qid, vec_id, label, dist, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY dist, vec_id) AS rn
+         |  FROM d) WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
   )
 }

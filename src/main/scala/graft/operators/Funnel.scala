@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — the product-analytics
+  * operator (ClickHouse `windowFunnel`, Amplitude/Mixpanel funnels): how
+  * many users performed step 1, then step 2 strictly after it within a
+  * bounded gap, then step 3 after that, in order.
+  *
+  * Semantics: per user, t₁ = earliest step-1 event; tᵢ = earliest step-i
+  * event with tᵢ₋₁ < ts ≤ tᵢ₋₁ + maxGap. "Earliest qualifying" (not "any
+  * qualifying") makes the funnel deterministic and matches the strict
+  * sequential mode — a user converts on their first opportunity or not at
+  * all through that branch.
+  *
+  * Scale: one aggregation per step, every one keyed on the user column —
+  * |steps| user-keyed shuffles of progressively SHRINKING relations (the
+  * reached set only loses users), plus a per-step equi-join back to the
+  * event scan that AQE plans from runtime sizes. No window, no per-user
+  * sort, no collect of event data: a user's whole history never meets a
+  * single task, only their per-step minima do.
+  */
+object Funnel {
+
+  /** @param steps         event-type sequence; the first step is
+    *                      unconstrained in time
+    * @param maxGapSeconds max allowed gap between consecutive steps
+    * @return (step, step_name, n_users) — one row per step, n_users
+    *         monotonically non-increasing down the funnel */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             maxGapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // the reached set carries a renamed user key so each step's join
+    // against the (re-derived) event scan is name-unambiguous
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .select(col(userCol).as("__u"), col("__t"))
+    var counts = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("step_name"),
+        col("n_users"))
+    steps.toList.zipWithIndex.drop(1).foreach { case (step, i) =>
+      reached = events.filter(col(typeCol) === step)
+        .join(reached, col(userCol) === col("__u"))
+        .filter(col(tsCol) > col("__t") &&
+          col(tsCol) <= col("__t") + make_interval(lit(0), lit(0),
+            lit(0), lit(0), lit(0), lit(0), lit(maxGapSeconds.toDouble)))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .select(col(userCol).as("__u"), col("__t"))
+      counts = counts.union(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(step).as("step_name"),
+          col("n_users")))
+    }
+    counts
+  }
+}

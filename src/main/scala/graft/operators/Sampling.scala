@@ -60,6 +60,32 @@ object Sampling {
     df.filter(b < (fraction * 10000).toInt)
   }
 
+  /** Per-group document cap — the "domain cap" curation step: keep at
+    * most `n` rows per group (source / domain / crawl host), chosen by
+    * an explicit priority order instead of arrival order, so one
+    * over-represented domain cannot dominate the mix no matter how
+    * large it grows. Crawl pipelines apply exactly this with
+    * group = registered domain and priority = quality score.
+    *
+    * Scale: this is deliberately a row_number window, NOT the q96
+    * histogram trick — a cap needs a total order among ties, and Spark
+    * 4 plans a partial WindowGroupLimit BEFORE the exchange for
+    * rank-like filters, so each mapper forwards at most n rows per
+    * group: the shuffle carries O(groups × n), never a whole domain
+    * into one task. (PlanShapeSpec pins the WindowGroupLimit.)
+    *
+    * @param order priority columns, highest-priority first; callers
+    *              must end with a unique tie-break for determinism */
+  def capPerGroup(df: DataFrame, groupCol: Column, order: Seq[Column],
+                  n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Corpus mixing — the "data recipe" step of a training pipeline:
     * deterministically downsample each source so the kept rows follow
     * the target weight profile, maximizing output size subject to never

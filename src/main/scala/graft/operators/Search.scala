@@ -110,6 +110,37 @@ object Search {
                   r: Double): DataFrame =
     index.filter(sqDist(col(vecCol), qVec) <= lit(r * r))
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k NEAREST rows whose label DIFFERS from the anchor's — the
+    * examples a contrastive loss learns most from (closest in embedding
+    * space, yet semantically wrong). Triplet/InfoNCE data pipelines run
+    * exactly this shape corpus-wide to build (anchor, positive,
+    * hard-negative) tuples.
+    *
+    * Same physics as knnBatch — anchors broadcast, the corpus never
+    * shuffles, the label filter fuses into the scan stage BEFORE the
+    * distance evaluates, and the per-anchor cut crosses the exchange
+    * as a partial WindowGroupLimit (k rows per mapper per anchor). At
+    * 100 TB mine in anchor batches of a few thousand; each batch is
+    * one broadcast + one scan.
+    *
+    * @param anchors must carry `qidCol`, `qVecCol`, and `qLabelCol` */
+  def hardNegatives(index: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String, anchors: DataFrame, qVecCol: String,
+                    qidCol: String, qLabelCol: String, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val q = broadcast(anchors.select(col(qidCol).as("qid"),
+      col(qVecCol).as("__qv"), col(qLabelCol).as("__ql")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col(idCol))
+    index.crossJoin(q)
+      .filter(col(labelCol) =!= col("__ql"))
+      .withColumn("dist", round(sqDist(col(vecCol), col("__qv")), roundTo))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("__qv", "__ql", vecCol)
+  }
+
   /** Brute-force top-k by cosine similarity (descending) — the ANN
     * baseline; the IVF path must achieve target recall against this. */
   def cosineTopK(index: DataFrame, vecCol: String, idCol: String,

@@ -111,6 +111,52 @@ object TextAnalysis {
           col("__tot").cast("double"))), roundTo).as("mean_surprisal"))
   }
 
+  /** Bigram language-model scoring with Laplace smoothing — one order up
+    * from unigramSurprisal: each document's mean per-bigram surprisal
+    * -ln p(tok | prev), p = (c(prev,tok) + 1) / (c(prev·) + V), where
+    * c(prev·) counts prev as a bigram PREFIX (non-final positions) and V
+    * is the unigram vocabulary size. Context-sensitive gibberish that
+    * unigram stats miss (right words, wrong order) scores high here —
+    * the next step toward the KenLM-style perplexity filter, same
+    * distributed shape.
+    *
+    * Scale: bigrams are materialized at the ARRAY level (a transform
+    * over the token array inside the scan stage — no join, no window,
+    * no per-doc sort), then one explode feeds three bounded aggregates:
+    * the bigram-vocab count shuffle, the prefix-vocab count shuffle,
+    * and a 1-row V. The stream joins the two models by key (AQE
+    * broadcasts bounded vocabularies) and one per-doc shuffle takes the
+    * mean. Documents with fewer than two tokens have no bigrams and are
+    * absent from the output by contract.
+    *
+    * @param roundTo decimals the mean is rounded to AFTER aggregation
+    *                (addend order differs between engines) */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    val toksArr = split(lower(col(textCol)), " ")
+    // tokens contain no space (split contract), so "prev cur" is an
+    // injective bigram key both engines build identically
+    val bgArr = when(size(toksArr) >= 2,
+      transform(sequence(lit(1), size(toksArr) - 1),
+        i => concat_ws(" ", element_at(toksArr, i),
+          element_at(toksArr, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col(idCol), explode(bgArr).as("__bg"))
+    val c2 = bg.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    val c1 = bg.select(substring_index(col("__bg"), " ", 1).as("__p"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__c1"))
+    val v = docs.select(explode(toksArr).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    bg.join(c2, "__bg")
+      .withColumn("__p", substring_index(col("__bg"), " ", 1))
+      .join(c1, "__p")
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("__c2") + lit(1.0)) /
+          (col("__c1") + col("__v")))), roundTo).as("mean_surprisal"))
+  }
+
   /** Token-distribution drift between two corpus slices — the dataset
     * monitoring primitive: which tokens are over-represented in slice A
     * vs slice B? Each side's unigram distribution is Laplace-smoothed
