@@ -419,4 +419,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(scores.forall(_ >= 0))
     }
   }
+
+  test("capPerGroup: exactly min(n, group size) survive, by priority") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.99),
+      ("b", 5L, 0.1),
+      ("c", 6L, 0.3), ("c", 7L, 0.3), ("c", 8L, 0.3))
+      .toDF("src", "id", "score")
+    val got = Sampling.capPerGroup(df, col("src"),
+        Seq(col("score").desc, col("id")), n = 2)
+      .orderBy(col("id")).collect().map(_.getLong(1)).toSeq
+    // a: 4 (0.99) then 1 (0.9, id tie-break over 2); b: all of it;
+    // c: ids 6,7 by tie-break
+    assert(got == Seq(1L, 4L, 5L, 6L, 7L))
+  }
+
+  test("capPerGroup with n >= group size is the identity") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Sampling.capPerGroup(docs, col("source"),
+      Seq(col("n_chars").desc, col("doc_id")), n = 1000000)
+    assert(got.count() == docs.count())
+  }
+
+  test("bigramSurprisal: hand-computed two-doc corpus") {
+    import spark.implicits._
+    // corpus "a b a" + "b a": bigrams d1 = [a b, b a], d2 = [b a]
+    // c2(a b)=1, c2(b a)=2; prefixes c1(a)=1, c1(b)=2; V=2
+    // p(b|a)=(1+1)/(1+2)=2/3; p(a|b)=(2+1)/(2+2)=3/4
+    // d1 mean = (-ln(2/3) - ln(3/4))/2; d2 mean = -ln(3/4)
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, 2L, rnd((-math.log(2.0 / 3.0) - math.log(3.0 / 4.0)) / 2)),
+      (2L, 1L, rnd(-math.log(3.0 / 4.0)))))
+  }
+
+  test("bigramSurprisal: sub-2-token docs are absent by contract") {
+    import spark.implicits._
+    val docs = Seq((1L, "only"), (2L, "two tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
 }

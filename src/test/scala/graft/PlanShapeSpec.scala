@@ -55,6 +55,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a partial WindowGroupLimit below the exchange:\n$p")
   }
 
+  test("q105: the domain cap bounds rows below the exchange (WindowGroupLimit)") {
+    val p = physical("q105_source_cap")
+    val partial = p.indexOf("WindowGroupLimit")
+    val exch = p.indexOf("Exchange hashpartitioning(source")
+    assert(partial >= 0 && exch >= 0,
+      s"expected WindowGroupLimit + source exchange:\n$p")
+    assert(p.lastIndexOf("WindowGroupLimit") > exch,
+      s"expected a partial WindowGroupLimit below the exchange — the cap " +
+        s"must not ship whole domains into single tasks:\n$p")
+  }
+
   test("q19: AQE broadcasts the unhinted df-cap anti-join at fixture scale") {
     // The hot-list and set-size joins carry NO broadcast hint (a forced
     // broadcast of per-document tables fails outright at corpus scale) —

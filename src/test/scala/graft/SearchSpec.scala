@@ -105,4 +105,24 @@ class SearchSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(1) == 0.0))
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // id tie-break
   }
+
+  test("hardNegatives == per-anchor kNN over the label-filtered corpus") {
+    val e = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val anchors = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding"), col("label"))
+    val got = Search.hardNegatives(e, "embedding", "vec_id", "label",
+        anchors, "embedding", "qid", "label", k = 4)
+      .select(col("qid"), col("vec_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = anchors.collect().flatMap { a =>
+      val qid = a.getLong(0)
+      val lbl = a.getInt(2)
+      val qv = array(a.getSeq[Float](1).map(v => lit(v.toDouble)): _*)
+      Search.knn(e.filter(col("label") =!= lbl), "embedding", "vec_id",
+          qv, 4)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+        .zipWithIndex.map { case (id, i) => (qid, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == expect)
+  }
 }
