@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   */
 object EventWindows {
 
-  /** events schema after ts normalization (see Tables.events). */
+  /** events schema when ts is TIMESTAMP(NANOS) at rest (nanosAsLong read
+    * surfaces it as LongType; see Tables.events). When ts is micros at
+    * rest it reads natively as TimestampType and readStream swaps the
+    * field type accordingly. */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos (nanosAsLong read)
@@ -53,12 +56,24 @@ object EventWindows {
     * file is read via its parent + pathGlobFilter). */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
-    val reader = spark.readStream.schema(schema)
+    // FileStreamSource needs a user schema, but the physical ts type is
+    // the data's choice: TIMESTAMP(NANOS) surfaces as LongType (under
+    // nanosAsLong) and needs the /1000 normalization, TIMESTAMP(MICROS)
+    // reads natively as TimestampType and must NOT be divided. Probe
+    // with a one-file batch read (footer-only, no data scan) — the same
+    // type dispatch Tables.events does for the batch path.
+    val tsIsLong =
+      spark.read.parquet(path).schema("ts").dataType == LongType
+    val sch =
+      if (tsIsLong) schema
+      else StructType(schema.map(fld =>
+        if (fld.name == "ts") fld.copy(dataType = TimestampType) else fld))
+    val reader = spark.readStream.schema(sch)
     val src =
       if (f.isFile)
         reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(path)
-    normalize(src)
+    if (tsIsLong) normalize(src) else src
   }
 
   /** Watermarked streaming tumbling counts → memory sink (for tests) or

@@ -96,10 +96,14 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$tmp/ev0.parquet"))
-    def sentinel(nanos: Long): Unit = {
+    def sentinel(micros: Long): Unit = {
       import spark.implicits._
-      Seq((9_000_000_000L, nanos, -1L, "x", 0.0, "{}"))
+      // ts written as a real timestamp column, matching the micros
+      // physical type of the driver's events table (readStream probes
+      // the type; appended files must agree with the probed schema)
+      Seq((9_000_000_000L, micros, -1L, "x", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")))
         .coalesce(1).write.mode("append").parquet(tmp)
     }
     val stream = EventWindows.readStream(spark, tmp)
@@ -109,9 +113,9 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("fs_sessions").start()
     try {
       q.processAllAvailable()
-      sentinel(4_000_000_000_000_000_000L) // ~2096: watermark jumps ahead
+      sentinel(4_000_000_000_000_000L) // ~2096: watermark jumps ahead
       q.processAllAvailable()
-      sentinel(4_100_000_000_000_000_000L) // next batch: timeouts all fire
+      sentinel(4_100_000_000_000_000L) // next batch: timeouts all fire
       q.processAllAvailable()
       val streamed = spark.table("fs_sessions")
         .filter(col("user_id") >= 0) // drop sentinel user
