@@ -1584,6 +1584,35 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Q111 — budget-constrained data selection (Sampling.
+    * selectByTokenBudget): the best documents by quality proxy until a
+    * 15k-token budget fills — "train on the best N tokens". The prefix
+    * sum runs over the per-score histogram, never a global per-row
+    * window; only the single boundary score group pays an ordered
+    * window (operator scaladoc). Oracle: the naive global window cumsum
+    * — the hash match proves the histogram decomposition IS the greedy
+    * prefix. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val feat = operators.TextAnalysis.qualityFeatures(
+      t(s, dir, "documents"))
+    operators.Sampling.selectByTokenBudget(feat, "doc_id",
+        col("stop_ratio"), col("n_tokens"), budget = 15000L)
+      .select(col("doc_id"), col("source"), col("stop_ratio"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q112 — n-gram containment near-dup pairs (Dedup.
+    * ngramContainmentPairs): C = |A∩B|/min(|A|,|B|) ≥ 0.8 — the
+    * asymmetric measure that catches a short document quoted whole
+    * inside a long one, where Jaccard stays tiny because the union is
+    * dominated by the long side. Same blocked plan as q19; the oracle
+    * swaps the final scalar in q19's CTE family. */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.ngramContainmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minContainment = 0.8)
+      .orderBy(col("a"), col("b"))
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1822,6 +1851,8 @@ object SparkEntry {
     "q108_pagerank" -> (q108 _),
     "q109_hard_negatives" -> (q109 _),
     "q110_bigram_surprisal" -> (q110 _),
+    "q111_token_budget" -> (q111 _),
+    "q112_containment" -> (q112 _),
   )
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
@@ -3317,6 +3348,38 @@ object SparkEntry {
         |FROM bg JOIN c2 USING (k)
         |JOIN c1 ON split_part(bg.k, ' ', 1) = c1.p
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the naive global window cumsum — proves the histogram
+    // decomposition equals the greedy token-budget prefix
+    "q111_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  ROUND(len(list_filter(string_split(lower(text), ' '),
+         |            t -> t IN ($duckStopwords)))
+         |        / greatest(len(string_split(lower(text), ' ')), 1), 6)
+         |    AS stop_ratio,
+         |  len(string_split(lower(text), ' ')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, stop_ratio, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY stop_ratio DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+         |SELECT doc_id, source, stop_ratio,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+    // q19's CTE family with the asymmetric containment scalar
+    "q112_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, ROUND(c / least(za.n, zb.n), 6) AS containment
+        |FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |WHERE ROUND(c / least(za.n, zb.n), 6) >= 0.8
+        |ORDER BY a, b""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),

@@ -118,11 +118,25 @@ object Dedup {
     // satisfies the distinct's clustering requirement AND both probe sides
     // of the self-join (persisted plans keep their outputPartitioning), so
     // after this repartition the distinct and the join are exchange-free.
+    shinglePairCounts(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Shared core of the exact n-gram pair measures: blocked self-join pair
+    * intersection counts with both set sizes attached — (a, b, c, na, nb),
+    * a < b. All the scale machinery documented on ngramJaccardPairs lives
+    * here; the public faces differ only in the scalar they derive. */
+  private def shinglePairCounts(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                maxShingleDf: Int): DataFrame = {
     val all = CacheScope.register(
       shingles(docs, idCol, textCol, n, repartitionById = false)
         .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
         .repartition(col("shingle"))
-        .distinct() // set semantics for Jaccard, on cheap (id, long) rows
+        .distinct() // set semantics, on cheap (id, long) rows
         .persist())
     // Document-frequency cap — the scale guard for this operator. A shingle
     // shared by m documents emits m² pair rows from the self-join; at corpus
@@ -148,10 +162,30 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .join(sizes.select(col(idCol).as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("n_sh").as("nb")), Seq("b"))
-      .withColumn("jaccard",
-        round(col("c") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** n-gram CONTAINMENT pairs — the asymmetric twin of ngramJaccardPairs
+    * for subset duplication: C = |A∩B| / min(|A|, |B|), i.e. the fraction
+    * of the SMALLER document's shingles the pair shares. A short document
+    * quoted whole inside a long one has near-1 containment but tiny
+    * Jaccard (the union is dominated by the long side) — the
+    * quote-expansion / boilerplate-wrapper duplicates a symmetric measure
+    * structurally cannot catch (Broder's resemblance-vs-containment
+    * distinction).
+    *
+    * Identical plan physics to ngramJaccardPairs (same shingle-hash
+    * blocking, df cap, one exchange serving distinct + both join sides —
+    * see that scaladoc); only the final scalar differs. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, minContainment: Double = 0.8,
+                            maxShingleDf: Int = 1000): DataFrame = {
+    require(maxShingleDf >= 2,
+      "maxShingleDf >= 2: a shingle held by one document can never pair")
+    shinglePairCounts(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("containment",
+        round(col("c") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("containment"))
   }
 
   /** MinHash signature columns mh0..mh{k-1}: per document, the minimum over

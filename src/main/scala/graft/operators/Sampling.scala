@@ -86,6 +86,54 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Budget-constrained greedy selection: keep the highest-scoring rows
+    * whose CUMULATIVE token count fits the budget — "the best N billion
+    * tokens", the data-selection step when the training budget is fixed
+    * in tokens, not documents. Semantically: order by (score DESC, id),
+    * keep every prefix row whose running token total (inclusive) stays
+    * ≤ budget.
+    *
+    * Scale: the naive form is one global window cumsum over the corpus —
+    * a single task sorting everything. Instead, the prefix sum is taken
+    * over the per-score HISTOGRAM (the q96 trick, globally): scores
+    * arrive rounded, so the histogram is value-bounded; whole score
+    * groups are kept or dropped by comparing their [before, before+g)
+    * token interval against the budget, and only the ONE group straddling
+    * the boundary pays a within-group window — sized by that tie group,
+    * not the corpus. Rows shuffle once, by score. (A corpus where one
+    * score value holds most rows degrades toward the global window; the
+    * score's rounding granularity is the knob that prevents it.)
+    *
+    * @param scoreCol pre-rounded quality score, higher = better
+    * @param tokenCol per-row token count
+    * @return the kept rows of df, original columns */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: Column,
+                          tokenCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__score", scoreCol)
+      .withColumn("__tok", tokenCol.cast("long"))
+    val hist = base.groupBy(col("__score")).agg(sum(col("__tok")).as("__g"))
+    // running total over DISTINCT scores only (value-bounded relation)
+    val wBefore = Window.orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val h = hist.withColumn("__before",
+      coalesce(sum(col("__g")).over(wBefore), lit(0L)))
+    val joined = base.join(h, "__score")
+    val whole = joined.filter(col("__before") + col("__g") <= budget)
+    // exactly one score group straddles the budget; only it pays a
+    // within-group ordered window (id order = the global tie order)
+    val wIn = Window.partitionBy(col("__score")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = joined
+      .filter(col("__before") < budget &&
+        col("__before") + col("__g") > budget)
+      .withColumn("__cum", sum(col("__tok")).over(wIn))
+      .filter(col("__before") + col("__cum") <= budget)
+      .drop("__cum")
+    whole.union(boundary).select(df.columns.map(col): _*)
+  }
+
   /** Corpus mixing — the "data recipe" step of a training pipeline:
     * deterministically downsample each source so the kept rows follow
     * the target weight profile, maximizing output size subject to never

@@ -422,4 +422,29 @@ class DedupSpec extends AnyFunSuite {
       windowTokens = 3, minDf = 2)
     assert(all.select("dup_tokens").collect().forall(_.getLong(0) == 5L))
   }
+
+  test("containment catches whole-quote subset pairs Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.9).collect()
+    assert(cont.length == 1 && cont.head.getDouble(2) == 1.0)
+    // every one of the short doc's shingles is in the long doc, but the
+    // union is filler-dominated: Jaccard can't reach a dedup threshold
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5).isEmpty)
+  }
+
+  test("containment >= jaccard: same-threshold pairs are a superset") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(j.subsetOf(c))
+  }
 }

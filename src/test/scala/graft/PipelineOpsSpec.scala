@@ -465,4 +465,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(2L))
   }
+
+  test("selectByTokenBudget == naive global window cumsum prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val feat = TextAnalysis.qualityFeatures(
+      Tables.load(spark, sf, "documents"))
+    val got = Sampling.selectByTokenBudget(feat, "doc_id",
+        col("stop_ratio"), col("n_tokens"), budget = 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = Window.orderBy(col("stop_ratio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = feat.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("selectByTokenBudget splits the boundary tie group by id") {
+    import spark.implicits._
+    // score ties at 0.5 hold ids 2,3,4 with 10 tokens each; budget 25
+    // admits id1 (5) + id2 (10) + id3 (10) = 25, then id4 overflows
+    val df = Seq((1L, 0.9, 5L), (2L, 0.5, 10L), (3L, 0.5, 10L),
+      (4L, 0.5, 10L), (5L, 0.1, 1L)).toDF("id", "score", "tok")
+    val got = Sampling.selectByTokenBudget(df, "id", col("score"),
+        col("tok"), budget = 25L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("selectByTokenBudget: zero budget keeps nothing; huge keeps all") {
+    import spark.implicits._
+    val df = Seq((1L, 0.9, 5L), (2L, 0.5, 10L)).toDF("id", "score", "tok")
+    assert(Sampling.selectByTokenBudget(df, "id", col("score"),
+      col("tok"), 0L).count() == 0)
+    assert(Sampling.selectByTokenBudget(df, "id", col("score"),
+      col("tok"), 1000000L).count() == 2)
+  }
 }
