@@ -1613,6 +1613,35 @@ object SparkEntry {
         "doc_id", "text", n = 3, minContainment = 0.8)
       .orderBy(col("a"), col("b"))
 
+  /** Q113 — the Count-Min sketch AT REST (Sketches.saveCounters/
+    * appendCounters/loadCounters): the even half's counters are saved,
+    * the odd half's appended as partial files (no read-modify-write —
+    * the mergeability IS the ingest path), and the loaded fold answers
+    * the WHOLE-corpus probe. SHARES q107's oracle text: the
+    * incremental sketch must equal the one-shot sketch bit-for-bit —
+    * the same build-then-probe contract as every saved index. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_cms_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " "))
+        .as("token"))
+    operators.Sketches.saveCounters(operators.Sketches.countMinCounters(
+      toks.filter(col("doc_id") % 2 === 0), col("token"), 4, 512), path)
+    operators.Sketches.appendCounters(operators.Sketches.countMinCounters(
+      toks.filter(col("doc_id") % 2 =!= 0), col("token"), 4, 512), path)
+    val counters = operators.Sketches.loadCounters(s, path)
+    val probes = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token")).limit(30)
+    val est = operators.Sketches.cmsEstimate(
+      counters, probes.select(col("token")), col("token"),
+      depth = 4, width = 512)
+    probes.join(est, probes("token") === est("key"))
+      .select(col("token"), col("exact"), col("est"))
+      .orderBy(col("exact").desc, col("token"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1853,7 +1882,30 @@ object SparkEntry {
     "q110_bigram_surprisal" -> (q110 _),
     "q111_token_budget" -> (q111 _),
     "q112_containment" -> (q112 _),
+    "q113_cms_at_rest" -> (q113 _),
   )
+
+  /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
+    * load-folded sketch): both must produce the identical counter array
+    * and estimates — one oracle text keeps the equivalence honest. */
+  private val duckCmsOracle: String =
+    """WITH toks AS (SELECT unnest(string_split(lower(text), ' '))
+        |                AS token FROM documents),
+        |v AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |cms AS (SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR)
+        |            || '#' || token), 1, 8)) AS UBIGINT) % 512 AS bucket,
+        |          sum(c) AS counter
+        |        FROM v, range(4) r(d) GROUP BY 1, 2),
+        |p AS (SELECT token, c FROM v ORDER BY c DESC, token LIMIT 30),
+        |pb AS (SELECT token, c, d, CAST(('0x' || substr(md5(
+        |           CAST(d AS VARCHAR) || '#' || token), 1, 8))
+        |           AS UBIGINT) % 512 AS bucket
+        |       FROM p, range(4) r(d))
+        |SELECT token, CAST(c AS BIGINT) AS exact,
+        |  CAST(min(counter) AS BIGINT) AS est
+        |FROM pb JOIN cms USING (d, bucket)
+        |GROUP BY token, c
+        |ORDER BY exact DESC, token""".stripMargin
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
     * expression — mirrors VectorFunctions.sqDist's left-to-right fold. */
@@ -3282,24 +3334,11 @@ object SparkEntry {
         |ORDER BY step""".stripMargin,
     // the oracle rebuilds the identical md5-hashed counter array, so
     // the match proves the sketch itself, not just the 30 estimates
-    "q107_cms_heavy" ->
-      """WITH toks AS (SELECT unnest(string_split(lower(text), ' '))
-        |                AS token FROM documents),
-        |v AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
-        |cms AS (SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR)
-        |            || '#' || token), 1, 8)) AS UBIGINT) % 512 AS bucket,
-        |          sum(c) AS counter
-        |        FROM v, range(4) r(d) GROUP BY 1, 2),
-        |p AS (SELECT token, c FROM v ORDER BY c DESC, token LIMIT 30),
-        |pb AS (SELECT token, c, d, CAST(('0x' || substr(md5(
-        |           CAST(d AS VARCHAR) || '#' || token), 1, 8))
-        |           AS UBIGINT) % 512 AS bucket
-        |       FROM p, range(4) r(d))
-        |SELECT token, CAST(c AS BIGINT) AS exact,
-        |  CAST(min(counter) AS BIGINT) AS est
-        |FROM pb JOIN cms USING (d, bucket)
-        |GROUP BY token, c
-        |ORDER BY exact DESC, token""".stripMargin,
+    "q107_cms_heavy" -> duckCmsOracle,
+    // the incremental (save + append + load-fold) sketch must equal the
+    // one-shot sketch — q107's oracle text verbatim
+    "q113_cms_at_rest" -> duckCmsOracle,
+    
     // 3 unrolled PageRank iterations; per-iteration ROUND(…, 9) is the
     // q92 iterative-float contract that makes the fixed point portable
     "q108_pagerank" -> {

@@ -45,6 +45,28 @@ object Sketches {
       .agg(sum(col("__c")).as("counter"))
   }
 
+  /** The sketch AT REST: `saveCounters` writes the counter relation;
+    * `appendCounters` adds a new batch's PARTIAL counters as new files —
+    * no read-modify-write, the mergeability doing the work; `loadCounters`
+    * folds all partials back to one cell per (seed, bucket). This is the
+    * streaming/incremental heavy-hitter cadence at 100 TB: each
+    * micro-batch/day/shard appends its own depth × width relation, and a
+    * reader pays one tiny reduce over |batches| × depth × width rows. */
+  def saveCounters(counters: DataFrame, path: String): Unit =
+    counters.write.mode("overwrite").parquet(path)
+
+  /** Append a batch's partial counters (same depth/width — the caller's
+    * contract, as with every saved-layout geometry here). */
+  def appendCounters(counters: DataFrame, path: String): Unit =
+    counters.write.mode("append").parquet(path)
+
+  /** Load and fold the at-rest partials to the canonical sketch. */
+  def loadCounters(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("seed"), col("bucket"))
+      .agg(sum(col("counter")).as("counter"))
+
   /** Point-query the sketch for each probe key: est = min over depth rows
     * of the counter the key hashes into (0 if the cell is empty — the
     * key was never seen). Probes × depth join the depth × width counters

@@ -84,6 +84,19 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
   }
 
+  test("CMS at rest: save + append + load-fold == one-shot sketch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val a = tokens.filter(length(col("token")) <= 4)
+    val b = tokens.filter(length(col("token")) > 4)
+    Sketches.saveCounters(Sketches.countMinCounters(a, col("token"), 4, 64),
+      s"$tmp/cms")
+    Sketches.appendCounters(
+      Sketches.countMinCounters(b, col("token"), 4, 64), s"$tmp/cms")
+    val folded = Sketches.loadCounters(spark, s"$tmp/cms")
+    val oneShot = Sketches.countMinCounters(tokens, col("token"), 4, 64)
+    assert(folded.except(oneShot).isEmpty && oneShot.except(folded).isEmpty)
+  }
+
   test("CMS estimate is 0 for a never-seen key") {
     import spark.implicits._
     val counters = Sketches.countMinCounters(tokens, col("token"), 4, 512)
