@@ -1563,9 +1563,14 @@ object SparkEntry {
     * rounding contract, which is what lets the oracle unroll the
     * iterations as CTEs and match bit-for-bit. */
   private def q108(s: SparkSession, dir: String): DataFrame = {
-    val sp = t(s, dir, "lineitem").select(
-      concat(lit("s"), col("l_suppkey")).as("src"),
-      concat(lit("p"), col("l_partkey")).as("dst"))
+    // distinct BEFORE doubling (the dedup shuffle carries the 51k
+    // unique pairs, not 2× the 600k lineitem rows) and persisted so
+    // the fact-table scan+distinct runs once for both edge directions
+    val sp = operators.CacheScope.register(
+      t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val edges = sp.union(sp.select(col("dst").as("src"),
       col("src").as("dst")))
     operators.Graph.pageRank(edges, "src", "dst", iters = 3)

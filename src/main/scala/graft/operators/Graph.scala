@@ -37,29 +37,48 @@ object Graph {
                iters: Int, damping: Double = 0.85,
                roundTo: Int = 9): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct()
-    CacheScope.register(e.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    CacheScope.register(nodes.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val n = nodes.count()
+    // e is consumed by BOTH derived relations below (degree-annotated
+    // edges, node set): persist it so the caller's edge-construction
+    // lineage — typically a full fact-table scan — runs once
+    val e = CacheScope.register(
+      edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // out-degree rides ON the persisted edge relation, attached once:
+    // each iteration then pays ONE join (the rank state) instead of two
+    // and never re-aggregates the edges
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ew = CacheScope.register(e.join(outdeg, "src").persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheScope.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = nodes.count()
+    // A node with NO in-edges holds the constant teleport rank
+    // (1-d)/N from iteration 1 onward — computed ONCE and UNIONed back
+    // each round (a union is plan-free), instead of a per-iteration
+    // left join against the node set. The aggregate's output already
+    // covers every in-degree>0 node, so the union is exactly the
+    // missing rows. Cuts one join stage per iteration.
+    val zeroIn = CacheScope.register(
+      nodes.join(e.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(col("node"),
+          round(lit((1.0 - damping) / n), roundTo).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 1/N is a single IEEE division — identical in any engine, no
     // rounding needed on the initial state
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val in = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val in = ew.join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
-      ranks = nodes.join(in, Seq("node"), "left")
+      ranks = in
         .select(col("node"),
           round(lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("__in"), lit(0.0)),
-            roundTo).as("rank"))
+            lit(damping) * col("__in"), roundTo).as("rank"))
+        .union(zeroIn)
     }
     ranks
   }
