@@ -1647,6 +1647,21 @@ object SparkEntry {
       .orderBy(col("exact").desc, col("token"))
   }
 
+  /** Q114 — exactly-n weighted sampling without replacement (Sampling.
+    * weightedReservoir, Efraimidis–Spirakis A-Res): 100 documents drawn
+    * with probability ∝ quality proxy + 0.1, priorities u^(1/w) from
+    * salted id-hash coins, TakeOrderedAndProject cut — the fixed-budget
+    * complement of q49's Bernoulli sampler. The oracle recomputes coin,
+    * priority, and cut from first principles. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val feat = operators.TextAnalysis.qualityFeatures(
+      t(s, dir, "documents"))
+    operators.Sampling.weightedReservoir(feat, "doc_id",
+        col("stop_ratio") + lit(0.1), n = 100)
+      .select(col("doc_id"), col("source"), col("__pri").as("pri"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1888,6 +1903,7 @@ object SparkEntry {
     "q111_token_budget" -> (q111 _),
     "q112_containment" -> (q112 _),
     "q113_cms_at_rest" -> (q113 _),
+    "q114_weighted_reservoir" -> (q114 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3424,6 +3440,23 @@ object SparkEntry {
         |FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
         |WHERE ROUND(c / least(za.n, zb.n), 6) >= 0.8
         |ORDER BY a, b""".stripMargin,
+    // coin, priority, and the fixed-size cut recomputed from first
+    // principles; priorities rounded before the cut in both engines
+    "q114_weighted_reservoir" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  ROUND(len(list_filter(string_split(lower(text), ' '),
+         |            t -> t IN ($duckStopwords)))
+         |        / greatest(len(string_split(lower(text), ' ')), 1), 6)
+         |      + 0.1 AS w
+         |  FROM documents),
+         |p AS (SELECT doc_id, source,
+         |        ROUND(pow((CAST(('0x' || substr(md5(
+         |            CAST(doc_id AS VARCHAR) || '#r'), 1, 8)) AS UBIGINT)
+         |            % 1000000 + 0.5) / 1000000.0, 1.0 / w), 6) AS pri
+         |      FROM q)
+         |SELECT doc_id, source, pri FROM (
+         |  SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),

@@ -86,6 +86,37 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exactly-n weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res): every row draws priority u^(1/w) from its deterministic
+    * id-hash coin u ∈ (0, 1) and the n highest priorities are the
+    * sample — inclusion probability proportional to weight, sample size
+    * exactly min(n, rows), no replacement. The complement of
+    * weightedSample (Bernoulli: independent coins, binomial size): use
+    * this when downstream needs a FIXED budget of rows.
+    *
+    * Scale: orderBy+limit compiles to TakeOrderedAndProject — a
+    * per-partition top-n heap and one n×partitions merge; no full sort,
+    * no shuffle of the corpus. Deterministic and partition-independent
+    * like every sampler here: the coin is the id hash (salted "#r" for
+    * independence from the split/sample coins), so reruns, appends and
+    * repartitioning never change a surviving row's priority.
+    *
+    * @param weight  strictly positive weight expression
+    * @param roundTo priorities are rounded before the cut (pow is the
+    *                one libm call here — last-ulp portability, the
+    *                bm25/cosine contract) */
+  def weightedReservoir(df: DataFrame, idCol: String, weight: Column,
+                        n: Int, roundTo: Int = 6): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    // (bucket + 0.5)/1e6 keeps u strictly inside (0,1): u = 0 would
+    // zero the priority regardless of weight, u = 1 regardless of coin
+    val u = (hashBucket(concat_ws("#", col(idCol), lit("r")), 1000000)
+      .cast("double") + lit(0.5)) / 1000000.0
+    df.withColumn("__pri", round(pow(u, lit(1.0) / weight), roundTo))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Budget-constrained greedy selection: keep the highest-scoring rows
     * whose CUMULATIVE token count fits the budget — "the best N billion
     * tokens", the data-selection step when the training budget is fixed

@@ -501,4 +501,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Sampling.selectByTokenBudget(df, "id", col("score"),
       col("tok"), 1000000L).count() == 2)
   }
+
+  test("weightedReservoir: exactly n, repartition-stable, weight-biased") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, if (i <= 200) 50.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedReservoir(df, "id", col("w"), n = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 200)
+    // partition-independence: same sample from a different layout
+    val got2 = Sampling.weightedReservoir(df.repartition(13), "id",
+      col("w"), n = 200).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == got2)
+    // the 10% of rows holding 50x weight must be heavily overrepresented
+    val heavy = got.count(_ <= 200L)
+    assert(heavy > 100, s"heavy rows in sample: $heavy")
+    // n >= rows degenerates to everything
+    assert(Sampling.weightedReservoir(df, "id", col("w"), 5000)
+      .count() == 2000)
+  }
 }
