@@ -165,6 +165,89 @@ object EventWindows {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, step: Int)
+
+  /** A user's funnel progress: times(i) = epoch-micros of step i's
+    * anchor, -1 while unreached; emitted whenever the fold advances. */
+  case class FunnelProgress(user_id: Long, reached: Int, times: Seq[Long])
+
+  /** A buffered (not yet folded) step event, epoch micros. */
+  case class PendingStep(ts: Long, step: Int)
+
+  case class FunnelState(folded: Seq[Long], buffer: Seq[PendingStep])
+
+  /** Streaming strict ordered funnel — the streaming face of
+    * Funnel.funnel, via flatMapGroupsWithState. Semantics are the batch
+    * recurrence exactly: t₁ = FIRST step-1 event ever, tᵢ = earliest
+    * step-i event with tᵢ₋₁ < ts ≤ tᵢ₋₁ + maxGap; no re-anchoring.
+    *
+    * Exactness under out-of-order delivery: an event is folded into the
+    * recurrence only once the watermark passes its timestamp — below
+    * the watermark event-time is totally ordered and final, so folding
+    * in ascending (ts, step) order reproduces the batch recurrence;
+    * above it events wait in the buffer (bounded by the watermark
+    * horizon). Events arriving older than the watermark are dropped —
+    * the standard late-data policy. A row is emitted each time a user's
+    * fold ADVANCES (append mode); the latest row per user is their
+    * current funnel state.
+    *
+    * State: the k anchor timestamps per user ever seen, plus the
+    * in-horizon buffer. The anchors are the funnel's inherent floor —
+    * t₁ anchors on the first view EVER, so forgetting a user would
+    * re-anchor late arrivals and break batch parity; production
+    * deployments bound it with an explicit TTL policy instead. */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+                      maxGapSeconds: Long,
+                      watermark: String = "1 minute"): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = maxGapSeconds * 1000000L
+    val k = steps.size
+
+    def tsUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def update(key: Long, it: Iterator[FunnelEvent],
+               state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(
+        FunnelState(Seq.fill(k)(-1L), Nil))
+      val fresh = it.map(e => PendingStep(tsUs(e.ts), e.step))
+        .filter(_.ts >= wmUs).toList // late-data drop
+      val (ready, hold) = (st.buffer ++ fresh).partition(_.ts < wmUs)
+      val folded = st.folded.toArray
+      ready.sortBy(p => (p.ts, p.step)).foreach { case PendingStep(t, i) =>
+        if (i == 0) { if (folded(0) < 0) folded(0) = t }
+        else if (folded(i) < 0 && folded(i - 1) >= 0 &&
+          t > folded(i - 1) && t <= folded(i - 1) + gapUs) folded(i) = t
+      }
+      val next = FunnelState(folded.toSeq, hold)
+      state.update(next)
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(hold.map(_.ts).min / 1000L,
+            state.getCurrentWatermarkMs() + 1))
+      if (next.folded != st.folded)
+        Iterator.single(FunnelProgress(key, folded.count(_ >= 0),
+          folded.toSeq))
+      else Iterator.empty
+    }
+
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(col("event_type") === s, i).otherwise(acc)
+    }
+    events
+      .withColumn("step", stepIdx)
+      .filter(col("step") >= 0)
+      .select(col("user_id"), col("ts"), col("step"))
+      .withWatermark("ts", watermark)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Stream-stream interval join: the streaming face of
     * RangeJoin.intervalJoin — for every left event, all right events
     * with the same key whose event time falls in [left.ts + lower,

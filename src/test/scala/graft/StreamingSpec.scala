@@ -243,4 +243,68 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L))
   }
+
+  test("streaming funnel equals the batch recurrence (strict, first-anchor)") {
+    val dir = SparkTestSession.sf0001
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/ev0.parquet"))
+    def sentinel(micros: Long): Unit = {
+      import spark.implicits._
+      // a STEP-typed sentinel: the operator filters to step types before
+      // the watermark, so only step events can advance it
+      Seq((9_000_000_000L, micros, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")))
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val steps = Seq("view", "click", "purchase")
+    val stream = EventWindows.readStream(spark, tmp)
+    val q = EventWindows.streamingFunnel(stream, steps, 86400L)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("fn_stream").start()
+    try {
+      q.processAllAvailable()
+      sentinel(4_000_000_000_000_000L)
+      q.processAllAvailable()
+      sentinel(4_100_000_000_000_000L)
+      q.processAllAvailable()
+      val streamed = spark.table("fn_stream")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .groupBy(_._1)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._3.toSeq }
+      // batch oracle: the recurrence computed directly in Scala
+      val idx = steps.zipWithIndex.toMap
+      val batch = Tables.events(spark, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"))
+        .collect()
+        .flatMap(r => idx.get(r.getString(2))
+          .map(i => (r.getLong(0), r.getLong(1), i)))
+        .groupBy(_._1)
+        .map { case (u, evs) =>
+          val folded = Array.fill(steps.size)(-1L)
+          evs.map(e => (e._2, e._3)).sorted.foreach { case (t, i) =>
+            if (i == 0) { if (folded(0) < 0) folded(0) = t }
+            else if (folded(i) < 0 && folded(i - 1) >= 0 &&
+              t > folded(i - 1) && t <= folded(i - 1) + 86400000000L)
+              folded(i) = t
+          }
+          u -> folded.toSeq
+        }
+        .filter(_._2.exists(_ >= 0))
+      assert(streamed == batch && batch.nonEmpty)
+      // and the per-step user counts equal the declared batch operator's
+      val counts = operators.Funnel.funnel(Tables.events(spark, dir),
+          "user_id", "ts", "event_type", steps, 86400L)
+        .orderBy(col("step")).collect().map(_.getLong(2)).toSeq
+      val fromStream = (0 until steps.size).map(i =>
+        streamed.values.count(_(i) >= 0).toLong)
+      assert(fromStream == counts)
+    } finally q.stop()
+  }
 }
