@@ -1662,6 +1662,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q115 — ANN recall evaluation (Search.recallAtK): recall@10 of a
+    * single-probe k-means-IVF candidate search (q92's quantizer,
+    * candidates = the query's own cluster only) against the exact
+    * brute-force list, per query — the acceptance harness every
+    * quantized/pruned serving tier is tuned with. DELIBERATELY a lossy
+    * configuration: the interesting regime is recall < 1, and the
+    * oracle reproduces the imperfect recalls exactly (kmeans CTEs +
+    * two ranked lists + the overlap join). */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (labels, _) = operators.Clustering.kmeans(
+      e, "vec_id", "embedding", k = 4, iters = 2)
+    val assigned = labels.join(
+      e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v")), "vec_id")
+    val queries = assigned.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("qid"), col("__v").as("qv"),
+        col("cluster").as("qc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d"), col("vec_id"))
+    val approx = assigned
+      .join(broadcast(queries), col("cluster") === col("qc"))
+      .withColumn("d", round(sqDist(col("__v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val exact = operators.Search.knnBatch(e, "embedding", "vec_id",
+        e.filter(col("vec_id") <= 9)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "embedding", "qid", k = 10)
+      .select(col("qid"), col("vec_id"))
+    operators.Search.recallAtK(approx, exact, "qid", "vec_id")
+      .orderBy(col("qid"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1904,6 +1939,7 @@ object SparkEntry {
     "q112_containment" -> (q112 _),
     "q113_cms_at_rest" -> (q113 _),
     "q114_weighted_reservoir" -> (q114 _),
+    "q115_ann_recall" -> (q115 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3457,6 +3493,30 @@ object SparkEntry {
          |SELECT doc_id, source, pri FROM (
          |  SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)
          |ORDER BY doc_id""".stripMargin,
+    // the lossy single-probe list and the exact list both rebuilt in
+    // SQL on the shared kmeans CTEs; recalls < 1 must match exactly
+    "q115_ann_recall" ->
+      s"""WITH $duckKmeansCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv, cid AS qc
+         |      FROM a3 WHERE vec_id <= 9),
+         |appx AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, a.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ROUND(${duckSqDist("a.v", "q.qv")}, 6),
+         |          a.vec_id) AS rn
+         |    FROM a3 a JOIN q ON a.cid = q.qc) WHERE rn <= 10),
+         |ext AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ROUND(${duckSqDist("e.v", "q.qv")}, 6),
+         |          e.vec_id) AS rn
+         |    FROM e CROSS JOIN q) WHERE rn <= 10),
+         |h AS (SELECT qid, count(*) AS n_hit FROM appx
+         |      JOIN ext USING (qid, vec_id) GROUP BY qid),
+         |n AS (SELECT qid, count(*) AS nn FROM ext GROUP BY qid)
+         |SELECT n.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  ROUND(COALESCE(h.n_hit, 0) / nn, 6) AS recall
+         |FROM n LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),

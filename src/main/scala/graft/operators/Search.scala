@@ -141,6 +141,31 @@ object Search {
       .drop("__qv", "__ql", vecCol)
   }
 
+  /** Recall@k evaluation — the ANN quality harness: for each query,
+    * the fraction of the EXACT result list an approximate list
+    * recovered. The standard acceptance gate when tuning quantized /
+    * pruned serving tiers (nProbe, shortlist width, PQ bits): run the
+    * candidate configuration and the brute-force baseline over a query
+    * sample, then threshold mean recall.
+    *
+    * Scale: two (qid, id)-keyed aggregates over the two RESULT lists —
+    * both already bounded by queries × k, so the evaluation costs
+    * nothing next to the searches it measures.
+    *
+    * @return (qid, n_hit, recall), recall = |approx ∩ exact| / |exact| */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+                idCol: String, roundTo: Int = 6): DataFrame = {
+    val a = approx.select(col(qidCol), col(idCol))
+    val x = exact.select(col(qidCol), col(idCol))
+    val hits = a.join(x, Seq(qidCol, idCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
+    x.groupBy(col(qidCol)).agg(count(lit(1)).as("__n"))
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("__n"), roundTo)
+          .as("recall"))
+  }
+
   /** Brute-force top-k by cosine similarity (descending) — the ANN
     * baseline; the IVF path must achieve target recall against this. */
   def cosineTopK(index: DataFrame, vecCol: String, idCol: String,

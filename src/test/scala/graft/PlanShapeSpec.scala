@@ -66,6 +66,20 @@ class PlanShapeSpec extends AnyFunSuite {
         s"must not ship whole domains into single tasks:\n$p")
   }
 
+  test("q114: the reservoir cut is TakeOrderedAndProject (no full sort)") {
+    val p = physical("q114_weighted_reservoir")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-Res must cut via per-partition heaps:\n$p")
+  }
+
+  test("q109: hard-negative label filter sits below the distance/window cut") {
+    val p = physical("q109_hard_negatives")
+    val partial = p.indexOf("WindowGroupLimit")
+    val exch = p.indexOf("Exchange hashpartitioning(qid")
+    assert(partial >= 0 && exch >= 0 && p.lastIndexOf("WindowGroupLimit") > exch,
+      s"expected a partial WindowGroupLimit below the qid exchange:\n$p")
+  }
+
   test("q19: AQE broadcasts the unhinted df-cap anti-join at fixture scale") {
     // The hot-list and set-size joins carry NO broadcast hint (a forced
     // broadcast of per-document tables fails outright at corpus scale) —
