@@ -1628,9 +1628,11 @@ object SparkEntry {
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_cms_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), " "))
-        .as("token"))
+    val toks = operators.CacheScope.register(
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " "))
+          .as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     operators.Sketches.saveCounters(operators.Sketches.countMinCounters(
       toks.filter(col("doc_id") % 2 === 0), col("token"), 4, 512), path)
     operators.Sketches.appendCounters(operators.Sketches.countMinCounters(
@@ -3486,9 +3488,9 @@ object SparkEntry {
          |      + 0.1 AS w
          |  FROM documents),
          |p AS (SELECT doc_id, source,
-         |        ROUND(pow((CAST(('0x' || substr(md5(
+         |        ROUND(ln((CAST(('0x' || substr(md5(
          |            CAST(doc_id AS VARCHAR) || '#r'), 1, 8)) AS UBIGINT)
-         |            % 1000000 + 0.5) / 1000000.0, 1.0 / w), 6) AS pri
+         |            % 1000000 + 0.5) / 1000000.0) / w, 6) AS pri
          |      FROM q)
          |SELECT doc_id, source, pri FROM (
          |  SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 100)

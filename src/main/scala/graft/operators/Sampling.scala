@@ -102,17 +102,23 @@ object Sampling {
     * repartitioning never change a surviving row's priority.
     *
     * @param weight  strictly positive weight expression
-    * @param roundTo priorities are rounded before the cut (pow is the
+    * @param roundTo priorities are rounded before the cut (ln is the
     *                one libm call here — last-ulp portability, the
     *                bm25/cosine contract) */
   def weightedReservoir(df: DataFrame, idCol: String, weight: Column,
                         n: Int, roundTo: Int = 6): DataFrame = {
     require(n > 0, "sample size must be positive")
     // (bucket + 0.5)/1e6 keeps u strictly inside (0,1): u = 0 would
-    // zero the priority regardless of weight, u = 1 regardless of coin
+    // bottom the priority regardless of weight, u = 1 regardless of coin
     val u = (hashBucket(concat_ws("#", col(idCol), lit("r")), 1000000)
       .cast("double") + lit(0.5)) / 1000000.0
-    df.withColumn("__pri", round(pow(u, lit(1.0) / weight), roundTo))
+    // LOG-domain priority ln(u)/w — the same total order as the
+    // textbook u^(1/w) (ln is monotone, ln(u) < 0, w > 0) but numerically
+    // spread out: u^(1/w) itself collapses to 0.000000 at roundTo
+    // decimals for small weights (w = 0.1 ⇒ exponent 10 zeroes every
+    // u < 0.25), and the cut would then fall back to the id tie-break —
+    // a deterministic id bias instead of a weighted sample.
+    df.withColumn("__pri", round(log(u) / weight, roundTo))
       .orderBy(col("__pri").desc, col(idCol))
       .limit(n)
   }
@@ -142,8 +148,12 @@ object Sampling {
                           tokenCol: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
-    val base = df.withColumn("__score", scoreCol)
-      .withColumn("__tok", tokenCol.cast("long"))
+    // base feeds the histogram AND both kept branches — persist so the
+    // caller's lineage (often a full tokenization pass) runs once
+    val base = CacheScope.register(
+      df.withColumn("__score", scoreCol)
+        .withColumn("__tok", tokenCol.cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hist = base.groupBy(col("__score")).agg(sum(col("__tok")).as("__g"))
     // running total over DISTINCT scores only (value-bounded relation)
     val wBefore = Window.orderBy(col("__score").desc)

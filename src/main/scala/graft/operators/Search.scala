@@ -155,8 +155,11 @@ object Search {
     * @return (qid, n_hit, recall), recall = |approx ∩ exact| / |exact| */
   def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
                 idCol: String, roundTo: Int = 6): DataFrame = {
-    val a = approx.select(col(qidCol), col(idCol))
-    val x = exact.select(col(qidCol), col(idCol))
+    // set semantics: a searcher that emits a candidate twice (multi-probe
+    // union without dedup — exactly what this harness evaluates) must
+    // not inflate the overlap past 1.0
+    val a = approx.select(col(qidCol), col(idCol)).distinct()
+    val x = exact.select(col(qidCol), col(idCol)).distinct()
     val hits = a.join(x, Seq(qidCol, idCol))
       .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
     x.groupBy(col(qidCol)).agg(count(lit(1)).as("__n"))

@@ -62,8 +62,13 @@ object EventWindows {
     // reads natively as TimestampType and must NOT be divided. Probe
     // with a one-file batch read (footer-only, no data scan) — the same
     // type dispatch Tables.events does for the batch path.
+    // An empty landing directory (the normal state of a file-stream
+    // source at start) has nothing to probe — fall back to the micros
+    // TimestampType layout (the driver's current physical type) and
+    // let files adopt it as they arrive.
     val tsIsLong =
-      spark.read.parquet(path).schema("ts").dataType == LongType
+      try spark.read.parquet(path).schema("ts").dataType == LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     val sch =
       if (tsIsLong) schema
       else StructType(schema.map(fld =>

@@ -20,7 +20,7 @@ object ProfilePR {
       r
     }
     // warm
-    SparkEntry.queries("q108_pagerank")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("q108_pagerank")(spark, sfDir).count()
     spark.sharedState.cacheManager.clearCache()
     val li = Tables.load(spark, sfDir, "lineitem")
     val sp = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
