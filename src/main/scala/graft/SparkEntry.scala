@@ -1699,6 +1699,27 @@ object SparkEntry {
       .orderBy(col("qid"))
   }
 
+  /** Q116 — LSH candidate-quality harness: recall AND precision of the
+    * q20 MinHash-LSH candidate pairs against the q19 exact-Jaccard ≥0.5
+    * truth set — the text-side twin of q115's ANN recall, closing the
+    * loop on "sketches measured in-engine". The banding parameters
+    * (k=8, rowsPerBand=2) trade recall for candidate volume; this query
+    * DECLARES that trade as numbers the oracle reproduces exactly. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5).select(col("a"), col("b"))
+    val cand = operators.Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 8, rowsPerBand = 2).select(col("a"), col("b"))
+    val hit = cand.join(exact, Seq("a", "b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"),
+        round(col("n_hit") / col("n_cand"), 6).as("prec"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1942,6 +1963,7 @@ object SparkEntry {
     "q113_cms_at_rest" -> (q113 _),
     "q114_weighted_reservoir" -> (q114 _),
     "q115_ann_recall" -> (q115 _),
+    "q116_lsh_recall" -> (q116 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3519,6 +3541,37 @@ object SparkEntry {
          |SELECT n.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  ROUND(COALESCE(h.n_hit, 0) / nn, 6) AS recall
          |FROM n LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
+    // exact truth set (q19's CTEs) and the banded candidate set (q20's
+    // CTEs) measured against each other — sketch quality as numbers
+    "q116_lsh_recall" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |       FROM t0 WHERE len(t) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+         |          FROM sh s1 JOIN sh s2
+         |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |          GROUP BY 1, 2),
+         |ex AS (SELECT a, b FROM inter
+         |       JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+         |       WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
+         |sig AS ($duckMinhashSig),
+         |bands AS (
+         |  $duckMinhashBands),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM bands l JOIN bands r
+         |           ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |          AND l.doc_id < r.doc_id),
+         |h AS (SELECT count(*) AS n_hit FROM cand JOIN ex USING (a, b))
+         |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CAST((SELECT n_hit FROM h) AS BIGINT) AS n_hit,
+         |  ROUND((SELECT n_hit FROM h) / (SELECT count(*) FROM ex), 6)
+         |    AS recall,
+         |  ROUND((SELECT n_hit FROM h) / (SELECT count(*) FROM cand), 6)
+         |    AS prec""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),
