@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * sequential mode — a user converts on their first opportunity or not at
   * all through that branch.
   *
-  * Scale: one aggregation per step, every one keyed on the user column —
+  * Scale: ONE scan of the fact table (step-typed survivors persist),
+  * then one aggregation per step, every one keyed on the user column —
   * |steps| user-keyed shuffles of progressively SHRINKING relations (the
-  * reached set only loses users), plus a per-step equi-join back to the
-  * event scan that AQE plans from runtime sizes. No window, no per-user
-  * sort, no collect of event data: a user's whole history never meets a
-  * single task, only their per-step minima do.
+  * reached set only loses users), plus a per-step equi-join against the
+  * cached survivors that AQE plans from runtime sizes. No window, no
+  * per-user sort, no collect of event data: a user's whole history never
+  * meets a single task, only their per-step minima do.
   */
 object Funnel {
 
@@ -32,16 +33,24 @@ object Funnel {
              typeCol: String, steps: Seq[String],
              maxGapSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // ONE pass over the fact table: only step-typed events survive (a
+    // scan-speed, pushdown-able predicate) and the survivors persist —
+    // each step's min-aggregate and join then read the cache instead of
+    // re-scanning the corpus |steps| times
+    val evs = CacheScope.register(
+      events.filter(col(typeCol).isin(steps: _*))
+        .select(col(userCol), col(tsCol), col(typeCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the reached set carries a renamed user key so each step's join
     // against the (re-derived) event scan is name-unambiguous
-    var reached = events.filter(col(typeCol) === steps.head)
+    var reached = evs.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       .select(col(userCol).as("__u"), col("__t"))
     var counts = reached.agg(count(lit(1)).as("n_users"))
       .select(lit(1L).as("step"), lit(steps.head).as("step_name"),
         col("n_users"))
     steps.toList.zipWithIndex.drop(1).foreach { case (step, i) =>
-      reached = events.filter(col(typeCol) === step)
+      reached = evs.filter(col(typeCol) === step)
         .join(reached, col(userCol) === col("__u"))
         .filter(col(tsCol) > col("__t") &&
           col(tsCol) <= col("__t") + make_interval(lit(0), lit(0),
