@@ -1707,10 +1707,17 @@ object SparkEntry {
     * DECLARES that trade as numbers the oracle reproduces exactly. */
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val exact = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, minJaccard = 0.5).select(col("a"), col("b"))
-    val cand = operators.Dedup.minhashCandidates(docs, "doc_id", "text",
-      k = 8, rowsPerBand = 2).select(col("a"), col("b"))
+    // both pair relations are output-sized and read twice (their count
+    // and the overlap join) — persist so the shingle/pair/band
+    // pipelines behind them run once each
+    val exact = operators.CacheScope.register(
+      operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5).select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = operators.CacheScope.register(
+      operators.Dedup.minhashCandidates(docs, "doc_id", "text",
+          k = 8, rowsPerBand = 2).select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hit = cand.join(exact, Seq("a", "b"))
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
