@@ -1727,6 +1727,17 @@ object SparkEntry {
         round(col("n_hit") / col("n_cand"), 6).as("prec"))
   }
 
+  /** Q117 — cohort retention (Funnel.cohortRetention): users grouped
+    * by their first-signup week (absolute 7-day epoch buckets — no
+    * calendar-week semantics to disagree on), counted active 0..k weeks
+    * later — the retention triangle, the second pillar of event
+    * analytics beside q106's funnel. Pure integer arithmetic: no float
+    * in the contract at all. */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.cohortRetention(Tables.events(s, dir), "user_id",
+        "ts", "event_type", cohortEvent = "signup")
+      .orderBy(col("cohort_wk"), col("week_offset"))
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1971,6 +1982,7 @@ object SparkEntry {
     "q114_weighted_reservoir" -> (q114 _),
     "q115_ann_recall" -> (q115 _),
     "q116_lsh_recall" -> (q116 _),
+    "q117_retention" -> (q117 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3579,6 +3591,18 @@ object SparkEntry {
          |    AS recall,
          |  ROUND((SELECT n_hit FROM h) / (SELECT count(*) FROM cand), 6)
          |    AS prec""".stripMargin,
+    // integer-only retention triangle on absolute epoch-week buckets
+    "q117_retention" ->
+      """WITH wk AS (SELECT user_id,
+        |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+        |         event_type FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM wk
+        |        WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, wk FROM wk)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN coh USING (user_id) WHERE wk >= cohort_wk
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),

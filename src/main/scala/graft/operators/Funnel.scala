@@ -24,6 +24,37 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Cohort retention — the other pillar of product/event analytics
+    * beside the funnel: group users by WHEN they first performed the
+    * cohort event (signup week), then count how many are active 0, 1,
+    * 2… weeks later — the retention triangle.
+    *
+    * Weeks are ABSOLUTE 7-day epoch buckets (floor(epoch_seconds /
+    * 604800)), not calendar weeks: engine-portable integer arithmetic
+    * with no week-start or locale semantics to disagree on.
+    *
+    * Scale: one user-keyed min-aggregate (the cohort), one
+    * (user, week)-keyed distinct over the event stream (each active
+    * week counted once however many events it holds), one user-keyed
+    * equi-join, and a cohorts×offsets-sized final aggregate. No
+    * windows, no sorts; a user's history never colocates.
+    *
+    * @return (cohort_wk, week_offset, n_users), offset ≥ 0 */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, cohortEvent: String): DataFrame = {
+    val wk = floor(unix_timestamp(col(tsCol).cast("timestamp")) /
+      lit(604800L)).cast("long")
+    val base = events.select(col(userCol), wk.as("__wk"), col(typeCol))
+    val cohorts = base.filter(col(typeCol) === cohortEvent)
+      .groupBy(col(userCol)).agg(min(col("__wk")).as("cohort_wk"))
+    val activity = base.select(col(userCol), col("__wk")).distinct()
+    activity.join(cohorts, userCol)
+      .filter(col("__wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"),
+        (col("__wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** @param steps         event-type sequence; the first step is
     *                      unconstrained in time
     * @param maxGapSeconds max allowed gap between consecutive steps

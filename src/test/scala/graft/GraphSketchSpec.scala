@@ -149,4 +149,27 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(got.length == 3 && got.sliding(2).forall(p => p(0) >= p(1)))
     assert(got.head > 0)
   }
+
+  test("cohortRetention: hand-traced triangle; no-signup users excluded") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val events = Seq(
+      // A: signup week 0, active weeks 0 and 2
+      (1L, "signup", ts(0)), (1L, "view", ts(1)), (1L, "view", ts(15)),
+      // B: signup week 0, active week 0 only (two events, one week)
+      (2L, "signup", ts(2)), (2L, "click", ts(3)),
+      // C: never signed up -> not in any cohort
+      (3L, "view", ts(1)),
+      // D: signup week 1, active weeks 1 and 2; pre-signup activity in
+      // week 0 is clipped by the offset >= 0 rule
+      (4L, "view", ts(3)), (4L, "signup", ts(8)), (4L, "view", ts(16)))
+      .toDF("user_id", "event_type", "ts")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val got = Funnel.cohortRetention(events, "user_id", "ts",
+        "event_type", "signup")
+      .orderBy(col("cohort_wk"), col("week_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 2L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
 }
