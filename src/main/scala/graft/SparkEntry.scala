@@ -1738,6 +1738,46 @@ object SparkEntry {
         "ts", "event_type", cohortEvent = "signup")
       .orderBy(col("cohort_wk"), col("week_offset"))
 
+  /** Q118 — rolling 7-day active users, 1-day slide (EventWindows.
+    * rollingActiveUsers): the DAU/WAU roll-up. The corpus collapses to
+    * distinct (user, day) BEFORE the 7× sliding-window explode, so the
+    * multiplication applies to user-days, not events; the 100 TB form
+    * flips approx=true for HLL distincts (spec-covered) — the exact
+    * form is this oracle. */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    streaming.EventWindows.rollingActiveUsers(Tables.events(s, dir),
+        "user_id", "ts")
+      .select(unix_timestamp(col("wstart")).as("wstart_s"),
+        col("n_users"))
+      .orderBy(col("wstart_s"))
+
+  /** Q119 — funnel latency percentiles (Funnel.funnelAnchors + exact
+    * interpolated percentiles): median and p90 seconds from first view
+    * to qualifying click and from that click to purchase, over
+    * converting users — the time-to-convert distribution a growth team
+    * reads next to q106's counts. Durations are integer micro diffs
+    * divided once, so both engines feed identical doubles into the
+    * percentile. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val a = operators.Funnel.funnelAnchors(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      maxGapSeconds = 86400L)
+    def secs(c1: String, c2: String) =
+      (unix_micros(col(c2).cast("timestamp")) -
+        unix_micros(col(c1).cast("timestamp"))).cast("double") / 1e6
+    val d1 = a.filter(col("t_2").isNotNull)
+      .select(lit("view_to_click").as("step_pair"),
+        secs("t_1", "t_2").as("d"))
+    val d2 = a.filter(col("t_3").isNotNull)
+      .select(lit("click_to_purchase").as("step_pair"),
+        secs("t_2", "t_3").as("d"))
+    d1.union(d2).groupBy(col("step_pair"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(d, 0.5)"), 6).as("p50_sec"),
+        round(expr("percentile(d, 0.9)"), 6).as("p90_sec"))
+      .orderBy(col("step_pair"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -1983,6 +2023,8 @@ object SparkEntry {
     "q115_ann_recall" -> (q115 _),
     "q116_lsh_recall" -> (q116 _),
     "q117_retention" -> (q117 _),
+    "q118_rolling_active" -> (q118 _),
+    "q119_funnel_latency" -> (q119 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3603,6 +3645,42 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM act JOIN coh USING (user_id) WHERE wk >= cohort_wk
         |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+    // distinct user-days then the 7-offset explode — the exact form of
+    // the sliding distinct roll-up
+    "q118_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |            FROM events)
+        |SELECT (d - o) * 86400 AS wstart_s,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ud, range(7) r(o)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q106's earliest-qualifying CTEs, consumed for durations instead
+    // of counts; integer micro diffs divided once in both engines
+    "q119_funnel_latency" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t
+        |         AND e.ts <= t1.t + INTERVAL 86400 SECOND
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |         AND e.ts <= t2.t + INTERVAL 86400 SECOND
+        |       GROUP BY e.user_id),
+        |d1 AS (SELECT 'view_to_click' AS step_pair,
+        |         (epoch_us(t2.t) - epoch_us(t1.t)) / 1000000.0 AS d
+        |       FROM t2 JOIN t1 USING (user_id)),
+        |d2 AS (SELECT 'click_to_purchase' AS step_pair,
+        |         (epoch_us(t3.t) - epoch_us(t2.t)) / 1000000.0 AS d
+        |       FROM t3 JOIN t2 USING (user_id)),
+        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |SELECT step_pair, CAST(count(*) AS BIGINT) AS n_converted,
+        |  ROUND(quantile_cont(d, 0.5), 6) AS p50_sec,
+        |  ROUND(quantile_cont(d, 0.9), 6) AS p90_sec
+        |FROM u GROUP BY step_pair ORDER BY step_pair""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),

@@ -55,6 +55,46 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user funnel anchors — the recurrence's full state instead of
+    * its counts: one row per step-1 user with the anchor timestamp of
+    * every step they reached (null beyond). This is what funnel LATENCY
+    * analysis consumes (time-to-convert distributions between adjacent
+    * steps); `funnel` is its count projection.
+    *
+    * Same physics as funnel: the one persisted step-typed scan, then
+    * per step one user-keyed LEFT join (the qualifying window in the
+    * join condition, so stalled users survive with nulls) and one
+    * min-aggregate carrying the earlier anchors as group keys.
+    *
+    * @return (userCol, t_1 .. t_k) with t_i the step-i anchor or null */
+  def funnelAnchors(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    maxGapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val evs = CacheScope.register(
+      events.filter(col(typeCol).isin(steps: _*))
+        .select(col(userCol), col(tsCol), col(typeCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var anchors = evs.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_1"))
+    steps.toList.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = s"t_$i"
+      val cur = s"t_${i + 1}"
+      val side = evs.filter(col(typeCol) === step)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      val carried = anchors.columns.map(col)
+      anchors = anchors.join(side,
+          col(userCol) === col("__u") && col("__ts") > col(prev) &&
+            col("__ts") <= col(prev) + make_interval(lit(0), lit(0),
+              lit(0), lit(0), lit(0), lit(0),
+              lit(maxGapSeconds.toDouble)),
+          "left")
+        .groupBy(carried: _*)
+        .agg(min(col("__ts")).as(cur))
+    }
+    anchors
+  }
+
   /** @param steps         event-type sequence; the first step is
     *                      unconstrained in time
     * @param maxGapSeconds max allowed gap between consecutive steps

@@ -51,6 +51,30 @@ object EventWindows {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Rolling distinct-user counts (DAU/WAU-style): one row per sliding
+    * window position with the number of DISTINCT users active in it.
+    *
+    * Scale: the corpus first collapses to DISTINCT (user, day) — one
+    * shuffle, and the only one that touches raw events — so the
+    * windowLen/slideLen explode that sliding windows inherently cost
+    * multiplies user-DAYS, not events, and the per-window distinct runs
+    * over the same bounded relation. For 100 TB roll-ups where exact
+    * distincts stop paying, set approx=true (HLL partial-merge, the
+    * q44/dupStats triage pattern); the exact form is the oracle. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowLen: String = "7 days",
+                         slideLen: String = "1 day",
+                         approx: Boolean = false): DataFrame = {
+    val userDays = events.select(col(userCol).as("__u"),
+        date_trunc("DAY", col(tsCol).cast("timestamp")).as("__d"))
+      .distinct()
+    userDays
+      .groupBy(window(col("__d"), windowLen, slideLen)
+        .getField("start").as("wstart"))
+      .agg((if (approx) approx_count_distinct(col("__u"))
+            else count_distinct(col("__u"))).as("n_users"))
+  }
+
   /** Streaming source over parquet events. Accepts a directory, or a
     * single file (FileStreamSource requires a directory base path, so a
     * file is read via its parent + pathGlobFilter). */

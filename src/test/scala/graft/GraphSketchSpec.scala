@@ -172,4 +172,40 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L, 2L), (0L, 2L, 1L),
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
+
+  test("funnelAnchors counts project onto funnel; anchors are ordered") {
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.events(spark, sf)
+    val a = Funnel.funnelAnchors(ev, "user_id", "ts", "event_type",
+        steps, 86400L)
+      .select(col("user_id"),
+        unix_micros(col("t_1").cast("timestamp")).as("u1"),
+        unix_micros(col("t_2").cast("timestamp")).as("u2"),
+        unix_micros(col("t_3").cast("timestamp")).as("u3"))
+      .collect()
+    val counts = Funnel.funnel(ev, "user_id", "ts", "event_type",
+        steps, 86400L)
+      .orderBy(col("step")).collect().map(_.getLong(2)).toSeq
+    val fromAnchors = (1 to 3).map(i =>
+      a.count(r => !r.isNullAt(i)).toLong).toSeq
+    assert(fromAnchors == counts)
+    // each user's non-null anchors strictly increase
+    a.foreach { r =>
+      val ts = (1 to 3).filter(!r.isNullAt(_)).map(r.getLong)
+      assert(ts == ts.sorted && ts.distinct.size == ts.size)
+    }
+  }
+
+  test("rollingActiveUsers: approx HLL within 5% of exact per window") {
+    val ev = Tables.events(spark, sf)
+    val ex = streaming.EventWindows.rollingActiveUsers(ev, "user_id", "ts")
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val ap = streaming.EventWindows.rollingActiveUsers(ev, "user_id", "ts",
+        approx = true)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(ex.keySet == ap.keySet && ex.nonEmpty)
+    ex.foreach { case (k, n) =>
+      assert(math.abs(ap(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"window $k: approx ${ap(k)} vs exact $n") }
+  }
 }
