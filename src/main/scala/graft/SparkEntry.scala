@@ -1778,6 +1778,46 @@ object SparkEntry {
       .orderBy(col("step_pair"))
   }
 
+  /** Q120 — funnel conversion by segment (Funnel.funnelAnchors × the
+    * customer dimension): per market segment, how many users reached
+    * each step — the cross-segment conversion comparison every funnel
+    * report ends with. One dimension join + one aggregate over the
+    * anchors relation (count(col) counts non-null anchors). */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val a = operators.Funnel.funnelAnchors(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      maxGapSeconds = 86400L)
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    a.join(dim, "user_id")
+      .groupBy(col("segment"))
+      .agg(count(col("t_1")).as("n_step1"),
+        count(col("t_2")).as("n_step2"),
+        count(col("t_3")).as("n_step3"))
+      .orderBy(col("segment"))
+  }
+
+  /** Q121 — PII exposure report (TextAnalysis.piiStats): per pattern
+    * type, documents containing a match and total matches, over text
+    * with deterministically planted PII (the q46 regime: raw fixture
+    * text holds none, so plants make the counts discriminating). The
+    * q46 oracle already proved the Java and DuckDB regex dialects agree
+    * on these patterns; this report is their measurement face. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" u"), col("doc_id"), lit("@ex.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" 555-123-4567"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" 10.0.0.1"))
+          .otherwise(lit(""))))
+    operators.TextAnalysis.piiStats(planted)
+      .orderBy(col("pii_type"))
+  }
+
   /** Q89 — dataset profiling (Profiling.profile): per-column row/null/
     * distinct counts and stringified native-type ranges over lineitem,
     * computed in ONE aggregate job (multi-distinct via Expand; the
@@ -2025,6 +2065,8 @@ object SparkEntry {
     "q117_retention" -> (q117 _),
     "q118_rolling_active" -> (q118 _),
     "q119_funnel_latency" -> (q119 _),
+    "q120_segment_funnel" -> (q120 _),
+    "q121_pii_stats" -> (q121 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3681,6 +3723,55 @@ object SparkEntry {
         |  ROUND(quantile_cont(d, 0.5), 6) AS p50_sec,
         |  ROUND(quantile_cont(d, 0.9), 6) AS p90_sec
         |FROM u GROUP BY step_pair ORDER BY step_pair""".stripMargin,
+    // q106's CTEs left-joined into per-user anchors, cut by segment
+    "q120_segment_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t
+        |         AND e.ts <= t1.t + INTERVAL 86400 SECOND
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |         AND e.ts <= t2.t + INTERVAL 86400 SECOND
+        |       GROUP BY e.user_id),
+        |j AS (SELECT t1.user_id, t1.t AS a1, t2.t AS a2, t3.t AS a3
+        |      FROM t1 LEFT JOIN t2 USING (user_id)
+        |           LEFT JOIN t3 USING (user_id))
+        |SELECT c.c_mktsegment AS segment,
+        |  CAST(count(a1) AS BIGINT) AS n_step1,
+        |  CAST(count(a2) AS BIGINT) AS n_step2,
+        |  CAST(count(a3) AS BIGINT) AS n_step3
+        |FROM j JOIN customer c ON j.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same plants and regexes as q46 (dialect agreement proven there),
+    // reduced to the report instead of the rewrite
+    "q121_pii_stats" ->
+      """WITH t AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' 555-123-4567' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' 10.0.0.1' ELSE '' END
+        |      AS text FROM documents),
+        |m AS (SELECT
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c0,
+        |  len(regexp_extract_all(text,
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS c1,
+        |  len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c2
+        |  FROM t)
+        |SELECT '<EMAIL>' AS pii_type,
+        |  CAST(count(CASE WHEN c0 > 0 THEN 1 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(c0) AS BIGINT) AS n_matches FROM m
+        |UNION ALL SELECT '<IP>',
+        |  count(CASE WHEN c2 > 0 THEN 1 END), sum(c2) FROM m
+        |UNION ALL SELECT '<PHONE>',
+        |  count(CASE WHEN c1 > 0 THEN 1 END), sum(c1) FROM m
+        |ORDER BY pii_type""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
          |           FROM embeddings WHERE vec_id <= 9),

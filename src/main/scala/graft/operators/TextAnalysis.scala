@@ -286,6 +286,29 @@ object TextAnalysis {
       regexp_replace(c, p, r)
     }
 
+  /** PII exposure report — the measurement face of scrubPii: per
+    * pattern type, how many documents contain at least one match and
+    * how many matches there are in total. Privacy/compliance reviews
+    * read this BEFORE deciding to scrub; at 100 TB it is one
+    * scan-speed projection (regexp_count per pattern, codegen, no UDF)
+    * into a single 1-row aggregate, exploded to one row per type.
+    *
+    * @return (pii_type, n_docs, n_matches), one row per pattern */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = docs.select(piiPatterns.zipWithIndex.map {
+      case ((p, _), i) => regexp_count(col(textCol), lit(p)).as(s"__c$i")
+    }: _*)
+    val aggs = piiPatterns.zipWithIndex.flatMap { case (_, i) => Seq(
+      count(when(col(s"__c$i") > 0, 1)).as(s"__d$i"),
+      sum(col(s"__c$i")).cast("long").as(s"__m$i")) }
+    val rows = piiPatterns.zipWithIndex.map { case ((_, r), i) =>
+      struct(lit(r).as("pii_type"), col(s"__d$i").as("n_docs"),
+        col(s"__m$i").as("n_matches")) }
+    counted.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.pii_type"), col("__r.n_docs"), col("__r.n_matches"))
+  }
+
   /** Canonical-form document fingerprint: md5 of lowercased, trimmed,
     * whitespace-collapsed text. Equal fingerprints = exact near-duplicates
     * up to case/whitespace; grouping by fp is the scan-speed exact-dedup
