@@ -520,4 +520,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Sampling.weightedReservoir(df, "id", col("w"), 5000)
       .count() == 2000)
   }
+
+  test("piiStats: hand-planted corpus counts per type") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a@b.org or c@d.io today"),
+      (2L, "call 555-123-4567"),
+      (3L, "from 10.0.0.1 to 10.0.0.2 and 1.2.3.4"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiStats(docs)
+      .orderBy(col("pii_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("<EMAIL>", 1L, 2L), ("<IP>", 1L, 3L), ("<PHONE>", 1L, 1L)))
+  }
 }
