@@ -48,7 +48,15 @@ case class IndexMeta(
     // searchPqExact's lossless list pruning consumes. Recomputed at every
     // save (never reused) — stale radii would be an UNSOUND bound after
     // appends. Same backward-compat Option contract.
-    radii: Option[Seq[IndexMeta.RadiusMeta]] = None) {
+    radii: Option[Seq[IndexMeta.RadiusMeta]] = None,
+    // Per-cell row counts for GRID layouts (bounded by the cell count, a
+    // few KB at 16⁴): GridIndex.seedRadius reads them to start batch-kNN
+    // ring expansion at a radius that can actually satisfy k — cutting
+    // the per-round Spark jobs sparse regions pay. A COST hint only:
+    // stale counts after append/delete shift the seed, never correctness
+    // (the kth-distance completion check governs exactness), so unlike
+    // `radii` they survive appends. Same backward-compat Option contract.
+    cellCounts: Option[Seq[IndexMeta.CellCountMeta]] = None) {
 
   def gridSpec: Option[GridIndex.GridSpec] =
     grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
@@ -65,6 +73,9 @@ case class IndexMeta(
 
   def listRadiiMap: Option[Map[Int, Double]] =
     radii.map(_.map(r => r.listId -> r.radius).toMap)
+
+  def cellCountsMap: Option[Map[Long, Long]] =
+    cellCounts.map(_.map(c => c.cellId -> c.n).toMap)
 }
 
 object IndexMeta {
@@ -74,6 +85,7 @@ object IndexMeta {
   case class PqMeta(m: Int, subDim: Int,
                     codebooks: Seq[Seq[CentroidMeta]])
   case class RadiusMeta(listId: Int, radius: Double)
+  case class CellCountMeta(cellId: Long, n: Long)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -86,7 +98,8 @@ object IndexMeta {
          unitNorm: Boolean = false,
          sq: Option[IvfIndex.SqParams] = None,
          pq: Option[IvfIndex.PqParams] = None,
-         radii: Option[Map[Int, Double]] = None): IndexMeta =
+         radii: Option[Map[Int, Double]] = None,
+         cellCounts: Option[Map[Long, Long]] = None): IndexMeta =
     IndexMeta(1, vecCol, idCol, dim,
       spec.map(s => GridMeta(s.origin, s.width, s.cells)),
       cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq),
@@ -94,7 +107,9 @@ object IndexMeta {
       sq.map(p => SqMeta(p.vmin, p.step)),
       pq.map(p => PqMeta(p.m, p.subDim,
         p.codebooks.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))),
-      radii.map(_.toSeq.sorted.map { case (i, r) => RadiusMeta(i, r) }))
+      radii.map(_.toSeq.sorted.map { case (i, r) => RadiusMeta(i, r) }),
+      cellCounts.map(_.toSeq.sorted.map { case (c, n) =>
+        CellCountMeta(c, n) }))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

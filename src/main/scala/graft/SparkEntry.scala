@@ -580,7 +580,10 @@ object SparkEntry {
     * ask #1): same operator as q45, but on input where the lossless
     * blocking actually prunes — candidate pairs ≪ n²/2 (ratio asserted in
     * DedupSpec), while the DuckDB oracle recomputes brute-force all-pairs
-    * on the identical derived vectors. */
+    * on the identical derived vectors. nlist is AUTO-sized (∝ n, verdict
+    * r7 ask #3) so rows-per-list — and with it within-list candidate
+    * growth — stays bounded as the corpus densifies; blocking is lossless
+    * at any nlist, so the oracle is unchanged. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     // Persisted: the 64-md5-per-row derivation would otherwise re-run in
     // fitCentroids' count + sample scans AND the multi-assign. The input
@@ -590,7 +593,7 @@ object SparkEntry {
     val e = clusteredEmbeddings(s, dir).persist()
     val (pairs, scoped) = operators.CacheScope.collect {
       val cents = operators.IvfIndex.fitCentroids(e, "cvec", "vec_id",
-        nlist = 64)
+        nlist = operators.IvfIndex.AutoNlist)
       operators.Dedup.embeddingNearDupByIvf(e, "vec_id", "cvec",
           cents, maxSqDist = 2.0)
         .orderBy(col("a"), col("b")).persist()
@@ -603,12 +606,12 @@ object SparkEntry {
 
   /** Q52 — cosine near-dup over the FULL clustered table: q50's operator
     * in its pruning regime (normalized IVF blocking over well-separated
-    * cluster directions). */
+    * cluster directions). Auto-sized nlist, same rationale as q51. */
   private def q52(s: SparkSession, dir: String): DataFrame = {
     val e = clusteredEmbeddings(s, dir).persist() // same lifecycle as q51
     val (pairs, scoped) = operators.CacheScope.collect {
       operators.Dedup.embeddingNearDupCosine(e, "vec_id", "cvec",
-          nlist = 64, minCosine = 0.99)
+          nlist = operators.IvfIndex.AutoNlist, minCosine = 0.99)
         .orderBy(col("a"), col("b")).persist()
     }
     pairs.count()
@@ -3756,21 +3759,31 @@ object SparkEntry {
         |    || CASE WHEN doc_id % 5 = 0 THEN ' 555-123-4567' ELSE '' END
         |    || CASE WHEN doc_id % 7 = 0 THEN ' 10.0.0.1' ELSE '' END
         |      AS text FROM documents),
-        |m AS (SELECT
+        |s1 AS (SELECT
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c0,
-        |  len(regexp_extract_all(text,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM t),
+        |s2 AS (SELECT c0,
+        |  len(regexp_extract_all(t1,
         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS c1,
-        |  len(regexp_extract_all(text,
+        |  regexp_replace(t1,
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}',
+        |    '<PHONE>', 'g') AS t2 FROM s1),
+        |m AS (SELECT c0, c1,
+        |  len(regexp_extract_all(t2,
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c2
-        |  FROM t)
+        |  FROM s2)
         |SELECT '<EMAIL>' AS pii_type,
         |  CAST(count(CASE WHEN c0 > 0 THEN 1 END) AS BIGINT) AS n_docs,
         |  CAST(sum(c0) AS BIGINT) AS n_matches FROM m
         |UNION ALL SELECT '<IP>',
-        |  count(CASE WHEN c2 > 0 THEN 1 END), sum(c2) FROM m
+        |  CAST(count(CASE WHEN c2 > 0 THEN 1 END) AS BIGINT),
+        |  CAST(sum(c2) AS BIGINT) FROM m
         |UNION ALL SELECT '<PHONE>',
-        |  count(CASE WHEN c1 > 0 THEN 1 END), sum(c1) FROM m
+        |  CAST(count(CASE WHEN c1 > 0 THEN 1 END) AS BIGINT),
+        |  CAST(sum(c1) AS BIGINT) FROM m
         |ORDER BY pii_type""".stripMargin,
     "q109_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql

@@ -42,7 +42,8 @@ class VectorIndex private (
     centroids: Option[IvfIndex.Centroids],
     sqParams: Option[IvfIndex.SqParams] = None,
     pqParams: Option[IvfIndex.PqParams] = None,
-    listRadii: Option[Map[Int, Double]] = None) {
+    listRadii: Option[Map[Int, Double]] = None,
+    cellCounts: Option[Map[Long, Long]] = None) {
 
   /** Point count — reference `_pointcount` (hpp:304). */
   def size(): Long = data.count()
@@ -55,6 +56,26 @@ class VectorIndex private (
         GridIndex.knn(data, vecCol, idCol, spec, q, k)
       case _ =>
         Search.knn(data, vecCol, idCol, array(q.map(lit): _*), k)
+    }
+  }
+
+  /** Exact BATCH kNN over metadata-sized query sets. Grid layouts take
+    * the cell-pruned expansion path, seeded by the sidecar's per-cell
+    * counts when this index was load()ed from disk (GridIndex.seedRadius
+    * — sparse-region queries skip the empty expansion rounds); other
+    * layouts take the broadcast window form (Search.knnBatch). */
+  def knnBatch(queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    queries.foreach { case (_, q) =>
+      require(q.size == dim, s"query dim ${q.size} != index dim $dim") }
+    gridSpec match {
+      case Some(spec) if data.columns.contains("cell_id") =>
+        GridIndex.knnBatch(data, vecCol, idCol, spec, queries, k,
+          cellCounts = cellCounts)
+      case _ =>
+        val spark = data.sparkSession
+        import spark.implicits._
+        Search.knnBatch(data, vecCol, idCol,
+          queries.toDF("qid", "__qv"), "__qv", "qid", k)
     }
   }
 
@@ -172,9 +193,11 @@ class VectorIndex private (
     val unioned = data.unionByName(withRes, allowMissingColumns = true)
     // listRadii dropped, NOT carried: appended rows can exceed a stored
     // list radius, and an undersized radius is an unsound pruning bound —
-    // annSearchPqExact recomputes until the next save()
+    // annSearchPqExact recomputes until the next save().
+    // cellCounts CARRIED: under-counting only seeds knnBatch's expansion
+    // at a larger radius (cost, not correctness) — see IndexMeta.
     new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids,
-      sqParams, pqParams)
+      sqParams, pqParams, cellCounts = cellCounts)
   }
 
   /** Re-fit the pruning structures over the current collection. */
@@ -267,9 +290,18 @@ class VectorIndex private (
         data.write.mode("overwrite").parquet(path)
         (None, None, None)
     }
+    // Grid layouts: per-cell histogram for the sidecar (output bounded
+    // by the cell count — KBs at 16⁴), the seed for knnBatch's ring
+    // expansion. One extra tiny-output aggregate next to the full-scan
+    // write above; recomputed every save like the radii.
+    val gridCounts = gridSpec.map { spec =>
+      GridIndex.withCellId(data, vecCol, spec)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     IndexMeta.write(data.sparkSession, path,
       IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit,
-        savedSq._1, savedSq._2, savedSq._3))
+        savedSq._1, savedSq._2, savedSq._3, gridCounts))
   }
 }
 
@@ -521,6 +553,7 @@ object VectorIndex {
       case _ => ()
     }
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
-      meta.ivfCentroids, meta.sqParams, meta.pqParams, meta.listRadiiMap)
+      meta.ivfCentroids, meta.sqParams, meta.pqParams, meta.listRadiiMap,
+      meta.cellCountsMap)
   }
 }

@@ -28,15 +28,35 @@ object Graph {
     * rank relation (shuffle on src — or broadcast of ranks when nodes
     * are metadata-sized, AQE's call) and one map-side-combined sum
     * keyed on dst. Nothing driver-side but the node count; state never
-    * exceeds one double per node. For deep iteration counts, checkpoint
-    * the rank relation every few rounds (the Dedup.connectedComponents
-    * parquet round-trip) — at the fixed 3-5 rounds typical for
-    * analytics, lineage stays shallow enough without.
+    * exceeds one double per node.
+    *
+    * Deep iteration counts: every `checkpointEvery` rounds the rank
+    * relation's lineage is CUT — through `checkpointDir` (parquet
+    * round-trip under dir/pr-<uuid>/round_N, replayable from files
+    * after executor loss; caller deletes the dir once consumed —
+    * exactly Dedup.connectedComponents' cadence) or, without a dir, a
+    * lazy localCheckpoint. Otherwise the plan nests one join+aggregate
+    * per round and Catalyst re-analyzes the whole tower each iteration
+    * — quadratic driver work that dominates past ~10 rounds. Rank
+    * VALUES are unaffected: the cut replays rounded doubles, and every
+    * round is rounded already (the determinism contract above).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               roundTo: Int = 9): DataFrame = {
+               roundTo: Int = 9, checkpointEvery: Int = 5,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val ckptBase = checkpointDir.map(d =>
+      s"$d/pr-${java.util.UUID.randomUUID()}")
+    var ckptN = 0
+    def ckpt(df: DataFrame): DataFrame = ckptBase match {
+      case Some(dir) =>
+        val p = s"$dir/round_$ckptN"; ckptN += 1
+        df.write.parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint(eager = false)
+    }
     // e is consumed by BOTH derived relations below (degree-annotated
     // edges, node set): persist it so the caller's edge-construction
     // lineage — typically a full fact-table scan — runs once
@@ -70,7 +90,7 @@ object Graph {
     // 1/N is a single IEEE division — identical in any engine, no
     // rounding needed on the initial state
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val in = ew.join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
@@ -79,6 +99,9 @@ object Graph {
           round(lit((1.0 - damping) / n) +
             lit(damping) * col("__in"), roundTo).as("rank"))
         .union(zeroIn)
+      // cut mid-loop only: the final round's plan is the caller's to
+      // consume (writing it to parquet would force an eager job here)
+      if (i % checkpointEvery == 0 && i < iters) ranks = ckpt(ranks)
     }
     ranks
   }

@@ -173,6 +173,27 @@ object GridIndex {
       .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
   }
 
+  /** Driver-side ring pre-expansion over metadata-sized per-cell counts:
+    * the smallest doubled-cell-width radius whose candidate cells already
+    * hold >= k rows. Every expansion round a Spark job would spend
+    * discovering emptiness, this discovers in pure driver arithmetic —
+    * counts come from the save()-time sidecar (IndexMeta.cellCounts).
+    * Seeding is a COST knob only: the kth-distance completion check still
+    * governs exactness, and stale counts (appends under-count, deletes
+    * over-count) merely shift the starting radius — under-counting seeds
+    * larger (extra cells scanned once), over-counting seeds smaller
+    * (one more doubling round), never a wrong answer. */
+  def seedRadius(spec: GridSpec, counts: Map[Long, Long], q: Seq[Double],
+                 k: Int): Double = {
+    val maxR = (0 until spec.dim).map(i =>
+      spec.width(i) * spec.cells(i)).max * 2
+    var r = spec.width.max
+    while (r < maxR && cellsForBall(spec, q, r).iterator
+             .map(counts.getOrElse(_, 0L)).sum < k)
+      r *= 2
+    r
+  }
+
   /** Exact BATCH kNN, cell-pruned: the scalable form of many-query search.
     * Instead of cross-joining the index with every query (cost = queries ×
     * full scan), each round materializes the (qid, candidate cell) pairs
@@ -183,15 +204,22 @@ object GridIndex {
     * distance lies inside the explored radius, no unexplored cell can
     * improve the result; unfinished queries re-enter the next round with
     * doubled radius. Rounds are O(log(domain/width)) worst case.
+    *
+    * `cellCounts` (the sidecar's per-cell histogram) seeds each query's
+    * initial radius via [[seedRadius]], collapsing the expansion rounds a
+    * query in a sparse region would otherwise pay one Spark job each.
     */
   def knnBatch(index: DataFrame, vecCol: String, idCol: String,
                spec: GridSpec, queries: Seq[(Long, Seq[Double])], k: Int,
-               roundTo: Int = 6, cellCol: String = "cell_id"): DataFrame = {
+               roundTo: Int = 6, cellCol: String = "cell_id",
+               cellCounts: Option[Map[Long, Long]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = index.sparkSession
     import spark.implicits._
     val maxR = (0 until spec.dim).map(i => spec.width(i) * spec.cells(i)).max * 2
-    var pending = queries.map { case (qid, q) => (qid, q, spec.width.max) }
+    var pending = queries.map { case (qid, q) =>
+      (qid, q, cellCounts.fold(spec.width.max)(seedRadius(spec, _, q, k)))
+    }
     var finished = List.empty[DataFrame]
     while (pending.nonEmpty) {
       val cand = pending.flatMap { case (qid, q, r) =>

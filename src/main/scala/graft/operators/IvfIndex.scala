@@ -34,6 +34,27 @@ object IvfIndex {
     * side). */
   type Centroids = Seq[(Int, Seq[Double])]
 
+  /** Sentinel for fitCentroids' nlist: size the quantizer from the data
+    * (nlist ∝ n) instead of pinning it. */
+  val AutoNlist = 0
+
+  /** The production sizing rule (nlist ∝ n): expected rows per list stays
+    * ~targetListSize as the corpus grows, so a blocked self-join's
+    * within-list candidate pairs grow LINEARLY (≈ n·targetListSize), not
+    * quadratically — the distributed analog of the reference's
+    * node-capacity re-split (/root/reference/include/pktree.hpp:587-635:
+    * a node whose bucket overflows subdivides). Clamped to [1, maxNlist]:
+    * centroids ride query plans as literal arrays (driver metadata), so
+    * past maxNlist·dim doubles the quantizer belongs in a broadcast
+    * relation and the build should shard — a different regime than one
+    * fit call. */
+  def autoNlist(n: Long, targetListSize: Int = 32,
+                maxNlist: Int = 4096): Int = {
+    require(targetListSize > 0 && maxNlist > 0)
+    math.min(maxNlist.toLong,
+      math.max(1L, (n + targetListSize - 1) / targetListSize)).toInt
+  }
+
   /** Deterministic nlist-point coarse quantizer: hash-stride sample by id
     * (≈ every (n/nlist)-th id by xxhash64 bucket — NO global sort, no
     * single-partition window; scan + tiny collect only), stable list ids
@@ -51,28 +72,37 @@ object IvfIndex {
     * single-threaded — sized for nlist up to ~1024; beyond that prefer
     * refineIters=0 (the cap also bounds quality, not just memory).
     * Sharper centroids raise low-nProbe recall on clustered data;
-    * refineIters=0 preserves the sample-only quantizer exactly. */
+    * refineIters=0 preserves the sample-only quantizer exactly.
+    *
+    * `nlist = AutoNlist` applies the autoNlist sizing rule
+    * (ceil(n / targetListSize), clamped) — pass it wherever the corpus
+    * size isn't known up front; a pinned nlist stays bit-identical to
+    * previous behavior. */
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
                    nlist: Int, refineIters: Int = 0,
-                   sampleFactor: Int = 32): Centroids = {
+                   sampleFactor: Int = 32,
+                   targetListSize: Int = 32): Centroids = {
+    require(nlist == AutoNlist || nlist > 0,
+      "nlist must be positive or AutoNlist")
     val n = df.count()
-    val stride = math.max(n / nlist, 1L)
-    def take(src: DataFrame, k: Int) = src
+    val k = if (nlist == AutoNlist) autoNlist(n, targetListSize) else nlist
+    val stride = math.max(n / k, 1L)
+    def take(src: DataFrame, lim: Int) = src
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol))
-      .limit(k)
+      .limit(lim)
       .collect()
     val sampled =
-      take(df.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0), nlist)
+      take(df.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0), k)
     // hash-stride sampling can (rarely, tiny inputs) miss every row; an
     // empty quantizer would route every vector to a null list — fall
-    // back to the first nlist rows by id, still deterministic
-    val rows = if (sampled.nonEmpty) sampled else take(df, nlist)
+    // back to the first k rows by id, still deterministic
+    val rows = if (sampled.nonEmpty) sampled else take(df, k)
     val init = rows.map(_.getSeq[Double](1).toArray).toArray
     val cents =
       if (refineIters <= 0) init
       else {
-        val sn = math.min(nlist.toLong * sampleFactor, 32768L)
+        val sn = math.min(k.toLong * sampleFactor, 32768L)
         val stride2 = math.max(n / sn, 1L)
         val sampleRows =
           take(df.filter(pmod(xxhash64(col(idCol)), lit(stride2)) === 0),

@@ -166,8 +166,12 @@ object Sampling {
     // within-group ordered window (id order = the global tie order)
     val wIn = Window.partitionBy(col("__score")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // <= not <: when a group ends exactly at the budget, the next group
+    // has __before == budget and must still be scanned — its leading
+    // zero-token rows keep a running total of exactly `budget`, which the
+    // inclusive-≤ contract admits
     val boundary = joined
-      .filter(col("__before") < budget &&
+      .filter(col("__before") <= budget &&
         col("__before") + col("__g") > budget)
       .withColumn("__cum", sum(col("__tok")).over(wIn))
       .filter(col("__before") + col("__cum") <= budget)

@@ -293,11 +293,21 @@ object TextAnalysis {
     * scan-speed projection (regexp_count per pattern, codegen, no UDF)
     * into a single 1-row aggregate, exploded to one row per type.
     *
+    * Pattern i is counted on text with patterns < i already replaced —
+    * exactly the text scrubPii's fold would hand pattern i — so the
+    * report measures what scrubbing would actually fire on. (An email
+    * whose domain embeds an IP, like u@1.2.3.4.com, is consumed whole by
+    * the EMAIL replace and must not be double-counted as an IP.)
+    *
     * @return (pii_type, n_docs, n_matches), one row per pattern */
   def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val counted = docs.select(piiPatterns.zipWithIndex.map {
-      case ((p, _), i) => regexp_count(col(textCol), lit(p)).as(s"__c$i")
-    }: _*)
+    val staged = piiPatterns.zipWithIndex
+      .foldLeft(docs.select(col(textCol).as("__t0"))) {
+        case (df, ((p, r), i)) =>
+          df.withColumn(s"__c$i", regexp_count(col(s"__t$i"), lit(p)))
+            .withColumn(s"__t${i + 1}", regexp_replace(col(s"__t$i"), p, r))
+      }
+    val counted = staged.select(piiPatterns.indices.map(i => col(s"__c$i")): _*)
     val aggs = piiPatterns.zipWithIndex.flatMap { case (_, i) => Seq(
       count(when(col(s"__c$i") > 0, 1)).as(s"__d$i"),
       sum(col(s"__c$i")).cast("long").as(s"__m$i")) }

@@ -203,7 +203,8 @@ object EventWindows {
   /** A buffered (not yet folded) step event, epoch micros. */
   case class PendingStep(ts: Long, step: Int)
 
-  case class FunnelState(folded: Seq[Long], buffer: Seq[PendingStep])
+  case class FunnelState(folded: Seq[Long], buffer: Seq[PendingStep],
+                         lastTs: Long = -1L)
 
   /** Streaming strict ordered funnel — the streaming face of
     * Funnel.funnel, via flatMapGroupsWithState. Semantics are the batch
@@ -223,15 +224,29 @@ object EventWindows {
     * State: the k anchor timestamps per user ever seen, plus the
     * in-horizon buffer. The anchors are the funnel's inherent floor —
     * t₁ anchors on the first view EVER, so forgetting a user would
-    * re-anchor late arrivals and break batch parity; production
-    * deployments bound it with an explicit TTL policy instead. */
+    * re-anchor late arrivals and break batch parity. `stateTtlSeconds`
+    * bounds that floor: a user whose last activity is more than the TTL
+    * below the watermark is EVICTED (buffer permitting — buffered events
+    * always fold first). With ttl >= maxGap the eviction is
+    * emission-lossless: an evicted user was either complete or stalled
+    * past the gap, so no retained state could ever emit again — the one
+    * trade is the documented re-anchor risk (a step-1 event arriving
+    * after eviction restarts that user's funnel, where retained state
+    * would have ignored it). A smaller ttl additionally forgets
+    * still-advanceable users — explicit data loss the caller opts into.
+    * Users with NO anchor and an empty buffer are always dropped
+    * (their state equals the fresh default — eviction is a no-op
+    * semantically, so the state store only holds users with progress). */
   def streamingFunnel(events: DataFrame, steps: Seq[String],
                       maxGapSeconds: Long,
-                      watermark: String = "1 minute"): Dataset[FunnelProgress] = {
+                      watermark: String = "1 minute",
+                      stateTtlSeconds: Option[Long] = None): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(stateTtlSeconds.forall(_ > 0), "stateTtlSeconds must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = maxGapSeconds * 1000000L
+    val ttlUs = stateTtlSeconds.map(_ * 1000000L)
     val k = steps.size
 
     def tsUs(t: java.sql.Timestamp): Long =
@@ -244,6 +259,7 @@ object EventWindows {
         FunnelState(Seq.fill(k)(-1L), Nil))
       val fresh = it.map(e => PendingStep(tsUs(e.ts), e.step))
         .filter(_.ts >= wmUs).toList // late-data drop
+      val lastTs = (st.lastTs +: fresh.map(_.ts)).max
       val (ready, hold) = (st.buffer ++ fresh).partition(_.ts < wmUs)
       val folded = st.folded.toArray
       ready.sortBy(p => (p.ts, p.step)).foreach { case PendingStep(t, i) =>
@@ -251,12 +267,23 @@ object EventWindows {
         else if (folded(i) < 0 && folded(i - 1) >= 0 &&
           t > folded(i - 1) && t <= folded(i - 1) + gapUs) folded(i) = t
       }
-      val next = FunnelState(folded.toSeq, hold)
-      state.update(next)
-      if (hold.nonEmpty)
-        state.setTimeoutTimestamp(
-          math.max(hold.map(_.ts).min / 1000L,
-            state.getCurrentWatermarkMs() + 1))
+      val next = FunnelState(folded.toSeq, hold, lastTs)
+      // Eviction (buffer permitting): a no-anchor empty-buffer state
+      // equals the fresh default (drop is free, always on); past the TTL
+      // horizon the caller has opted into forgetting the user.
+      val evict = hold.isEmpty && (folded.forall(_ < 0) ||
+        ttlUs.exists(t => lastTs >= 0 && wmUs >= lastTs + t))
+      if (evict) state.remove()
+      else {
+        state.update(next)
+        // wake at the earliest actionable instant: the oldest buffered
+        // event (to fold it once the watermark passes) or the TTL
+        // horizon (to evict); without either, only new data wakes us
+        val wake = (hold.map(_.ts).map(_ / 1000L) ++
+          ttlUs.map(t => (lastTs + t) / 1000L).toList).minOption
+        wake.foreach(w => state.setTimeoutTimestamp(
+          math.max(w, state.getCurrentWatermarkMs() + 1)))
+      }
       if (next.folded != st.folded)
         Iterator.single(FunnelProgress(key, folded.count(_ >= 0),
           folded.toSeq))

@@ -53,6 +53,31 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(r("2") == rnd(0.05))
   }
 
+  test("pageRank: 20-round deep iteration — checkpoint cadence bounds " +
+    "the plan, fixed point unchanged") {
+    import spark.implicits._
+    val edges = (1 to 5).flatMap(i => Seq((0, i), (i, 0))).toDF("src", "dst")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // no-cut reference: same recurrence, lineage never cut
+    val noCut = Graph.pageRank(edges, "src", "dst", iters = 20,
+      checkpointEvery = 1000)
+    val cut = Graph.pageRank(edges, "src", "dst", iters = 20) // every 5
+    assert(ranksOf(cut) == ranksOf(noCut))
+    // the driver-side cost the cadence exists for: the analyzed tree the
+    // planner must chew is the post-last-cut tail, not 20 nested rounds
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(cut) < planNodes(noCut) / 2,
+      s"cut plan ${planNodes(cut)} vs uncut ${planNodes(noCut)}")
+    // parquet cadence (the executor-loss-replayable form): same values
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    val pq = Graph.pageRank(edges, "src", "dst", iters = 20,
+      checkpointDir = Some(tmp))
+    assert(ranksOf(pq) == ranksOf(noCut))
+    assert(new java.io.File(tmp).listFiles().nonEmpty) // rounds hit disk
+  }
+
   // ------------------------------------------------------------- Count-Min
 
   private lazy val tokens = Tables.load(spark, sf, "documents")

@@ -94,6 +94,51 @@ class GridIndexSpec extends AnyFunSuite {
     assert(got.size == 6 * 4)
   }
 
+  test("cell-count seeding starts sparse queries at a k-feasible radius " +
+    "(r7 ask #8)") {
+    import spark.implicits._
+    // Skew: 500 points in one dense corner cell, 5 in the far corner.
+    // A far-corner query with k=10 must reach the dense blob; unseeded
+    // ring expansion pays one Spark job per doubling from one cell width
+    // (~11) to the blob (~250) — the sidecar histogram proves those
+    // rounds empty in driver arithmetic instead.
+    val dense = (0 until 500).map(i =>
+      (i.toLong, Seq(-90.0 + (i % 10) * 0.5, -90.0 + (i / 10) * 0.2)))
+    val sparse = (500 until 505).map(i =>
+      (i.toLong, Seq(88.0 + (i - 500) * 0.5, 88.0)))
+    val df = (dense ++ sparse).toDF("id", "vec")
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 16)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    val counts = indexed.groupBy("cell_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sparse-region query: the seed must clear >= 3 doublings (>= 3
+    // expansion rounds = 3+ Spark jobs skipped)
+    val sparseSeed = GridIndex.seedRadius(spec, counts, Seq(90.0, 90.0), 10)
+    assert(sparseSeed >= spec.width.max * 8,
+      s"seed $sparseSeed vs cell width ${spec.width.max}")
+    // dense-region query: seeding must NOT over-scan — one cell suffices
+    assert(GridIndex.seedRadius(spec, counts, Seq(-90.0, -89.0), 10) ==
+      spec.width.max)
+    // seeding is a cost knob only: results identical to naive either way
+    val queries = Seq((0L, Seq(90.0, 90.0)), (1L, Seq(-90.0, -89.5)))
+    def keyed(got: org.apache.spark.sql.DataFrame) = got
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val seeded = keyed(GridIndex.knnBatch(indexed, "vec", "id", spec,
+      queries, k = 10, cellCounts = Some(counts)))
+    val naive = keyed(Search.knnBatch(df, "vec", "id",
+      queries.toDF("qid", "qv"), "qv", "qid", k = 10))
+    assert(seeded == naive && naive.size == 20)
+    // and the histogram survives the save()/load() round trip
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cc").toString + "/index"
+    VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 16)
+      .save(path)
+    val loaded = VectorIndex.load(spark, path)
+    assert(IndexMeta.read(spark, path).get.cellCountsMap.exists(_.nonEmpty))
+    assert(keyed(loaded.knnBatch(queries, k = 10)) == naive)
+  }
+
   test("out-of-grid query points still return exact results") {
     val df = randomDf(200, 2, 17)
     val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 5)

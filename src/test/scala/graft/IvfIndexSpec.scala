@@ -235,6 +235,55 @@ class IvfIndexSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("multi-probe recall/cost curve on the clustered fixture: " +
+    "recall@10 >= 0.9 at a pinned nProbe (r7 ask #7)") {
+    // The tuning loop q115's harness exists for: sweep nProbe over the
+    // stacked IVF+PQ serving path on CLUSTERED data (q51's fixture) and
+    // read the recall/cost trade off the curve. Cost = rows the probe
+    // admits (the partition-pruning win at rest); recall vs brute force.
+    val ce = SparkEntry.clusteredEmbeddings(spark, SparkTestSession.sf0001)
+      .persist()
+    val total = ce.count()
+    val cents = IvfIndex.fitCentroids(ce, "cvec", "vec_id", nlist = 20,
+      refineIters = 5)
+    val p = IvfIndex.fitPq(ce, "cvec", "vec_id", m = 8)
+    val index = IvfIndex.withPqCodes(
+      IvfIndex.assign(ce, "cvec", "vec_id", cents), "cvec", p).cache()
+    def qv(qid: Long): Seq[Double] =
+      ce.filter(col("vec_id") === qid).head().getSeq[Double](1)
+    val qids = 0L until 5L
+    val exact = qids.map { qid =>
+      qid -> Search.knn(ce, "cvec", "vec_id",
+          array(qv(qid).map(lit): _*), 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    val curve = Seq(1, 2, 4, 8).map { nProbe =>
+      val rs = qids.map { qid =>
+        val got = IvfIndex.searchPqProbed(index, "cvec", "vec_id", cents,
+            p, qv(qid), k = 10, nProbe = nProbe, shortlist = 50)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (exact(qid) intersect got).size / 10.0
+      }
+      val scanned = qids.map { qid =>
+        val lists = IvfIndex.probeLists(cents, qv(qid), nProbe)
+        index.filter(col("list_id").isin(lists: _*)).count()
+      }.sum / qids.size
+      (nProbe, rs.sum / rs.size, scanned)
+    }
+    curve.foreach { case (np, r, c) =>
+      info(f"nProbe=$np%2d  recall@10=$r%.2f  rows-scanned=$c (of $total)") }
+    // recall is non-decreasing in nProbe (more lists never hurt) ...
+    curve.sliding(2).foreach { case Seq((_, r1, _), (_, r2, _)) =>
+      assert(r2 >= r1 - 1e-9, s"recall regressed along the curve: $curve") }
+    // ... and the curve reaches the operating point the ask pins, while
+    // still pruning (scanning a fraction of the collection)
+    val hit = curve.find(_._2 >= 0.9)
+    assert(hit.isDefined, s"no nProbe reached recall 0.9: $curve")
+    assert(hit.get._3 < total / 2,
+      s"recall 0.9 should not require scanning half the collection: $curve")
+    index.unpersist(); ce.unpersist()
+  }
+
   test("SQ8: reconstruction error bounded by step/2 per dimension") {
     val p = IvfIndex.fitSq(e, "embedding")
     val recon = e.select(col("vec_id"),

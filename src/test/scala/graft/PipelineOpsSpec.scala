@@ -493,6 +493,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("selectByTokenBudget: zero-token rows at an exact group boundary") {
+    import spark.implicits._
+    // the 0.9 group ends exactly at budget=15; the next group's leading
+    // zero-token row (id=2) keeps a running total of exactly 15 and must
+    // be kept per the inclusive-<= cumsum contract; id=3 (3 tokens) and
+    // the zero-token row AFTER it (id=4, cum=18) must not
+    val df = Seq((1L, 0.9, 15L), (2L, 0.5, 0L), (3L, 0.5, 3L),
+      (4L, 0.5, 0L)).toDF("id", "score", "tok")
+    val got = Sampling.selectByTokenBudget(df, "id", col("score"),
+        col("tok"), budget = 15L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("selectByTokenBudget: zero budget keeps nothing; huge keeps all") {
     import spark.implicits._
     val df = Seq((1L, 0.9, 5L), (2L, 0.5, 10L)).toDF("id", "score", "tok")
@@ -533,5 +547,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(
       ("<EMAIL>", 1L, 2L), ("<IP>", 1L, 3L), ("<PHONE>", 1L, 1L)))
+  }
+
+  test("piiStats: sequential semantics match scrubPii on overlapping PII") {
+    import spark.implicits._
+    // u@1.2.3.4.com embeds an IP in the email domain, and
+    // 555-123-4567@ex.org has a phone-shaped local part: scrubPii's
+    // EMAIL replace (applied first) consumes the whole token in both, so
+    // the IP/PHONE patterns never see their substrings — the report must
+    // count each once, as EMAIL only (independent counting would say
+    // EMAIL+IP and EMAIL+PHONE respectively).
+    val docs = Seq(
+      (1L, "contact u@1.2.3.4.com for access"),
+      (2L, "reach 555-123-4567@ex.org now"),
+      (3L, "server 9.8.7.6 is separate")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiStats(docs)
+      .orderBy(col("pii_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("<EMAIL>", 2L, 2L), ("<IP>", 1L, 1L), ("<PHONE>", 0L, 0L)))
+    // and the report agrees with what scrubbing actually removes: the
+    // scrubbed corpus has zero residual matches for every pattern
+    val scrubbed = docs.select(
+      TextAnalysis.scrubPii(col("text")).as("text"))
+    val residual = TextAnalysis.piiStats(scrubbed)
+      .agg(sum(col("n_matches"))).collect()(0).getLong(0)
+    assert(residual == 0L)
   }
 }

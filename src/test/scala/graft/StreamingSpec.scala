@@ -307,4 +307,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(fromStream == counts)
     } finally q.stop()
   }
+
+  test("streaming funnel TTL evicts expired state, in-horizon parity intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fn_ttl").toString
+    val base = 1_000_000_000_000_000L // epoch micros
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (eid, us, uid, typ) => (eid, us, uid, typ, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")))
+        .coalesce(1).write.mode("append").parquet(tmp)
+    // u1 completes all steps; u2 anchors step 1 then stalls forever
+    write(Seq(
+      (1L, base, 1L, "view"), (2L, base + 100_000_000L, 1L, "click"),
+      (3L, base + 200_000_000L, 1L, "purchase"),
+      (4L, base, 2L, "view")))
+    val steps = Seq("view", "click", "purchase")
+    val stream = EventWindows.readStream(spark, tmp)
+    val q = EventWindows.streamingFunnel(stream, steps,
+        maxGapSeconds = 3600L, stateTtlSeconds = Some(86400L))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("fn_ttl").start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      q.processAllAvailable()
+      // sentinel A: watermark passes the user events — both fold, both
+      // retained (TTL horizon base+1d not reached; wm ≈ base+2h−1m)
+      write(Seq((9_000L, base + 7_200_000_000L, -1L, "view")))
+      q.processAllAvailable()
+      assert(stateRows >= 3, s"u1, u2, sentinel user in state: $stateRows")
+      // sentinel B: wm ≈ base+2d−1m > lastTs+TTL for u1 (complete) and
+      // u2 (stalled) — both evicted; only the sentinel user remains
+      write(Seq((9_001L, base + 172_800_000_000L, -1L, "view")))
+      q.processAllAvailable()
+      assert(stateRows == 1, s"expected only sentinel state, got $stateRows")
+      // parity: emissions before eviction are the batch recurrence
+      val last = spark.table("fn_ttl").filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L)._2 == 3 && last(1L)._3 ==
+        Seq(base, base + 100_000_000L, base + 200_000_000L))
+      assert(last(2L)._2 == 1 && last(2L)._3 == Seq(base, -1L, -1L))
+    } finally q.stop()
+  }
 }
