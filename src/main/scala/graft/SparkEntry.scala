@@ -1944,6 +1944,29 @@ object SparkEntry {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Q122 — next-event transition matrix (Funnel.transitions): the
+    * Markov view of the event stream — count and conditional
+    * probability of every consecutive (prev → next) event-type pair
+    * within user timelines, ordered by (ts, event_id) so simultaneous
+    * events tie-break identically in both engines. One user-keyed lag
+    * window + a |types|²-sized count; the probability join runs over
+    * that metadata-sized relation, never the stream. */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.transitions(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+
+  /** Q123 — top user journeys (Funnel.topPaths): the frequency table of
+    * each user's first 3 event types in timeline order joined with '>'
+    * — the exact head-of-journey distribution beside q122's first-order
+    * model. The rn ≤ 3 filter plans a partial WindowGroupLimit below
+    * the exchange (the q105 contract), so mappers forward at most 3
+    * rows per user. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.topPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", pathLen = 3)
+      .orderBy(col("n_users").desc, col("path"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2070,6 +2093,8 @@ object SparkEntry {
     "q119_funnel_latency" -> (q119 _),
     "q120_segment_funnel" -> (q120 _),
     "q121_pii_stats" -> (q121 _),
+    "q122_transitions" -> (q122 _),
+    "q123_paths" -> (q123 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3796,5 +3821,31 @@ object SparkEntry {
          |    PARTITION BY qid ORDER BY dist, vec_id) AS rn
          |  FROM d) WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+    // the CAST on sum() is the q121 lesson: DuckDB widens BIGINT sums to
+    // HUGEINT, which the hash canon would render as float
+    "q122_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |p AS (SELECT prev_type, event_type AS next_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n,
+        |       ROUND(CAST(p.n AS DOUBLE) / t.tot, 6) AS p
+        |FROM p JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "q123_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |        AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
   )
 }

@@ -95,6 +95,78 @@ object Funnel {
     anchors
   }
 
+  /** Next-event transition matrix — the Markov view of an event stream:
+    * for every (prev → next) pair of CONSECUTIVE events within a user's
+    * timeline, how often it occurs and its conditional probability
+    * p(next | prev). The path-analysis primitive behind "what do users
+    * do after X" reports and behind first-order journey simulation.
+    *
+    * Determinism: a user's timeline is ordered by (ts, tieCol) — callers
+    * pass a unique event id as the tie-break so simultaneous events
+    * order identically in every engine. Probabilities are rounded AFTER
+    * the divide (the q35/q65 float contract).
+    *
+    * Scale: ONE user-keyed window (lag) — a user's history is bounded
+    * in product analytics, so no partition skew beyond the hottest user
+    * — then one (prev, next)-keyed count whose output is |types|²-sized.
+    * The per-prev totals aggregate and join run over that metadata-sized
+    * relation, never the event stream.
+    *
+    * @return (prev_type, next_type, n, p) */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, "prev_type")
+      .withColumn("p",
+        round(col("n").cast("double") / col("__tot"), roundTo))
+      .drop("__tot")
+  }
+
+  /** Top user journeys — the frequency table of each user's FIRST
+    * `pathLen` event types in timeline order, joined with '>' into a
+    * path string ("view>click>purchase"). Users with fewer events
+    * contribute their full shorter path. The other half of path
+    * analysis: where `transitions` is the first-order model, this is
+    * the exact head-of-journey distribution.
+    *
+    * Scale: one user-keyed row_number window (Spark 4 plans a partial
+    * WindowGroupLimit below the exchange for the rn ≤ pathLen filter,
+    * so mappers forward at most pathLen rows per user), one per-user
+    * aggregate whose collect_list is pathLen-bounded, and one
+    * path-keyed count sized by distinct journeys ≤ |types|^pathLen.
+    *
+    * @return (path, n_users) */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, tieCol: String, pathLen: Int): DataFrame = {
+    require(pathLen > 0, "pathLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("__et"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col(userCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("__et")))),
+        s => s("__et")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** @param steps         event-type sequence; the first step is
     *                      unconstrained in time
     * @param maxGapSeconds max allowed gap between consecutive steps

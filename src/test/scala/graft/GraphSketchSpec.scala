@@ -221,6 +221,71 @@ class GraphSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions: hand-traced counts, probabilities, tie order") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: A -> B -> A (two transitions)
+      (1L, 10L, "A", 1L), (1L, 20L, "B", 2L), (1L, 30L, "A", 3L),
+      // u2: two SIMULTANEOUS events — event_id is the tie-break, so the
+      // order is C (id 4) then A (id 5): one C->A transition
+      (2L, 40L, "A", 5L), (2L, 40L, "C", 4L),
+      // u3: a single event contributes no transition
+      (3L, 50L, "B", 6L))
+      .map { case (u, t, e, id) => (u, ts(t), e, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.transitions(events, "user_id", "ts", "event_type",
+        "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 1L, 1.0), ("B", "A", 1L, 1.0), ("C", "A", 1L, 1.0)))
+  }
+
+  test("transitions on testdata: per-prev probabilities sum to 1; " +
+    "pair count conserves events minus users") {
+    val ev = Tables.events(spark, sf)
+    val got = Funnel.transitions(ev, "user_id", "ts", "event_type",
+      "event_id").collect()
+    val byPrev = got.groupBy(_.getString(0))
+    byPrev.values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4) }
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(got.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
+  test("topPaths: hand-traced head-of-journey paths; short users keep " +
+    "their full shorter path") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "B", 2L), (1L, 30L, "C", 3L),
+      (1L, 40L, "D", 4L), // 4th event beyond pathLen=3 is ignored
+      (2L, 10L, "A", 5L), (2L, 20L, "B", 6L), (2L, 30L, "C", 7L),
+      (3L, 10L, "B", 8L)) // short user -> path "B"
+      .map { case (u, t, e, id) => (u, ts(t), e, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.topPaths(events, "user_id", "ts", "event_type",
+        "event_id", pathLen = 3)
+      .orderBy(col("n_users").desc, col("path"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("A>B>C", 2L), ("B", 1L)))
+  }
+
+  test("topPaths on testdata: user counts conserve; paths bounded by " +
+    "pathLen") {
+    val ev = Tables.events(spark, sf)
+    val got = Funnel.topPaths(ev, "user_id", "ts", "event_type",
+      "event_id", pathLen = 3).collect()
+    assert(got.map(_.getLong(1)).sum ==
+      ev.select(col("user_id")).distinct().count())
+    got.foreach(r =>
+      assert(r.getString(0).split(">", -1).length <= 3))
+  }
+
   test("rollingActiveUsers: approx HLL within 5% of exact per window") {
     val ev = Tables.events(spark, sf)
     val ex = streaming.EventWindows.rollingActiveUsers(ev, "user_id", "ts")
