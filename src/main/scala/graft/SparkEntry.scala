@@ -1967,6 +1967,25 @@ object SparkEntry {
         "event_type", "event_id", pathLen = 3)
       .orderBy(col("n_users").desc, col("path"))
 
+  /** Q124 — DSIR importance weighting (TextAnalysis.dsirWeights): every
+    * document scored by hashed-unigram log-likelihood ratio against the
+    * English slice as the target distribution — the Xie-et-al data
+    * selection signal; the top 50 by weight are the docs importance
+    * resampling would keep first. The oracle rebuilds both bucket
+    * models, the Laplace smoothing, and the per-doc sum from first
+    * principles over the same md5 buckets. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text",
+        nBuckets = 1024)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("dsir_logweight"))
+      .orderBy(col("dsir_logweight").desc, col("doc_id"))
+      .limit(50)
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2095,6 +2114,7 @@ object SparkEntry {
     "q121_pii_stats" -> (q121 _),
     "q122_transitions" -> (q122 _),
     "q123_paths" -> (q123 _),
+    "q124_dsir" -> (q124 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3847,5 +3867,30 @@ object SparkEntry {
         |      FROM r WHERE rn <= 3 GROUP BY user_id)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
         |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
+    "q124_dsir" ->
+      """WITH rt AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |rb AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS b
+        |  FROM rt),
+        |tt AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents WHERE lang = 'en'),
+        |tb AS (SELECT
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS b
+        |  FROM tt),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM rb GROUP BY b),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY b),
+        |m AS (SELECT COALESCE(rc.b, tc.b) AS b, COALESCE(cr, 0) AS cr,
+        |        COALESCE(ct, 0) AS ct
+        |      FROM rc FULL OUTER JOIN tc ON rc.b = tc.b),
+        |s AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |             CAST(sum(ct) AS BIGINT) AS nt FROM m),
+        |w AS (SELECT b, ln((ct + 1.0) / (nt + 1024))
+        |             - ln((cr + 1.0) / (nr + 1024)) AS llr FROM m, s)
+        |SELECT rb.doc_id, d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       ROUND(sum(w.llr), 6) AS dsir_logweight
+        |FROM rb JOIN w USING (b) JOIN documents d ON rb.doc_id = d.doc_id
+        |GROUP BY rb.doc_id, d.lang
+        |ORDER BY dsir_logweight DESC, rb.doc_id LIMIT 50""".stripMargin,
   )
 }

@@ -205,6 +205,60 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** DSIR importance weighting — data selection via importance
+    * resampling (Xie et al. 2023): score every raw document by how much
+    * more likely its text is under the TARGET distribution than under
+    * the RAW distribution, using hashed-unigram bag-of-words models.
+    * Selecting the top-weighted documents (or resampling proportional
+    * to exp(weight)) shifts the corpus toward the target domain — the
+    * published cheap alternative to a trained domain classifier.
+    *
+    * Model: tokens hash into `nBuckets` buckets (Sampling.hashBucket —
+    * the engine-portable md5 bucket every sampler shares), each side's
+    * bucket distribution is Laplace-smoothed (p_b = (c_b + 1) /
+    * (total + nBuckets)), and a document's log-weight is
+    * Σ_tokens ln p_target(b(tok)) − ln p_raw(b(tok)).
+    *
+    * Scale: two bucket-count shuffles (map-side combined, nBuckets-sized
+    * outputs), one nBuckets-sized full outer join, two scalars in one
+    * broadcast row, then the raw token stream joins the BROADCAST
+    * per-bucket log-ratio table and one per-doc shuffle sums. The raw
+    * corpus is scanned twice (model + scoring), the target once; no
+    * row-sized relation survives the counts and nothing driver-side.
+    *
+    * @param target  the domain sample to steer toward (its size can be
+    *                tiny — that is DSIR's point)
+    * @param roundTo decimals the per-doc SUM is rounded to after
+    *                aggregation (addend order differs between engines)
+    * @return (idCol, n_tokens, dsir_logweight) for every raw doc */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int = 1024,
+                  roundTo: Int = 6): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def buckets(df: DataFrame) = df
+      .select(col(idCol), explode(split(lower(col(textCol)), " "))
+        .as("__tok"))
+      .select(col(idCol),
+        Sampling.hashBucket(col("__tok"), nBuckets).as("__b"))
+    val rawToks = buckets(raw)
+    val rc = rawToks.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tc = buckets(target).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val m = rc.join(tc, Seq("__b"), "full_outer")
+      .select(col("__b"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val s = m.agg(sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val w = m.crossJoin(broadcast(s))
+      .select(col("__b"),
+        (log((col("__ct") + lit(1.0)) / (col("__nt") + lit(nBuckets))) -
+         log((col("__cr") + lit(1.0)) / (col("__nr") + lit(nBuckets))))
+          .as("__llr"))
+    rawToks.join(broadcast(w), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__llr")), roundTo).as("dsir_logweight"))
+  }
+
   /** Vocabulary coverage analysis — the tokenizer-planning primitive:
     * the top `vocabSize` corpus tokens by frequency, each with its rank
     * and the CUMULATIVE fraction of all corpus tokens a vocabulary cut

@@ -574,4 +574,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(sum(col("n_matches"))).collect()(0).getLong(0)
     assert(residual == 0L)
   }
+
+  test("dsirWeights: hand-computed log-likelihood ratios on a 2-token " +
+    "model") {
+    import spark.implicits._
+    val raw = Seq((1L, "aa aa"), (2L, "bb")).toDF("doc_id", "text")
+    val target = Seq((9L, "aa")).toDF("doc_id", "text")
+    val nB = 1024
+    val got = TextAnalysis.dsirWeights(raw, target, "doc_id", "text",
+        nBuckets = nB)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // raw buckets: aa×2, bb×1 (nr = 3); target: aa×1 (nt = 1); the two
+    // tokens land in distinct md5 buckets (the operator would otherwise
+    // produce different counts and this test would fail loudly)
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val llrA = math.log(2.0 / (1 + nB)) - math.log(3.0 / (3 + nB))
+    val llrB = math.log(1.0 / (1 + nB)) - math.log(2.0 / (3 + nB))
+    assert(got.toSeq == Seq(
+      (1L, 2L, rnd(2 * llrA)), (2L, 1L, rnd(llrB))))
+  }
+
+  test("dsirWeights on testdata: English-target weights rank en docs " +
+    "above every other language on average") {
+    val docs = Tables.load(spark, sf, "documents")
+    val w = TextAnalysis.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(avg(col("dsir_logweight")).as("mw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w.keySet.contains("en"))
+    (w - "en").values.foreach(other => assert(w("en") > other))
+  }
 }
