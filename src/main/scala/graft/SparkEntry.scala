@@ -1986,6 +1986,24 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Q125 — triangle census (Graph.triangleStats): node/edge/wedge/
+    * triangle counts and global clustering coefficient over the
+    * part-co-purchase graph (parts sharing an order ≥ 2 times). The
+    * operator orients edges by (degree, node) so the wedge join is
+    * bounded by O(√m) out-degrees; the oracle counts triangles by the
+    * naive id-ordered triple join — the count is orientation-invariant,
+    * so the hash match proves the degree-ordered plan exact. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+    operators.Graph.triangleStats(pairs, "a", "b")
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2115,6 +2133,7 @@ object SparkEntry {
     "q122_transitions" -> (q122 _),
     "q123_paths" -> (q123 _),
     "q124_dsir" -> (q124 _),
+    "q125_triangles" -> (q125 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3892,5 +3911,28 @@ object SparkEntry {
         |FROM rb JOIN w USING (b) JOIN documents d ON rb.doc_id = d.doc_id
         |GROUP BY rb.doc_id, d.lang
         |ORDER BY dsir_logweight DESC, rb.doc_id LIMIT 50""".stripMargin,
+    // the naive id-ordered triple join — triangle counts are
+    // orientation-invariant, so this proves the operator's
+    // degree-ordered plan exact
+    "q125_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b FROM li x
+        |      JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT v, count(*) AS d FROM n GROUP BY v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM e p1 JOIN e p2 ON p1.b = p2.a
+        |        JOIN e p3 ON p3.a = p1.a AND p3.b = p2.b),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        |       FROM deg),
+        |ee AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |       THEN ROUND(3.0 * n_triangles / n_wedges, 6)
+        |       ELSE 0.0 END AS clustering
+        |FROM dd, ee, tri""".stripMargin,
   )
 }

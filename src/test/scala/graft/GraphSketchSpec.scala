@@ -133,6 +133,39 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(est.length == 1 && est.head.getLong(1) >= 0L)
   }
 
+  // -------------------------------------------------------------- Triangles
+
+  private def triRow(df: org.apache.spark.sql.DataFrame) = {
+    val r = Graph.triangleStats(df, "s", "d").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))
+  }
+
+  test("triangleStats: K4, star, and triangle-with-pendant hand counts") {
+    import spark.implicits._
+    // K4: 4 nodes, 6 edges, every deg 3 -> 12 wedges, 4 triangles,
+    // clustering 3*4/12 = 1.0
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a, b))
+      .toDF("s", "d")
+    assert(triRow(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // star: hub 0 with 5 leaves — wedges C(5,2)=10, no triangle
+    val star = (1 to 5).map(i => (0, i)).toDF("s", "d")
+    assert(triRow(star) == ((6L, 5L, 10L, 0L, 0.0)))
+    // triangle 1-2-3 plus pendant 4 on node 3: degs (2,2,3,1) ->
+    // wedges 1+1+3+0 = 5, one triangle, clustering 3/5
+    val pend = Seq((1, 2), (2, 3), (1, 3), (3, 4)).toDF("s", "d")
+    assert(triRow(pend) == ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("triangleStats canonicalizes direction, duplicates, self-loops") {
+    import spark.implicits._
+    val clean = Seq((1, 2), (2, 3), (1, 3)).toDF("s", "d")
+    val messy = Seq((1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3),
+      (2, 2)).toDF("s", "d")
+    assert(triRow(clean) == triRow(messy))
+    assert(triRow(clean)._4 == 1L)
+  }
+
   // ---------------------------------------------------------------- Funnel
 
   test("funnel: strict earliest-qualifying semantics, hand-traced") {
