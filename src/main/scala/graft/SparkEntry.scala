@@ -2004,6 +2004,21 @@ object SparkEntry {
     operators.Graph.triangleStats(pairs, "a", "b")
   }
 
+  /** Q126 — epoch-aware corpus mixing (Sampling.mixWithEpochs): the
+    * 50/30/20 recipe of q63 but with up to 2 epochs of bounded
+    * UPSAMPLING — src0 (the limiting source) repeats exactly twice,
+    * src1 gets 1.2 epochs (full copy + 0.2-coin partial), src2 0.8 of
+    * one epoch. The oracle re-derives the admitted total, per-source
+    * epoch counts, full/fractional split, and the md5 coins, and
+    * cross-joins a bounded epoch range — proving the explode+coin
+    * construction row-for-row. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.mixWithEpochs(t(s, dir, "documents"), "source",
+        "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), maxEpochs = 2)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2134,6 +2149,7 @@ object SparkEntry {
     "q123_paths" -> (q123 _),
     "q124_dsir" -> (q124 _),
     "q125_triangles" -> (q125 _),
+    "q126_epoch_mix" -> (q126 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3934,5 +3950,25 @@ object SparkEntry {
         |       THEN ROUND(3.0 * n_triangles / n_wedges, 6)
         |       ELSE 0.0 END AS clustering
         |FROM dd, ee, tri""".stripMargin,
+    "q126_epoch_mix" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents
+        |           WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+        |        ('src2', 0.2)) AS t(source, wt)),
+        |tt AS (SELECT min(ns * 2 / wt) AS tot FROM n JOIN w USING (source)),
+        |e AS (SELECT source,
+        |        least(2.0, round((SELECT tot FROM tt) * wt / ns, 9)) AS ep
+        |      FROM n JOIN w USING (source)),
+        |f AS (SELECT source, CAST(floor(ep) AS BIGINT) AS nf,
+        |        CAST(floor((ep - floor(ep)) * 10000) AS BIGINT) AS thr
+        |      FROM e)
+        |SELECT d.doc_id, d.source, CAST(gs.epoch AS BIGINT) AS epoch
+        |FROM documents d JOIN f USING (source)
+        |CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) gs
+        |WHERE gs.epoch <= nf AND (gs.epoch < nf OR
+        |  CAST(('0x' || substr(md5('epoch#' || d.source || '#'
+        |      || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 10000 < thr)
+        |ORDER BY doc_id, epoch""".stripMargin,
   )
 }

@@ -225,6 +225,64 @@ object Sampling {
         coin < floor(col("keep_frac") * 10000).cast("long"))
   }
 
+  /** Corpus mixing WITH bounded upsampling — the epoch-aware recipe:
+    * high-value small sources may REPEAT up to `maxEpochs` times
+    * (LLaMA/DoReMi-style mixes give Wikipedia/books several epochs while
+    * web crawl gets a fraction of one), where [[mixBySource]] can only
+    * downsample. With n_s rows per source and weights w_s, the largest
+    * total the profile admits under the epoch cap is
+    * T = min_s(n_s · maxEpochs / w_s); source s is assigned
+    * e_s = T·w_s/n_s ∈ (0, maxEpochs] epochs — floor(e_s) full copies
+    * of every row plus one more copy kept by salted id-hash coin with
+    * probability frac(e_s). The limiting source repeats exactly
+    * maxEpochs times; maxEpochs = 1 degenerates to [[mixBySource]]'s
+    * never-upsample solve.
+    *
+    * Output rows carry an `epoch` column (0-based copy index) so
+    * downstream packing/shuffling can keep copies apart. Cost at
+    * 100 TB: one |sources|-row count aggregate, then a scan-speed
+    * explode bounded by maxEpochs — no shuffle of the corpus.
+    * Deterministic like every sampler here: a row's copies depend only
+    * on (source, id).
+    *
+    * @return kept rows × copies, input columns + (epoch) */
+  def mixWithEpochs(df: DataFrame, srcCol: String, idCol: String,
+                    weights: Map[String, Double],
+                    maxEpochs: Int): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val counts = df.filter(col(srcCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) =>
+      counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no rows from any weighted source")
+    // n·E exact as a long, ONE double divide — the oracle's ns * E / wt
+    val total = present.map { case (s, w) =>
+      (counts(s) * maxEpochs).toDouble / w }.min
+    // round-to-9 BEFORE floor/frac, the mixBySource contract: the
+    // limiting source's T·w/n is algebraically maxEpochs but can
+    // evaluate a hair under it in doubles
+    val eps = present.map { case (s, w) => s -> math.min(
+      maxEpochs.toDouble, math.round(total * w / counts(s) * 1e9) / 1e9) }
+    val nFull = eps.map { case (s, e) => s -> math.floor(e).toLong }
+    val thr = eps.map { case (s, e) =>
+      s -> math.floor((e - math.floor(e)) * 10000).toLong }
+    def lut(m: Map[String, Long]): Column = m.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (s, v)) =>
+        when(col(srcCol) === s, lit(v)).otherwise(acc) }
+    // "epoch" salt: the partial-copy coin is independent of the
+    // mix/split/sample coins
+    val coin = hashBucket(
+      concat_ws("#", lit("epoch"), col(srcCol), col(idCol)), 10000)
+    df.withColumn("__nf", lut(nFull)).withColumn("__ft", lut(thr))
+      .filter(col("__nf").isNotNull)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__nf"))))
+      .filter(col("epoch") < col("__nf") || coin < col("__ft"))
+      .drop("__nf", "__ft")
+  }
+
   /** Sequence packing for training-batch construction: documents are
     * concatenated in a deterministic order and cut into fixed-token-
     * budget bins — the concat-then-chunk step every LLM pre-training

@@ -575,6 +575,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(residual == 0L)
   }
 
+  test("mixWithEpochs: limiting source repeats exactly maxEpochs, " +
+    "fractional sources split full+coin, repartition-stable") {
+    val docs = Tables.load(spark, sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixWithEpochs(df, "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), maxEpochs = 2)
+    val got = run(docs).select(col("doc_id"), col("source"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 25 docs/source at sf0.001: T = min(25·2/.5, 25·2/.3, 25·2/.2)
+    // = 100 -> epochs (2.0, 1.2, 0.8)
+    val bySrc = got.groupBy(_._2)
+    // src0 is limiting: every doc exactly epochs {0, 1}
+    val s0 = bySrc("src0").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(s0.values.forall(_ == Seq(0L, 1L)) && s0.size == 25)
+    // src1: every doc has epoch 0; SOME (not all, not none at 0.2
+    // coin probability over 25 docs — vanishing chance of either
+    // extreme, and deterministic for this fixture) carry epoch 1
+    val s1 = bySrc("src1").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(s1.size == 25 && s1.values.forall(v => v.head == 0L))
+    val s1Partial = s1.values.count(_ == Seq(0L, 1L))
+    assert(s1Partial > 0 && s1Partial < 25)
+    // src2 (0.8 epochs): no doc repeats, roughly 80% kept once
+    val s2 = bySrc("src2").groupBy(_._1).view.mapValues(_.map(_._3).toSeq)
+    assert(s2.values.forall(_ == Seq(0L)))
+    assert(s2.size > 12 && s2.size < 25)
+    // deterministic under input repartitioning
+    val again = run(docs.repartition(7))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("dsirWeights: hand-computed log-likelihood ratios on a 2-token " +
     "model") {
     import spark.implicits._
