@@ -452,6 +452,38 @@ object SparkEntry {
       .orderBy(col("dist"), col("p_partkey"))
   }
 
+  /** Q127 — range search over the ADAPTIVE grid (GridIndex.
+    * fitAdaptive/rangeSearchAdaptive): base cells above the row cap
+    * re-split one level finer at build — the distributed analog of the
+    * reference's K-instantiable node split (pktree.hpp:587-635), the
+    * VERDICT r7 "adaptive cell refinement" gap. Same query and ORACLE
+    * as q3/q25: refinement must change cost only, never results. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fitAdaptive(p, "vec", dim = 2,
+      cellsPerDim = 8, rowCap = 20, refine = 4)
+    val indexed = operators.GridIndex.withCellIdAdaptive(p, "vec", spec)
+    operators.GridIndex.rangeSearchAdaptive(indexed, "vec", spec,
+        Seq(910.0, 25.0), 20.0)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q128 — ring-expansion exact kNN over the ADAPTIVE grid: q26's
+    * query and oracle through the mixed-level layout; the bound
+    * argument is untouched (completion still means "k-th distance
+    * inside the explored, fully-enumerated ball"). */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fitAdaptive(p, "vec", dim = 2,
+      cellsPerDim = 8, rowCap = 20, refine = 4)
+    val indexed = operators.GridIndex.withCellIdAdaptive(p, "vec", spec)
+    operators.GridIndex.knnAdaptive(indexed, "vec", "p_partkey", spec,
+        Seq(910.0, 25.0), k = 10)
+      .select(col("p_partkey"), col("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+  }
+
   /** Q44 — statistical aggregates (stddev/corr/covar): distribution
     * profiling of a corpus slice. Merge-formula aggregates are
     * partition-order stable at these roundings (verified across
@@ -2150,6 +2182,8 @@ object SparkEntry {
     "q124_dsir" -> (q124 _),
     "q125_triangles" -> (q125 _),
     "q126_epoch_mix" -> (q126 _),
+    "q127_adaptive_range" -> (q127 _),
+    "q128_adaptive_knn" -> (q128 _),
   )
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
@@ -3970,5 +4004,19 @@ object SparkEntry {
         |      || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    % 10000 < thr)
         |ORDER BY doc_id, epoch""".stripMargin,
+    // q3/q25's oracle text verbatim: adaptive refinement must change
+    // cost only, never results
+    "q127_adaptive_range" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part
+        |WHERE (CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |    + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0) <= 20.0 * 20.0
+        |ORDER BY p_partkey""".stripMargin,
+    // q26's oracle text verbatim
+    "q128_adaptive_knn" ->
+      """SELECT p_partkey,
+        |  ROUND((CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |      + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0), 6) AS dist
+        |FROM part
+        |ORDER BY dist, p_partkey LIMIT 10""".stripMargin,
   )
 }

@@ -210,4 +210,87 @@ class GridIndexSpec extends AnyFunSuite {
     assert(got == naive)
     assert(got.count(_._1 == 0L) == 4, "far query must still fill k")
   }
+
+  /** 80% of points clustered in a tiny disk, 20% uniform — the skewed
+    * density regime the fixed grid is weak in (VERDICT r7 missing #1). */
+  private def skewedDf(n: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v = if (i % 5 != 0)
+        Seq(10 + rnd.nextDouble() * 4, -20 + rnd.nextDouble() * 4)
+      else Seq(rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 200 - 100)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+  }
+
+  test("adaptive grid: hot cells refine; range == naive on skewed data " +
+    "(random balls incl. boundary-straddling and out-of-grid)") {
+    val df = skewedDf(600, 11)
+    val spec = GridIndex.fitAdaptive(df, "vec", 2, cellsPerDim = 6,
+      rowCap = 30, refine = 4)
+    assert(spec.hot.nonEmpty, "skewed fixture must trigger refinement")
+    val indexed = GridIndex.withCellIdAdaptive(df, "vec", spec)
+    val rnd = new scala.util.Random(42)
+    val balls = Seq((Seq(12.0, -18.0), 3.0), (Seq(12.0, -18.0), 60.0),
+      (Seq(150.0, 150.0), 80.0)) ++
+      (1 to 4).map(_ => (Seq(rnd.nextDouble() * 240 - 120,
+        rnd.nextDouble() * 240 - 120), rnd.nextDouble() * 70))
+    balls.foreach { case (q, r) =>
+      val naive = Search.rangeSearch(df, "vec", array(q.map(lit): _*), r)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val pruned = GridIndex.rangeSearchAdaptive(indexed, "vec", spec, q, r)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(pruned == naive, s"q=$q r=$r")
+    }
+  }
+
+  test("adaptive grid: kNN == naive on skewed data; hot-region ball " +
+    "scans fewer rows than the fixed grid") {
+    val df = skewedDf(600, 13)
+    val fixedSpec = GridIndex.fit(df, "vec", 2, cellsPerDim = 6)
+    val fixedIdx = GridIndex.withCellId(df, "vec", fixedSpec)
+    val spec = GridIndex.fitAdaptive(df, "vec", 2, cellsPerDim = 6,
+      rowCap = 30, refine = 4)
+    val indexed = GridIndex.withCellIdAdaptive(df, "vec", spec)
+    for (q <- Seq(Seq(12.0, -18.0), Seq(-90.0, 90.0)); k <- Seq(3, 10)) {
+      val naive = Search.knn(df, "vec", "id", array(q.map(lit): _*), k)
+        .select("id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val adaptive = GridIndex.knnAdaptive(indexed, "vec", "id", spec, q, k)
+        .select("id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(adaptive == naive, s"q=$q k=$k")
+    }
+    // the cost claim: a small ball inside the hot region touches fewer
+    // index rows through the refined cells than through the fixed grid
+    val q = Seq(12.0, -18.0); val r = 1.0
+    def scanned(idx: org.apache.spark.sql.DataFrame,
+                cells: Seq[Long]): Long =
+      idx.filter(col("cell_id").isin(cells: _*)).count()
+    val fixedRows = scanned(fixedIdx,
+      GridIndex.cellsForBall(fixedSpec, q, r))
+    val adaptiveRows = scanned(indexed,
+      GridIndex.cellsForBallAdaptive(spec, q, r))
+    assert(adaptiveRows < fixedRows,
+      s"adaptive $adaptiveRows !< fixed $fixedRows")
+  }
+
+  test("adaptive grid with no over-cap cell degenerates to the base " +
+    "grid (cold ids everywhere, same pruning)") {
+    val df = randomDf(300, 2, 17)
+    val spec = GridIndex.fitAdaptive(df, "vec", 2, cellsPerDim = 6,
+      rowCap = 1000, refine = 4)
+    assert(spec.hot.isEmpty)
+    val indexed = GridIndex.withCellIdAdaptive(df, "vec", spec)
+    // ids coincide with the fixed grid's
+    val base = GridIndex.withCellId(df, "vec", spec.base)
+      .select("id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    indexed.select("id", "cell_id").collect()
+      .foreach(r => assert(r.getLong(1) == base(r.getLong(0))))
+    val q = Seq(0.0, 0.0)
+    assert(GridIndex.cellsForBallAdaptive(spec, q, 30.0).sorted ==
+      GridIndex.cellsForBall(spec.base, q, 30.0).sorted)
+  }
 }
