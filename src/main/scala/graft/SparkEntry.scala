@@ -1684,6 +1684,26 @@ object SparkEntry {
       .orderBy(col("exact").desc, col("token"))
   }
 
+  /** Q129 — the unigram LM AT REST (TextAnalysis.saveLm/appendLm/
+    * loadLm): the even half's counts saved, the odd half's appended as
+    * partial files (count mergeability IS the ingest path — the q113
+    * contract applied to the LM artifact), and the load-folded model
+    * scores the WHOLE corpus through unigramSurprisalWith. SHARES
+    * q97's oracle text: the incremental model must score identically
+    * to the one-shot fit. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lm_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.saveLm(operators.TextAnalysis.lmCounts(
+      docs.filter(col("doc_id") % 2 === 0), "text"), path)
+    operators.TextAnalysis.appendLm(operators.TextAnalysis.lmCounts(
+      docs.filter(col("doc_id") % 2 =!= 0), "text"), path)
+    operators.TextAnalysis.unigramSurprisalWith(docs, "doc_id", "text",
+        operators.TextAnalysis.loadLm(s, path))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q114 — exactly-n weighted sampling without replacement (Sampling.
     * weightedReservoir, Efraimidis–Spirakis A-Res): 100 documents drawn
     * with probability ∝ quality proxy + 0.1, priorities u^(1/w) from
@@ -2184,7 +2204,23 @@ object SparkEntry {
     "q126_epoch_mix" -> (q126 _),
     "q127_adaptive_range" -> (q127 _),
     "q128_adaptive_knn" -> (q128 _),
+    "q129_lm_at_rest" -> (q129 _),
   )
+
+  /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
+    * saved, appended, load-folded, then scored): one oracle text keeps
+    * the at-rest equivalence honest. */
+  private val duckUnigramOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |         unnest(string_split(lower(text), ' ')) AS tok
+      |       FROM documents),
+      |v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |t AS (SELECT sum(c) AS tot FROM v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  ROUND(avg(-ln(CAST(c AS DOUBLE) / CAST((SELECT tot FROM t)
+      |    AS DOUBLE))), 6) AS mean_surprisal
+      |FROM toks JOIN v USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared by q107 (one-shot sketch) and q113 (saved + appended +
     * load-folded sketch): both must produce the identical counter array
@@ -3190,17 +3226,11 @@ object SparkEntry {
          |  ROUND(percent_rank() OVER (
          |    PARTITION BY source ORDER BY stop_ratio), 6) AS quality_pct
          |FROM q ORDER BY doc_id""".stripMargin,
-    "q97_unigram_surprisal" ->
-      """WITH toks AS (SELECT doc_id,
-        |         unnest(string_split(lower(text), ' ')) AS tok
-        |       FROM documents),
-        |v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-        |t AS (SELECT sum(c) AS tot FROM v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  ROUND(avg(-ln(CAST(c AS DOUBLE) / CAST((SELECT tot FROM t)
-        |    AS DOUBLE))), 6) AS mean_surprisal
-        |FROM toks JOIN v USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q97_unigram_surprisal" -> duckUnigramOracle,
+    // the saved + appended + load-folded model must score identically
+    // to the one-shot fit — q97's oracle text verbatim (the q113
+    // contract applied to the LM artifact)
+    "q129_lm_at_rest" -> duckUnigramOracle,
     "q66_hybrid_rrf" ->
       s"""WITH ${duckBm25()},
          |vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (

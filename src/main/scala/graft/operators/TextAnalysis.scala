@@ -98,10 +98,52 @@ object TextAnalysis {
     *                (addend order differs between engines — the q35/q65
     *                contract) */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
-                       roundTo: Int = 6): DataFrame = {
+                       roundTo: Int = 6): DataFrame =
+    unigramSurprisalWith(docs, idCol, textCol,
+      lmCounts(docs, textCol), roundTo)
+
+  /** The unigram count model as a RELATION (token, cnt) — what
+    * [[unigramSurprisal]] fits from its own corpus, exposed so a model
+    * can be fitted once, persisted ([[saveLm]]), grown incrementally
+    * ([[appendLm]]) and served against any corpus
+    * ([[unigramSurprisalWith]]). One map-side-combined count shuffle,
+    * vocabulary-sized output. */
+  def lmCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** The count model AT REST — the KenLM-artifact cadence on the same
+    * contract as the CMS at rest (Sketches.saveCounters): `appendLm`
+    * writes a new batch's PARTIAL counts as new files with no
+    * read-modify-write (count mergeability is the ingest path), and
+    * `loadLm` folds all partials to one row per token. Each crawl
+    * batch/day/shard appends its own vocab-sized relation; a reader
+    * pays one reduce over |batches| × vocab rows. */
+  def saveLm(counts: DataFrame, path: String): Unit =
+    counts.write.mode("overwrite").parquet(path)
+
+  def appendLm(counts: DataFrame, path: String): Unit =
+    counts.write.mode("append").parquet(path)
+
+  def loadLm(spark: org.apache.spark.sql.SparkSession,
+             path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Score documents against an EXTERNAL unigram model relation
+    * (token, cnt) — [[unigramSurprisal]]'s scoring shape with the model
+    * decoupled from the corpus: fit on a reference corpus (or load a
+    * saved/appended model), score any stream. Tokens absent from the
+    * model are DROPPED by the inner join (n_tokens counts in-model
+    * tokens only); callers wanting smoothing union a floor count into
+    * the model first. */
+  def unigramSurprisalWith(docs: DataFrame, idCol: String,
+                           textCol: String, model: DataFrame,
+                           roundTo: Int = 6): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("__tok"))
-    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val vocab = model.select(col("token").as("__tok"),
+      col("cnt").as("__c"))
     val total = vocab.agg(sum(col("__c")).as("__tot"))
     toks.join(vocab, "__tok")
       .crossJoin(broadcast(total))

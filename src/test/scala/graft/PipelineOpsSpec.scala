@@ -575,6 +575,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(residual == 0L)
   }
 
+  test("LM at rest: save + append + load-fold equals the one-shot fit; " +
+    "external-model scoring drops OOV tokens") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lm_spec").toString + "/lm"
+    TextAnalysis.saveLm(TextAnalysis.lmCounts(
+      docs.filter(col("doc_id") % 2 === 0), "text"), path)
+    TextAnalysis.appendLm(TextAnalysis.lmCounts(
+      docs.filter(col("doc_id") % 2 =!= 0), "text"), path)
+    val folded = TextAnalysis.loadLm(spark, path)
+    val oneShot = TextAnalysis.lmCounts(docs, "text")
+    assert(folded.except(oneShot).isEmpty && oneShot.except(folded).isEmpty)
+    // scoring through the loaded model == the self-fit operator
+    val a = TextAnalysis.unigramSurprisalWith(docs, "doc_id", "text",
+      folded).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).sortBy(_._1).toSeq
+    val b = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+    // OOV contract: tokens absent from the model are dropped from both
+    // the count and the mean
+    val model = Seq(("aa", 3L), ("bb", 1L)).toDF("token", "cnt")
+    val got = TextAnalysis.unigramSurprisalWith(
+      Seq((1L, "aa zz bb")).toDF("doc_id", "text"), "doc_id", "text",
+      model).collect()(0)
+    assert(got.getLong(1) == 2L)
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got.getDouble(2) ==
+      rnd((-math.log(3.0 / 4) - math.log(1.0 / 4)) / 2))
+  }
+
   test("mixWithEpochs: limiting source repeats exactly maxEpochs, " +
     "fractional sources split full+coin, repartition-stable") {
     val docs = Tables.load(spark, sf, "documents")
