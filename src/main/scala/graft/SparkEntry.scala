@@ -2071,6 +2071,36 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
 
+  /** Q130 — k-core peeling (Graph.kCore): the 3-core of the
+    * part-co-purchase graph after 5 fixed peeling rounds — each round
+    * deletes nodes with current degree < 3, integer state only (the
+    * q92/q108 fixed-round contract with no rounding needed at all).
+    * The oracle unrolls the five rounds as CTEs. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+    operators.Graph.kCore(pairs, "a", "b", k = 3, rounds = 5)
+      .orderBy(col("node"))
+  }
+
+  /** Q131 — event-rate anomaly report (Funnel.rateAnomalies): hourly
+    * per-type event counts on the DENSE bucket series z-scored against
+    * the trailing 24 hours, |z| ≥ 2 flagged — the rate-monitoring
+    * face of the event surface. Mean/variance go through the explicit
+    * integer-sums formula, so both engines execute the identical IEEE
+    * op sequence (no stddev merge-formula variance). */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.rateAnomalies(Tables.events(s, dir), "ts",
+        "event_type")
+      .filter(col("anomaly") && col("z").isNotNull)
+      .select(col("event_type"), col("bucket"), col("c"), col("z"))
+      .orderBy(col("event_type"), col("bucket"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2205,6 +2235,8 @@ object SparkEntry {
     "q127_adaptive_range" -> (q127 _),
     "q128_adaptive_knn" -> (q128 _),
     "q129_lm_at_rest" -> (q129 _),
+    "q130_kcore" -> (q130 _),
+    "q131_rate_anomaly" -> (q131 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4048,5 +4080,53 @@ object SparkEntry {
         |      + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0), 6) AS dist
         |FROM part
         |ORDER BY dist, p_partkey LIMIT 10""".stripMargin,
+    // 5 peeling rounds unrolled; integer state, so no rounding contract
+    // is needed anywhere
+    "q130_kcore" -> {
+      def round(prev: String, i: Int): String =
+        s"""k$i AS (SELECT u FROM (SELECT u, count(*) AS d FROM $prev
+           |        GROUP BY u) WHERE d >= 3),
+           |e$i AS (SELECT $prev.u, $prev.v FROM $prev
+           |        JOIN k$i x ON $prev.u = x.u
+           |        JOIN k$i y ON $prev.v = y.u)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem),
+         |p AS (SELECT x.pk AS a, y.pk AS b FROM li x
+         |      JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS (SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v
+         |       FROM p
+         |       UNION ALL
+         |       SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM p),
+         |${(1 to 5).map(i => round(s"e${i - 1}", i)).mkString(",\n")}
+         |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e5
+         |GROUP BY u ORDER BY node""".stripMargin
+    },
+    "q131_rate_anomaly" ->
+      """WITH c0 AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c0),
+        |series AS (SELECT t.event_type, gs.bucket, COALESCE(c0.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type FROM c0) t
+        |  CROSS JOIN (SELECT unnest(range((SELECT lo FROM b),
+        |    (SELECT hi FROM b) + 1)) AS bucket) gs
+        |  LEFT JOIN c0 USING (event_type, bucket)),
+        |sc AS (SELECT event_type, bucket, c,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(c) OVER w AS DOUBLE) AS s,
+        |    CAST(sum(c * c) OVER w AS DOUBLE) AS ss
+        |  FROM series
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, c,
+        |  ROUND((CAST(c AS DOUBLE) - s / 24.0)
+        |    / sqrt(greatest((ss - s * s / 24.0) / 23.0, 0.0)), 6) AS z
+        |FROM sc
+        |WHERE n = 24 AND greatest((ss - s * s / 24.0) / 23.0, 0.0) > 0
+        |  AND abs((CAST(c AS DOUBLE) - s / 24.0)
+        |    / sqrt(greatest((ss - s * s / 24.0) / 23.0, 0.0))) >= 2.0
+        |ORDER BY event_type, bucket""".stripMargin,
   )
 }

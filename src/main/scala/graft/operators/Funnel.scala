@@ -95,6 +95,68 @@ object Funnel {
     anchors
   }
 
+  /** Event-rate anomaly detection — the monitoring primitive over an
+    * event stream: per event type, bucket the stream into fixed windows
+    * (DENSELY — zero-event buckets count, which is exactly when an
+    * outage alarm must fire), z-score each bucket's count against its
+    * trailing `trailing` buckets, and flag |z| ≥ threshold.
+    *
+    * Determinism: counts are integers, and mean/variance use the
+    * EXPLICIT sums formula — s/T and (ss − s²/T)/(T−1) from the
+    * trailing sum and sum-of-squares — instead of avg/stddev
+    * aggregates, so every arithmetic step is the same IEEE op sequence
+    * in any engine (no merge-formula implementation variance); sqrt is
+    * correctly rounded by IEEE. z is rounded after the divide.
+    *
+    * Scale: one (type, bucket) count shuffle collapses the stream;
+    * everything after runs on the DENSE SERIES relation — types ×
+    * time-range/bucket rows (a few years of hourly buckets is ~10⁴ per
+    * type), metadata-sized however big the corpus. The per-type window
+    * sorts that series, never events.
+    *
+    * @return (typeCol, bucket, c, z, anomaly) for every bucket with a
+    *         full trailing history; z is null when the trailing window
+    *         has zero variance (anomaly then = "count moved at all") */
+  def rateAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                    bucketSeconds: Long = 3600L, trailing: Int = 24,
+                    zThreshold: Double = 2.0,
+                    roundTo: Int = 6): DataFrame = {
+    require(bucketSeconds > 0 && trailing >= 2, "need bucket > 0, trailing >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val bk = floor(unix_timestamp(col(tsCol).cast("timestamp")) /
+      bucketSeconds).cast("long")
+    val counts = events.select(col(typeCol), bk.as("bucket"))
+      .groupBy(col(typeCol), col("bucket")).agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min(col("bucket")).as("__lo"),
+      max(col("bucket")).as("__hi"))
+    val series = counts.select(col(typeCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(typeCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+      .join(counts, Seq(typeCol, "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    val tT = lit(trailing.toDouble)
+    val scored = series
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("c")).over(w).cast("double"))
+      .withColumn("__ss", sum(col("c") * col("c")).over(w).cast("double"))
+      .filter(col("__n") === trailing)
+    val mean = col("__s") / tT
+    val varr = greatest(
+      (col("__ss") - col("__s") * col("__s") / tT) / (tT - 1), lit(0.0))
+    val cD = col("c").cast("double")
+    scored
+      .withColumn("z",
+        when(varr > 0, round((cD - mean) / sqrt(varr), roundTo)))
+      .withColumn("anomaly",
+        when(varr > 0, abs((cD - mean) / sqrt(varr)) >= zThreshold)
+          .otherwise(cD =!= mean))
+      .select(col(typeCol), col("bucket"), col("c"), col("z"),
+        col("anomaly"))
+  }
+
   /** Next-event transition matrix — the Markov view of an event stream:
     * for every (prev → next) pair of CONSECUTIVE events within a user's
     * timeline, how often it occurs and its conditional probability

@@ -107,6 +107,52 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** k-core peeling at a FIXED round count — the graph-pruning
+    * primitive (spam rings, dense-community seeds, robustness): each
+    * round deletes every node whose CURRENT degree is below k, which
+    * lowers neighbors' degrees, so peeling repeats. After `rounds`
+    * rounds the survivors approximate the k-core from above; once a
+    * round deletes nothing the state is the exact k-core and further
+    * rounds are no-ops — the fixed-round contract that lets an
+    * unrolled-CTE oracle reproduce the result exactly (the q92/q108
+    * iterative contract, here on integer state: no rounding needed at
+    * all).
+    *
+    * Scale: per round one node-sized degree aggregate and two
+    * semi-joins of the (shrinking) edge relation against the
+    * (node-sized) survivor set. State never exceeds one long per node;
+    * every `checkpointEvery` rounds the edge relation's lineage is cut
+    * exactly as [[pageRank]] does for deep iteration counts.
+    *
+    * @return (node, deg) for surviving nodes — their degree within the
+    *         surviving subgraph */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val s = col(srcCol).cast("string")
+    val d = col(dstCol).cast("string")
+    // both directions at rest: degree = out-degree of the doubled form
+    val undirected = edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = undirected.select(col("a").as("u"), col("b").as("v"))
+      .union(undirected.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.register(e)
+    for (i <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("u"))
+      var next = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+      if (i % checkpointEvery == 0 && i < rounds)
+        next = next.localCheckpoint(eager = false)
+      e = CacheScope.register(next.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                roundTo: Int = 9, checkpointEvery: Int = 5,

@@ -166,6 +166,53 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(triRow(clean)._4 == 1L)
   }
 
+  // ------------------------------------------------------------------ kCore
+
+  test("kCore: K4 + pendant keeps exactly the K4 at k=3; chain peels " +
+    "to nothing through the multi-round cascade") {
+    import spark.implicits._
+    val k4pend = ((for { a <- 1 to 4; b <- 1 to 4 if a < b }
+      yield (a, b)) :+ ((4, 5))).toDF("s", "d")
+    val core3 = Graph.kCore(k4pend, "s", "d", k = 3, rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3 == Map("1" -> 3L, "2" -> 3L, "3" -> 3L, "4" -> 3L))
+    // chain 1-2-3-4: k=2 peels the ends, then the middle — empty only
+    // if the cascade actually iterates
+    val chain = Seq((1, 2), (2, 3), (3, 4)).toDF("s", "d")
+    assert(Graph.kCore(chain, "s", "d", k = 2, rounds = 5).count() == 0)
+    // and a triangle IS its own 2-core
+    val tri = Seq((1, 2), (2, 3), (1, 3)).toDF("s", "d")
+    assert(Graph.kCore(tri, "s", "d", k = 2, rounds = 5).count() == 3)
+  }
+
+  // --------------------------------------------------------- rateAnomalies
+
+  test("rateAnomalies: dense fill alarms on a zero-event bucket; " +
+    "zero-variance and in-range buckets stay quiet") {
+    import spark.implicits._
+    def ev(hour: Int, n: Int) = (0 until n).map(i =>
+      (new java.sql.Timestamp(hour * 3600000L + i * 1000L), "A"))
+    // hours 0,1,2 have 3 events; hour 3 has NONE (the outage); hour 4
+    // has 3 again
+    val events = (ev(0, 3) ++ ev(1, 3) ++ ev(2, 3) ++ ev(4, 3))
+      .toDF("ts", "event_type")
+    val got = Funnel.rateAnomalies(events, "ts", "event_type",
+        trailing = 2)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))
+    // buckets 2..4 have full 2-bucket history
+    assert(got.length == 3)
+    // h2: trailing (3,3) var 0, c=3 == mean -> quiet, z null
+    assert(got(0) == ((2L, 3L, None, false)))
+    // h3: the EMPTY bucket exists via dense fill; var 0, c=0 != 3 ->
+    // anomaly with null z
+    assert(got(1) == ((3L, 0L, None, true)))
+    // h4: trailing (3,0): mean 1.5, var 4.5, z = 1.5/sqrt(4.5) < 2
+    assert(got(2) == ((4L, 3L, Some(0.707107), false)))
+  }
+
   // ---------------------------------------------------------------- Funnel
 
   test("funnel: strict earliest-qualifying semantics, hand-traced") {
