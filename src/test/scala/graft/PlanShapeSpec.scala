@@ -199,6 +199,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q123: topPaths bounds per-user rows below the exchange " +
+    "(WindowGroupLimit)") {
+    val p = physical("q123_paths")
+    val exch = p.indexOf("Exchange hashpartitioning(user_id")
+    assert(p.indexOf("WindowGroupLimit") >= 0 && exch >= 0,
+      s"expected WindowGroupLimit + user_id exchange:\n$p")
+    assert(p.lastIndexOf("WindowGroupLimit") > exch,
+      s"expected a partial WindowGroupLimit below the exchange — mappers " +
+        s"must forward at most pathLen rows per user:\n$p")
+  }
+
+  test("q124: DSIR per-bucket model table broadcasts; the corpus " +
+    "never plans a product") {
+    val p = physical("q124_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nBuckets-sized log-ratio table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unblocked product in the scoring path:\n$p")
+  }
+
+  test("q127: adaptive cell-membership conjunct guards the distance " +
+    "predicate (mixed-level INSET)") {
+    val p = physical("q127_adaptive_range")
+    assert(p.contains("INSET") || p.contains("IN ("),
+      s"adaptive cell-membership conjunct missing:\n$p")
+    assert(p.contains("graft_sqdist"), p)
+  }
+
   test("q25: the cell-membership conjunct guards the distance predicate") {
     // q25 computes cell_id inline (index fit + assign in one query), so
     // pruning here is predicate-level (the IN/INSET short-circuits the
