@@ -2101,6 +2101,34 @@ object SparkEntry {
       .select(col("event_type"), col("bucket"), col("c"), col("z"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Q132 — leakage-free cluster-aware split (Sampling.groupAwareSplit):
+    * q19's near-dup pairs → connected components → the whole duplicate
+    * cluster takes the md5-bucket split of its representative, so near
+    * duplicates can never straddle train/test. Singletons split by
+    * their own id — identical to q36's per-doc coin. The oracle reuses
+    * q47's recursive-CTE components and q36's bucket formula. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+    operators.Sampling.groupAwareSplit(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q133 — exact Jaccard pairs via prefix filtering
+    * (Dedup.prefixJaccardPairs): the AllPairs/PPJoin candidate scheme —
+    * rarest-shingle prefixes + length filter, then exact verification.
+    * Provably the same result set as q19 (losslessness argument on the
+    * operator scaladoc), so it shares q19's oracle verbatim; the point
+    * is the plan — candidates bounded by rare-token collisions instead
+    * of every shared shingle, the exact-dedup scale path when the
+    * df-cap approximation is off the table. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy(col("a"), col("b"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2237,6 +2265,8 @@ object SparkEntry {
     "q129_lm_at_rest" -> (q129 _),
     "q130_kcore" -> (q130 _),
     "q131_rate_anomaly" -> (q131 _),
+    "q132_group_split" -> (q132 _),
+    "q133_prefix_jaccard" -> (q133 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4128,5 +4158,56 @@ object SparkEntry {
         |  AND abs((CAST(c AS DOUBLE) - s / 24.0)
         |    / sqrt(greatest((ss - s * s / 24.0) / 23.0, 0.0))) >= 2.0
         |ORDER BY event_type, bucket""".stripMargin,
+    // q47's recursive-CTE components + q36's md5 bucket, keyed on the rep
+    "q132_group_split" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |          WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |         FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, rep,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, rep,
+        |        CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |          % 100 AS b
+        |      FROM lab)
+        |ORDER BY doc_id""".stripMargin,
+    // q19's oracle text verbatim: prefix filtering is lossless, so the
+    // exact-Jaccard contract is identical
+    "q133_prefix_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, ROUND(c / (za.n + zb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -188,6 +188,88 @@ object Dedup {
       .select(col("a"), col("b"), col("containment"))
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    * PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06):
+    * the same result set as [[ngramJaccardPairs]] with `maxShingleDf`
+    * disabled, but candidates come from a rarest-shingle prefix join
+    * instead of every shared shingle. This is the EXACT scale path when
+    * the df-cap approximation is unacceptable: no shingle is dropped
+    * from the measure, yet boilerplate n-grams shared by millions of
+    * documents never generate candidates because they sort to the END of
+    * the frequency order and fall outside every prefix.
+    *
+    * Order shingles by global rarity (df asc, hash asc — any consistent
+    * total order preserves exactness; rarity order minimizes candidates).
+    * A document with s shingles keeps a prefix of its
+    * `s - ceil(t*s) + 1` rarest. Losslessness: let w be the globally
+    * smallest element of A∩B under the order. If w were outside A's
+    * prefix, A∩B would fit inside A's suffix of `ceil(t*|A|) - 1 < t*|A|`
+    * elements — but J >= t forces `|A∩B| >= t*|A|`. Contradiction; so w
+    * lies in BOTH prefixes and the prefix-prefix equi-join finds every
+    * qualifying pair. A length filter (`min >= t*max`, implied by
+    * J >= t) prunes candidates before verification.
+    *
+    * Plan: the df table is a shingle-keyed aggregate riding the same
+    * hash partitioning as the distinct; prefixes come from one
+    * groupBy(doc) (per-doc sort is document-sized, never a global sort —
+    * the global ORDER is (df, hash) compared lexicographically, so no
+    * dense-rank shuffle exists); candidates from one prefix-prefix
+    * equi-join; verification joins only candidate docs' full shingle
+    * sets. Same caveat as the hashed Jaccard path: a 64-bit hash
+    * collision could merge two shingles (negligible, deterministic). */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    val all = CacheScope.register(
+      shingles(docs, idCol, textCol, n, repartitionById = false)
+        .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+        .repartition(col("shingle"))
+        .distinct()
+        .persist())
+    // Global rarity per shingle — exchange-free on `all`'s partitioning.
+    val dfTab = all.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // Per-doc shingles in global (df, hash) order; prefix slice. The
+    // collect_list is document-sized (shingle count of one doc) — the
+    // same per-row bound every chunking operator here relies on.
+    val ordered = all.join(dfTab, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("shingle"))))
+        .as("__sorted"))
+      .select(col(idCol),
+        size(col("__sorted")).as("__n"),
+        col("__sorted"))
+    val prefixLen = (size(col("__sorted"))
+      - ceil(lit(minJaccard) * size(col("__sorted"))).cast("int") + 1)
+    val prefix = CacheScope.register(ordered
+      .select(col(idCol), col("__n"),
+        explode(slice(col("__sorted"), lit(1), prefixLen)).as("__p"))
+      .select(col(idCol), col("__n"), col("__p.shingle").as("shingle"))
+      .persist())
+    // Candidate pairs: shared prefix shingle + length filter. DISTINCT
+    // before verification — a pair can collide on several prefix
+    // shingles and must be verified once.
+    val cands = prefix.select(col(idCol).as("a"), col("__n").as("na"),
+        col("shingle"))
+      .join(prefix.select(col(idCol).as("b"), col("__n").as("nb"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .filter(least(col("na"), col("nb"))
+        >= lit(minJaccard) * greatest(col("na"), col("nb")))
+      .select(col("a"), col("b"), col("na"), col("nb"))
+      .distinct()
+    // Verify: exact intersection count over the candidates' full sets.
+    val c = cands
+      .join(all.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(all.select(col(idCol).as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    c.withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** MinHash signature columns mh0..mh{k-1}: per document, the minimum over
     * word n-gram shingles of a keyed md5 prefix. Hash family =
     * md5(shingle + "#" + i) — deterministic, engine-portable (md5 is

@@ -33,6 +33,45 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-free train/val/test split: assign the split at the
+    * NEAR-DUPLICATE-CLUSTER level, not the document level, so two near
+    * duplicates can never straddle the train/test boundary. A per-doc
+    * hash split (trainValTest) is contamination-proof against pipeline
+    * re-runs, but if doc A sits in train and its 97%-identical twin B in
+    * test, the eval set is still leaked — the standard failure mode of
+    * dedup-then-split pipelines that dedup at a threshold looser than
+    * their notion of "same document".
+    *
+    * `pairs` is any near-dup pair relation (ngramJaccardPairs, MinHash
+    * candidates, embedding near-dup — whatever defines "too similar to
+    * separate"). Pairs → connected components (Dedup.connectedComponents,
+    * the O(log diameter) pointer-jumping loop); every document's bucket
+    * coin is the md5 hash of its component representative (min id), with
+    * singletons their own representative — so an entire duplicate
+    * cluster lands in one split, and documents untouched by any pair
+    * split exactly as trainValTest would split their rep (= their id).
+    *
+    * Scale: the components loop is the dominant cost and is the same
+    * machinery q47 runs at corpus scale (checkpointed rounds, one
+    * join+groupBy per round). The rep attachment is a single left join
+    * keyed on the id — components output is one row per PAIRED doc, far
+    * smaller than the corpus, and AQE broadcasts it when it fits.
+    * Deterministic end-to-end: same pairs → same reps → same coins. */
+  def groupAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                      trainPct: Int = 80, valPct: Int = 10,
+                      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(trainPct + valPct < 100, "need a non-empty test slice")
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("rep"))
+    val withRep = df.join(comp, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+    val b = hashBucket(col("rep"), 100)
+    withRep.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Weighted Bernoulli sample: keep each row with probability equal to
     * `weight` (an expression in [0, 1] — e.g. a quality score, or
     * count/cap for frequency-aware downsampling). The coin is the row's

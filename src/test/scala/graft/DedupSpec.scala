@@ -97,6 +97,46 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("prefixJaccardPairs equals the shared-shingle exact join at " +
+      "several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val viaPrefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaShared = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = t, maxShingleDf = Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaShared.nonEmpty, s"fixture has pairs at t=$t")
+      assert(viaPrefix == viaShared, s"t=$t: prefix filtering lost or " +
+        s"invented pairs: ${viaPrefix.diff(viaShared)} / ${viaShared.diff(viaPrefix)}")
+    }
+  }
+
+  test("prefix filtering: a universal boilerplate shingle generates no " +
+      "candidate explosion yet stays in the exact measure") {
+    import spark.implicits._
+    // Same 40-doc boilerplate corpus as the df-cap test — but here the
+    // hot shingles are KEPT in the measure (exact semantics): the
+    // boilerplate-only pairs have genuine small Jaccard > 0, and the
+    // rarity-ordered prefix must still find every pair above threshold.
+    val docs40 = (0 until 40).map { i =>
+      val tail = if (i <= 1) "identical trailing content here"
+                 else s"unique tail $i alpha beta gamma"
+      (i.toLong, s"all rights reserved to $tail")
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs40, "doc_id", "text",
+      n = 3, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // docs 0/1 are fully identical → J = 1.0; boilerplate-only pairs
+    // (i, j >= 2) share 5 of their 8 shingles each → J = 5/11 ≈ 0.45 < 0.5
+    assert(got == Seq((0L, 1L, 1.0)))
+    val loose = Dedup.prefixJaccardPairs(docs40, "doc_id", "text",
+      n = 3, minJaccard = 0.2).count()
+    // at t=0.2 every boilerplate-only pair qualifies (C(38,2) = 703) plus
+    // (0,1); the cross pairs (0|1, j>=2) share only 2 of 12 → 1/6 < 0.2
+    assert(loose == 704L)
+  }
+
   test("minhash bucket cap: degenerate identical corpus yields no m² blowup") {
     import spark.implicits._
     // 30 identical docs: every band bucket has all 30 docs. With the cap

@@ -75,6 +75,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counts.values.sum == n)
   }
 
+  test("groupAwareSplit: no near-dup pair straddles splits; singletons " +
+      "match trainValTest") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    val out = Sampling.groupAwareSplit(docs, "doc_id", pairs).persist()
+    assert(out.count() == docs.count()) // one row per doc, rep attached
+    // leakage check: every pair's two sides share a split
+    val sides = pairs.select(col("a"), col("b"))
+      .join(out.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(out.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+    assert(sides.filter(col("sa") =!= col("sb")).count() == 0)
+    // the fixture's planted near-dups actually exercise the clustering
+    assert(out.filter(col("rep") =!= col("doc_id")).count() > 0)
+    // docs in no pair split exactly as the per-doc hash split would
+    val paired = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val single = out.join(paired, Seq("doc_id"), "left_anti")
+    val base = Sampling.trainValTest(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+    assert(single.select(col("doc_id"), col("split")).except(base).isEmpty)
+    // hand-planted chain: pairs (1,2),(2,3) → one cluster, one split,
+    // rep = min id — even when the hash of 1, 2, 3 alone would disagree
+    val chainDocs = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val chainPairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val chain = Sampling.groupAwareSplit(chainDocs, "id", chainPairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(chain(1L)._1 == 1L && chain(2L)._1 == 1L && chain(3L)._1 == 1L)
+    assert(Set(chain(1L)._2, chain(2L)._2, chain(3L)._2).size == 1)
+    assert(chain(9L)._1 == 9L)
+    out.unpersist()
+  }
+
   test("stratified sample keeps ~fraction per stratum, deterministically") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.5)
