@@ -2129,6 +2129,40 @@ object SparkEntry {
         "doc_id", "text", n = 3, minJaccard = 0.5)
       .orderBy(col("a"), col("b"))
 
+  /** Q134 — edit-distance fuzzy self-join (Dedup.editDistancePairs):
+    * Levenshtein ≤ 2 on the space-padded 32-char text prefix, candidates
+    * from the PassJoin segment pigeonhole, verification by builtin
+    * levenshtein. The oracle brute-forces all pairs — identical padding,
+    * identical distance, BIGINT-cast to match Spark's long. */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.editDistancePairs(t(s, dir, "documents"),
+        "doc_id", "text", maxDist = 2, keyLen = 32)
+      .orderBy(col("a"), col("b"))
+
+  /** Q135 — PMI collocations (TextAnalysis.collocations): top-20
+    * adjacent word pairs by pointwise mutual information with bigram
+    * count ≥ 5 — the phrase-vocabulary miner. Fixed-order float PMI
+    * from exact integer counts, rounded before ranking, (w1, w2)
+    * tie-break; the oracle recomputes the identical expression. */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.collocations(t(s, dir, "documents"), "text",
+      minCount = 5, k = 20)
+
+  /** Q136 — corpus snapshot diff (Dedup.snapshotDiff): v1 = docs with
+    * id % 3 ≠ 0, v2 = docs with id % 5 ≠ 0 and id % 7 = 0 texts
+    * revised — the full-outer fingerprint diff reports added / removed
+    * / changed (unchanged filtered out). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    operators.Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2267,6 +2301,9 @@ object SparkEntry {
     "q131_rate_anomaly" -> (q131 _),
     "q132_group_split" -> (q132 _),
     "q133_prefix_jaccard" -> (q133 _),
+    "q134_edit_distance" -> (q134 _),
+    "q135_collocations" -> (q135 _),
+    "q136_snapshot_diff" -> (q136 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4209,5 +4246,54 @@ object SparkEntry {
         |FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
         |WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // brute force: every pair, identical padding and distance function
+    "q134_edit_distance" ->
+      """WITH k AS (SELECT doc_id, rpad(substr(text, 1, 32), 32, ' ') AS key
+        |           FROM documents)
+        |SELECT k1.doc_id AS a, k2.doc_id AS b,
+        |       CAST(levenshtein(k1.key, k2.key) AS BIGINT) AS dist
+        |FROM k k1 JOIN k k2 ON k1.doc_id < k2.doc_id
+        |WHERE levenshtein(k1.key, k2.key) <= 2
+        |ORDER BY a, b""".stripMargin,
+    "q135_collocations" ->
+      """WITH t0 AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM t0),
+        |c1 AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+        |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM c1),
+        |bi AS (SELECT unnest(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i+1])) AS bg
+        |       FROM t0 WHERE len(t) >= 2),
+        |bi2 AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |               split_part(bg, ' ', 2) AS w2 FROM bi
+        |        WHERE split_part(bg, ' ', 1) <> ''
+        |          AND split_part(bg, ' ', 2) <> ''),
+        |c12 AS (SELECT w1, w2, count(*) AS n FROM bi2 GROUP BY w1, w2),
+        |nb AS (SELECT CAST(sum(n) AS DOUBLE) AS nb FROM c12)
+        |SELECT w1, w2, n,
+        |  ROUND(ln((CAST(c12.n AS DOUBLE) * n1.n1 * n1.n1)
+        |    / (nb.nb * a.c * b.c)), 6) AS pmi
+        |FROM c12
+        |JOIN c1 a ON c12.w1 = a.w
+        |JOIN c1 b ON c12.w2 = b.w
+        |CROSS JOIN n1 CROSS JOIN nb
+        |WHERE c12.n >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q136_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS f1 FROM documents
+        |            WHERE doc_id % 3 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |                  ELSE text END) AS f2
+        |       FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN f1 IS NULL THEN 'added'
+        |       WHEN f2 IS NULL THEN 'removed'
+        |       WHEN f1 = f2 THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE CASE WHEN f1 IS NULL THEN 'added'
+        |           WHEN f2 IS NULL THEN 'removed'
+        |           WHEN f1 = f2 THEN 'unchanged' ELSE 'changed' END
+        |      <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
   )
 }

