@@ -2163,6 +2163,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q137 — mergeable histogram sketch AT REST (Sketches
+    * .histogramCounts/save/append/load/histogramQuantiles): the even
+    * half of lineitem's prices saved, the odd half appended as partial
+    * files, the folded grid answering five quantiles by in-bin linear
+    * interpolation. The oracle recomputes the identical 256-bin grid
+    * and interpolation expression over the whole table — mergeability
+    * makes split-build ≡ one-shot build. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_hist_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val li = t(s, dir, "lineitem")
+    val (lo, hi, bins) = (0.0, 120000.0, 256)
+    operators.Sketches.saveHistogram(operators.Sketches.histogramCounts(
+      li.filter(col("l_orderkey") % 2 === 0), col("l_extendedprice"),
+      lo, hi, bins), path)
+    operators.Sketches.appendHistogram(operators.Sketches.histogramCounts(
+      li.filter(col("l_orderkey") % 2 =!= 0), col("l_extendedprice"),
+      lo, hi, bins), path)
+    operators.Sketches.histogramQuantiles(
+        operators.Sketches.loadHistogram(s, path), lo, hi, bins,
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy(col("p"))
+  }
+
+  /** Q138 — decontamination index AT REST (TextAnalysis.buildEvalIndex/
+    * appendEvalIndex/decontaminateAgainstIndex): the eval suite's
+    * 8-gram relation built from half the held-out docs, the other half
+    * appended, the training batch scored against the folded index.
+    * SHARES q62's oracle — the at-rest path must match the live
+    * decontaminate over the union of both suites. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_evalidx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.buildEvalIndex(
+      docs.filter(col("doc_id") % 14 === 0), "doc_id", "text", 8, path)
+    operators.TextAnalysis.appendEvalIndex(
+      docs.filter(col("doc_id") % 14 === 7), "doc_id", "text", 8, path)
+    operators.TextAnalysis.decontaminateAgainstIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 8,
+        s, path)
+      .orderBy(col("doc_id"))
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2304,6 +2348,8 @@ object SparkEntry {
     "q134_edit_distance" -> (q134 _),
     "q135_collocations" -> (q135 _),
     "q136_snapshot_diff" -> (q136 _),
+    "q137_hist_at_rest" -> (q137 _),
+    "q138_evalidx_at_rest" -> (q138 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4294,6 +4340,40 @@ object SparkEntry {
         |           WHEN f2 IS NULL THEN 'removed'
         |           WHEN f1 = f2 THEN 'unchanged' ELSE 'changed' END
         |      <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+    // identical 256-bin grid over [0, 120000) and the identical
+    // interpolation expression, on the whole table (mergeability makes
+    // the split save+append fold equal to the one-shot build)
+    "q137_hist_at_rest" ->
+      """WITH h AS (SELECT LEAST(GREATEST(
+        |    CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 468.75)
+        |      AS BIGINT), 0), 255) AS bin,
+        |    count(*) AS cnt FROM lineitem GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM h),
+        |p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
+        |        AS p)
+        |SELECT p, ROUND(0.0 + 468.75 * (bin
+        |    + (p * n.n - (cum - cnt)) / cnt), 6) AS est
+        |FROM p CROSS JOIN n
+        |JOIN c ON (c.cum - c.cnt) < p * n.n AND p * n.n <= c.cum
+        |ORDER BY p""".stripMargin,
+    // q62's oracle text verbatim: the at-rest index unions to the same
+    // eval set, so the scoring contract is identical
+    "q138_evalidx_at_rest" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 6),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |             || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |             || ' ' || t[i+7])) AS shingle
+        |       FROM toks WHERE len(t) >= 8),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 != 0),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0)
+        |SELECT tr.doc_id,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_matches
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY tr.doc_id
         |ORDER BY doc_id""".stripMargin,
   )
 }

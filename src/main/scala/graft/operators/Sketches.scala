@@ -67,6 +67,76 @@ object Sketches {
       .groupBy(col("seed"), col("bucket"))
       .agg(sum(col("counter")).as("counter"))
 
+  /** Mergeable fixed-grid HISTOGRAM sketch: `nBins` equal-width bins
+    * over a caller-fixed [lo, hi) domain; (bin, cnt) rows ARE the
+    * sketch. Like the CMS, mergeability by bin-sum is the whole design
+    * — batches/days/shards append partial histograms, the reader folds.
+    * Values outside the domain clamp into the end bins (sketch
+    * semantics: extreme quantile estimates degrade, determinism never
+    * does). The fixed grid is the caller's contract — the price of
+    * mergeability; data-adaptive bin edges (t-digest and friends) merge
+    * only approximately and would break the exact-oracle gate.
+    *
+    * Scale: one map-side-combined groupBy to at most nBins rows. */
+  def histogramCounts(df: DataFrame, valueCol: Column, lo: Double,
+                      hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need hi > lo and nBins > 0")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((valueCol.cast("double") - lo) / w).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    df.select(bin.as("bin")).groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The histogram at rest — the q113 counter-lifecycle applied to the
+    * quantile sketch: save whole, append partials as new files,
+    * load-fold to canonical. */
+  def saveHistogram(hist: DataFrame, path: String): Unit =
+    hist.write.mode("overwrite").parquet(path)
+
+  def appendHistogram(hist: DataFrame, path: String): Unit =
+    hist.write.mode("append").parquet(path)
+
+  def loadHistogram(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from the folded histogram: for each requested p,
+    * the bin holding rank p·N (cumBefore < p·N <= cum) with linear
+    * interpolation inside it — `lo + w·(bin + (p·N - cumBefore)/cnt)`,
+    * one fixed-order float expression from exact integer counts (the
+    * engine-portability contract every scoring operator here follows).
+    * Estimation error is bounded by one bin width; exactness of the
+    * ESTIMATE (same inputs → same bits) is what the oracle checks.
+    *
+    * The cumulative window runs on sketch-sized data (<= nBins rows) —
+    * a single-partition sort of a few hundred rows, never corpus data. */
+  def histogramQuantiles(hist: DataFrame, lo: Double, hi: Double,
+                         nBins: Int, ps: Seq[Double]): DataFrame = {
+    require(ps.forall(p => p > 0 && p <= 1), "quantiles in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBins
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__before", col("__cum") - col("cnt"))
+    val n = hist.agg(sum(col("cnt")).cast("double").as("__n"))
+    val probes = ps.foldLeft(Option.empty[DataFrame]) { (acc, p) =>
+      val one = n.sparkSession.range(1).select(lit(p).as("p"))
+      Some(acc.fold(one)(_ union one))
+    }.get
+    probes.crossJoin(broadcast(n))
+      .withColumn("__t", col("p") * col("__n"))
+      .join(cum,
+        col("__before") < col("__t") && col("__t") <= col("__cum"))
+      .select(col("p"),
+        round(lit(lo) + lit(w) * (col("bin")
+          + (col("__t") - col("__before")) / col("cnt")), 6).as("est"))
+  }
+
   /** Point-query the sketch for each probe key: est = min over depth rows
     * of the counter the key hashes into (0 if the cell is empty — the
     * key was never seen). Probes × depth join the depth × width counters

@@ -540,13 +540,24 @@ object TextAnalysis {
     // 64-bit shingle hashes instead of the strings: ~10× smaller
     // distinct/join exchanges, same negligible-collision argument as
     // ngramJaccardPairs (≈ n_shingles²/2⁶⁴, deterministic)
-    val tRaw = Dedup.shingles(train, idCol, textCol, n,
-        repartitionById = false)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val e = Dedup.shingles(evalSet, idCol, textCol, n,
         repartitionById = false)
       .select(col(idCol).as("__eval_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
+    decontaminateCore(train, idCol, textCol, n, e, maxShingleDf,
+      bloomPrefilter)
+  }
+
+  /** Shared scoring core: `e` is the (eval_id, shingle-hash) relation,
+    * from a live eval frame ([[decontaminate]]) or the at-rest index
+    * ([[decontaminateAgainstIndex]]). */
+  private def decontaminateCore(train: DataFrame, idCol: String,
+                                textCol: String, n: Int, e: DataFrame,
+                                maxShingleDf: Int,
+                                bloomPrefilter: Boolean): DataFrame = {
+    val tRaw = Dedup.shingles(train, idCol, textCol, n,
+        repartitionById = false)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val t = (if (bloomPrefilter) {
       // registered so CacheScope.collect callers can unpersist; read by
       // the count, the bloom aggregate, and the final join
@@ -562,6 +573,53 @@ object TextAnalysis {
       .join(e, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__eval_id")).as("n_eval_matches"))
+  }
+
+  /** The decontamination index AT REST: the eval set's distinct
+    * (eval_id, 8-gram-hash) relation persisted once and probed by every
+    * training batch — the real cadence of decontamination (eval suites
+    * are fixed artifacts; training corpora arrive in batches; the eval
+    * side should never be re-shingled per batch). `appendEvalIndex`
+    * adds a new suite's relation as new files (distinct-ness across
+    * appends is NOT required for correctness: the countDistinct scoring
+    * dedups eval ids, and duplicate (id, shingle) rows only cost their
+    * own size). The probe path rebuilds the broadcast Bloom from the
+    * at-rest relation — an eval-sized aggregate, paid once per probe
+    * job, keeping the layout a plain relation instead of a serialized
+    * filter format that an incremental append could not OR into.
+    *
+    * `n` (shingle width) is the caller's geometry contract, as with
+    * every saved layout here (saveLm, saveCounters). */
+  def buildEvalIndex(evalSet: DataFrame, idCol: String, textCol: String,
+                     n: Int, path: String): Unit =
+    Dedup.shingles(evalSet, idCol, textCol, n, repartitionById = false)
+      .select(col(idCol).as("eval_id"),
+        xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  def appendEvalIndex(evalSet: DataFrame, idCol: String, textCol: String,
+                      n: Int, path: String): Unit =
+    Dedup.shingles(evalSet, idCol, textCol, n, repartitionById = false)
+      .select(col(idCol).as("eval_id"),
+        xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** Score a training batch against the at-rest eval index: identical
+    * semantics (and oracle) to [[decontaminate]] over the union of
+    * every built/appended eval suite. */
+  def decontaminateAgainstIndex(train: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                spark: org.apache.spark.sql.SparkSession,
+                                path: String, maxShingleDf: Int = 1000,
+                                bloomPrefilter: Boolean = true): DataFrame = {
+    require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
+    val e = spark.read.parquet(path)
+      .select(col("eval_id").as("__eval_id"), col("shingle"))
+      .distinct()
+    decontaminateCore(train, idCol, textCol, n, e, maxShingleDf,
+      bloomPrefilter)
   }
 
   /** Serialized Bloom filter over a LongType column, sized at ~10
@@ -591,15 +649,6 @@ object TextAnalysis {
       GraftColumn.expr(value)))
   }
 
-  /** Top-k tokens per group by tf-idf: tf = token count within the group,
-    * idf = ln(n_groups / n_groups_containing_token). The corpus-level
-    * term summary of a training-data mix ("what characterizes each
-    * language/source slice").
-    *
-    * Scale shape: one shuffle to (group, token) for tf, one token-keyed
-    * aggregate for document frequency, a single-row n_groups aggregate
-    * broadcast-crossed, and a per-group top-k window over the (small)
-    * distinct-token aggregate — the corpus itself is only read once. */
   /** PMI collocation mining: the top-k adjacent word pairs by pointwise
     * mutual information, `ln((c12/Nb) / ((c1/N1)·(c2/N1)))` — the
     * classic phrase-vocabulary builder (Church & Hanks '90): pairs that
@@ -643,6 +692,15 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k tokens per group by tf-idf: tf = token count within the group,
+    * idf = ln(n_groups / n_groups_containing_token). The corpus-level
+    * term summary of a training-data mix ("what characterizes each
+    * language/source slice").
+    *
+    * Scale shape: one shuffle to (group, token) for tf, one token-keyed
+    * aggregate for document frequency, a single-row n_groups aggregate
+    * broadcast-crossed, and a per-group top-k window over the (small)
+    * distinct-token aggregate — the corpus itself is only read once. */
   def tfidfTopTerms(docs: DataFrame, groupCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -122,6 +122,37 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(folded.except(oneShot).isEmpty && oneShot.except(folded).isEmpty)
   }
 
+  test("histogram sketch: merge == one-shot; quantiles hit hand values " +
+      "on a uniform grid") {
+    import spark.implicits._
+    // 1000 values 0.5, 1.5, ..., 999.5 over [0, 1000) with 100 bins:
+    // 10 per bin; p-quantile estimate = exactly 1000p (uniform in-bin
+    // interpolation over an exactly uniform histogram)
+    val vals = (0 until 1000).map(i => i + 0.5).toDF("v")
+    val hist = Sketches.histogramCounts(vals, col("v"), 0.0, 1000.0, 100)
+    assert(hist.count() == 100 &&
+      hist.filter(col("cnt") =!= 10L).count() == 0)
+    val qs = Sketches.histogramQuantiles(hist, 0.0, 1000.0, 100,
+      Seq(0.1, 0.5, 0.9, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(qs == Map(0.1 -> 100.0, 0.5 -> 500.0, 0.9 -> 900.0,
+      1.0 -> 1000.0))
+    // out-of-domain values clamp into the end bins
+    val clamped = Sketches.histogramCounts(
+      Seq(-5.0, 2000.0).toDF("v"), col("v"), 0.0, 1000.0, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clamped == Map(0L -> 1L, 99L -> 1L))
+    // at rest: save + append + load-fold == one-shot
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val (a, b) = (vals.filter(col("v") < 300), vals.filter(col("v") >= 300))
+    Sketches.saveHistogram(
+      Sketches.histogramCounts(a, col("v"), 0.0, 1000.0, 100), s"$tmp/h")
+    Sketches.appendHistogram(
+      Sketches.histogramCounts(b, col("v"), 0.0, 1000.0, 100), s"$tmp/h")
+    val folded = Sketches.loadHistogram(spark, s"$tmp/h")
+    assert(folded.except(hist).isEmpty && hist.except(folded).isEmpty)
+  }
+
   test("CMS estimate is 0 for a never-seen key") {
     import spark.implicits._
     val counters = Sketches.countMinCounters(tokens, col("token"), 4, 512)

@@ -252,6 +252,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       maxShingleDf = 1000).count() == 4, "cap must be inert below df")
   }
 
+  test("eval index at rest: build + append + probe == live decontaminate " +
+      "over the union of suites") {
+    val docs = Tables.load(spark, sf, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eidx").toString
+    val evalAll = docs.filter(col("doc_id") % 7 === 0)
+    TextAnalysis.buildEvalIndex(
+      docs.filter(col("doc_id") % 14 === 0), "doc_id", "text", 8,
+      s"$tmp/idx")
+    TextAnalysis.appendEvalIndex(
+      docs.filter(col("doc_id") % 14 === 7), "doc_id", "text", 8,
+      s"$tmp/idx")
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val viaIndex = TextAnalysis.decontaminateAgainstIndex(
+      train, "doc_id", "text", 8, spark, s"$tmp/idx")
+    val live = TextAnalysis.decontaminate(train, evalAll, "doc_id")
+    assert(viaIndex.count() > 0, "fixture must contain leakage")
+    assert(viaIndex.exceptAll(live).isEmpty &&
+      live.exceptAll(viaIndex).isEmpty)
+    // re-appending the SAME suite must not change scores (countDistinct
+    // dedups eval ids — append idempotence for accidental double loads)
+    TextAnalysis.appendEvalIndex(
+      docs.filter(col("doc_id") % 14 === 7), "doc_id", "text", 8,
+      s"$tmp/idx")
+    val again = TextAnalysis.decontaminateAgainstIndex(
+      train, "doc_id", "text", 8, spark, s"$tmp/idx")
+    assert(again.exceptAll(live).isEmpty && live.exceptAll(again).isEmpty)
+  }
+
   test("decontaminate bloom prefilter: lossless vs the unfiltered path, " +
        "empty eval set yields empty result") {
     val docs = Tables.load(spark, sf, "documents")
