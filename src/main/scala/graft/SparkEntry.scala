@@ -2207,6 +2207,59 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q139 — HLL distinct sketch AT REST (Sketches.hllRegisters/saveHll/
+    * appendHll/loadHll/hllEstimate): per-event-type distinct-user
+    * estimates, even event-ids saved, odd appended, registers folded by
+    * MAX (the third at-rest merge monoid after the CMS/histogram sums).
+    * Exact distinct counts ride beside the estimates, q107-style. The
+    * oracle rebuilds the identical md5/bin register file and the
+    * identical fixed-order estimator in SQL — hash-matching a SKETCH. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_hll_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val ev = Tables.events(s, dir)
+    operators.Sketches.saveHll(operators.Sketches.hllRegisters(
+      ev.filter(col("event_id") % 2 === 0), col("user_id"), 256,
+      Seq("event_type")), path)
+    operators.Sketches.appendHll(operators.Sketches.hllRegisters(
+      ev.filter(col("event_id") % 2 =!= 0), col("user_id"), 256,
+      Seq("event_type")), path)
+    val est = operators.Sketches.hllEstimate(
+      operators.Sketches.loadHll(s, path, Seq("event_type")), 256,
+      Seq("event_type"))
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .join(est, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q140 — n-gram novelty scoring (TextAnalysis.ngramNovelty): the
+    * fraction of each training doc's distinct word-4-grams absent from
+    * the held-out reference slice — the memorization/novelty metric,
+    * the per-doc ratio complement of q62's match counting. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q141 — embedding centroid drift (VectorAgg.centroidDrift): per
+    * label, the squared L2 between the even-half and odd-half centroids
+    * plus both populations — the embedding-space twin of q99's token
+    * drift. Centroid elements rounded before the fixed-order distance
+    * fold (the q72 determinism contract). */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.VectorAgg.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0),
+        Seq("label"), "embedding", dim = 64)
+      .orderBy(col("label"))
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2350,6 +2403,9 @@ object SparkEntry {
     "q136_snapshot_diff" -> (q136 _),
     "q137_hist_at_rest" -> (q137 _),
     "q138_evalidx_at_rest" -> (q138 _),
+    "q139_hll_at_rest" -> (q139 _),
+    "q140_ngram_novelty" -> (q140 _),
+    "q141_centroid_drift" -> (q141 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4375,5 +4431,71 @@ object SparkEntry {
         |FROM tr JOIN ev USING (shingle)
         |GROUP BY tr.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the identical md5/bin register file and fixed-order estimator;
+    // registers over DISTINCT (type, user) == max-fold of the two
+    // halves' partials
+    "q139_hll_at_rest" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |r AS (SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) % 256 AS bucket,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+        |      AS UBIGINT) AS x
+        |  FROM d),
+        |regs AS (SELECT event_type, bucket,
+        |    max(CASE WHEN x = 0 THEN 33
+        |             ELSE 33 - length(bin(x)) END) AS reg
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS nb,
+        |    sum(power(2.0, -reg)) AS sp FROM regs GROUP BY 1),
+        |est AS (SELECT event_type,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        |      / (sp + CAST(256 - nb AS DOUBLE)) AS e,
+        |    CAST(256 - nb AS DOUBLE) AS v
+        |  FROM agg),
+        |ex AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1)
+        |SELECT ex.event_type, exact,
+        |  ROUND(CASE WHEN e <= 2.5 * 256.0 AND v > 0
+        |             THEN 256.0 * ln(256.0 / v) ELSE e END, 6) AS est
+        |FROM ex JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q140_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |             || t[i+3])) AS shingle
+        |       FROM toks WHERE len(t) >= 4),
+        |d AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 != 0),
+        |r AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6) AS novelty
+        |FROM d LEFT JOIN r ON d.shingle = r.shingle
+        |GROUP BY d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // centroids rounded to 6 dp BEFORE the fixed-order sqdist fold
+    "q141_centroid_drift" -> {
+      def half(name: String, pred: String): String =
+        s"""n$name AS (SELECT label, CAST(count(*) AS BIGINT) AS n_$name
+           |  FROM embeddings WHERE $pred GROUP BY label),
+           |av$name AS (SELECT label, i,
+           |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+           |  FROM embeddings CROSS JOIN pos WHERE $pred GROUP BY label, i),
+           |l$name AS (SELECT label, list(v ORDER BY i) AS v$name
+           |  FROM av$name GROUP BY label)""".stripMargin
+      s"""WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+         |${half("a", "vec_id % 2 = 0")},
+         |${half("b", "vec_id % 2 != 0")}
+         |SELECT label, n_a, n_b,
+         |  ROUND(${duckSqDist("va", "vb")}, 6) AS drift
+         |FROM la JOIN lb USING (label)
+         |JOIN na USING (label) JOIN nb USING (label)
+         |ORDER BY label""".stripMargin
+    },
   )
 }

@@ -137,6 +137,76 @@ object Sketches {
           + (col("__t") - col("__before")) / col("cnt")), 6).as("est"))
   }
 
+  /** HyperLogLog registers as a RELATION — the distinct-count sketch in
+    * the same at-rest cadence as the CMS and the histogram, with the
+    * third merge monoid: counters merge by SUM, bins by SUM, HLL
+    * registers by MAX. (group, bucket, reg) rows, one per non-empty
+    * register: bucket = md5-uint32 mod m (the engine-portable
+    * Sampling.hashBucket construction), reg = max over keys of
+    * rho(key) = leading zeros + 1 of a SECOND md5-derived 32-bit word.
+    * rho comes from `33 - length(bin(x))` — bin() prints without
+    * leading zeros in Spark AND DuckDB, so an any-SQL oracle computes
+    * the identical register file bit-for-bit; no floating log2 at the
+    * boundary.
+    *
+    * Scale: one map-side-combined aggregate to ≤ groups × m rows; the
+    * stream is scanned once. Flajolet et al.'s standard-HLL bias
+    * correction (alpha_m, small-range linear counting) lives in
+    * [[hllEstimate]]. 32-bit hash ⇒ fine below ~10⁸ distinct per
+    * group; the large-range correction is deliberately omitted (the
+    * estimator is exact-oracle-checked, not asymptotically tuned). */
+  def hllRegisters(df: DataFrame, keyCol: Column, m: Int = 256,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m a power of two >= 16")
+    val h = md5(keyCol.cast("string"))
+    val bucket = (conv(substring(h, 1, 8), 16, 10).cast("long") % m)
+      .as("bucket")
+    val x = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val rho = when(x === 0, lit(33L))
+      .otherwise(lit(33L) - length(bin(x)).cast("long")).as("__rho")
+    df.select(groupCols.map(col) :+ bucket :+ rho: _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("__rho")).as("reg"))
+  }
+
+  /** The register file at rest: append partials as files, fold by MAX. */
+  def saveHll(regs: DataFrame, path: String): Unit =
+    regs.write.mode("overwrite").parquet(path)
+
+  def appendHll(regs: DataFrame, path: String): Unit =
+    regs.write.mode("append").parquet(path)
+
+  def loadHll(spark: org.apache.spark.sql.SparkSession, path: String,
+              groupCols: Seq[String] = Nil): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+
+  /** Distinct-count estimates from a folded register file, one row per
+    * group: E = alpha_m·m² / (Σ 2^-reg + V) with V = m − non-empty
+    * registers (empty registers contribute 2⁰ each), linear counting
+    * m·ln(m/V) when E ≤ 2.5m and V > 0. Determinism note: Σ 2^-reg is
+    * a sum of dyadic rationals spanning < 52 bits of exponent — EXACT
+    * in double arithmetic, hence order-independent; everything after
+    * it is a fixed scalar expression. The estimate is deterministic to
+    * the bit, which is what lets a SQL oracle check a SKETCH. */
+  def hllEstimate(regs: DataFrame, m: Int,
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
+      count(lit(1)).as("__nb"),
+      sum(pow(lit(2.0), -col("reg"))).as("__sp"))
+    val v = (lit(m.toLong) - col("__nb")).cast("double")
+    val e = alpha * lit(m.toDouble) * lit(m.toDouble) / (col("__sp") + v)
+    agg.withColumn("est", round(
+        when(e <= lit(2.5) * lit(m.toDouble) && v > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(e), 6))
+      .select(groupCols.map(col) :+ col("est"): _*)
+  }
+
   /** Point-query the sketch for each probe key: est = min over depth rows
     * of the counter the key hashes into (0 if the cell is empty — the
     * key was never seen). Probes × depth join the depth × width counters

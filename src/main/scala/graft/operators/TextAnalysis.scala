@@ -575,6 +575,38 @@ object TextAnalysis {
       .agg(countDistinct(col("__eval_id")).as("n_eval_matches"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of a document's distinct word n-grams absent from the
+    * reference's n-gram set — the memorization/novelty metric
+    * (McCoy et al.'s RAVEN novelty shape): novelty 0 means every
+    * n-gram already exists in the reference (pure recombination or
+    * leakage), 1 means fully novel text. The counting complement of
+    * [[decontaminate]] (which counts MATCHED eval docs; this scores
+    * the unmatched fraction).
+    *
+    * Scale: both sides reduce to distinct (id, hash) / distinct hash
+    * relations; one left join + one per-doc aggregate. The reference
+    * gram SET is vocab-like (distinct grams, not occurrences), and
+    * the join is hash-keyed — AQE broadcasts a small reference. */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int = 4): DataFrame = {
+    val d = Dedup.shingles(docs, idCol, textCol, n,
+        repartitionById = false)
+      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .distinct()
+    val r = Dedup.shingles(ref, idCol, textCol, n,
+        repartitionById = false)
+      .select(xxhash64(col("shingle")).as("__sh"))
+      .distinct()
+      .withColumn("__seen", lit(1L))
+    d.join(r, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_grams"), 6))
+  }
+
   /** The decontamination index AT REST: the eval set's distinct
     * (eval_id, 8-gram-hash) relation persisted once and probed by every
     * training batch — the real cadence of decontamination (eval suites

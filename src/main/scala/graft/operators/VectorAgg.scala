@@ -31,4 +31,37 @@ object VectorAgg {
         array((1 to dim).map(i => avg(element_at(v, i))): _*)
           .as("mean_vec"))
   }
+
+  /** Embedding-distribution DRIFT between two corpus snapshots: per
+    * group, the squared L2 distance between the two snapshots' centroids
+    * plus both member counts — the embedding-space twin of the token
+    * drift report (q99): "which classes/clusters moved between crawls".
+    * A centroid shift is the cheapest useful distribution-shift signal
+    * on an embedding column; per-group counts expose population churn
+    * alongside the semantic moves.
+    *
+    * Determinism contract: centroid elements are rounded to `roundTo`
+    * BEFORE the distance (avg merge order perturbs the last ulps; the
+    * q72 contract), then the fixed-order sqDist fold runs on identical
+    * inputs in both engines. Groups absent from one side are dropped
+    * (inner join) — drift of a new/vanished group is population churn,
+    * visible in a snapshotDiff-style count report, not a distance.
+    *
+    * Scale: two meanVector aggregates (map-side-combined, one partial
+    * per group per partition) + one groups-sized join. */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                    vecCol: String, dim: Int,
+                    roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions
+    def side(df: DataFrame, suffix: String) =
+      meanVector(df, groupCols, vecCol, dim)
+        .select(groupCols.map(col) :+ col("n").as(s"n_$suffix") :+
+          transform(col("mean_vec"), x => round(x, roundTo))
+            .as(s"__v$suffix"): _*)
+    side(a, "a").join(side(b, "b"), groupCols)
+      .withColumn("drift",
+        round(VectorFunctions.sqDist(col("__va"), col("__vb")), roundTo))
+      .select(groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("drift"): _*)
+  }
 }

@@ -55,6 +55,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"))
   }
 
+  test("centroidDrift: zero for identical snapshots, hand value for a " +
+      "known shift, disjoint groups dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq(("x", Seq(1.0, 2.0)), ("x", Seq(3.0, 4.0)),
+      ("y", Seq(0.0, 0.0)), ("gone", Seq(9.0, 9.0))).toDF("g", "vec")
+    // x centroid moves (2,3) -> (3,4): drift = 1+1 = 2; y unmoved;
+    // "gone"/"new" exist in only one snapshot — dropped
+    val b = Seq(("x", Seq(2.0, 3.0)), ("x", Seq(4.0, 5.0)),
+      ("y", Seq(0.0, 0.0)), ("new", Seq(1.0, 1.0))).toDF("g", "vec")
+    val got = operators.VectorAgg.centroidDrift(a, b, Seq("g"), "vec", 2)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(got === List(("x", 2L, 2L, 2.0), ("y", 1L, 1L, 0.0)))
+    val self = operators.VectorAgg.centroidDrift(a, a, Seq("g"), "vec", 2)
+      .agg(sum(abs(col("drift")))).head().getDouble(0)
+    assert(self == 0.0)
+  }
+
   test("profile: null/distinct/range per column in one job; approx close") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](

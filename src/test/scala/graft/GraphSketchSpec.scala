@@ -153,6 +153,35 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(folded.except(hist).isEmpty && hist.except(folded).isEmpty)
   }
 
+  test("HLL sketch: registers max-merge at rest == one-shot; estimate " +
+      "within 10% of exact on 10k distinct keys") {
+    import spark.implicits._
+    val keys = (1L to 10000L).toDF("k")
+    val one = Sketches.hllRegisters(keys, col("k"), 1024)
+    // register values live in [1, 33]
+    val regs = one.collect().map(_.getLong(1))
+    assert(regs.forall(r => r >= 1 && r <= 33))
+    // duplicates never change the register file (distinct semantics)
+    val dup = Sketches.hllRegisters(keys.union(keys), col("k"), 1024)
+    assert(one.except(dup).isEmpty && dup.except(one).isEmpty)
+    // at rest: save half, append half, fold by max == one-shot
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    Sketches.saveHll(Sketches.hllRegisters(
+      keys.filter(col("k") <= 5000), col("k"), 1024), s"$tmp/h")
+    Sketches.appendHll(Sketches.hllRegisters(
+      keys.filter(col("k") > 5000), col("k"), 1024), s"$tmp/h")
+    val folded = Sketches.loadHll(spark, s"$tmp/h")
+    assert(folded.except(one).isEmpty && one.except(folded).isEmpty)
+    // standard-HLL error at m=1024 is ~1.04/32 ≈ 3.3%; 10% is safe
+    val est = Sketches.hllEstimate(folded, 1024).head().getDouble(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.10, s"est=$est")
+    // small-range regime: linear counting kicks in and is near-exact
+    val small = Sketches.hllEstimate(
+      Sketches.hllRegisters((1L to 50L).toDF("k"), col("k"), 1024), 1024)
+      .head().getDouble(0)
+    assert(math.abs(small - 50.0) < 3.0, s"small-range est=$small")
+  }
+
   test("CMS estimate is 0 for a never-seen key") {
     import spark.implicits._
     val counters = Sketches.countMinCounters(tokens, col("token"), 4, 512)

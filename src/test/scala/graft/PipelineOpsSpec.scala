@@ -280,6 +280,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again.exceptAll(live).isEmpty && live.exceptAll(again).isEmpty)
   }
 
+  test("ngramNovelty: copied text scores 0, novel text 1, half-novel " +
+      "the exact ratio") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    // doc 1 = pure copy (every 4-gram in ref); doc 2 = disjoint tokens;
+    // doc 3 = ref's first 5 tokens then 3 novel → 5 grams, 2 seen
+    // ("a b c d", "b c d e"), 3 novel
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c d e x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((5L, 0L, 0.0)))
+    assert(got(2L) == ((5L, 5L, 1.0)))
+    assert(got(3L) == ((5L, 3L, 0.6)))
+  }
+
   test("decontaminate bloom prefilter: lossless vs the unfiltered path, " +
        "empty eval set yields empty result") {
     val docs = Tables.load(spark, sf, "documents")
