@@ -2260,6 +2260,48 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Q142 — rarity-weighted Jaccard pairs (Dedup.weightedJaccardPairs):
+    * shared rare shingles outweigh shared boilerplate via fixed-point
+    * inverse-df weights (integer sums exact, no transcendental in the
+    * weight — the engine-portable idf family). Threshold 0.3 over the
+    * documents fixture. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.weightedJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minSim = 0.3)
+      .orderBy(col("a"), col("b"))
+
+  /** Q143 — within-session sequence-pair support (Funnel
+    * .sequencePairs): sessions whose first `a` strictly precedes their
+    * first `b`, 30-minute gap sessions (q31's islands contract),
+    * support ≥ 5 — the length-2 sequential-pattern core that sees
+    * "a eventually leads to b" through intervening noise, where q122's
+    * transitions see only adjacent steps. */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.sequencePairs(Tables.events(s, dir), "user_id",
+        "ts", "event_type", "event_id", gapSeconds = 1800,
+        minSupport = 5)
+      .orderBy(col("a"), col("b"))
+
+  /** Q144 — personalized PageRank (Graph.personalizedPageRank): random
+    * walk with restart to suppliers s1–s3 over the q108 co-purchase
+    * bipartite graph, 3 iterations — "which parts/suppliers matter
+    * RELATIVE to these anchors". Unreachable nodes rank 0; top-50 by
+    * (rank, node). Oracle unrolls the iterations q108-style with the
+    * seeded teleport CASE. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val sp = operators.CacheScope.register(
+      t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = sp.union(sp.select(col("dst").as("src"),
+      col("src").as("dst")))
+    operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq("s1", "s2", "s3"), iters = 3)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(50)
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2406,6 +2448,9 @@ object SparkEntry {
     "q139_hll_at_rest" -> (q139 _),
     "q140_ngram_novelty" -> (q140 _),
     "q141_centroid_drift" -> (q141 _),
+    "q142_weighted_jaccard" -> (q142 _),
+    "q143_sequence_pairs" -> (q143 _),
+    "q144_ppr" -> (q144 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4496,6 +4541,87 @@ object SparkEntry {
          |FROM la JOIN lb USING (label)
          |JOIN na USING (label) JOIN nb USING (label)
          |ORDER BY label""".stripMargin
+    },
+    // fixed-point inverse-df weights: floor((n*1000.0)/df) — integer
+    // sums exact, one double division rounded at the end; the df cap
+    // is a no-op on this fixture (no shingle df > 1000)
+    "q142_weighted_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |w AS (SELECT shingle,
+        |        CAST(floor((n * 1000.0) / df) AS BIGINT) AS w
+        |      FROM dfq CROSS JOIN nd),
+        |sw AS (SELECT doc_id, sh.shingle, w.w
+        |       FROM sh JOIN w ON sh.shingle = w.shingle),
+        |tw AS (SELECT doc_id, sum(w) AS twt FROM sw GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b,
+        |            sum(s1.w) AS s
+        |          FROM sw s1 JOIN sw s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b,
+        |  ROUND(s / (ta.twt + tb.twt - s), 6) AS wjaccard
+        |FROM inter JOIN tw ta ON a = ta.doc_id
+        |           JOIN tw tb ON b = tb.doc_id
+        |WHERE ROUND(s / (ta.twt + tb.twt - s), 6) >= 0.3
+        |ORDER BY a, b""".stripMargin,
+    // q31's islands (>= gap breaks, the session_window half-open
+    // contract), first occurrence per (user, session, type), strict-<
+    // ordered self-join
+    "q143_sequence_pairs" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |f AS (SELECT user_id, sid, event_type, min(ts) AS t0
+        |      FROM s GROUP BY 1, 2, 3)
+        |SELECT x.event_type AS a, y.event_type AS b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM f x JOIN f y
+        |  ON x.user_id = y.user_id AND x.sid = y.sid AND x.t0 < y.t0
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY a, b""".stripMargin,
+    "q144_ppr" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nodes.node,
+           |  ROUND(CASE WHEN nodes.node IN ('s1', 's2', 's3')
+           |          THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 3.0
+           |          ELSE CAST(0.0 AS DOUBLE) END
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(s.w, 0.0), 9) AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / deg.deg) AS w
+           |    FROM e JOIN $prev r ON e.src = r.node
+           |           JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |             'p' || CAST(l_partkey AS VARCHAR) AS dst
+         |           FROM lineitem
+         |           UNION
+         |           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+         |             's' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node,
+         |         CASE WHEN node IN ('s1', 's2', 's3')
+         |           THEN CAST(1.0 AS DOUBLE) / 3.0
+         |           ELSE CAST(0.0 AS DOUBLE) END AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 50""".stripMargin
     },
   )
 }

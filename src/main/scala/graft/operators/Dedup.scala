@@ -270,6 +270,63 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Rarity-WEIGHTED Jaccard similarity join: pairs scored by
+    * Σ_shared w(s) / (W_a + W_b − Σ_shared w(s)) with w(s) a fixed-point
+    * inverse-document-frequency weight — shared rare shingles count for
+    * far more than shared boilerplate, the standard fix for plain
+    * Jaccard's blindness to shingle informativeness (the idf-weighted
+    * set-similarity family; weighted minhash approximates exactly this
+    * measure at scale).
+    *
+    * Engine-portable weighting: w = floor(N·1000 / df) as a LONG
+    * (N = documents with ≥1 shingle) — the idf family's 1/df core
+    * WITHOUT a transcendental: ln is not guaranteed identically rounded
+    * across engines, but integer-valued floor division provably is
+    * (operands exact in doubles, quotient's fractional part ≥ 1/df
+    * bounds it away from the floor boundary). Integer weight SUMS are
+    * then exact, the final ratio is one double division rounded to 6 —
+    * the same determinism contract as every integer-sum score here.
+    *
+    * Plan physics identical to [[ngramJaccardPairs]] (same one-exchange
+    * shingle spine, df cap for the m² guard); the df table is computed
+    * once and serves both the cap and the weights. */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minSim: Double = 0.3,
+                           maxShingleDf: Int = 1000): DataFrame = {
+    require(maxShingleDf >= 2,
+      "maxShingleDf >= 2: a shingle held by one document can never pair")
+    val all = CacheScope.register(
+      shingles(docs, idCol, textCol, n, repartitionById = false)
+        .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+        .repartition(col("shingle"))
+        .distinct()
+        .persist())
+    val dfTab = all.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val nDocs = all.select(col(idCol)).distinct().count()
+    // fixed-point inverse-df weight; the df cap drops hot shingles from
+    // BOTH the weights and the sizes (the ngramJaccardPairs contract)
+    val keep = dfTab.filter(col("__df") <= maxShingleDf)
+      .withColumn("__w",
+        floor(lit(nDocs * 1000.0) / col("__df")).cast("long"))
+      .select(col("shingle"), col("__w"))
+    val sh = CacheScope.register(
+      all.join(keep, Seq("shingle")).persist())
+    val sizes = sh.groupBy(col(idCol)).agg(sum(col("__w")).as("__tw"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"), col("__w"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("__w")).as("__s"))
+      .join(sizes.select(col(idCol).as("a"), col("__tw").as("__wa")),
+        Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("__tw").as("__wb")),
+        Seq("b"))
+      .withColumn("wjaccard", round(
+        col("__s") / (col("__wa") + col("__wb") - col("__s")), 6))
+      .filter(col("wjaccard") >= minSim)
+      .select(col("a"), col("b"), col("wjaccard"))
+  }
+
   /** Edit-distance (Levenshtein <= maxDist) self-join on a fixed-width
     * key prefix — the fuzzy-matching face of dedup, for titles / URLs /
     * short fields where token-set measures are too coarse (one-character

@@ -234,6 +234,65 @@ object Funnel {
     * @param maxGapSeconds max allowed gap between consecutive steps
     * @return (step, step_name, n_users) — one row per step, n_users
     *         monotonically non-increasing down the funnel */
+  /** Within-session sequence-pair mining: for every ordered pair of
+    * event types (a, b), the number of SESSIONS whose first `a` strictly
+    * precedes their first `b` — the sequential-pattern support measure
+    * (the length-2 core of GSP/PrefixSpan) that complements
+    * [[transitions]]: transitions see only ADJACENT steps, this sees
+    * "a eventually leads to b in the same session" through any
+    * intervening noise. Sessions are gap-based (builtin session_window),
+    * the same islands q31 pins against the oracle.
+    *
+    * First-occurrence semantics make support well-defined under
+    * repetition (a session counts once per pair); strict `<` on the
+    * first-occurrence times drops simultaneous firsts deterministically.
+    * Sessions are assigned with the islands window (lag + running sum)
+    * — the per-USER session id a groupBy(session_window, user, type)
+    * could not produce (it would sessionize each type's events
+    * separately); boundary rule `diff >= gap breaks` matches
+    * session_window's half-open [start, last + gap) exactly (the q31
+    * oracle contract).
+    *
+    * Scale: the islands window is user-keyed (bounded timelines — the
+    * q122 shape); one (user, session, type) min-aggregate collapses the
+    * stream; the self-join is keyed on the session and bounded by
+    * |types|² pairs per session — |types| is a schema-sized constant,
+    * so the join output is sessions × |types|², never events². */
+  def sequencePairs(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCol: String,
+                    gapSeconds: Long = 1800,
+                    minSupport: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(userCol).as("__u"), col(tsCol),
+      col(tieCol), col(typeCol))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col(tsCol), col(tieCol))
+    // integer microseconds: a seconds cast would TRUNCATE sub-second
+    // parts and disagree with exact interval arithmetic at the gap
+    // boundary; micros diffs are exact in both engines
+    // (the NTZ→TZ cast only shifts both operands of every diff by the
+    // same session-zone offset — gap decisions are invariant)
+    val ts = unix_micros(col(tsCol).cast("timestamp"))
+    val brk = when(lag(ts, 1).over(w).isNull
+      || ts - lag(ts, 1).over(w) >= gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val firsts = base
+      .withColumn("__brk", brk) // window-in-window is illegal: two steps
+      .withColumn("__sid", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u"), col("__sid"), col(typeCol))
+      .agg(min(col(tsCol)).as("__t0"))
+    firsts.select(col("__u"), col("__sid"), col(typeCol).as("a"),
+        col("__t0").as("__ta"))
+      .join(firsts.select(col("__u"), col("__sid"),
+        col(typeCol).as("b"), col("__t0").as("__tb")),
+        Seq("__u", "__sid"))
+      .filter(col("__ta") < col("__tb"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
              maxGapSeconds: Long): DataFrame = {

@@ -153,6 +153,60 @@ object Graph {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass flows only to `seeds` instead
+    * of uniformly — rank becomes "importance relative to the seed set",
+    * the standard similar-items / recommendation primitive (random walk
+    * with restart). Same per-iteration shape and determinism contract
+    * as [[pageRank]] (one edges⋈ranks join + map-side-combined sum per
+    * round, per-iteration 9-dp rounding); differences: the teleport
+    * term is (1−d)/|S| on seeds and 0 elsewhere, and the initial state
+    * is the seed distribution. Non-seed nodes unreachable from the
+    * seeds correctly converge to rank 0. Seeds are a driver-side
+    * literal list (metadata-sized — anchor items, a user's history),
+    * compiled into an isin predicate, never a join. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: Seq[String],
+                           iters: Int, damping: Double = 0.85,
+                           roundTo: Int = 9): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(seeds.nonEmpty, "personalization needs at least one seed")
+    val e = CacheScope.register(
+      edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ew = CacheScope.register(e.join(outdeg, "src").persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheScope.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (1-d)/|S| as ONE driver-side double, matching the oracle's
+    // literal expression (1.0 - d) / |S| op-for-op
+    val tele = (1.0 - damping) / seeds.size
+    def p0tele = when(col("node").isin(seeds: _*), lit(tele))
+      .otherwise(lit(0.0))
+    val zeroIn = CacheScope.register(
+      nodes.join(e.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(col("node"), round(p0tele, roundTo).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = nodes.withColumn("rank",
+      when(col("node").isin(seeds: _*), lit(1.0 / seeds.size))
+        .otherwise(lit(0.0)))
+    for (i <- 1 to iters) {
+      val in = ew.join(ranks, ew("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("__deg")).as("__in"))
+      ranks = in
+        .select(col("node"),
+          round(p0tele + lit(damping) * col("__in"), roundTo).as("rank"))
+        .union(zeroIn)
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+    }
+    ranks
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                roundTo: Int = 9, checkpointEvery: Int = 5,

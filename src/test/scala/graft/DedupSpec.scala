@@ -193,6 +193,33 @@ class DedupSpec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("weightedJaccardPairs: rare-shingle weighting demotes " +
+      "boilerplate-only pairs below plain Jaccard") {
+    import spark.implicits._
+    // boilerplate corpus from the df-cap test: plain Jaccard gives
+    // boilerplate-only pairs 5/11 ≈ 0.4545; weighted, the shared mass
+    // is the (hot, low-weight) boilerplate while each doc's unique tail
+    // carries high weight → weighted sim must drop well below plain
+    val docs40 = (0 until 40).map { i =>
+      val tail = if (i <= 1) "identical trailing content here"
+                 else s"unique tail $i alpha beta gamma"
+      (i.toLong, s"all rights reserved to $tail")
+    }.toDF("doc_id", "text")
+    val w = Dedup.weightedJaccardPairs(docs40, "doc_id", "text",
+        n = 3, minSim = 0.0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(w((0L, 1L)) == 1.0) // identical docs stay 1.0 under any weights
+    val boiler = w((2L, 3L))
+    assert(boiler < 0.25, s"boilerplate pair weighted sim = $boiler " +
+      "(plain Jaccard would be 0.4545)")
+    // determinism + threshold behavior on the real fixture
+    val a = Dedup.weightedJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().toSet
+    val b = Dedup.weightedJaccardPairs(docs.repartition(7), "doc_id",
+      "text", 3, 0.3).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("minhash bucket cap: degenerate identical corpus yields no m² blowup") {
     import spark.implicits._
     // 30 identical docs: every band bucket has all 30 docs. With the cap

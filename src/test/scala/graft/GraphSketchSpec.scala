@@ -193,6 +193,46 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(est.length == 1 && est.head.getLong(1) >= 0L)
   }
 
+  test("personalizedPageRank: mass stays in the seed component; " +
+      "unreachable nodes rank 0; hand formula on a star") {
+    import spark.implicits._
+    // seed s -> {a, b}; disconnected island x <-> y
+    val edges = Seq(("s", "a"), ("s", "b"), ("a", "s"), ("b", "s"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq("s"), iters = 2).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r("x") == 0.0 && r("y") == 0.0)
+    // iter1: s = 0.15 + 0.85*(a+b contributions: each rank0 0 → 0) =
+    // 0.15... wait rank0(s)=1: a = 0 + 0.85*(1/2) = 0.425, b = 0.425,
+    // s = 0.15 + 0.85*0 = 0.15
+    // iter2: a = 0.85*(0.15/2) = 0.06375, b same,
+    // s = 0.15 + 0.85*(0.425 + 0.425) = 0.8725
+    assert(math.abs(r("s") - 0.8725) < 1e-9, s"s=${r("s")}")
+    assert(math.abs(r("a") - 0.06375) < 1e-9)
+    assert(math.abs(r("b") - 0.06375) < 1e-9)
+  }
+
+  test("sequencePairs: hand-traced sessions — first-occurrence order, " +
+      "gap boundary breaks, repetition counted once") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // user 1, session 1: A(0) B(5) A(10) → (A,B) once, (A,A) never;
+    // exactly-30-min gap BREAKS: B(40) starts session 2 with C(45) →
+    // (B,C); user 2: B(0) A(1) → (B,A)
+    val ev = Seq(
+      (1L, 1L, "A", ts(0)), (2L, 1L, "B", ts(5)), (3L, 1L, "A", ts(10)),
+      (4L, 1L, "B", ts(40)), (5L, 1L, "C", ts(45)),
+      (6L, 2L, "B", ts(0)), (7L, 2L, "A", ts(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Funnel.sequencePairs(ev, "user_id", "ts", "event_type",
+        "event_id", gapSeconds = 1800).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 1L, ("B", "C") -> 1L,
+      ("B", "A") -> 1L), s"got $got")
+  }
+
   // -------------------------------------------------------------- Triangles
 
   private def triRow(df: org.apache.spark.sql.DataFrame) = {
