@@ -2302,6 +2302,34 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** Q145 — multi-source BFS hop distance (Graph.bfsDistance): shortest
+    * hops from supplier s1 over the q108 co-purchase graph, ≤ 4 rounds
+    * — reachability from an anchor set, integer state (the q130
+    * no-rounding iterative contract). Oracle unrolls the rounds. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val sp = operators.CacheScope.register(
+      t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = sp.union(sp.select(col("dst").as("src"),
+      col("src").as("dst")))
+    operators.Graph.bfsDistance(edges, "src", "dst", Seq("s1"),
+        maxHops = 4)
+      .orderBy(col("dist"), col("node"))
+  }
+
+  /** Q146 — greedy k-center coreset (Clustering.kCenterGreedy): 5
+    * farthest-point-traversal picks over the embeddings — the diverse-
+    * subset selector (random sampling oversamples dense regions; this
+    * covers the space). Distances rounded before each argmax, ties by
+    * id; the oracle unrolls the greedy rounds with the identical
+    * round-of-least contract. */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    operators.Clustering.kCenterGreedy(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("sel_order"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2451,6 +2479,8 @@ object SparkEntry {
     "q142_weighted_jaccard" -> (q142 _),
     "q143_sequence_pairs" -> (q143 _),
     "q144_ppr" -> (q144 _),
+    "q145_bfs" -> (q145 _),
+    "q146_kcenter" -> (q146 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4622,6 +4652,57 @@ object SparkEntry {
          |${iter("r2", "r3")}
          |SELECT node, rank FROM r3
          |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+    },
+    "q145_bfs" -> {
+      def hop(prev: String, cur: String): String =
+        s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst, p.dist + 1 FROM e JOIN $prev p
+           |    ON e.src = p.node) GROUP BY node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |             'p' || CAST(l_partkey AS VARCHAR) AS dst
+         |           FROM lineitem
+         |           UNION
+         |           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+         |             's' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+         |${hop("d0", "d1")},
+         |${hop("d1", "d2")},
+         |${hop("d2", "d3")},
+         |${hop("d3", "d4")}
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+         |ORDER BY dist, node""".stripMargin
+    },
+    // the identical round-of-least contract: each mi recomputes the
+    // raw least over ALL chosen centers, then rounds ONCE
+    "q146_kcenter" -> {
+      def sq(a: String, b: String): String = duckSqDist(a, b)
+      def m(i: Int): String = {
+        val dists = (1 to i).map(j =>
+          sq("v.embedding", s"c$j.embedding"))
+        val least = if (i == 1) dists.head
+          else s"LEAST(${dists.mkString(", ")})"
+        val crosses = (1 to i).map(j => s"CROSS JOIN c$j").mkString(" ")
+        s"""m$i AS (SELECT v.vec_id, v.embedding,
+           |  ROUND($least, 6) AS d FROM v $crosses)""".stripMargin
+      }
+      def c(i: Int): String =
+        s"""c${i + 1} AS (SELECT vec_id, embedding, d FROM m$i
+           |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 1),
+         |${m(1)}, ${c(1)},
+         |${m(2)}, ${c(2)},
+         |${m(3)}, ${c(3)},
+         |${m(4)}, ${c(4)}
+         |SELECT CAST(1 AS BIGINT) AS sel_order, vec_id,
+         |       CAST(0.0 AS DOUBLE) AS dist FROM c1
+         |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d FROM c2
+         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d FROM c3
+         |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d FROM c4
+         |UNION ALL SELECT CAST(5 AS BIGINT), vec_id, d FROM c5
+         |ORDER BY sel_order""".stripMargin
     },
   )
 }

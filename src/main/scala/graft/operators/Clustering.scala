@@ -47,6 +47,56 @@ object Clustering {
     * so the histogram is value-cardinality-sized) — no per-row window,
     * no whole-cluster single-task sort. keep is decided on the ROUNDED
     * percentile, so the boundary is engine-deterministic. */
+  /** Greedy k-center coreset selection (Gonzalez' 2-approximation, the
+    * farthest-point traversal): start from the smallest id, repeatedly
+    * add the point FARTHEST from the chosen set — the standard diverse-
+    * subset selector for data curation (active-learning coresets,
+    * Sener & Savarese '18): k points that cover the embedding space,
+    * where random sampling oversamples dense regions.
+    *
+    * Determinism contract: distances are rounded to 6 dp BEFORE each
+    * argmax and ties break by smallest id, so the selected set is
+    * engine-portable (the q13-style ordered-limit discipline, k times).
+    *
+    * Scale: k driver rounds; each is ONE scan computing the min
+    * distance to the ≤ k chosen centers (a literal-array least() fold
+    * compiled into the projection — centers are never a join side) and
+    * one TakeOrderedAndProject argmax. Driver state is k (id, vector)
+    * pairs — bounded by construction. k jobs is the price of the
+    * sequential greedy; each round's work is one codegen'd scan.
+    *
+    * @return (sel_order, id, dist) — dist = distance from the chosen
+    *         set at selection time (0 for the seed; the max-min radius
+    *         descends down the rows) */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    import graft.functions.VectorFunctions.sqDist
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = CacheScope.register(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .persist())
+    val first = base.orderBy(col(idCol)).limit(1)
+      .collect().head
+    var chosen = List((first.getLong(0), first.getSeq[Double](1), 0.0))
+    for (_ <- 2 to k) {
+      val dists = chosen.map { case (_, c, _) =>
+        sqDist(col("__v"), lit(c.toArray))
+      }
+      val minDist = round(dists.reduce(least(_, _)), 6)
+      val next = base
+        .select(col(idCol), col("__v"), minDist.as("__d"))
+        .orderBy(col("__d").desc, col(idCol))
+        .limit(1).collect().head
+      chosen = chosen :+
+        ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i.toLong + 1, id, d) }
+      .toDF("sel_order", idCol, "dist")
+  }
+
   def prototypicality(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int, dropFrac: Double = 0.1,
                       roundTo: Int = 6): DataFrame = {

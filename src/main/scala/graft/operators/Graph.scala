@@ -153,6 +153,40 @@ object Graph {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source BFS hop distance: shortest hop count from any seed,
+    * bounded by `maxHops` rounds — reachability/radius analysis from
+    * anchor nodes (which records sit within h hops of a trusted set;
+    * how far does contamination propagate through a link graph).
+    * Integer state only, so the fixed-round iterative contract needs no
+    * rounding anywhere (the q130 k-core discipline).
+    *
+    * Each round is one equi-join frontier expansion + one min-aggregate
+    * over (reached ∪ expanded) — the textbook Pregel BFS as DataFrame
+    * ops; state is one int per REACHED node (never the full node set),
+    * lineage cut each round. Unreached nodes are absent from the
+    * output by design.
+    *
+    * @return (node, dist), dist ∈ [0, maxHops] */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: Seq[String], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty && maxHops >= 0, "need seeds and maxHops >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = CacheScope.register(
+      edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var dist = seeds.toDF("node").withColumn("dist", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val expanded = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(expanded)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
   /** PERSONALIZED PageRank: teleport mass flows only to `seeds` instead
     * of uniformly — rank becomes "importance relative to the seed set",
     * the standard similar-items / recommendation primitive (random walk

@@ -285,6 +285,33 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(Graph.kCore(tri, "s", "d", k = 2, rounds = 5).count() == 3)
   }
 
+  // ----------------------------------------------------------- bfsDistance
+
+  test("bfsDistance: hand-traced hop counts on a path + branch; " +
+    "multi-source takes the min; unreached nodes absent; hop cap holds") {
+    import spark.implicits._
+    // a-b-c-d path, b-e branch; island x-y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"),
+      ("x", "y")).flatMap { case (s, d) => Seq((s, d), (d, s)) }
+      .toDF("s", "d")
+    val got = Graph.bfsDistance(edges, "s", "d", Seq("a"), maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "e" -> 2L,
+      "d" -> 3L), s"got $got")
+    // cap at 1 hop: c/d/e beyond the frontier stay absent
+    val capped = Graph.bfsDistance(edges, "s", "d", Seq("a"), maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a" -> 0L, "b" -> 1L))
+    // two seeds: d is 1 hop from seed d (itself 0), c is min(2 from a,
+    // 1 from d) = 1
+    val multi = Graph.bfsDistance(edges, "s", "d", Seq("a", "d"),
+        maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multi("c") == 1L && multi("d") == 0L && multi("a") == 0L &&
+      multi("b") == 1L && multi("e") == 2L)
+    assert(!multi.contains("x") && !multi.contains("y"))
+  }
+
   // --------------------------------------------------------- rateAnomalies
 
   test("rateAnomalies: dense fill alarms on a zero-event bucket; " +

@@ -439,4 +439,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(asg2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       asg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("kCenterGreedy: hand-traced farthest-point traversal on a line; " +
+    "seed is smallest id; ties break by id; partition-invariant") {
+    import spark.implicits._
+    // 1@0, 2@1, 3@10, 4@10.5 (squared distances): seed=1, then the
+    // farthest is 4 (110.25), then 2 (min(1, 90.25)=1), then 3
+    // (min(100, .25, 81)=0.25)
+    val pts = Seq((1L, Seq(0.0)), (2L, Seq(1.0)), (3L, Seq(10.0)),
+      (4L, Seq(10.5))).toDF("id", "vec")
+    val got = operators.Clustering.kCenterGreedy(pts, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 0.0), (2L, 4L, 110.25),
+      (3L, 2L, 1.0), (4L, 3L, 0.25)), s"got ${got.toSeq}")
+    // exact tie in max-min distance (5@-1 vs 2@1 both d=1 from seed 1
+    // after picking 4... use k=2 on {1@0, 2@1, 5@-1}: both at d=1 →
+    // smaller id 2 wins
+    val tie = Seq((1L, Seq(0.0)), (2L, Seq(1.0)), (5L, Seq(-1.0)))
+      .toDF("id", "vec")
+    val t = operators.Clustering.kCenterGreedy(tie, "id", "vec", k = 2)
+      .collect().map(r => r.getLong(1))
+    assert(t.toSeq == Seq(1L, 2L))
+    // content-deterministic under repartition
+    val got2 = operators.Clustering
+      .kCenterGreedy(pts.repartition(5), "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got2.toSeq == got.toSeq)
+  }
 }
