@@ -2330,6 +2330,70 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
       .orderBy(col("sel_order"))
 
+  /** Q147 — cross-source duplication matrix (Dedup.sourceOverlapMatrix):
+    * q19's verified near-dup pairs aggregated to (source_a, source_b) —
+    * which sources copy from each other, the provenance report that
+    * decides which source to drop when corpora overlap. */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.sourceOverlapMatrix(t(s, dir, "documents"),
+      "doc_id", "text", "source")
+
+  /** Q148 — kNN label classification (Search.knnClassify): every 25th
+    * embedding is the "unlabeled" query set, classified by majority
+    * vote over its 10 nearest labeled neighbors — label spreading over
+    * embedding space (quality tiers / domains from a small hand-labeled
+    * set). Neighbor pick by (rounded dist, id); vote ties to the
+    * smallest label via a min-struct aggregate. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    operators.Search.knnClassify(
+        e.filter(col("vec_id") % 25 =!= 0), "embedding", "vec_id",
+        "label",
+        e.filter(col("vec_id") % 25 === 0), "embedding", "vec_id",
+        k = 10)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Q149 — winnowing fingerprints (TextAnalysis.winnow): MOSS local
+    * fingerprints over token-3-grams, window 4 — any shared run of
+    * >= 6 tokens between two documents shares a fingerprint, the
+    * partial-overlap detector exact dedup and MinHash both miss. */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.winnow(t(s, dir, "documents"),
+      "doc_id", "text", k = 3, w = 4)
+
+  /** Q150 — label propagation communities (Graph.labelPropagation):
+    * 2 synchronous rounds over the co-purchase graph, each node taking
+    * its neighbors' most frequent label (ties to smallest) — the cheap
+    * community pass for grouping near-dup families; fixed rounds +
+    * deterministic tie-break make the state engine-portable. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val sp = operators.CacheScope.register(
+      t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = sp.union(sp.select(col("dst").as("src"),
+      col("src").as("dst")))
+    operators.Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      .orderBy(col("node"))
+  }
+
+  /** Q151 — MMR diversity re-ranking (Search.mmrSelect): the top-20
+    * shortlist by cosine to vec_id 0's embedding, greedily re-ranked to
+    * 5 picks maximizing 0.7·rel − 0.3·max-sim-to-chosen — the serving
+    * cut that keeps near-duplicates from filling a result page. Oracle
+    * unrolls the greedy with the q146 round-before-argmax contract. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    operators.Search.mmrSelect(e.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, k = 5, lambda = 0.7, shortlist = 20)
+      .orderBy(col("sel_order"))
+  }
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2481,6 +2545,11 @@ object SparkEntry {
     "q144_ppr" -> (q144 _),
     "q145_bfs" -> (q145 _),
     "q146_kcenter" -> (q146 _),
+    "q147_source_overlap" -> (q147 _),
+    "q148_knn_classify" -> (q148 _),
+    "q149_winnow" -> (q149 _),
+    "q150_label_prop" -> (q150 _),
+    "q151_mmr" -> (q151 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4702,6 +4771,127 @@ object SparkEntry {
          |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d FROM c3
          |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d FROM c4
          |UNION ALL SELECT CAST(5 AS BIGINT), vec_id, d FROM c5
+         |ORDER BY sel_order""".stripMargin
+    },
+    // q19's shingle CTE family + the provenance join and matrix rollup
+    "q147_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b, ROUND(c / (za.n + zb.n - c), 6) AS jaccard
+        |          FROM inter JOIN sz za ON a = za.doc_id
+        |                     JOIN sz zb ON b = zb.doc_id
+        |          WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       max(jaccard) AS max_jaccard
+        |FROM pairs JOIN documents da ON da.doc_id = pairs.a
+        |           JOIN documents db ON db.doc_id = pairs.b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q148_knn_classify" -> {
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id % 25 = 0),
+         |l AS (SELECT vec_id, embedding, label FROM embeddings
+         |      WHERE vec_id % 25 <> 0),
+         |d AS (SELECT q.qid, l.vec_id, l.label,
+         |        ROUND(${duckSqDist("l.embedding", "q.qv")}, 6) AS dist
+         |      FROM l CROSS JOIN q),
+         |nn AS (SELECT qid, label FROM (
+         |         SELECT qid, label, row_number() OVER (
+         |           PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM d)
+         |       WHERE rn <= 10),
+         |v AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+         |SELECT qid AS vec_id, CAST(label AS BIGINT) AS pred_label,
+         |       CAST(votes AS BIGINT) AS votes
+         |FROM (SELECT qid, label, votes, row_number() OVER (
+         |        PARTITION BY qid ORDER BY votes DESC, label) AS rn FROM v)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    // token-3-gram hashes, windows of 4; rightmost-min via (h, pos DESC)
+    "q149_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |kg0 AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS nkg,
+        |          list_transform(range(1, greatest(len(t) - 1, 1)),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+        |        FROM toks WHERE len(t) >= 3),
+        |kg AS (SELECT doc_id, nkg,
+        |         CAST(generate_subscripts(gs, 1) AS BIGINT) - 1 AS pos,
+        |         unnest(gs) AS g FROM kg0),
+        |h AS (SELECT doc_id, nkg, pos,
+        |        CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h FROM kg),
+        |wj AS (SELECT doc_id, pos, h,
+        |         unnest(range(greatest(pos - 3, 0),
+        |                      least(pos, greatest(nkg - 4, 0)) + 1)) AS j
+        |       FROM h),
+        |sel AS (SELECT doc_id, pos, h, row_number() OVER (
+        |          PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
+        |        FROM wj)
+        |SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rn = 1
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q150_label_prop" -> {
+      def round(prev: String, cur: String): String =
+        s"""v_$cur AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |  FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+           |w_$cur AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (
+           |    PARTITION BY node ORDER BY c DESC, label) AS rn FROM v_$cur)
+           |  WHERE rn = 1),
+           |$cur AS (SELECT p.node, coalesce(w.label, p.label) AS label
+           |  FROM $prev p LEFT JOIN w_$cur w ON w.node = p.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |             'p' || CAST(l_partkey AS VARCHAR) AS dst
+         |           FROM lineitem
+         |           UNION
+         |           SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+         |             's' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")}
+         |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+    },
+    // the q146 greedy-unroll discipline with cosine scores: shortlist by
+    // rel, then 4 rounds of round-before-argmax over 0.7·rel − 0.3·maxsim
+    "q151_mmr" -> {
+      def cos(a: String, b: String): String = duckCosine(a, b)
+      def m(i: Int): String = {
+        val sims = (1 to i).map(j => cos("s.embedding", s"p$j.embedding"))
+        val gr = if (i == 1) sims.head
+          else s"GREATEST(${sims.mkString(", ")})"
+        val crosses = (1 to i).map(j => s"CROSS JOIN p$j").mkString(" ")
+        val notIn = (1 to i).map(j => s"s.vec_id <> p$j.vec_id")
+          .mkString(" AND ")
+        s"""m$i AS (SELECT s.vec_id, s.embedding, s.rel,
+           |  ROUND(0.7 * s.rel - 0.3 * ROUND($gr, 6), 6) AS score
+           |  FROM sl s $crosses WHERE $notIn)""".stripMargin
+      }
+      def p(i: Int): String =
+        s"""p${i + 1} AS (SELECT vec_id, embedding, rel, score FROM m$i
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sl AS (SELECT e.vec_id, e.embedding,
+         |         ROUND(${cos("e.embedding", "q.qv")}, 6) AS rel
+         |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |       ORDER BY rel DESC, vec_id LIMIT 20),
+         |p1 AS (SELECT vec_id, embedding, rel,
+         |         ROUND(0.7 * rel, 6) AS score
+         |       FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
+         |${m(1)}, ${p(1)},
+         |${m(2)}, ${p(2)},
+         |${m(3)}, ${p(3)},
+         |${m(4)}, ${p(4)}
+         |SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, score FROM p1
+         |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, score FROM p2
+         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, score FROM p3
+         |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, score FROM p4
+         |UNION ALL SELECT CAST(5 AS BIGINT), vec_id, score FROM p5
          |ORDER BY sel_order""".stripMargin
     },
   )

@@ -413,6 +413,41 @@ object Dedup {
       .select(col(idCol), col("status"))
   }
 
+  /** Cross-source duplication matrix: the verified near-dup pair
+    * relation aggregated up to (source_a, source_b) — "which sources
+    * copy from each other", the licensing-provenance / crawl-overlap
+    * report that decides which source to drop when corpora overlap.
+    * Pair sources are normalized unordered (least, greatest) so A→B
+    * and B→A land in one cell; within-source duplication is the
+    * diagonal. max_jaccard rides along (max is merge-order-independent
+    * over the exact-ratio doubles); n_pairs is the signal.
+    *
+    * Scale: the pair relation is output-sized (q19's df-capped blocked
+    * plan does the heavy lifting); the two provenance lookups join the
+    * pairs on id against the narrow (id, source) projection — AQE
+    * broadcasts the pair side when it fits, and the final matrix is
+    * |sources|²-bounded. */
+  def sourceOverlapMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, n: Int = 3,
+                          minJaccard: Double = 0.5,
+                          maxShingleDf: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard,
+      maxShingleDf)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("__ia"), col(sourceCol).as("__sa")),
+        col("a") === col("__ia"))
+      .join(src.select(col(idCol).as("__ib"), col(sourceCol).as("__sb")),
+        col("b") === col("__ib"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MinHash signature columns mh0..mh{k-1}: per document, the minimum over
     * word n-gram shingles of a keyed md5 prefix. Hash family =
     * md5(shingle + "#" + i) — deterministic, engine-portable (md5 is

@@ -187,6 +187,47 @@ object Graph {
     dist
   }
 
+  /** Synchronous label propagation (fixed rounds): every node takes the
+    * most frequent label among its IN-neighbors each round (pass a
+    * symmetrized edge list for undirected semantics), ties to the
+    * smallest label — the cheap community-detection pass used to group
+    * near-dup families or topical neighborhoods without a modularity
+    * solve. Fixed round count + deterministic tie-break make the
+    * (possibly non-converged) state well-defined and engine-portable;
+    * nodes with no in-edges keep their current label.
+    *
+    * Per round: one edges⋈labels equi-join, one (node, label) count
+    * shuffle, and a min-struct argmax (never a per-node sort window);
+    * state is one label per node, lineage cut every round (the q47/q108
+    * iterative discipline). Initial label = the node's own id. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    val e = CacheScope.register(
+      edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheScope.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist())
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val voted = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("node2"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        // argmax by (count desc, label asc) as one min-struct aggregate
+        .groupBy(col("node2"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__m"))
+        .select(col("node2"), col("__m.l").as("__newl"))
+      labels = labels.join(voted, labels("node") === voted("node2"),
+          "left")
+        .select(col("node"),
+          coalesce(col("__newl"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   /** PERSONALIZED PageRank: teleport mass flows only to `seeds` instead
     * of uniformly — rank becomes "importance relative to the seed set",
     * the standard similar-items / recommendation primitive (random walk

@@ -169,6 +169,88 @@ object Search {
           .as("recall"))
   }
 
+  /** kNN label classification: each query takes the majority label of
+    * its k nearest LABELED neighbors — the label-spreading step that
+    * extends a small hand-labeled set (quality tiers, domains,
+    * toxicity) over an unlabeled corpus through embedding space.
+    *
+    * Determinism: neighbors picked by (rounded dist, id) — the q2
+    * discipline — and vote ties break to the smallest label, via one
+    * min-struct aggregate (never a per-query sort).
+    *
+    * Scale: rides knnBatch (broadcast queries, WindowGroupLimit below
+    * the exchange bounds the shuffle at k rows per query); the vote is
+    * a (query × ≤k)-sized aggregate, noise next to the search.
+    *
+    * @return (qid, pred_label, votes) */
+  def knnClassify(labeled: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, queries: DataFrame, qVecCol: String,
+                  qidCol: String, k: Int): DataFrame = {
+    val nn = knnBatch(labeled.select(col(idCol), col(vecCol),
+        col(labelCol)), vecCol, idCol, queries, qVecCol, qidCol, k)
+    nn.groupBy(col("qid"), col(labelCol))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("qid"))
+      .agg(min(struct((-col("__votes")).as("nv"),
+        col(labelCol).cast("long").as("l"))).as("__m"))
+      .select(col("qid").as(qidCol), col("__m.l").as("pred_label"),
+        (-col("__m.nv")).as("votes"))
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * greedily pick k items maximizing
+    * `λ·rel − (1−λ)·max_{s∈chosen} cos(v, s)` — the diversity-aware
+    * serving cut that stops near-duplicate results from filling a
+    * result page. Operates on the top-`shortlist` candidates by query
+    * cosine, which is the honest MMR shape: the greedy is quadratic in
+    * its pool, so production ALWAYS reranks a retrieved shortlist, and
+    * the distributed work is the shortlist construction (one scan +
+    * TakeOrderedAndProject heap at any corpus size).
+    *
+    * Determinism contract (the q146 greedy discipline): rel and the
+    * max-similarity term are rounded to 6 dp before the score, the
+    * score is rounded before each argmax, ties break by id; chosen
+    * vectors compile into the next round's projection as literals.
+    * First pick's score is λ·rel (empty chosen set ⇒ similarity 0).
+    *
+    * @return (sel_order, id, score), sel_order = 1..k */
+  def mmrSelect(index: DataFrame, vecCol: String, idCol: String,
+                qVec: Seq[Double], k: Int, lambda: Double,
+                shortlist: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need k >= 1 and shortlist >= k")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qLit = lit(qVec.toArray)
+    val base = graft.operators.CacheScope.register(index
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__rel", round(cosine(col("__v"), qLit), roundTo))
+      .orderBy(col("__rel").desc, col(idCol)).limit(shortlist)
+      .persist())
+    val first = base.orderBy(col("__rel").desc, col(idCol)).limit(1)
+      .select(col(idCol), col("__v"),
+        round(lit(lambda) * col("__rel"), roundTo))
+      .collect().head
+    var chosen =
+      List((first.getLong(0), first.getSeq[Double](1), first.getDouble(2)))
+    for (_ <- 2 to k) {
+      val maxSim = round(
+        chosen.map { case (_, c, _) => cosine(col("__v"), lit(c.toArray)) }
+          .reduce(greatest(_, _)), roundTo)
+      val next = base
+        .filter(!col(idCol).isin(chosen.map(_._1): _*))
+        .select(col(idCol), col("__v"),
+          round(lit(lambda) * col("__rel") - lit(1.0 - lambda) * maxSim,
+            roundTo).as("__s"))
+        .orderBy(col("__s").desc, col(idCol))
+        .limit(1).collect().head
+      chosen = chosen :+
+        ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, s), i) => (i.toLong + 1, id, s) }
+      .toDF("sel_order", idCol, "score")
+  }
+
   /** Brute-force top-k by cosine similarity (descending) — the ANN
     * baseline; the IVF path must achieve target recall against this. */
   def cosineTopK(index: DataFrame, vecCol: String, idCol: String,

@@ -422,6 +422,58 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, " +", " "))))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): per
+    * document, the positions selected by sliding a window of `w`
+    * consecutive token-k-gram hashes and keeping each window's minimum
+    * (rightmost on equal hash) — LOCAL fingerprints with the guarantee
+    * that any shared run of ≥ w+k-1 tokens yields at least one shared
+    * fingerprint, which whole-document md5 (exact dedup) and shingle
+    * sampling (MinHash) both lack. The partial-overlap / plagiarism-
+    * span detector: join two corpora on fp to find copied passages
+    * with positions.
+    *
+    * Hash = first 8 md5 hex chars of the k-gram as an integer
+    * (engine-portable, the established md5-prefix family). The window
+    * argmin is computed by exploding each position into the ≤ w windows
+    * containing it and taking one min-struct per (doc, window) — a w×
+    * bounded fan-out feeding ONE (doc, window) shuffle that spreads
+    * arbitrarily large documents across tasks, where the per-doc
+    * window-function formulation would sort each whole document in a
+    * single task. Docs shorter than k tokens emit nothing; docs with
+    * fewer than w k-grams form a single window.
+    *
+    * @return (idCol, pos, fp) distinct selected fingerprints with their
+    *         k-gram positions, ordered by (id, pos) */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val toks = col("__toks")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => struct((i - 1).cast("long").as("pos"),
+        concat_ws(" ",
+          (0 until k).map(o => element_at(toks, i + o)): _*).as("g")))
+    docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= k)
+      .select(col(idCol),
+        (size(toks) - (k - 1)).cast("long").as("__nkg"),
+        explode(grams).as("__kg"))
+      .select(col(idCol), col("__nkg"), col("__kg.pos").as("__pos"),
+        conv(substring(md5(col("__kg.g")), 1, 8), 16, 10).cast("long")
+          .as("__h"))
+      .select(col(idCol), col("__pos"), col("__h"),
+        explode(sequence(greatest(col("__pos") - (w - 1), lit(0L)),
+          least(col("__pos"), greatest(col("__nkg") - w, lit(0L)))))
+          .as("__j"))
+      .groupBy(col(idCol), col("__j"))
+      .agg(min(struct(col("__h").as("h"), (-col("__pos")).as("np")))
+        .as("__m"))
+      .select(col(idCol), (-col("__m.np")).as("pos"),
+        col("__m.h").as("fp"))
+      .distinct()
+      .orderBy(col(idCol), col("pos"))
+  }
+
   /** Context-window chunking with overlap — the LLM-training prep step
     * that turns documents into model-sized pieces. Pure builtin
     * expressions (split → sequence of starts → posexplode → slice):

@@ -598,6 +598,25 @@ class DedupSpec extends AnyFunSuite {
       n = 3, minJaccard = 0.5).isEmpty)
   }
 
+  test("sourceOverlapMatrix: hand-planted cross-source dups roll up to " +
+    "unordered source cells; diagonal = within-source duplication") {
+    import spark.implicits._
+    // s1: d1/d2 identical (J=1.0); s2: d3 shares 3 of 5 union shingles
+    // with both (J=0.6); s2: d4 unrelated
+    val docs = Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b c d e f", "s1"),
+      (3L, "a b c d e g", "s2"), (4L, "x y z w q r", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // (d1,d2) -> (s1,s1); (d1,d3),(d2,d3) -> (s1,s2) regardless of
+    // which side's source sorts first
+    assert(got == Map(("s1", "s1") -> ((1L, 1.0)),
+      ("s1", "s2") -> ((2L, 0.6))), s"got $got")
+  }
+
   test("containment >= jaccard: same-threshold pairs are a superset") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

@@ -312,6 +312,39 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(!multi.contains("x") && !multi.contains("y"))
   }
 
+  // ------------------------------------------------------ labelPropagation
+
+  test("labelPropagation: hand-traced star oscillation; count beats " +
+    "label order; no-in-edge nodes keep their label") {
+    import spark.implicits._
+    // symmetric star: hub h <-> leaves a, b, c
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toDF("s", "d")
+    // round 1: h sees {a,b,c} once each -> tie -> "a"; leaves see {h}
+    val r1 = Graph.labelPropagation(star, "s", "d", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 == Map("h" -> "a", "a" -> "h", "b" -> "h", "c" -> "h"))
+    // round 2 (synchronous): h sees three "h" votes -> "h"; leaves see
+    // hub's round-1 label "a"
+    val r2 = Graph.labelPropagation(star, "s", "d", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r2 == Map("h" -> "h", "a" -> "a", "b" -> "a", "c" -> "a"))
+    // keep-own rule: x has no in-edges, so it holds its label
+    val directed = Seq(("x", "y")).toDF("s", "d")
+    val d1 = Graph.labelPropagation(directed, "s", "d", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d1 == Map("x" -> "x", "y" -> "x"))
+    // count beats label order: k->p, k->q relabel p,q to "k" in round
+    // 1 (v meanwhile tie-breaks {p,q,a} to "a"); round 2: v sees
+    // {"k","k","a"} and the count-2 "k" must beat the alphabetically
+    // smaller "a"
+    val fan = Seq(("k", "p"), ("k", "q"), ("p", "v"), ("q", "v"),
+      ("a", "v")).toDF("s", "d")
+    val f2 = Graph.labelPropagation(fan, "s", "d", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(f2("v") == "k", s"count 2 must beat smaller label: $f2")
+  }
+
   // --------------------------------------------------------- rateAnomalies
 
   test("rateAnomalies: dense fill alarms on a zero-event bucket; " +

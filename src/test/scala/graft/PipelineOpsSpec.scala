@@ -779,4 +779,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w.keySet.contains("en"))
     (w - "en").values.foreach(other => assert(w("en") > other))
   }
+
+  test("winnow: shared-run guarantee, window coverage, rightmost tie, " +
+    "short-doc edges") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // guarantee: a shared run of w+k-1 = 6 tokens must share >= 1
+    // fingerprint HASH between the two docs (positions may differ)
+    val docs = Seq(
+      (1L, "p1 q1 r1 s1 t1 u1 v1 w1"),
+      (2L, "z1 z2 p1 q1 r1 s1 t1 u1 z3 z4"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, "doc_id", "text", k, w)
+    val f1 = fps.filter(col("doc_id") === 1).select("fp")
+    val f2 = fps.filter(col("doc_id") === 2).select("fp")
+    assert(f1.intersect(f2).count() >= 1,
+      "a 6-token shared run must yield a shared fingerprint")
+    // coverage: within a doc, consecutive selected positions are never
+    // more than w apart (every window contains a selected position),
+    // the first is < w, and all lie in [0, nkg-1]
+    val pos = fps.filter(col("doc_id") === 2)
+      .orderBy(col("pos")).collect().map(_.getLong(1))
+    assert(pos.head < w && pos.last >= 10 - k + 1 - w)
+    pos.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a <= w, s"gap $a -> $b exceeds window")
+    case _ => }
+    // rightmost tie-break: all-equal hashes select the LAST position of
+    // each window; unigrams "a a a a a" with w=5 = one window -> pos 4
+    val rep = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val one = TextAnalysis.winnow(rep, "doc_id", "text", 1, 5).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 4L)
+    // w=2: windows {0,1}..{3,4}, rightmost of each -> positions 1..4
+    val r2 = TextAnalysis.winnow(rep, "doc_id", "text", 1, 2)
+      .collect().map(_.getLong(1)).sorted
+    assert(r2.toSeq == Seq(1L, 2L, 3L, 4L))
+    // exactly k tokens: one k-gram, one window, selected at pos 0;
+    // fewer than k tokens: nothing
+    val short = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val s = TextAnalysis.winnow(short, "doc_id", "text", k, w).collect()
+    assert(s.length == 1 && s.head.getLong(0) == 1L &&
+      s.head.getLong(1) == 0L)
+  }
 }

@@ -125,4 +125,53 @@ class SearchSpec extends AnyFunSuite {
     }.toSet
     assert(got == expect)
   }
+
+  test("knnClassify: hand-traced majority vote; vote ties break to the " +
+    "smallest label") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, Seq(0.0), 1), (2L, Seq(0.1), 1), (3L, Seq(0.2), 2),
+      (4L, Seq(10.0), 2), (5L, Seq(10.1), 2), (6L, Seq(10.2), 1))
+      .toDF("vec_id", "embedding", "label")
+    // A@0.0 k=3 -> {1,2,3} labels {1:2, 2:1} -> 1; B@10.1 k=3 ->
+    // {4,5,6} labels {2:2, 1:1} -> 2
+    val q3 = Seq((100L, Seq(0.0)), (101L, Seq(10.1)))
+      .toDF("vec_id", "embedding")
+    val got = Search.knnClassify(labeled, "embedding", "vec_id", "label",
+        q3, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((100L, 1L, 2L), (101L, 2L, 2L)), s"$got")
+    // C@0.15 k=2 -> neighbors 2 (label 1) and 3 (label 2), one vote
+    // each -> tie -> smallest label 1
+    val qTie = Seq((200L, Seq(0.15))).toDF("vec_id", "embedding")
+    val tie = Search.knnClassify(labeled, "embedding", "vec_id", "label",
+        qTie, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tie.toSeq == Seq((200L, 1L, 1L)))
+  }
+
+  test("mmrSelect: lambda trades relevance for diversity — low lambda " +
+    "skips the near-duplicate of the first pick, high lambda keeps it") {
+    import spark.implicits._
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    // q at 0 deg; A@+5 (top rel), A2@+6 (near-dup of A), B@-20 (diverse)
+    val cands = Seq((1L, at(5)), (2L, at(6)), (3L, at(-20)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    def picks(lambda: Double) =
+      Search.mmrSelect(cands, "embedding", "vec_id", q, k = 2,
+          lambda = lambda, shortlist = 3)
+        .orderBy(col("sel_order")).collect().map(_.getLong(1)).toSeq
+    // first pick is always the top-relevance item A
+    assert(picks(0.5) == Seq(1L, 3L), "diversity: B beats the near-dup")
+    assert(picks(0.95) == Seq(1L, 2L), "relevance-heavy: near-dup stays")
+    // scores descend down the selection (greedy argmax each round)
+    val s = Search.mmrSelect(cands, "embedding", "vec_id", q, k = 3,
+        lambda = 0.5, shortlist = 3)
+      .orderBy(col("sel_order")).collect().map(_.getDouble(2))
+    assert(s.length == 3 && s(1) >= s(2),
+      "later greedy rounds cannot find a better score than earlier ones")
+  }
 }
