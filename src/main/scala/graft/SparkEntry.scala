@@ -2394,6 +2394,45 @@ object SparkEntry {
       .orderBy(col("sel_order"))
   }
 
+  /** Q152 — partial-overlap pairs over winnowing fingerprints
+    * (TextAnalysis.winnowOverlapPairs): doc pairs sharing >= 2 selected
+    * fingerprints — the copied-passage detector whole-document
+    * fingerprints miss and small-span Jaccard demotes. */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.winnowOverlapPairs(t(s, dir, "documents"),
+      "doc_id", "text", k = 3, w = 4, minShared = 2)
+
+  /** Q153 — Johnson-Lindenstrauss recall harness: Rademacher ±1
+    * projection 64 → 16 dims (VectorAgg.randomProjection, md5-derived
+    * sign matrix, no stored weights), then recall@10 of projected-space
+    * kNN against exact kNN for 5 queries — the dimension-cut
+    * cost/recall evidence, the JL twin of q115's IVF recall harness. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val proj = operators.CacheScope.register(
+      operators.VectorAgg.randomProjection(e, "embedding", 64, 16)
+        .select(col("vec_id"), col("embedding"), col("proj"))
+        .persist())
+    val q = proj.filter(col("vec_id") <= 4)
+    val exact = operators.Search.knnBatch(e, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 10)
+    val approx = operators.Search.knnBatch(
+      proj.select(col("vec_id"), col("proj")), "proj", "vec_id",
+      q.select(col("vec_id"), col("proj")), "proj", "vec_id", k = 10)
+    operators.Search.recallAtK(approx, exact, "qid", "vec_id")
+      .orderBy(col("qid"))
+  }
+
+  /** Q154 — Neyman-allocated eval sampling (Sampling.neymanSample):
+    * budget 100 split across sources ∝ n_h · spread_h with exact
+    * integer largest-remainder allocation, rows picked per stratum by
+    * the md5 coin — the heterogeneity-aware eval-set constructor. */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.neymanSample(t(s, dir, "documents"),
+        "doc_id", "source", col("n_chars"), budget = 100)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2550,6 +2589,9 @@ object SparkEntry {
     "q149_winnow" -> (q149 _),
     "q150_label_prop" -> (q150 _),
     "q151_mmr" -> (q151 _),
+    "q152_winnow_overlap" -> (q152 _),
+    "q153_jl_recall" -> (q153 _),
+    "q154_neyman" -> (q154 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4894,5 +4936,90 @@ object SparkEntry {
          |UNION ALL SELECT CAST(5 AS BIGINT), vec_id, score FROM p5
          |ORDER BY sel_order""".stripMargin
     },
+    // q149's winnow CTE family + df cap + the shared-fp pair join
+    "q152_winnow_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |kg0 AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS nkg,
+        |          list_transform(range(1, greatest(len(t) - 1, 1)),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+        |        FROM toks WHERE len(t) >= 3),
+        |kg AS (SELECT doc_id, nkg,
+        |         CAST(generate_subscripts(gs, 1) AS BIGINT) - 1 AS pos,
+        |         unnest(gs) AS g FROM kg0),
+        |h AS (SELECT doc_id, nkg, pos,
+        |        CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h FROM kg),
+        |wj AS (SELECT doc_id, pos, h,
+        |         unnest(range(greatest(pos - 3, 0),
+        |                      least(pos, greatest(nkg - 4, 0)) + 1)) AS j
+        |       FROM h),
+        |sel AS (SELECT doc_id, pos, h, row_number() OVER (
+        |          PARTITION BY doc_id, j ORDER BY h, pos DESC) AS rn
+        |        FROM wj),
+        |fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rn = 1),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000)
+        |SELECT f1.doc_id AS a, f2.doc_id AS b,
+        |       CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM fps f1 JOIN rare USING (fp) JOIN fps f2 USING (fp)
+        |WHERE f1.doc_id < f2.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a, b""".stripMargin,
+    // the JL projection is md5-derived so the oracle REBUILDS the sign
+    // matrix; both engines fold the 64-term sums left-to-right
+    "q153_jl_recall" -> {
+      val sign = "(1 - 2 * (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)" +
+        " || '#' || CAST(j AS VARCHAR)), 1, 1)) AS INT) % 2))"
+      s"""WITH p AS (SELECT vec_id, embedding,
+         |  list_transform(range(0, 16), j ->
+         |    ROUND(list_sum(list_transform(range(0, 64), i ->
+         |      CAST(embedding[i + 1] AS DOUBLE) * $sign)) / 4.0, 6))
+         |    AS proj
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, proj AS qp FROM p
+         |      WHERE vec_id <= 4),
+         |ex AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, p.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ROUND(${duckSqDist("p.embedding", "q.qe")}, 6),
+         |             p.vec_id) AS rn
+         |  FROM p CROSS JOIN q) WHERE rn <= 10),
+         |ap AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, p.vec_id, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ROUND(${duckSqDist("p.proj", "q.qp")}, 6),
+         |             p.vec_id) AS rn
+         |  FROM p CROSS JOIN q) WHERE rn <= 10),
+         |hits AS (SELECT ex.qid, count(*) AS n_hit
+         |         FROM ex JOIN ap ON ex.qid = ap.qid
+         |                        AND ex.vec_id = ap.vec_id
+         |         GROUP BY 1)
+         |SELECT e.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |       ROUND(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+         |FROM (SELECT qid, count(*) AS ne FROM ex GROUP BY 1) e
+         |LEFT JOIN hits h ON e.qid = h.qid
+         |ORDER BY e.qid""".stripMargin
+    },
+    // exact integer largest-remainder Neyman solve + the md5 coin rank
+    "q154_neyman" ->
+      """WITH st AS (SELECT source, count(*) AS n,
+        |              max(n_chars) - min(n_chars) AS s
+        |            FROM documents GROUP BY 1),
+        |wts AS (SELECT source, n,
+        |          CASE WHEN (SELECT max(s) FROM st) = 0 THEN n
+        |               ELSE n * s END AS wt FROM st),
+        |tot AS (SELECT sum(wt) AS tw FROM wts),
+        |base AS (SELECT source, n, (100 * wt) // tw AS a,
+        |           (100 * wt) % tw AS rem FROM wts, tot),
+        |lo AS (SELECT 100 - sum(a) AS lv FROM base),
+        |rk AS (SELECT source, n, a, row_number() OVER (
+        |         ORDER BY rem DESC, source) AS r FROM base),
+        |al AS (SELECT source, least(CAST(n AS BIGINT),
+        |         a + CASE WHEN r <= (SELECT lv FROM lo)
+        |                  THEN 1 ELSE 0 END) AS alloc FROM rk),
+        |sel AS (SELECT d.doc_id, d.source, row_number() OVER (
+        |          PARTITION BY d.source
+        |          ORDER BY md5(d.source || '#' ||
+        |                       CAST(d.doc_id AS VARCHAR)), d.doc_id)
+        |          AS rn
+        |        FROM documents d)
+        |SELECT doc_id, source FROM sel JOIN al USING (source)
+        |WHERE rn <= alloc ORDER BY doc_id""".stripMargin,
   )
 }

@@ -99,6 +99,73 @@ object Sampling {
     df.filter(b < (fraction * 10000).toInt)
   }
 
+  /** Neyman-allocated stratified sampling: split a fixed eval budget
+    * across strata proportional to `n_h · s_h` (stratum size × spread)
+    * — the optimal-allocation rule that gives variable strata more of
+    * the budget than proportional sampling would, the standard way to
+    * build a small eval set that still resolves differences inside
+    * heterogeneous sources.
+    *
+    * Determinism contract: the variability term is the exact integer
+    * SPREAD max(size) − min(size) (a float stddev would expose
+    * summation order to the cross-engine contract; callers with a
+    * better exact variability signal pass it as `sizeCol`); the
+    * allocation is largest-remainder integer math (floor(budget·W_h/ΣW)
+    * + the leftovers to the largest remainders, ties to the smaller
+    * stratum name) so every engine allocates identically; within a
+    * stratum, rows are picked in (md5(stratum#id), id) coin order — the
+    * established split-stability coin, so the pick is content-stable
+    * under repartitioning and growing the budget only ADDS rows.
+    * Degenerate all-zero spreads fall back to size-proportional
+    * (W_h = n_h). Allocations are capped at n_h (a stratum cannot
+    * overdraw).
+    *
+    * Scale: one |strata|-sized aggregate, the integer solve on the
+    * driver over |strata| rows (metadata-sized by definition), and one
+    * WindowGroupLimit-bounded rank filter per stratum — the capPerGroup
+    * shuffle shape, O(strata × alloc) past the exchange.
+    *
+    * @return (original columns…) of the selected rows */
+  def neymanSample(df: DataFrame, idCol: String, strataCol: String,
+                   sizeCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget >= 0")
+    val stats = df.groupBy(col(strataCol).as("__h"))
+      .agg(count(lit(1)).as("__n"),
+        (max(sizeCol) - min(sizeCol)).cast("long").as("__s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val allZero = stats.forall(_._3 == 0L)
+    val weights = stats.map { case (h, n, s) =>
+      (h, n, if (allZero) n else n * s)
+    }
+    val totalW = weights.map(_._3).sum
+    val alloc: Map[String, Long] =
+      if (totalW == 0L) weights.map { case (h, _, _) => h -> 0L }.toMap
+      else {
+        val base = weights.map { case (h, n, wt) =>
+          (h, n, budget * wt / totalW, budget * wt % totalW)
+        }
+        val leftover = (budget - base.map(_._3).sum).toInt
+        val bump = base.sortBy { case (h, _, _, rem) => (-rem, h) }
+          .take(leftover).map(_._1).toSet
+        base.map { case (h, n, a, _) =>
+          h -> math.min(n, a + (if (bump(h)) 1L else 0L))
+        }.toMap
+      }
+    val lut = alloc.toSeq.sortBy(_._1)
+      .map { case (h, a) => (lit(h), lit(a)) }
+    val allocCol = lut.foldLeft(lit(0L)) { case (acc, (h, a)) =>
+      when(col(strataCol) === h, a).otherwise(acc)
+    }
+    val coin = md5(concat_ws("#", col(strataCol), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(coin, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= allocCol)
+      .drop("__rn")
+  }
+
   /** Per-group document cap — the "domain cap" curation step: keep at
     * most `n` rows per group (source / domain / crawl host), chosen by
     * an explicit priority order instead of arrival order, so one

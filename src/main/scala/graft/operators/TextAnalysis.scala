@@ -474,6 +474,38 @@ object TextAnalysis {
       .orderBy(col(idCol), col("pos"))
   }
 
+  /** Partial-overlap (plagiarism-span) pair detection over winnowing
+    * fingerprints: document pairs sharing >= `minShared` selected
+    * fingerprints — the copied-passage detector. Because winnowing
+    * guarantees any shared run of >= w+k-1 tokens yields a shared
+    * fingerprint, this finds PARTIAL copies that whole-document
+    * fingerprints miss and that Jaccard demotes when the copied span
+    * is small relative to either document.
+    *
+    * Scale: the winnow relation is ~|tokens|/w per doc; the self-join
+    * is blocked by fingerprint equality with a document-frequency cap
+    * (`maxFpDf`, the q19 discipline) killing boilerplate fingerprints
+    * that would otherwise pair everything — candidate pairs are
+    * output-sized, never all-pairs. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Int = 2,
+                         maxFpDf: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxFpDf >= 2,
+      "need minShared >= 1 and maxFpDf >= 2 (df-1 fps cannot pair)")
+    val fps = winnow(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFpDf).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col(idCol).as("a"))
+      .join(kept.select(col("fp"), col(idCol).as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Context-window chunking with overlap — the LLM-training prep step
     * that turns documents into model-sized pieces. Pure builtin
     * expressions (split → sequence of starts → posexplode → slice):

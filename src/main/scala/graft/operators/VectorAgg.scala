@@ -64,4 +64,41 @@ object VectorAgg {
       .select(groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
         col("drift"): _*)
   }
+
+  /** Rademacher (±1) random projection to `outDim` dimensions — the
+    * Johnson-Lindenstrauss dimensionality cut that shrinks embedding
+    * bytes ahead of ANN/dedup (Achlioptas '01: ±1 entries preserve
+    * pairwise distances like Gaussian ones, and the matrix needs no
+    * storage because entry (i, j) derives from md5, the established
+    * engine-portable hash family). Scaled by 1/√outDim; with outDim a
+    * perfect square the scale is an exact power-of-two-free division —
+    * callers wanting bit-exact cross-engine output (the oracle does)
+    * should keep outDim a perfect square so √outDim is exact.
+    *
+    * Pure per-row expression work (a fixed outDim × dim fold compiled
+    * into the projection — no shuffle, no UDF, scan speed); the fold
+    * accumulates left-to-right over i so any engine reproducing the
+    * same order reproduces the sums bit-for-bit.
+    *
+    * @return original columns with `outCol` = array<double>(outDim) */
+  def randomProjection(df: DataFrame, vecCol: String, dim: Int,
+                       outDim: Int, outCol: String = "proj",
+                       roundTo: Int = 6): DataFrame = {
+    require(dim > 0 && outDim > 0, "need dim > 0 and outDim > 0")
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    // sign(i, j) = +1 / -1 from the low bit of md5's first hex char
+    def sign(i: org.apache.spark.sql.Column, j: Int) =
+      lit(1) - lit(2) * (conv(substring(
+        md5(concat(i.cast("string"), lit("#"), lit(j.toString))), 1, 1),
+        16, 10).cast("int") % 2)
+    // outDim is a schema-level constant: unroll one fold per output dim
+    val comps = (0 until outDim).map { j =>
+      val sum = aggregate(sequence(lit(0), lit(dim - 1)),
+        lit(0.0),
+        (acc, i) => acc + element_at(v, i.cast("int") + 1) * sign(i, j))
+      round(sum / scale, roundTo)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
 }

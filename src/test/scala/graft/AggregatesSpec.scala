@@ -75,6 +75,44 @@ class AggregatesSpec extends AnyFunSuite {
     assert(self == 0.0)
   }
 
+  test("randomProjection: linearity, zero maps to zero, JL distance " +
+    "preservation on the fixture, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+      .limit(50)
+    val p = operators.VectorAgg.randomProjection(e, "embedding", 64, 16)
+    val rows = p.select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.values.forall(_.length == 16))
+    // zero vector projects to zero
+    val z = Seq((1L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
+    val zp = operators.VectorAgg.randomProjection(z, "embedding", 64, 16)
+      .select("proj").head().getSeq[Double](0)
+    assert(zp.forall(_ == 0.0))
+    // JL: projected pairwise sq-distances stay within a loose band of
+    // the originals (64 -> 16 dims; Rademacher JL distortion for a
+    // handful of pairs is far inside [1/4, 4] with high probability)
+    val orig = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (i <- ids; j <- ids if i < j) {
+      val d0 = sq(orig(i), orig(j))
+      val d1 = sq(rows(i), rows(j))
+      assert(d0 > 0 && d1 / d0 > 0.25 && d1 / d0 < 4.0,
+        s"pair ($i,$j): ratio ${d1 / d0}")
+    }
+    // deterministic under repartition (pure scan expression)
+    val p2 = operators.VectorAgg
+      .randomProjection(e.repartition(7), "embedding", 64, 16)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p2 == rows)
+  }
+
   test("profile: null/distinct/range per column in one job; approx close") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](

@@ -820,4 +820,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.length == 1 && s.head.getLong(0) == 1L &&
       s.head.getLong(1) == 0L)
   }
+
+  test("winnowOverlapPairs: partial copy detected, unrelated not " +
+    "paired, boilerplate fingerprints killed by the df cap") {
+    import spark.implicits._
+    val run = "c1 c2 c3 c4 c5 c6 c7 c8" // 8-token copied passage
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5 a6"),
+      (2L, s"b1 b2 $run b3 b4 b5 b6 b7"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), s"got ${got.toSeq}")
+    // df cap: the run appears in 3 docs -> its fps have df 3; with
+    // maxFpDf = 2 those fingerprints cannot pair anyone
+    val three = docs.union(Seq((4L, s"e1 e2 $run e3 e4")).toDF(
+      "doc_id", "text"))
+    val capped = TextAnalysis.winnowOverlapPairs(three, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxFpDf = 2)
+    assert(capped.isEmpty,
+      "a fingerprint in 3 docs must be dropped at maxFpDf = 2")
+  }
+
+  test("neymanSample: exact largest-remainder allocation, zero-spread " +
+    "strata starve, all-zero falls back to size-proportional, budget " +
+    "growth only adds rows") {
+    import spark.implicits._
+    // A: constant sizes (spread 0); B: spread 300
+    val docs = ((1L to 4L).map(i => (i, "A", 10L)) ++
+      Seq((5L, "B", 0L), (6L, "B", 100L), (7L, "B", 200L),
+        (8L, "B", 300L))).toDF("doc_id", "source", "n_chars")
+    val sel = Sampling.neymanSample(docs, "doc_id", "source",
+        col("n_chars"), budget = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel == Set(5L, 6L, 7L, 8L),
+      s"all budget must go to the only variable stratum: $sel")
+    // all-zero spreads: proportional to n (A has 4 rows, B2 has 2)
+    val flat = ((1L to 4L).map(i => (i, "A", 7L)) ++
+      Seq((5L, "B", 7L), (6L, "B", 7L)))
+      .toDF("doc_id", "source", "n_chars")
+    val f = Sampling.neymanSample(flat, "doc_id", "source",
+        col("n_chars"), budget = 3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("A" -> 2L, "B" -> 1L), s"got $f")
+    // budget beyond rows caps at n_h (zero-weight A still starves by
+    // the pure Neyman rule — the cap binds on the flat fixture where
+    // every stratum carries weight)
+    val all = Sampling.neymanSample(docs, "doc_id", "source",
+        col("n_chars"), budget = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(5L, 6L, 7L, 8L))
+    val allFlat = Sampling.neymanSample(flat, "doc_id", "source",
+        col("n_chars"), budget = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(allFlat == (1L to 6L).toSet)
+    val b2 = Sampling.neymanSample(docs, "doc_id", "source",
+        col("n_chars"), budget = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b2.subsetOf(sel), "a smaller budget must select a subset")
+  }
 }
