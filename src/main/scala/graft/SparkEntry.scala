@@ -2433,6 +2433,40 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Q155 — component assignment AT REST (Dedup.saveComponents /
+    * updateComponents): components built on half of q19's verified
+    * pairs, saved, then the other half folded in — assignment rows act
+    * as edges, so the merge equals a from-scratch run over ALL pairs
+    * and SHARES q47's oracle (the same build-then-append ≡ rebuild
+    * contract as every saved index). The daily-crawl absorption path:
+    * only the new batch's pairs are ever verified. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_cc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val pairs = operators.CacheScope.register(
+      operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .persist())
+    operators.Dedup.saveComponents(
+      pairs.filter((col("a") + col("b")) % 2 === 0), path)
+    operators.Dedup.updateComponents(s, path,
+        pairs.filter((col("a") + col("b")) % 2 =!= 0))
+      .select(col("id").as("doc_id"), col("rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q156 — rendezvous shard routing (Sampling.rendezvousRoute): every
+    * document routed to one of 8 serving nodes by highest md5 weight —
+    * consistent placement where resizing the node set relocates only
+    * the affected keys (the spec pins the minimal-disruption
+    * invariant; mod-N moves (N-1)/N of the corpus). */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        operators.Sampling.rendezvousRoute(col("doc_id"),
+          (0 until 8).map(i => s"n$i")).as("node"))
+      .orderBy(col("doc_id"))
+
   // ===========================================================================
   // Registry
   // ===========================================================================
@@ -2592,6 +2626,8 @@ object SparkEntry {
     "q152_winnow_overlap" -> (q152 _),
     "q153_jl_recall" -> (q153 _),
     "q154_neyman" -> (q154 _),
+    "q155_cc_at_rest" -> (q155 _),
+    "q156_rendezvous" -> (q156 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -2630,6 +2666,34 @@ object SparkEntry {
         |FROM pb JOIN cms USING (d, bucket)
         |GROUP BY token, c
         |ORDER BY exact DESC, token""".stripMargin
+
+  /** Shared by q47 (one-shot components) and q155 (saved assignment +
+    * appended pairs): the at-rest merge must equal the from-scratch run
+    * over the full pair set — the build-then-append ≡ rebuild contract. */
+  private lazy val duckComponentsOracle: String =
+    """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |       FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+        |          FROM sh s1 JOIN sh s2
+        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+        |          WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |         FROM reach GROUP BY src)
+        |SELECT doc_id, rep FROM comp ORDER BY doc_id""".stripMargin
 
   /** Squared-L2 DuckDB fragment between a list column and a correlated list
     * expression — mirrors VectorFunctions.sqDist's left-to-right fold. */
@@ -3356,30 +3420,7 @@ object SparkEntry {
          |WHERE e1.vec_id < 500 AND e2.vec_id < 500
          |  AND ROUND(${duckSqDist("e1.embedding", "e2.embedding")}, 6) <= 1.5
          |ORDER BY a, b""".stripMargin,
-    "q47_components" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |       FROM toks WHERE len(t) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
-        |          FROM sh s1 JOIN sh s2
-        |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM inter
-        |          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
-        |          WHERE ROUND(c / (za.n + zb.n - c), 6) >= 0.5),
-        |edges AS (SELECT a AS src, b AS dst FROM pairs
-        |          UNION SELECT b, a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
-        |         FROM reach GROUP BY src)
-        |SELECT doc_id, rep FROM comp ORDER BY doc_id""".stripMargin,
+    "q47_components" -> duckComponentsOracle,
     "q48_asof_fwd" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e
@@ -5021,5 +5062,18 @@ object SparkEntry {
         |        FROM documents d)
         |SELECT doc_id, source FROM sel JOIN al USING (source)
         |WHERE rn <= alloc ORDER BY doc_id""".stripMargin,
+    "q155_cc_at_rest" -> duckComponentsOracle,
+    "q156_rendezvous" -> {
+      val nodes = (0 until 8).map(i => s"'n$i'").mkString(", ")
+      s"""WITH nodes AS (SELECT unnest([$nodes]) AS node),
+         |w AS (SELECT d.doc_id, n.node,
+         |        md5(n.node || '#' || CAST(d.doc_id AS VARCHAR)) AS wt
+         |      FROM documents d CROSS JOIN nodes n),
+         |r AS (SELECT doc_id, node, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY wt DESC, node DESC) AS rn
+         |      FROM w)
+         |SELECT doc_id, node FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

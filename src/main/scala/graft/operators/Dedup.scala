@@ -1044,6 +1044,34 @@ object Dedup {
       "connectedComponents: no convergence in 50 rounds")
   }
 
+  /** Component assignment AT REST — the dedup graph's append lifecycle.
+    * `saveComponents` persists the (id, rep) assignment;
+    * `updateComponents` folds NEWLY verified pairs into it by running
+    * connected components over assignment-rows-as-edges ∪ new pairs.
+    * Each saved row joins a node to its representative, so the saved
+    * relation connects exactly the components the original pair set
+    * did — the merged result is IDENTICAL to a from-scratch CC over
+    * every pair ever seen (q155 shares q47's oracle on the full pair
+    * set), while the expensive pair verification runs only on the new
+    * batch. This is how a standing corpus absorbs a daily crawl: the
+    * assignment is corpus-sized, the daily join is batch-sized, and
+    * historical pair relations never need re-materializing.
+    * updateComponents returns the new assignment; callers persist it
+    * back with saveComponents' write (new snapshot, not in-place). */
+  def saveComponents(pairs: DataFrame, path: String,
+                     aCol: String = "a", bCol: String = "b"): Unit =
+    connectedComponents(pairs, aCol, bCol)
+      .write.mode("overwrite").parquet(path)
+
+  def updateComponents(spark: org.apache.spark.sql.SparkSession,
+                       path: String, newPairs: DataFrame,
+                       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val saved = spark.read.parquet(path)
+      .select(col("id").as(aCol), col("rep").as(bCol))
+    connectedComponents(
+      saved.union(newPairs.select(col(aCol), col(bCol))), aCol, bCol)
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (cluster id,
     * LSH bucket, label): pairs with squared L2 <= maxSqDist. The block
     * equi-join bounds cost to O(sum of block² sizes); at 100 TB blocks come

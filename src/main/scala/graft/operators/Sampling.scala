@@ -99,6 +99,29 @@ object Sampling {
     df.filter(b < (fraction * 10000).toInt)
   }
 
+  /** Rendezvous (highest-random-weight) routing: a key goes to the
+    * node whose md5(node#key) weight is highest — consistent placement
+    * with the minimal-disruption guarantee: removing a node relocates
+    * ONLY that node's keys and adding one steals only the keys it now
+    * wins (no global reshuffle), unlike mod-N, where resizing moves
+    * (N-1)/N of all keys. The stable router for sharded index serving
+    * and stateful stream partitioning.
+    *
+    * Pure expression: |nodes| md5 columns folded by one greatest()
+    * over (weight, node) structs — scan speed, no shuffle, no UDF.
+    * md5's fixed-width lowercase hex makes the lexicographic max the
+    * numeric max; ties (2⁻¹²⁸) break to the larger node name. */
+  def rendezvousRoute(keyCol: Column, nodes: Seq[String]): Column = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      "need a non-empty, duplicate-free node list")
+    val cands = nodes.map(n => struct(
+      md5(concat(lit(n), lit("#"), keyCol.cast("string"))).as("w"),
+      lit(n).as("node")))
+    val best =
+      if (cands.size == 1) cands.head else greatest(cands: _*)
+    best.getField("node")
+  }
+
   /** Neyman-allocated stratified sampling: split a fixed eval budget
     * across strata proportional to `n_h · s_h` (stratum size × spread)
     * — the optimal-allocation rule that gives variable strata more of

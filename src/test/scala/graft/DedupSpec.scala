@@ -617,6 +617,28 @@ class DedupSpec extends AnyFunSuite {
       ("s1", "s2") -> ((2L, 0.6))), s"got $got")
   }
 
+  test("updateComponents == from-scratch CC, including a batch that " +
+    "MERGES two previously separate components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_at_rest")
+      .toString + "/assign"
+    // batch 1: {1,2} and {10,11} as two components
+    val first = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    Dedup.saveComponents(first, dir)
+    val saved = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saved == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // batch 2 bridges them (2-10) and adds a fresh component {20,21}
+    val second = Seq((2L, 10L), (20L, 21L)).toDF("a", "b")
+    val merged = Dedup.updateComponents(spark, dir, second)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(first.union(second))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == scratch)
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("containment >= jaccard: same-threshold pairs are a superset") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

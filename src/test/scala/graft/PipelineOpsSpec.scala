@@ -882,4 +882,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(b2.subsetOf(sel), "a smaller budget must select a subset")
   }
+
+  test("rendezvousRoute: minimal disruption on node removal, every " +
+    "node used, single-node degenerate") {
+    import spark.implicits._
+    val keys = (1L to 400L).toDF("k")
+    val n8 = (0 until 8).map(i => s"n$i")
+    def route(nodes: Seq[String]) = keys
+      .select(col("k"), Sampling.rendezvousRoute(col("k"), nodes)
+        .as("node"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = route(n8)
+    assert(full.values.toSet == n8.toSet, "400 keys must hit all 8")
+    // remove n3: ONLY n3's keys may move, and they land elsewhere
+    val without = route(n8.filterNot(_ == "n3"))
+    full.foreach { case (k, n) =>
+      if (n == "n3") assert(without(k) != "n3")
+      else assert(without(k) == n,
+        s"key $k moved from $n though its node survived")
+    }
+    // single node routes everything to it
+    assert(route(Seq("solo")).values.toSet == Set("solo"))
+  }
 }
