@@ -2273,13 +2273,14 @@ object SparkEntry {
   /** Q143 — within-session sequence-pair support (Funnel
     * .sequencePairs): sessions whose first `a` strictly precedes their
     * first `b`, 30-minute gap sessions (q31's islands contract),
-    * support ≥ 5 — the length-2 sequential-pattern core that sees
+    * support ≥ 2 (the sf0.001 smoke floor; max support there is 4) —
+    * the length-2 sequential-pattern core that sees
     * "a eventually leads to b" through intervening noise, where q122's
     * transitions see only adjacent steps. */
   private def q143(s: SparkSession, dir: String): DataFrame =
     operators.Funnel.sequencePairs(Tables.events(s, dir), "user_id",
         "ts", "event_type", "event_id", gapSeconds = 1800,
-        minSupport = 5)
+        minSupport = 2)
       .orderBy(col("a"), col("b"))
 
   /** Q144 — personalized PageRank (Graph.personalizedPageRank): random
@@ -4773,7 +4774,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS support
         |FROM f x JOIN f y
         |  ON x.user_id = y.user_id AND x.sid = y.sid AND x.t0 < y.t0
-        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
     "q144_ppr" -> {
       def iter(prev: String, cur: String): String =
