@@ -43,6 +43,10 @@ object Bench {
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       clearCache()
+      // progress to stderr (stdout stays the one JSON line): long runs
+      // at sf1 are otherwise a black box, and a pathological query
+      // (the q52-incident class) can only be identified mid-flight
+      System.err.println(f"[bench] $name%-32s $dt%8.2f s")
       name -> dt
     }.toMap
     val p1 = timedPass()

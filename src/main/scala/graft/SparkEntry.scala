@@ -589,23 +589,35 @@ object SparkEntry {
   }
 
   /** Deterministic CLUSTERED embedding fixture, derived in-query so the
-    * DuckDB oracle sees bit-identical input: cluster c = vec_id % 20;
-    * centroid coordinate i = (hex4(md5("c#i"))/65536 − 0.5)·16 (md5 is
-    * engine-portable and every factor is a power of two, so the double
-    * arithmetic is exact in both engines); vector = centroid + embedding.
-    * Embeddings are unit-norm, so same-cluster pairs sit at squared L2
-    * ≈ 2 ± 0.25 (cosine ≈ 0.999) while cluster centroids are ~2700 apart
-    * (cosine ≈ |0.1|) — the clustered-corpus regime the IVF-blocked
-    * near-dup operators exist for, unlike the raw fixture's unclustered
-    * noise where blocking honestly degenerates to all-pairs (q45/q50). */
+    * DuckDB oracle sees bit-identical input: cluster c = vec_id %
+    * max(20, n/50) — the cluster COUNT scales with the corpus so the
+    * population per cluster stays ~bounded (near-dup clique size is a
+    * property of the data's duplication structure, not of corpus size;
+    * a fixed cluster count would make every within-cluster pair a true
+    * near-dup and the OUTPUT itself quadratic — measured 10M pairs /
+    * 380 s at sf1 before this change, with no blocking scheme able to
+    * beat its own output size). Centroid coordinate i =
+    * (hex4(md5("c#i"))/65536 − 0.5)·16 (md5 is engine-portable and
+    * every factor is a power of two, so the double arithmetic is exact
+    * in both engines); vector = centroid + embedding. Embeddings are
+    * unit-norm, so same-cluster pairs sit at squared L2 ≈ 2 ± 0.25
+    * (cosine ≈ 0.999) while cluster centroids stay far apart — the
+    * clustered-corpus regime the IVF-blocked near-dup operators exist
+    * for, unlike the raw fixture's unclustered noise where blocking
+    * honestly degenerates to all-pairs (q45/q50). The count() that
+    * sizes the modulus is one bounded scalar action (the q62 nEval
+    * precedent); at n ≤ 1000 the modulus is the historical 20, so
+    * small-sf oracle results are unchanged. */
   private[graft] def clusteredEmbeddings(s: SparkSession,
                                          dir: String): DataFrame = {
-    val cl = (col("vec_id") % 20).cast("string")
+    val base = t(s, dir, "embeddings")
+    val nClusters = math.max(20L, base.count() / 50L)
+    val cl = (col("vec_id") % nClusters).cast("string")
     val derived = transform(sequence(lit(0), lit(63)), i =>
       (conv(substring(md5(concat(cl, lit("#"), i.cast("string"))), 1, 4),
         16, 10).cast("double") / 65536.0 - 0.5) * 16.0
         + element_at(col("embedding").cast("array<double>"), i + 1))
-    t(s, dir, "embeddings").select(col("vec_id"), derived.as("cvec"))
+    base.select(col("vec_id"), derived.as("cvec"))
   }
 
   /** Q51 — IVF-blocked near-dup over the FULL clustered table (verdict r3
@@ -2721,7 +2733,7 @@ object SparkEntry {
     * there for the exactness argument). */
   private val duckClusteredVec: String =
     "list_transform(range(0, 64), i -> " +
-      "(CAST(('0x' || substr(md5(CAST(vec_id % 20 AS VARCHAR) || '#' || " +
+      "(CAST(('0x' || substr(md5(CAST(vec_id % __nc AS VARCHAR) || '#' || " +
       "CAST(i AS VARCHAR)), 1, 4)) AS UBIGINT) / 65536.0 - 0.5) * 16.0 " +
       "+ CAST(embedding[i + 1] AS DOUBLE))"
 
@@ -3440,14 +3452,18 @@ object SparkEntry {
          |  AND ROUND(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.3
          |ORDER BY a, b""".stripMargin,
     "q51_neardup_ivf_clustered" ->
-      s"""WITH v AS (SELECT vec_id, $duckClusteredVec AS cvec FROM embeddings),
+      s"""WITH nc AS (SELECT greatest(20, count(*) // 50) AS __nc FROM embeddings),
+         |v AS (SELECT vec_id, $duckClusteredVec AS cvec
+         |      FROM embeddings CROSS JOIN nc),
          |d AS (SELECT v1.vec_id AS a, v2.vec_id AS b,
          |        ROUND(${duckSqDist("v1.cvec", "v2.cvec")}, 6) AS dist
          |      FROM v v1 JOIN v v2 ON v1.vec_id < v2.vec_id)
          |SELECT a, b, dist FROM d WHERE dist <= 2.0
          |ORDER BY a, b""".stripMargin,
     "q52_neardup_cosine_clustered" ->
-      s"""WITH v AS (SELECT vec_id, $duckClusteredVec AS cvec FROM embeddings),
+      s"""WITH nc AS (SELECT greatest(20, count(*) // 50) AS __nc FROM embeddings),
+         |v AS (SELECT vec_id, $duckClusteredVec AS cvec
+         |      FROM embeddings CROSS JOIN nc),
          |d AS (SELECT v1.vec_id AS a, v2.vec_id AS b,
          |        ROUND(${duckCosine("v1.cvec", "v2.cvec")}, 6) AS cosine
          |      FROM v v1 JOIN v v2 ON v1.vec_id < v2.vec_id)

@@ -1090,14 +1090,17 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs with NO caller-supplied blocking
-    * column: blocks come from the IVF coarse quantizer via slack-expanded
-    * multi-assignment (IvfIndex.assignMulti with slack = sqrt(maxSqDist)),
-    * which PROVABLY co-locates every pair within the threshold in at least
-    * one shared list — so the result is exactly the brute-force all-pairs
-    * answer, at blocked-join cost. This is the composition the 100 TB
-    * pipeline runs on a real corpus (no label column): fit centroids once
-    * (metadata), multi-assign map-side, one equi-join on list_id. A pair
-    * near a list boundary can co-occur in several lists → distinct.
+    * column: blocks come from the IVF coarse quantizer via the
+    * ASYMMETRIC home×probe join (IvfIndex.assignMultiHomed: each vector
+    * sits in its nearest list once, and probes every list within
+    * 2·sqrt(maxSqDist) of its nearest), which PROVABLY co-locates every
+    * pair within the threshold — each qualifying pair surfaces in the
+    * smaller id's home list — so the result is exactly the brute-force
+    * all-pairs answer, at blocked-join cost that is INDEPENDENT of
+    * nlist overshooting the data's cluster structure. This is the
+    * composition the 100 TB pipeline runs on a real corpus (no label
+    * column): fit centroids once (metadata), assign map-side, one
+    * equi-join on list_id.
     *
     * Pruning effectiveness is a property of the DATA, not the algorithm:
     * blocks only discriminate when sqrt(maxSqDist) is small next to the
@@ -1118,31 +1121,37 @@ object Dedup {
       return df.limit(0).select(col(idCol).as("a"), col(idCol).as("b"),
         lit(0.0).as("dist"))
     // Persisted like the other dedup intermediates: both join sides read
-    // it, and the nlist×dim distance evaluations per row shouldn't run
-    // twice. At 100 TB this goes to scratch storage; same plan shape.
-    // Slack covers the ROUNDED-distance acceptance boundary: the pair
-    // filter below keeps round(d², 6) <= maxSqDist, which admits true d²
-    // up to maxSqDist + 5e-7 — the blocking guarantee must cover those
-    // pairs too, hence sqrt(maxSqDist + 1e-6), not sqrt(maxSqDist).
-    val expanded = CacheScope.register(IvfIndex.assignMulti(df, vecCol,
-      centroids, slack = math.sqrt(maxSqDist + 1e-6)).persist())
+    // it (home filter + probe), and the nlist×dim distance evaluations
+    // per row shouldn't run twice. At 100 TB this goes to scratch
+    // storage; same plan shape.
+    // Slack budget: the pair filter below keeps round(d², 6) <=
+    // maxSqDist, which admits true d² up to maxSqDist + 5e-7, so the
+    // effective radius is r = sqrt(maxSqDist + 1e-6); the ASYMMETRIC
+    // home×probe join (see assignMultiHomed) needs 2r on the probe side.
+    val expanded = CacheScope.register(IvfIndex.assignMultiHomed(df,
+      vecCol, centroids,
+      slack = 2.0 * math.sqrt(maxSqDist + 1e-6)).persist())
     pairsFromLists(expanded, idCol, vecCol, "dist",
       (a, b) => sqDist(a, b), _ <= maxSqDist)
   }
 
-  /** Shared tail of the IVF-blocked near-dup variants: self-join the
-    * multi-assigned relation on list_id, order pairs a < b, attach the
-    * rounded score, keep by predicate, and dedup multi-list
-    * co-occurrences. The slack/rounding boundary reasoning lives in the
-    * CALLERS (each must budget its slack for the rounded acceptance);
-    * this is just the join mechanics, kept in one place so a boundary
-    * fix can't drift between the L2 and cosine variants. */
+  /** Shared tail of the IVF-blocked near-dup variants: the ASYMMETRIC
+    * blocked self-join — home-only rows (is_home, each vector exactly
+    * once) against the full slack-expanded relation, on list_id. Pair
+    * (u, v) with u < v surfaces exactly once, in u's home list, because
+    * the callers budget DOUBLE slack on the expansion (the
+    * assignMultiHomed proof); cost is Σ_list |home|·|probe| — immune to
+    * nlist overshooting the data's cluster count, where the old
+    * symmetric expanded² join ground q51 to 638 s at sf1. The
+    * slack/rounding boundary reasoning lives in the CALLERS; this is
+    * just the join mechanics, kept in one place so a boundary fix can't
+    * drift between the L2 and cosine variants. */
   private def pairsFromLists(expanded: DataFrame, idCol: String,
                              vecCol: String, scoreName: String,
                              score: (Column, Column) => Column,
                              keep: Column => Column): DataFrame = {
-    val l = expanded.select(col("list_id"), col(idCol).as("a"),
-      col(vecCol).as("__va"))
+    val l = expanded.filter(col("is_home"))
+      .select(col("list_id"), col(idCol).as("a"), col(vecCol).as("__va"))
     val r = expanded.select(col("list_id"), col(idCol).as("b"),
       col(vecCol).as("__vb"))
     l.join(r, Seq("list_id"))
@@ -1182,8 +1191,10 @@ object Dedup {
     if (cents.isEmpty)
       return df.limit(0).select(col(idCol).as("a"), col(idCol).as("b"),
         lit(0.0).as("cosine"))
-    val expanded = CacheScope.register(IvfIndex.assignMulti(n, "__nv",
-      cents, slack = math.sqrt(maxSq)).persist())
+    // asymmetric home×probe join: 2× the symmetric slack (see
+    // assignMultiHomed's losslessness proof)
+    val expanded = CacheScope.register(IvfIndex.assignMultiHomed(n, "__nv",
+      cents, slack = 2.0 * math.sqrt(maxSq)).persist())
     pairsFromLists(expanded, idCol, vecCol, "cosine",
       (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine)
   }

@@ -150,10 +150,30 @@ object IvfIndex {
     cents
   }
 
-  private def centroidArray(centroids: Centroids): Column =
-    array(centroids.map { case (id, v) =>
-      struct(lit(id).as("list_id"), array(v.map(lit): _*).as("centroid"))
-    }: _*)
+  /** The centroid table as ONE Catalyst literal (array<struct<list_id,
+    * centroid>>), not a tree of nlist×dim `lit` nodes. The distinction
+    * is load-bearing at auto-sized nlist: a 625-centroid × 64-dim
+    * quantizer built from individual lits is a ~40,000-node expression
+    * — analysis passes walk it repeatedly and codegen inlines every
+    * constant (blowing the 64 KB method limit into interpreted
+    * fallback); measured MINUTES of plan time on q51 at sf1. A single
+    * Literal carries the same data as one boxed value in the codegen
+    * references array: plan size O(1), analysis instant, codegen
+    * intact. */
+  private def centroidArray(centroids: Centroids): Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val schema = ArrayType(StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false)
+    val value = new GenericArrayData(centroids.map { case (id, v) =>
+      InternalRow(id, new GenericArrayData(v.toArray)): Any
+    }.toArray)
+    org.apache.spark.sql.GraftColumn(Literal(value, schema))
+  }
 
   /** Assign every vector to its nearest centroid (squared L2) — fully
     * map-side: the centroid table rides along as a literal array and the
@@ -192,6 +212,52 @@ object IvfIndex {
           s => sqrt(s.getField("d")) <= dmin + lit(slack)),
         s => s.getField("list_id"))))
       .drop("__cand")
+  }
+
+  /** assignMulti plus an `is_home` flag marking each vector's single
+    * nearest-centroid membership — the input shape for the ASYMMETRIC
+    * blocked self-join (one side home-only, one side expanded). Why it
+    * exists: the symmetric join (both sides expanded) costs
+    * Σ_list (expansion members)², which explodes when nlist overshoots
+    * the data's natural cluster count — every sub-centroid of a true
+    * cluster ends up holding the whole cluster, multiplying the
+    * quadratic term by (nlist / clusters). Joining home×expanded
+    * instead costs Σ_list |home| · |probe|: the per-list home count
+    * SHRINKS as nlist grows, cancelling the overshoot — cost becomes
+    * ≈ n × (cluster population / within-slack reach), independent of
+    * nlist past the cluster count. Measured: the q51 fixture at sf1
+    * went 638 s → tens of seconds on this change alone.
+    *
+    * Losslessness needs DOUBLE slack on the probe side: for a pair
+    * (u, v) with ‖u−v‖ ≤ r, v's probe set contains u's home c_u
+    * because d(v, c_u) ≤ d(v,u) + d(u, c_u) ≤ r + (d(u,v) + d*_v)
+    * ≤ d*_v + 2r — so callers pass slack = 2r where the symmetric
+    * form passed r. Each qualifying (u, v), u < v, then appears
+    * EXACTLY once: in u's unique home list. Ties in the nearest
+    * centroid break to the smallest list_id (array_min on (d, id)
+    * structs), so the home is deterministic. */
+  def assignMultiHomed(df: DataFrame, vecCol: String, centroids: Centroids,
+                       slack: Double): DataFrame = {
+    require(slack >= 0, "slack must be non-negative")
+    val sorted = centroids.sortBy(_._1)
+    val expr = graft.functions.IvfMemberships(
+      org.apache.spark.sql.GraftColumn.expr(
+        col(vecCol).cast("array<double>")),
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray, slack)
+    // The assignment is CPU-bound per row (nlist × dim flops); spread it
+    // across all cores even when the input is a handful of small parquet
+    // partitions — compute parallelism must not be coupled to file
+    // layout (the shingles() rationale). Skipped when the input is
+    // already at least as wide as the session's parallelism: at 100 TB
+    // the scan is wide and the extra exchange would be pure cost.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    spread
+      .withColumn("__m", explode(org.apache.spark.sql.GraftColumn(expr)))
+      .withColumn("list_id", col("__m.list_id"))
+      .withColumn("is_home", col("__m.is_home"))
+      .drop("__m")
   }
 
   /** Materialize the inverted lists: partitioned by list_id so a probe

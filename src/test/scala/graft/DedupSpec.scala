@@ -291,11 +291,13 @@ class DedupSpec extends AnyFunSuite {
       .persist()
     val n = e.count()
     val cents = IvfIndex.fitCentroids(e, "cvec", "vec_id", nlist = 64)
-    // Candidate pairs the blocked join examines, INCLUDING multi-list
-    // duplicates — the honest join-input cost, before any distance math.
-    val expanded = IvfIndex.assignMulti(e, "cvec", cents,
-      slack = math.sqrt(2.0 + 1e-6)).persist()
-    val l = expanded.select(col("list_id"), col("vec_id").as("a"))
+    // Candidate pairs the ASYMMETRIC blocked join examines (home side ×
+    // expanded side per list) — the honest join-input cost, before any
+    // distance math.
+    val expanded = IvfIndex.assignMultiHomed(e, "cvec", cents,
+      slack = 2.0 * math.sqrt(2.0 + 1e-6)).persist()
+    val l = expanded.filter(col("is_home"))
+      .select(col("list_id"), col("vec_id").as("a"))
     val r = expanded.select(col("list_id"), col("vec_id").as("b"))
     val candidates = l.join(r, Seq("list_id"))
       .filter(col("a") < col("b")).count()
@@ -334,10 +336,14 @@ class DedupSpec extends AnyFunSuite {
       (i.toLong, Seq(i * 1000.0 / n, 0.0, 0.0, 0.0))
     }.toDF("vec_id", "vec")
     def candidates(df: org.apache.spark.sql.DataFrame, nlist: Int): Long = {
+      // the asymmetric join's per-list cost: |home| × |expanded|
       val cents = IvfIndex.fitCentroids(df, "vec", "vec_id", nlist)
-      IvfIndex.assignMulti(df, "vec", cents, slack = 1.0)
-        .groupBy("list_id").count()
-        .collect().map { r => val c = r.getLong(1); c * (c - 1) / 2 }.sum
+      val x = IvfIndex.assignMultiHomed(df, "vec", cents, slack = 2.0)
+        .groupBy("list_id")
+        .agg(sum(when(col("is_home"), 1L).otherwise(0L)).as("h"),
+          count(lit(1)).as("p"))
+        .collect().map(r => r.getLong(1) * r.getLong(2)).sum
+      x
     }
     val small = fixture(1000).persist()
     val big = fixture(4000).persist()
