@@ -256,3 +256,71 @@ case class IvfMemberships(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): IvfMemberships = copy(child = newChild)
 }
+
+/** Rademacher random projection of one vector: out[j] =
+  * roundHalfUp(Σ_i v[i]·sign(i,j) / scale, roundTo) — the JL dimension
+  * cut as ONE primitive pass per row over a plan-constant ±1 sign
+  * matrix (precomputed from the md5 family by the caller).
+  *
+  * Exists for the same reason as IvfMemberships: the
+  * `aggregate(sequence(...))` higher-order formulation evaluates its
+  * lambda interpreted per term — outDim × dim × ~40 µs made the q153
+  * projection scan 45 s at sf1. The fold order (i ascending, 0.0 init)
+  * and the HALF_UP rounding match Spark's `aggregate`+`round` exactly,
+  * so results are bit-for-bit identical to the HoF form and the DuckDB
+  * oracle. Null vector / length mismatch / null element → null. */
+case class RademacherProject(child: Expression,
+                             signs: Array[Array[Int]],
+                             scale: Double, roundTo: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def prettyName: String = "graft_rademacher_project"
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val outDim = signs.length
+    if (outDim == 0) return new GenericArrayData(Array.empty[Double])
+    val dim = signs(0).length
+    if (x.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      v(i) = x.getDouble(i); i += 1
+    }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val sj = signs(j)
+      var s = 0.0; var t = 0
+      while (t < dim) {
+        s = if (sj(t) > 0) s + v(t) else s - v(t)
+        t += 1
+      }
+      out(j) = java.math.BigDecimal.valueOf(s / scale)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RademacherProject = copy(child = newChild)
+}

@@ -85,20 +85,25 @@ object VectorAgg {
                        outDim: Int, outCol: String = "proj",
                        roundTo: Int = 6): DataFrame = {
     require(dim > 0 && outDim > 0, "need dim > 0 and outDim > 0")
-    val v = col(vecCol).cast("array<double>")
-    val scale = math.sqrt(outDim.toDouble)
-    // sign(i, j) = +1 / -1 from the low bit of md5's first hex char
-    def sign(i: org.apache.spark.sql.Column, j: Int) =
-      lit(1) - lit(2) * (conv(substring(
-        md5(concat(i.cast("string"), lit("#"), lit(j.toString))), 1, 1),
-        16, 10).cast("int") % 2)
-    // outDim is a schema-level constant: unroll one fold per output dim
-    val comps = (0 until outDim).map { j =>
-      val sum = aggregate(sequence(lit(0), lit(dim - 1)),
-        lit(0.0),
-        (acc, i) => acc + element_at(v, i.cast("int") + 1) * sign(i, j))
-      round(sum / scale, roundTo)
+    // sign(i, j) = +1 / -1 from the low bit of md5("i#j")'s first hex
+    // char — precomputed driver-side (outDim × dim ints of metadata) and
+    // applied by the RademacherProject expression in one primitive pass
+    // per row. The aggregate()-HoF formulation this replaces evaluated
+    // its lambda interpreted per term (45 s for the q153 scan at sf1);
+    // the expression is bit-identical (same fold order, same HALF_UP
+    // rounding) and the DuckDB oracle derives the same matrix from the
+    // same md5 family.
+    val mdKey = java.security.MessageDigest.getInstance("MD5")
+    def signOf(i: Int, j: Int): Int = {
+      val d = mdKey.digest(s"$i#$j".getBytes("UTF-8"))
+      val firstHex = (d(0) >> 4) & 0xf
+      1 - 2 * (firstHex % 2)
     }
-    df.withColumn(outCol, array(comps: _*))
+    val signs = Array.tabulate(outDim, dim)((j, i) => signOf(i, j))
+    val expr = graft.functions.RademacherProject(
+      org.apache.spark.sql.GraftColumn.expr(
+        col(vecCol).cast("array<double>")),
+      signs, math.sqrt(outDim.toDouble), roundTo)
+    df.withColumn(outCol, org.apache.spark.sql.GraftColumn(expr))
   }
 }
