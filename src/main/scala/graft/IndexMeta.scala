@@ -56,10 +56,28 @@ case class IndexMeta(
     // stale counts after append/delete shift the seed, never correctness
     // (the kth-distance completion check governs exactness), so unlike
     // `radii` they survive appends. Same backward-compat Option contract.
-    cellCounts: Option[Seq[IndexMeta.CellCountMeta]] = None) {
+    cellCounts: Option[Seq[IndexMeta.CellCountMeta]] = None,
+    // Adaptive two-level refinement over the base `grid` (the
+    // K-instantiable-split layout, GridIndex.AdaptiveSpec): refine
+    // factor + the over-cap ("hot") base cell ids whose rows were
+    // re-split one level finer at build time. The fine GridSpec is
+    // DERIVED (width/refine, cells*refine — pure deterministic IEEE
+    // arithmetic on the stored base doubles, identical to what
+    // fitAdaptive computed), so only the data-dependent hot set needs
+    // persisting; like every geometry here it is read back verbatim at
+    // load(), never re-fit. Option: older sidecars parse unchanged. */
+    adaptive: Option[IndexMeta.AdaptiveMeta] = None) {
 
   def gridSpec: Option[GridIndex.GridSpec] =
     grid.map(g => GridIndex.GridSpec(g.origin, g.width, g.cells))
+
+  def adaptiveSpec: Option[GridIndex.AdaptiveSpec] =
+    for { g <- grid; a <- adaptive } yield {
+      val base = GridIndex.GridSpec(g.origin, g.width, g.cells)
+      val fine = GridIndex.GridSpec(base.origin,
+        base.width.map(_ / a.refine), base.cells.map(_ * a.refine))
+      GridIndex.AdaptiveSpec(base, fine, a.refine, a.hot.toSet)
+    }
 
   def ivfCentroids: Option[IvfIndex.Centroids] =
     centroids.map(_.map(c => (c.listId, c.centroid)))
@@ -86,6 +104,7 @@ object IndexMeta {
                     codebooks: Seq[Seq[CentroidMeta]])
   case class RadiusMeta(listId: Int, radius: Double)
   case class CellCountMeta(cellId: Long, n: Long)
+  case class AdaptiveMeta(refine: Int, hot: Seq[Long])
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -99,7 +118,8 @@ object IndexMeta {
          sq: Option[IvfIndex.SqParams] = None,
          pq: Option[IvfIndex.PqParams] = None,
          radii: Option[Map[Int, Double]] = None,
-         cellCounts: Option[Map[Long, Long]] = None): IndexMeta =
+         cellCounts: Option[Map[Long, Long]] = None,
+         adaptive: Option[GridIndex.AdaptiveSpec] = None): IndexMeta =
     IndexMeta(1, vecCol, idCol, dim,
       spec.map(s => GridMeta(s.origin, s.width, s.cells)),
       cents.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq),
@@ -109,7 +129,8 @@ object IndexMeta {
         p.codebooks.map(_.map { case (i, v) => CentroidMeta(i, v) }.toSeq))),
       radii.map(_.toSeq.sorted.map { case (i, r) => RadiusMeta(i, r) }),
       cellCounts.map(_.toSeq.sorted.map { case (c, n) =>
-        CellCountMeta(c, n) }))
+        CellCountMeta(c, n) }),
+      adaptive.map(a => AdaptiveMeta(a.refine, a.hot.toSeq.sorted)))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

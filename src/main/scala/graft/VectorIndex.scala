@@ -43,7 +43,8 @@ class VectorIndex private (
     sqParams: Option[IvfIndex.SqParams] = None,
     pqParams: Option[IvfIndex.PqParams] = None,
     listRadii: Option[Map[Int, Double]] = None,
-    cellCounts: Option[Map[Long, Long]] = None) {
+    cellCounts: Option[Map[Long, Long]] = None,
+    adaptiveSpec: Option[GridIndex.AdaptiveSpec] = None) {
 
   /** Point count — reference `_pointcount` (hpp:304). */
   def size(): Long = data.count()
@@ -51,8 +52,10 @@ class VectorIndex private (
   /** Exact kNN, ascending by squared L2, ties by id; min(k, size) rows. */
   def knn(q: Seq[Double], k: Int): DataFrame = {
     require(q.size == dim, s"query dim ${q.size} != index dim $dim")
-    gridSpec match {
-      case Some(spec) if data.columns.contains("cell_id") =>
+    (adaptiveSpec, gridSpec) match {
+      case (Some(aspec), _) if data.columns.contains("cell_id") =>
+        GridIndex.knnAdaptive(data, vecCol, idCol, aspec, q, k)
+      case (_, Some(spec)) if data.columns.contains("cell_id") =>
         GridIndex.knn(data, vecCol, idCol, spec, q, k)
       case _ =>
         Search.knn(data, vecCol, idCol, array(q.map(lit): _*), k)
@@ -68,7 +71,11 @@ class VectorIndex private (
     queries.foreach { case (_, q) =>
       require(q.size == dim, s"query dim ${q.size} != index dim $dim") }
     gridSpec match {
-      case Some(spec) if data.columns.contains("cell_id") =>
+      // adaptive layouts take the broadcast window form below: the batch
+      // ring expansion is specified over fixed-grid counts; the exact
+      // result is the same either way (both paths oracle-proven)
+      case Some(spec)
+          if adaptiveSpec.isEmpty && data.columns.contains("cell_id") =>
         GridIndex.knnBatch(data, vecCol, idCol, spec, queries, k,
           cellCounts = cellCounts)
       case _ =>
@@ -83,8 +90,10 @@ class VectorIndex private (
     * contract); add orderBy downstream if determinism is needed. */
   def rangeSearch(q: Seq[Double], r: Double): DataFrame = {
     require(q.size == dim, s"query dim ${q.size} != index dim $dim")
-    gridSpec match {
-      case Some(spec) if data.columns.contains("cell_id") =>
+    (adaptiveSpec, gridSpec) match {
+      case (Some(aspec), _) if data.columns.contains("cell_id") =>
+        GridIndex.rangeSearchAdaptive(data, vecCol, aspec, q, r)
+      case (_, Some(spec)) if data.columns.contains("cell_id") =>
         GridIndex.rangeSearch(data, vecCol, spec, q, r)
       case _ =>
         Search.rangeSearch(data, vecCol, array(q.map(lit): _*), r)
@@ -170,8 +179,13 @@ class VectorIndex private (
     * restructure, run periodically when drift accumulates). */
   def append(rows: DataFrame): VectorIndex = {
     val typed = rows.withColumn(vecCol, col(vecCol).cast("array<double>"))
-    val withCell = gridSpec
-      .map(s => GridIndex.withCellId(typed, vecCol, s)).getOrElse(typed)
+    // adaptive layouts bucket new rows with the STORED two-level spec
+    // (hot set frozen — a cell newly drifting over the cap waits for
+    // rebuild, exactly the fixed-grid drift contract)
+    val withCell = adaptiveSpec
+      .map(a => GridIndex.withCellIdAdaptive(typed, vecCol, a))
+      .orElse(gridSpec.map(s => GridIndex.withCellId(typed, vecCol, s)))
+      .getOrElse(typed)
     val withLists = centroids
       .map(c => IvfIndex.assign(withCell, vecCol, idCol, c))
       .getOrElse(withCell)
@@ -197,7 +211,8 @@ class VectorIndex private (
     // cellCounts CARRIED: under-counting only seeds knnBatch's expansion
     // at a larger radius (cost, not correctness) — see IndexMeta.
     new VectorIndex(unioned, vecCol, idCol, dim, gridSpec, centroids,
-      sqParams, pqParams, cellCounts = cellCounts)
+      sqParams, pqParams, cellCounts = cellCounts,
+      adaptiveSpec = adaptiveSpec)
   }
 
   /** Re-fit the pruning structures over the current collection. */
@@ -232,19 +247,26 @@ class VectorIndex private (
     // index write next to it already scans everything): a normalized
     // index additionally serves COSINE top-k through the same pruning,
     // so the fact is recorded in the sidecar + registry.
-    val unit = (gridSpec.isDefined || centroids.isDefined) && {
+    val unit = (gridSpec.isDefined || centroids.isDefined ||
+        adaptiveSpec.isDefined) && {
       val m = data.agg(max(abs(
         VectorFunctions.sqNorm(col(vecCol)) - 1.0))).head()
       !m.isNullAt(0) && m.getDouble(0) <= 1e-9
     }
     val savedSq: (Option[IvfIndex.SqParams], Option[IvfIndex.PqParams],
                   Option[Map[Int, Double]]) =
-      (gridSpec, centroids) match {
-      case (Some(spec), _) =>
+      (adaptiveSpec, gridSpec, centroids) match {
+      case (Some(aspec), _, _) =>
+        // adaptive two-level layout: mixed-level cell buckets; rules
+        // prune via the mixed-level enumeration (AdaptiveGeom)
+        GridIndex.buildIndexAdaptive(data, vecCol, aspec, path)
+        plans.IndexAwareRules.registerAdaptiveIndex(path, aspec, unit)
+        (None, None, None)
+      case (None, Some(spec), _) =>
         GridIndex.buildIndex(data, vecCol, spec, path)
         plans.IndexAwareRules.registerIndex(path, spec, unit)
         (None, None, None)
-      case (None, Some(c)) =>
+      case (None, None, Some(c)) =>
         // rows out of create()/append() already carry the argmin list_id;
         // only raw external frames need assignment here
         val assigned =
@@ -286,7 +308,7 @@ class VectorIndex private (
         plans.IndexAwareRules.registerIvfIndex(path, c, unit)
         val radii = pqp.map(_ => IvfIndex.listRadii(withRes, vecCol, c))
         (Some(sqp), pqp, radii)
-      case (None, None) =>
+      case _ =>
         data.write.mode("overwrite").parquet(path)
         (None, None, None)
     }
@@ -299,9 +321,12 @@ class VectorIndex private (
         .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
+    // adaptive sidecar: BASE grid in the `grid` field + the refinement
+    // extension (the fine spec is derived at load — IndexMeta scaladoc)
     IndexMeta.write(data.sparkSession, path,
-      IndexMeta.of(vecCol, idCol, dim, gridSpec, centroids, unit,
-        savedSq._1, savedSq._2, savedSq._3, gridCounts))
+      IndexMeta.of(vecCol, idCol, dim,
+        adaptiveSpec.map(_.base).orElse(gridSpec), centroids, unit,
+        savedSq._1, savedSq._2, savedSq._3, gridCounts, adaptiveSpec))
   }
 }
 

@@ -77,20 +77,31 @@ object Clustering {
     val base = CacheScope.register(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
         .persist())
-    val first = base.orderBy(col(idCol)).limit(1)
-      .collect().head
+    val firstRows = base.orderBy(col(idCol)).limit(1).collect()
+    require(firstRows.nonEmpty, "kCenterGreedy needs a non-empty input")
+    val first = firstRows.head
     var chosen = List((first.getLong(0), first.getSeq[Double](1), 0.0))
-    for (_ <- 2 to k) {
+    // Chosen ids are EXCLUDED from each argmax (the mmrSelect contract)
+    // and the traversal stops early when the candidates run out, so
+    // k > n returns n rows instead of silently re-selecting dist-0
+    // duplicates of already-chosen points.
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val dists = chosen.map { case (_, c, _) =>
         sqDist(col("__v"), lit(c.toArray))
       }
       val minDist = round(dists.reduce(least(_, _)), 6)
-      val next = base
+      val nextRows = base
+        .filter(!col(idCol).isin(chosen.map(_._1): _*))
         .select(col(idCol), col("__v"), minDist.as("__d"))
         .orderBy(col("__d").desc, col(idCol))
-        .limit(1).collect().head
-      chosen = chosen :+
-        ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+        .limit(1).collect()
+      if (nextRows.isEmpty) exhausted = true
+      else {
+        val next = nextRows.head
+        chosen = chosen :+
+          ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+      }
     }
     chosen.zipWithIndex
       .map { case ((id, _, d), i) => (i.toLong + 1, id, d) }

@@ -857,13 +857,43 @@ object Dedup {
     * simhash now produces directly — at that width random pairs sit at
     * expected hamming 32 and only true near-dups fall inside small radii,
     * so the band join's candidate set is output-sized. The banding/verify
-    * shape is width-independent. */
+    * shape is width-independent.
+    *
+    * Saturated-band guard (`maxBandBucket`): at narrow widths the bands
+    * are only a few bits wide, so a homogeneous corpus SATURATES band
+    * buckets (most of the corpus agreeing on one 5-bit value) and the
+    * candidate set grows ~n²/2^width — the one plan in the engine that
+    * was unbounded at scale. A saturated bucket is the SimHash analog of
+    * LSH's degenerate-signature bucket: its members agree on a handful of
+    * boilerplate bits, not on content, so dropping it is the same recall
+    * trade minhashCandidates' maxBucketSize already makes (and at
+    * production widths — 64 bits — the cap never fires: buckets are
+    * output-sized there). Default 1000, the LSH default. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           nBits: Int = 16,
-                          maxHamming: Int = 2): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < nBits, "0 <= maxHamming < nBits")
+                          maxHamming: Int = 2,
+                          maxBandBucket: Int = 1000): DataFrame = {
     val sig = CacheScope.register(
       simhash(docs, idCol, textCol, nBits).persist())
+    hammingPairs(sig, idCol, "simhash", nBits, maxHamming, maxBandBucket)
+  }
+
+  /** Hamming-radius pairs over ANY precomputed n-bit signature column —
+    * the banded join simhashNearDupPairs runs, factored out so other
+    * fingerprint families (perceptual image hashes, audio fingerprints)
+    * reuse the identical pigeonhole blocking + exact verify + saturated-
+    * bucket guard. See simhashNearDupPairs for the losslessness argument
+    * (pigeonhole over maxHamming+1 bands) and the maxBandBucket recall
+    * trade (0 disables the cap — exact mode for bounded inputs).
+    *
+    * @param sig one row per item: (idCol, sigCol) with sigCol a LONG
+    *            whose low nBits hold the signature */
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+                   nBits: Int, maxHamming: Int,
+                   maxBandBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits, "0 <= maxHamming < nBits")
+    require(maxBandBucket == 0 || maxBandBucket >= 2,
+      "maxBandBucket: 0 (uncapped) or >= 2 (a 1-item bucket never pairs)")
     val bands = maxHamming + 1
     val widths = (0 until bands)
       .map(b => nBits / bands + (if (b < nBits % bands) 1 else 0))
@@ -873,12 +903,23 @@ object Dedup {
       // wraps to 1, so the mask is written as -1L (all bits) explicitly
       val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band_idx"),
-        shiftrightunsigned(col("simhash"), offsets(b))
+        shiftrightunsigned(col(sigCol), offsets(b))
           .bitwiseAND(lit(mask)).as("band_val"))
     }
-    val banded = sig.select(col(idCol),
+    val allBanded = sig.select(col(idCol),
         explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_val"))
+    // Saturated-bucket anti-join (the minhashCandidates shape): no
+    // broadcast hint — the hot list is usually tiny but data-dependent,
+    // AQE decides from runtime sizes.
+    val banded =
+      if (maxBandBucket == 0) allBanded
+      else {
+        val hot = allBanded.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBandBucket)
+          .select(col("band_idx"), col("band_val"))
+        allBanded.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      }
     val cand = banded.select(col(idCol).as("a"), col("band_idx"),
         col("band_val"))
       .join(banded.select(col(idCol).as("b"), col("band_idx"),
@@ -886,8 +927,8 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     cand
-      .join(sig.select(col(idCol).as("a"), col("simhash").as("__sa")), "a")
-      .join(sig.select(col(idCol).as("b"), col("simhash").as("__sb")), "b")
+      .join(sig.select(col(idCol).as("a"), col(sigCol).as("__sa")), "a")
+      .join(sig.select(col(idCol).as("b"), col(sigCol).as("__sb")), "b")
       .withColumn("hamming",
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

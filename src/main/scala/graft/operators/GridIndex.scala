@@ -142,6 +142,20 @@ object GridIndex {
       .sortWithinPartitions(col("cell_id"))
       .write.mode("overwrite").parquet(path)
 
+  /** [[buildIndex]] over the ADAPTIVE two-level layout: rows carry the
+    * mixed-level cell id (negative fine ids inside hot base cells),
+    * range-partitioned and sorted by it, so the same `cell_id IN (...)`
+    * row-group pruning serves a skewed corpus without any cell hiding
+    * more than ~rowCap rows behind one pruning key — the at-rest form
+    * of the reference's K-instantiable split (include/pktree.hpp:
+    * 1262-1355: its adaptive tree IS its persistent structure). */
+  def buildIndexAdaptive(df: DataFrame, vecCol: String, spec: AdaptiveSpec,
+                         path: String, numFiles: Int = 8): Unit =
+    withCellIdAdaptive(df, vecCol, spec)
+      .repartitionByRange(numFiles, col("cell_id"))
+      .sortWithinPartitions(col("cell_id"))
+      .write.mode("overwrite").parquet(path)
+
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

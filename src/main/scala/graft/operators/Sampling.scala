@@ -152,7 +152,12 @@ object Sampling {
   def neymanSample(df: DataFrame, idCol: String, strataCol: String,
                    sizeCol: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget >= 0")
-    val stats = df.groupBy(col(strataCol).as("__h"))
+    // Strata are handled as STRINGS throughout (aggregate, allocation
+    // lookup, coin, window) — an int-typed strata column works instead
+    // of throwing ClassCastException on getString, and the coin string
+    // is identical whatever the column's native type.
+    val hcol = col(strataCol).cast("string")
+    val stats = df.groupBy(hcol.as("__h"))
       .agg(count(lit(1)).as("__n"),
         (max(sizeCol) - min(sizeCol)).cast("long").as("__s"))
       .collect()
@@ -179,11 +184,11 @@ object Sampling {
     val lut = alloc.toSeq.sortBy(_._1)
       .map { case (h, a) => (lit(h), lit(a)) }
     val allocCol = lut.foldLeft(lit(0L)) { case (acc, (h, a)) =>
-      when(col(strataCol) === h, a).otherwise(acc)
+      when(hcol === h, a).otherwise(acc)
     }
-    val coin = md5(concat_ws("#", col(strataCol), col(idCol)))
+    val coin = md5(concat_ws("#", hcol, col(idCol)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(coin, col(idCol))
+      .partitionBy(hcol).orderBy(coin, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= allocCol)
       .drop("__rn")

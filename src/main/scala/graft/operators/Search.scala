@@ -186,6 +186,14 @@ object Search {
   def knnClassify(labeled: DataFrame, vecCol: String, idCol: String,
                   labelCol: String, queries: DataFrame, qVecCol: String,
                   qidCol: String, k: Int): DataFrame = {
+    // Contract: labels must be integral — the vote argmax casts to long,
+    // and a string label would become null SILENTLY (null pred_label
+    // instead of an error). Fail loudly at plan time instead.
+    val labelType = labeled.schema(labelCol).dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(labelType.typeName),
+      s"knnClassify labels must be integral (got $labelType for " +
+        s"'$labelCol'); map categorical labels to a code column first")
     val nn = knnBatch(labeled.select(col(idCol), col(vecCol),
         col(labelCol)), vecCol, idCol, queries, qVecCol, qidCol, k)
     nn.groupBy(col("qid"), col(labelCol))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 
 import graft.functions.{CosineSim, SqDistL2}
 import graft.functions.VectorFunctions.sqDist
-import graft.operators.GridIndex.{cellsForBall, GridSpec}
+import graft.operators.GridIndex.{cellsForBall, cellsForBallAdaptive, AdaptiveSpec, GridSpec}
 import graft.operators.IvfIndex
 
 /** Catalyst optimizer rules that make search predicates index-aware
@@ -98,6 +98,26 @@ object IndexAwareRules {
       (0 until spec.dim).map(i => spec.width(i) * spec.cells(i)).max * 2
   }
 
+  /** ADAPTIVE two-level grid (GridIndex.buildIndexAdaptive layout:
+    * mixed-level cell ids, negative fine ids inside hot base cells).
+    * Same contract as GridGeom — keysForBall over-approximates via
+    * cellsForBallAdaptive (lossless incl. the ±1 fine-cell boundary
+    * expansion); radii are the BASE grid's (refinement changes the cost
+    * term of the ring proof, never its bound argument). */
+  final case class AdaptiveGeom(spec: AdaptiveSpec) extends IndexGeom {
+    def dim: Int = spec.base.dim
+    def keyName: String = "cell_id"
+    def keyTypeOk(dt: DataType): Boolean = dt == LongType
+    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] = {
+      val cells = cellsForBallAdaptive(spec, q, r)
+      if (cells.size <= MaxCells) Some(cells) else None
+    }
+    def startRadius(q: Seq[Double]): Double = spec.base.width.max
+    def maxRadius(q: Seq[Double]): Double =
+      (0 until spec.base.dim).map(i =>
+        spec.base.width(i) * spec.base.cells(i)).max * 2
+  }
+
   /** High-dim IVF lists (IvfIndex.buildIndex layout: directory-level
     * partition pruning on list_id). Centroid math is driver-side over
     * the metadata-sized table. */
@@ -168,6 +188,13 @@ object IndexAwareRules {
   def registerIvfIndex(path: String, centroids: IvfIndex.Centroids,
                        unitNorm: Boolean = false): Unit =
     registry.put(normalize(path), IndexInfo(IvfGeom(centroids), unitNorm))
+
+  /** Register a saved adaptive-grid index (GridIndex.buildIndexAdaptive
+    * layout). Contract: every stored row's cell_id was computed by
+    * cellIdAdaptive under exactly this spec. */
+  def registerAdaptiveIndex(path: String, spec: AdaptiveSpec,
+                            unitNorm: Boolean = false): Unit =
+    registry.put(normalize(path), IndexInfo(AdaptiveGeom(spec), unitNorm))
 
   def clear(): Unit = registry.clear()
 

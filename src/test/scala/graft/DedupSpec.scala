@@ -655,4 +655,64 @@ class DedupSpec extends AnyFunSuite {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(j.subsetOf(c))
   }
+
+  test("hammingPairs: uncapped (maxBandBucket=0) equals naive all-pairs") {
+    import spark.implicits._
+    // 60 items, signatures engineered for collisions: i % 8 gives dense
+    // low-bit neighborhoods within hamming 2 of each other
+    val sig = (0L until 60L).map(i => (i, (i % 8) | ((i % 3) << 8)))
+      .toDF("id", "sig")
+    val got = Dedup.hammingPairs(sig, "id", "sig", nBits = 16,
+        maxHamming = 2, maxBandBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = (0L until 60L).map(i => i -> ((i % 8) | ((i % 3) << 8))).toMap
+    val naive = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      h = java.lang.Long.bitCount(local(a) ^ local(b))
+      if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
+  test("hammingPairs cap: saturated buckets dropped, pair growth <= linear " +
+      "at 10x density") {
+    import spark.implicits._
+    // Hot boilerplate group (all-identical signature) + a sparse tail of
+    // mostly-unique signatures — the corpus shape that made 32-bit
+    // simhash a scale-killer. With the cap on, the hot group's n²/2
+    // pairs never materialize and total output grows ~linearly with n.
+    // hot half: one identical signature (the saturating bucket); tail:
+    // exact duplicate PAIRS with pairwise-distant group signatures, so
+    // the true near-dup output is exactly n/4 pairs — linear by design
+    def corpus(n: Long) = (0L until n).map { i =>
+      if (i < n / 2) (i, 7L)    // saturating group
+      else (i, (i / 2) << 5)    // duplicate pairs (2m, 2m+1)
+    }.toDF("id", "sig")
+    def pairsWithCap(n: Long): Long =
+      Dedup.hammingPairs(corpus(n), "id", "sig", nBits = 16,
+        maxHamming = 0, maxBandBucket = 40).count()
+    val small = pairsWithCap(200)
+    val big = pairsWithCap(2000)
+    // uncapped at n=200 the hot group ALONE yields 100*99/2 = 4950 pairs
+    val uncapped = Dedup.hammingPairs(corpus(200), "id", "sig", nBits = 16,
+      maxHamming = 0, maxBandBucket = 0).count()
+    assert(uncapped >= 4950, s"fixture must saturate without the cap: $uncapped")
+    assert(small < 4950, s"cap must drop the saturated group: $small")
+    assert(big <= 10 * math.max(small, 1) + 100,
+      s"capped growth must be ~linear: $small -> $big")
+  }
+
+  test("simhashNearDupPairs cap is a no-op at fixture scale (shares the " +
+      "frozen oracle) and binding caps only shrink the result") {
+    val uncapped = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxBandBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default === uncapped) // fixture buckets all under the 1000 default
+    val tight = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxBandBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(uncapped))
+  }
 }

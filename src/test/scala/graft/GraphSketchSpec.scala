@@ -312,6 +312,29 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(!multi.contains("x") && !multi.contains("y"))
   }
 
+  test("bfsDistance expands the frontier DELTA, not the cumulative " +
+    "reached set, and stops early when the frontier empties") {
+    import spark.implicits._
+    // 0-1-2-...-5 path: level sizes after the seed are exactly 1 each
+    val edges = (0 until 5).flatMap(i =>
+        Seq((i.toString, (i + 1).toString), ((i + 1).toString, i.toString)))
+      .toDF("s", "d")
+    val (got, sizes) = Graph.bfsDistanceWithStats(edges, "s", "d",
+      Seq("0"), maxHops = 10)
+    assert(got.count() == 6)
+    // round i's expansion join input is sizes(i-1) — the one-node level
+    // delta, NEVER the i-node cumulative set the r8 full re-expansion
+    // paid; after hop 5 the frontier is empty and the loop stops (one
+    // trailing zero, no rounds 7-10)
+    assert(sizes == Seq(1L, 1L, 1L, 1L, 1L, 1L, 0L), s"got $sizes")
+    // branchy graph: levels are the true BFS level sizes
+    val star = (1 to 4).flatMap(i => Seq(("h", s"l$i"), (s"l$i", "h")))
+      .toDF("s", "d")
+    val (_, starSizes) = Graph.bfsDistanceWithStats(star, "s", "d",
+      Seq("h"), maxHops = 3)
+    assert(starSizes == Seq(1L, 4L, 0L), s"got $starSizes")
+  }
+
   // ------------------------------------------------------ labelPropagation
 
   test("labelPropagation: hand-traced star oscillation; count beats " +
