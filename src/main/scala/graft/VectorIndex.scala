@@ -215,12 +215,17 @@ class VectorIndex private (
       adaptiveSpec = adaptiveSpec)
   }
 
-  /** Re-fit the pruning structures over the current collection. */
-  def rebuild(cellsPerDim: Int = 16, nlist: Int = 0): VectorIndex =
+  /** Re-fit the pruning structures over the current collection.
+    * `rowCap > 0` re-fits an ADAPTIVE grid (fresh hot set from the
+    * current density — the batch analog of the reference's restructure
+    * absorbing drift, include/pktree.hpp:841-929). */
+  def rebuild(cellsPerDim: Int = 16, nlist: Int = 0, rowCap: Long = 0,
+              refine: Int = 4): VectorIndex =
     VectorIndex.create(
       data.drop("cell_id", "list_id", IvfIndex.SqCol, IvfIndex.PqCol,
         IvfIndex.PqResCol),
-      vecCol, idCol, dim, cellsPerDim, nlist)
+      vecCol, idCol, dim, cellsPerDim, nlist, rowCap = rowCap,
+      refine = refine)
 
   /** Persist as a pruning-friendly parquet index (the 100 TB layout) plus
     * a metadata sidecar (IndexMeta: exact GridSpec + IVF centroids), so
@@ -339,10 +344,22 @@ object VectorIndex {
     * @param refineIters seeded driver-side Lloyd iterations sharpening
     *                    the IVF quantizer (IvfIndex.fitCentroids); 0 =
     *                    sample-only quantizer
+    * @param rowCap      adaptive refinement trigger for grid layouts
+    *                    (dim <= 4): base cells holding more than rowCap
+    *                    rows are re-split `refine`× finer per dimension
+    *                    (GridIndex.fitAdaptive) — the distributed analog
+    *                    of the reference's K-instantiable node split
+    *                    (include/pktree.hpp:587-635), and since the
+    *                    reference's adaptive tree IS its persistent
+    *                    structure (hpp:1262-1355), save()/load() carry
+    *                    the two-level spec verbatim. 0 = fixed grid.
+    * @param refine      per-dimension refinement factor for hot cells
+    *                    (>= 2); ignored when rowCap == 0
     */
   def create(df: DataFrame, vecCol: String, idCol: String, dim: Int,
              cellsPerDim: Int = 16, nlist: Int = 0,
-             refineIters: Int = 0): VectorIndex = {
+             refineIters: Int = 0, rowCap: Long = 0,
+             refine: Int = 4): VectorIndex = {
     val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
     // schema-level dim invariant (SURVEY §1.1): fail fast on ragged OR null
     // input. Nulls must be rejected too (coalesce: a null dimCheck would
@@ -353,11 +370,15 @@ object VectorIndex {
       !coalesce(VectorFunctions.dimCheck(col(vecCol), dim), lit(false)))
       .limit(1)
     require(bad.isEmpty, s"input contains null vectors or vectors with dim != $dim")
-    val (spec, indexed) =
-      if (dim <= 4) {
+    val (spec, aspec, indexed) =
+      if (dim <= 4 && rowCap > 0) {
+        val a = GridIndex.fitAdaptive(typed, vecCol, dim, cellsPerDim,
+          rowCap, refine)
+        (None, Some(a), GridIndex.withCellIdAdaptive(typed, vecCol, a))
+      } else if (dim <= 4) {
         val s = GridIndex.fit(typed, vecCol, dim, cellsPerDim)
-        (Some(s), GridIndex.withCellId(typed, vecCol, s))
-      } else (None, typed)
+        (Some(s), None, GridIndex.withCellId(typed, vecCol, s))
+      } else (None, None, typed)
     val cents =
       if (nlist > 0)
         Some(IvfIndex.fitCentroids(indexed, vecCol, idCol, nlist,
@@ -367,7 +388,8 @@ object VectorIndex {
       case Some(c) => IvfIndex.assign(indexed, vecCol, idCol, c)
       case None => indexed
     }
-    new VectorIndex(withLists, vecCol, idCol, dim, spec, cents)
+    new VectorIndex(withLists, vecCol, idCol, dim, spec, cents,
+      adaptiveSpec = aspec)
   }
 
   /** Incremental ingest into a SAVED IVF layout at rest — the reference's
@@ -566,19 +588,29 @@ object VectorIndex {
         "VectorIndex (indexes written before the sidecar existed must be " +
         "rebuilt with create(...).save(path))"))
     val df = liveData(spark, path, meta.idCol)
-    val spec = meta.gridSpec
-    (spec, meta.ivfCentroids) match {
-      case (Some(s), _) => plans.IndexAwareRules.registerIndex(path, s,
-        meta.unitNorm.getOrElse(false))
+    // The adaptive extension takes precedence over the base `grid` field:
+    // an adaptively-saved layout's cell_id column holds MIXED-LEVEL ids
+    // (negative fine ids inside hot base cells, GridIndex.cellIdAdaptive),
+    // which base-grid enumeration (cellsForBall: positive base ids only)
+    // would silently drop — every row in a hot cell would vanish from
+    // pruned search. So load restores the two-level spec verbatim, both
+    // in the instance and in the optimizer-rule registration.
+    val aspec = meta.adaptiveSpec
+    val spec = if (aspec.isDefined) None else meta.gridSpec
+    (aspec, spec, meta.ivfCentroids) match {
+      case (Some(a), _, _) => plans.IndexAwareRules.registerAdaptiveIndex(
+        path, a, meta.unitNorm.getOrElse(false))
+      case (None, Some(s), _) => plans.IndexAwareRules.registerIndex(path,
+        s, meta.unitNorm.getOrElse(false))
       // Lossless even over a pre-partitionBy plain-parquet save: list_id
       // is still the stored argmin column there, only directory pruning
       // is absent (the rules fall back to a row filter).
-      case (None, Some(c)) => plans.IndexAwareRules.registerIvfIndex(path,
-        c, meta.unitNorm.getOrElse(false))
+      case (None, None, Some(c)) => plans.IndexAwareRules.registerIvfIndex(
+        path, c, meta.unitNorm.getOrElse(false))
       case _ => ()
     }
     new VectorIndex(df, meta.vecCol, meta.idCol, meta.dim, spec,
       meta.ivfCentroids, meta.sqParams, meta.pqParams, meta.listRadiiMap,
-      meta.cellCountsMap)
+      meta.cellCountsMap, adaptiveSpec = aspec)
   }
 }

@@ -352,6 +352,119 @@ object Multimodal {
     cc("RIFF") ++ le32(riffBody.length) ++ riffBody
   }
 
+  /** Perceptual hashes of a decoded image (aHash + dHash, 64-bit). */
+  case class ImageHashes(id: Long, ahash: Long, dhash: Long,
+                         width: Int, height: Int)
+
+  /** 8×8 (and 9×8 for dHash) area-averaged luma grid of a decoded image:
+    * cell (gx, gy) averages the pixel box [gx·w/cols, (gx+1)·w/cols) ×
+    * [gy·h/8, (gy+1)·h/8) — integer luma sums, one double division per
+    * cell. Deterministic for lossless formats; images narrower than the
+    * grid yield None (an empty cell has no average). */
+  private def readImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    Headless.ensure()
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def lumaGridOf(im: java.awt.image.BufferedImage,
+                         cols: Int): Option[Array[Double]] = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    if (w < cols || h < 8) None
+    else {
+      val sums = new Array[Long](cols * 8)
+      val counts = new Array[Long](cols * 8)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * cols / w
+          val rgb = im.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          sums(gy * cols + gx) += luma
+          counts(gy * cols + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(cols * 8)(i => sums(i).toDouble / counts(i)))
+    }
+  }
+
+  private def aHashOf(im: java.awt.image.BufferedImage): Option[Long] =
+    lumaGridOf(im, 8).map { g =>
+      val mean = g.sum / 64.0
+      var hashVal = 0L
+      var i = 0
+      while (i < 64) { if (g(i) > mean) hashVal |= 1L << i; i += 1 }
+      hashVal
+    }
+
+  private def dHashOf(im: java.awt.image.BufferedImage): Option[Long] =
+    lumaGridOf(im, 9).map { g =>
+      var hashVal = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y * 9 + x + 1) > g(y * 9 + x)) hashVal |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hashVal
+    }
+
+  /** aHash (average hash): bit i = 1 iff grid cell i's mean luma exceeds
+    * the mean of all 64 cells. Invariant to global brightness shifts
+    * (cell and grand mean shift together) and to any recompression that
+    * preserves cell-vs-mean ordering — the standard cheap perceptual
+    * near-dup signature. */
+  private[graft] def aHash64(blob: Array[Byte]): Option[Long] =
+    readImage(blob).flatMap(aHashOf)
+
+  /** dHash (difference hash): 9×8 grid, bit (row y, col x) = 1 iff cell
+    * (x+1) is brighter than cell x — a horizontal-gradient signature,
+    * robust to brightness AND contrast changes. */
+  private[graft] def dHash64(blob: Array[Byte]): Option[Long] =
+    readImage(blob).flatMap(dHashOf)
+
+  /** Partition-parallel perceptual hashing: decode each image once, emit
+    * (id, ahash, dhash, w, h), drop the blob — the narrow relation every
+    * downstream dedup join runs on (blobs never transit a shuffle).
+    * Undecodable / sub-8×8 blobs are dropped (same policy as
+    * extractImageFeatures). */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHashes] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        for {
+          im <- readImage(r.blob) // one decode serves both hashes
+          a <- aHashOf(im)
+          d <- dHashOf(im)
+        } yield ImageHashes(r.id, a, d, im.getWidth, im.getHeight)
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs — the north-star composition: perceptual
+    * hash (aHash by default, dHash for gradient robustness) feeding the
+    * bounded Hamming-radius join (Dedup.hammingPairs: pigeonhole bands +
+    * saturated-bucket cap — never all-pairs, survives 100 TB of images).
+    * Returns (a, b, hamming) with a < b and hamming <= maxHamming over
+    * the chosen signature. Recompressed / brightness-shifted copies land
+    * at distance 0–3 in practice; maxHamming ~3 is the usual radius. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                        useDHash: Boolean = false,
+                        maxBandBucket: Int = 1000): DataFrame = {
+    val sigCol = if (useDHash) "dhash" else "ahash"
+    Dedup.hammingPairs(imageHashes(media).toDF(), "id", sigCol,
+      nBits = 64, maxHamming = maxHamming, maxBandBucket = maxBandBucket)
+  }
+
   /** A sampled frame/chunk: fixed-size slice of the blob at a stride —
     * the video-frame-sampling shape (a real decoder would seek keyframes;
     * the slicing, fan-out and output schema are identical). */

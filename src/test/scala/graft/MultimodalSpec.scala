@@ -250,4 +250,96 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = frames.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  /** Encode a w×h gray image with per-pixel value fn(x, y) as fmt bytes. */
+  private def grayImage(w: Int, h: Int, fmt: String)(
+      fn: (Int, Int) => Int): Array[Byte] = {
+    Multimodal.initCodecs()
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = fn(x, y).max(0).min(255)
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("aHash: closed-form on a block pattern, invariant to brightness " +
+      "shift and to downscale-preserving resize") {
+    // left half dark, right half bright → aHash = columns 4..7 set per row
+    val base = grayImage(16, 16, "png")((x, _) => if (x < 8) 20 else 200)
+    val expected = {
+      var hv = 0L
+      for (gy <- 0 until 8; gx <- 4 until 8) hv |= 1L << (gy * 8 + gx)
+      hv
+    }
+    assert(Multimodal.aHash64(base).contains(expected))
+    // +37 on both tones: thresholds against the shifted mean → same hash
+    val brighter = grayImage(16, 16, "png")((x, _) => if (x < 8) 57 else 237)
+    assert(Multimodal.aHash64(brighter) == Multimodal.aHash64(base))
+    // 4× resolution: area-averaged grid sees the same pattern
+    val big = grayImage(64, 64, "png")((x, _) => if (x < 32) 20 else 200)
+    assert(Multimodal.aHash64(big) == Multimodal.aHash64(base))
+    // a genuinely different pattern is FAR (no false near-dup)
+    val other = grayImage(16, 16, "png")((_, y) => if (y < 8) 20 else 200)
+    assert(hamming(Multimodal.aHash64(other).get, expected) > 16)
+  }
+
+  test("dHash: horizontal gradient signature, contrast-invariant") {
+    // luma ramps left→right: every adjacent-cell difference positive
+    val ramp = grayImage(18, 16, "png")((x, _) => x * 14)
+    assert(Multimodal.dHash64(ramp).contains(-1L)) // all 64 bits set
+    val flat = grayImage(18, 16, "png")((_, _) => 128)
+    assert(Multimodal.dHash64(flat).contains(0L))
+    // halving the contrast keeps every gradient sign → same hash
+    val lowContrast = grayImage(18, 16, "png")((x, _) => 64 + x * 7)
+    assert(Multimodal.dHash64(lowContrast) == Multimodal.dHash64(ramp))
+  }
+
+  test("aHash survives REAL JPEG recompression at a small Hamming radius") {
+    // A structured pattern (vertical two-tone stripes, 2 cells wide)
+    // recompressed as lossy JPEG: ringing perturbs pixels but not the
+    // cell-vs-mean ordering — the recompressed copy must land within
+    // the radius-3 near-dup ball of the PNG original.
+    def stripes(x: Int, y: Int): Int = if ((x / 4) % 2 == 0) 30 else 220
+    val png = grayImage(32, 32, "png")(stripes)
+    val jpg = grayImage(32, 32, "jpg")(stripes)
+    val (pa, ja) = (Multimodal.aHash64(png).get, Multimodal.aHash64(jpg).get)
+    assert(hamming(pa, ja) <= 3,
+      s"JPEG recompression drifted aHash by ${hamming(pa, ja)} bits")
+    val (pd, jd) = (Multimodal.dHash64(png).get, Multimodal.dHash64(jpg).get)
+    assert(hamming(pd, jd) <= 6,
+      s"JPEG recompression drifted dHash by ${hamming(pd, jd)} bits")
+  }
+
+  test("imageNearDupPairs: recompressed + brightness-shifted copies " +
+      "caught; distinct images not paired (end-to-end near-dup)") {
+    import spark.implicits._
+    def stripes(x: Int, y: Int): Int = if ((x / 4) % 2 == 0) 30 else 220
+    def checker(x: Int, y: Int): Int =
+      if ((x / 4 + y / 4) % 2 == 0) 30 else 220
+    val blobs = Seq(
+      (1L, grayImage(32, 32, "png")(stripes)), // original
+      (2L, grayImage(32, 32, "jpg")(stripes)), // recompressed copy
+      (3L, grayImage(32, 32, "png")((x, y) => stripes(x, y) + 25)), // brighter copy
+      (4L, grayImage(32, 32, "png")(checker)), // different image
+      (5L, Array[Byte](1, 2, 3)) // undecodable: dropped, not failed
+    ).toDF("id", "blob")
+    val media = Multimodal.asMedia(blobs, "id", "blob", "image/mixed")
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the copy-cluster pairs only, got $pairs")
+    // dHash variant runs through the same join machinery
+    val dPairs = Multimodal.imageNearDupPairs(media, maxHamming = 6,
+        useDHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dPairs.contains((1L, 2L)) && !dPairs.exists(p =>
+      p._1 == 4L || p._2 == 4L))
+  }
 }

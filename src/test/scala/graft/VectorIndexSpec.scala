@@ -110,6 +110,97 @@ class VectorIndexSpec extends AnyFunSuite {
       == naiveK)
   }
 
+  /** Skewed corpus: `nHot` rows packed into a unit square (one base
+    * cell at 8 cells/dim over the ±50 domain goes over any small cap)
+    * plus `nCold` spread over the whole domain. */
+  private def skewedDf(nHot: Int, nCold: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val hot = (0 until nHot).map(i =>
+      (i.toLong, Seq(10.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble()),
+        s"payload_$i"))
+    val cold = (0 until nCold).map(i =>
+      ((nHot + i).toLong, Seq.fill(2)(rnd.nextDouble() * 100 - 50),
+        s"payload_${nHot + i}"))
+    (hot ++ cold).toDF("id", "vec", "name")
+  }
+
+  test("adaptive create(rowCap): two-level grid, knn/range equal naive") {
+    val df = skewedDf(300, 100, 17)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8,
+      rowCap = 50)
+    // the hot cluster must actually trigger refinement (negative fine ids)
+    assert(idx.data.filter(col("cell_id") < 0).count() > 0,
+      "skewed fixture must produce refined (negative) cell ids")
+    val q = Seq(10.5, 10.5) // center of the HOT region
+    val naiveK = Search.knn(df, "vec", "id", array(q.map(lit): _*), 12)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(idx.knn(q, 12).select("id").collect().map(_.getLong(0)).toSeq
+      == naiveK)
+    val naiveR = Search.rangeSearch(df, "vec", array(q.map(lit): _*), 3.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx.rangeSearch(q, 3.0).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == naiveR)
+  }
+
+  test("adaptive save/load round-trip: hot-cell rows survive reload " +
+      "(regression: load() must restore AdaptiveMeta, not the base grid)") {
+    val df = skewedDf(300, 100, 19)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8,
+      rowCap = 50)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_adpt").toString + "/idx"
+    idx.save(path)
+    // the at-rest layout holds MIXED-LEVEL ids: base-grid enumeration
+    // (positive ids only) over it would drop every refined row
+    val stored = spark.read.parquet(path)
+    assert(stored.filter(col("cell_id") < 0).count() > 0,
+      "saved adaptive layout must carry negative fine ids")
+    val meta = IndexMeta.read(spark, path).get
+    assert(meta.adaptiveSpec.isDefined,
+      "sidecar must carry the adaptive extension")
+    val re = VectorIndex.load(spark, path)
+    // probe INSIDE the hot cell: under the base-grid-only load bug every
+    // one of these rows is silently dropped from pruned search
+    val q = Seq(10.5, 10.5)
+    val naiveR = Search.rangeSearch(df, "vec", array(q.map(lit): _*), 0.6)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(naiveR.nonEmpty, "fixture sanity: the hot probe must hit rows")
+    assert(re.rangeSearch(q, 0.6).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == naiveR,
+      "hot-cell rows must survive save/load (lossless pruning)")
+    val naiveK = Search.knn(df, "vec", "id", array(q.map(lit): _*), 15)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(re.knn(q, 15).select("id").collect().map(_.getLong(0)).toSeq
+      == naiveK)
+    // batch path falls back to the broadcast window form on adaptive
+    val batch = re.knnBatch(Seq((7L, q)), 5)
+    assert(batch.select("id").collect().map(_.getLong(0)).toSeq ==
+      naiveK.take(5))
+  }
+
+  test("adaptive append after load buckets new rows in the STORED " +
+      "two-level spec") {
+    val df = skewedDf(300, 80, 23)
+    val idx = VectorIndex.create(df, "vec", "id", dim = 2, cellsPerDim = 8,
+      rowCap = 50)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_adpt_app").toString + "/idx"
+    idx.save(path)
+    import spark.implicits._
+    // one new row inside the hot cell, one in a cold region
+    val extra = Seq((9001L, Seq(10.4, 10.6), "new_hot"),
+      (9002L, Seq(-40.0, -40.0), "new_cold")).toDF("id", "vec", "name")
+    val re = VectorIndex.load(spark, path).append(extra)
+    // hot-region append must land on a NEGATIVE fine id (stored spec)
+    assert(re.data.filter(col("id") === 9001L)
+      .head().getAs[Long]("cell_id") < 0)
+    val q = Seq(10.4, 10.6)
+    val ids = re.rangeSearch(q, 0.3).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.contains(9001L), "appended hot-cell row must be searchable")
+  }
+
   test("IndexMeta sidecar round-trips exact doubles (no precision drift)") {
     // Geometry equality must be bit-exact: a spec differing in the last
     // ulp enumerates different cells than the stored ids were computed in.
