@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // index-aware ball-search + SQL-kNN pruning (SURVEY §7.2 step 9)
     e.injectOptimizerRule(_ => graft.plans.IndexAwareRules.PruneBallSearch)
     e.injectOptimizerRule(_ => graft.plans.IndexAwareRules.PruneKnnSort)
+    // early-exit ball predicates (reference pktree.hpp:1121 cutoff)
+    e.injectOptimizerRule(_ => graft.plans.IndexAwareRules.FuseBallPredicate)
   }
 }
 

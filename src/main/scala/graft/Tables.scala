@@ -31,11 +31,17 @@ object Tables {
     }
   }
 
-  /** Session configs every graft session needs (Verify, Bench, tests). */
+  /** Session configs every graft session needs (Verify, Bench, tests).
+    * The engine's extensions ride in via spark.sql.extensions: graft_*
+    * SQL functions plus the optimizer rules (index-aware pruning over
+    * registered paths — a no-op until something registers — and the
+    * early-exit ball-predicate fuse, which is semantics-preserving
+    * everywhere it fires). */
   def withGraftConf(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Register every table as a temp view so spark.sql(...) mirrors the
     * DuckDB oracle exactly. */

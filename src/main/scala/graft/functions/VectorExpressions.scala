@@ -172,6 +172,102 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
     copy(left = newLeft, right = newRight)
 }
 
+/** EARLY-EXIT ball predicate: `sqdist(a, b) <= r²` (or `<` when
+  * `strict`) with the accumulation abandoned the moment the partial sum
+  * already exceeds the bound — the reference's per-element distance
+  * cutoff (include/pktree.hpp:1121: `if (dist>range) return`), the last
+  * of its scan-loop optimizations. Sound and EXACT because squared
+  * terms are non-negative and IEEE addition of a non-negative operand
+  * is monotone: a partial sum over the bound proves the full sum is
+  * too, so the predicate's value — though not the abandoned sum — is
+  * bit-identical to comparing the fully-accumulated distance. (No
+  * cosine analog exists: dot-product partial sums aren't monotone.)
+  *
+  * Planted ONLY by the optimizer rule (IndexAwareRules.FuseBallPredicate)
+  * into top-level Filter conjuncts, never user-facing, because its null
+  * semantics are filter-exact rather than expression-exact: a vector
+  * pair whose sqdist would be NULL (length mismatch / null element) may
+  * yield `false` here when the exit fires before the offending element
+  * is reached. Under a Filter conjunct null and false are both "drop
+  * the row", so the rewrite is semantics-preserving there — and only
+  * there (inside NOT(...) it would not be; the rule never looks inside
+  * one). */
+case class SqDistWithin(left: Expression, right: Expression,
+                        bound: Expression, strict: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Predicate {
+  import org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String =
+    if (strict) "graft_sqdist_within_strict" else "graft_sqdist_within"
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = bound
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arraysOk = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (arraysOk && bound.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>, double), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}, ${bound.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, r2v: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val r2 = r2v.asInstanceOf[Double]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      if (if (strict) s >= r2 else s > r2) return false // early exit
+      i += 1
+    }
+    true // completion implies the bound held at every step, incl. the last
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, r2) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val bailCmp = if (strict) ">=" else ">"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  boolean $out = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double ${s}_d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += ${s}_d * ${s}_d;
+         |    if ($s $bailCmp $r2) { $out = true; break; }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = !$out; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SqDistWithin =
+    copy(left = newFirst, right = newSecond, bound = newThird)
+}
+
 /** All IVF-list memberships of one vector under slack expansion, with the
   * home (nearest) list flagged — ONE primitive-array pass per row over a
   * plan-constant centroid matrix.

@@ -135,8 +135,13 @@ object Graph {
     val undirected = edges
       .select(least(s, d).as("a"), greatest(s, d).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // partitioned by u at rest: each round's degree aggregate is then
+    // exchange-free (the groupBy key matches the cached partitioning),
+    // and the survivor semi-joins — node-sized build sides AQE
+    // broadcasts — preserve it for the next round's persist
     var e = undirected.select(col("a").as("u"), col("b").as("v"))
       .union(undirected.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.register(e)
     for (i <- 1 to rounds) {
@@ -190,6 +195,12 @@ object Graph {
     require(seeds.nonEmpty && maxHops >= 0, "need seeds and maxHops >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
+    // NO src-repartition here (unlike pageRank's ew): the expansion
+    // join's other side is the frontier DELTA — broadcast-sized at any
+    // scale where BFS makes sense — so the edge side never needs
+    // co-partitioning, and a second full-edge shuffle on top of the
+    // distinct()'s would be pure cost (measured +25% at sf1). At
+    // 100 TB the edge table would be bucketed by src at rest instead.
     val e = CacheScope.register(
       edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst")).distinct()
@@ -233,13 +244,30 @@ object Graph {
     * iterative discipline). Initial label = the node's own id. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
+    // repartition on src before the persist: each round's label join
+    // then reshuffles only the node-sized label state, never the edges
+    // (the pageRank ew trick)
     val e = CacheScope.register(
       edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst")).distinct()
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = CacheScope.register(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist())
+    // A node with NO in-edges never receives a vote, so it keeps its
+    // INITIAL label (its own id) every round — computed once and
+    // UNIONed back (plan-free), replacing the per-round left join
+    // against the full node set: every in-degree>0 node gets a vote
+    // every round (all in-neighbors always carry a label), so the
+    // aggregate's output is exactly the complement. Same trick as
+    // pageRank's zeroIn; one join stage per round saved, results
+    // identical.
+    val noIn = CacheScope.register(
+      nodes.join(e.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .withColumn("label", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
       val voted = e.join(labels, e("src") === labels("node"))
@@ -249,12 +277,8 @@ object Graph {
         .groupBy(col("node2"))
         .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
           .as("__m"))
-        .select(col("node2"), col("__m.l").as("__newl"))
-      labels = labels.join(voted, labels("node") === voted("node2"),
-          "left")
-        .select(col("node"),
-          coalesce(col("__newl"), col("label")).as("label"))
-        .localCheckpoint(eager = false)
+        .select(col("node2").as("node"), col("__m.l").as("label"))
+      labels = voted.union(noIn).localCheckpoint(eager = false)
     }
     labels
   }
@@ -281,8 +305,13 @@ object Graph {
         col(dstCol).cast("string").as("dst")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val ew = CacheScope.register(e.join(outdeg, "src").persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // repartition on src BEFORE the persist: the cached relation then
+    // REPORTS hashpartitioning(src), so every iteration's rank join
+    // reshuffles only the node-sized rank state — the edge side (the
+    // big one) never transits a shuffle again (see pageRank)
+    val ew = CacheScope.register(
+      e.repartition(col("src")).join(outdeg, "src").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = CacheScope.register(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
@@ -338,10 +367,17 @@ object Graph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // out-degree rides ON the persisted edge relation, attached once:
     // each iteration then pays ONE join (the rank state) instead of two
-    // and never re-aggregates the edges
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val ew = CacheScope.register(e.join(outdeg, "src").persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // and never re-aggregates the edges. The repartition on src sits
+    // BEFORE the persist so the cached relation reports
+    // hashpartitioning(src): every iteration's rank join then
+    // reshuffles only the node-sized rank state — the edge side (the
+    // m-sized one, the whole per-round cost at 100 TB) never transits
+    // a shuffle again. outdeg is derived from the same partitioning,
+    // so the degree join itself is exchange-free too.
+    val ew = CacheScope.register(
+      e.repartition(col("src"))
+        .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = CacheScope.register(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()

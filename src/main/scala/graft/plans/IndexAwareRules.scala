@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{array, col, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{CosineSim, SqDistL2}
+import graft.functions.{CosineSim, SqDistL2, SqDistWithin}
 import graft.functions.VectorFunctions.sqDist
 import graft.operators.GridIndex.{cellsForBall, cellsForBallAdaptive, AdaptiveSpec, GridSpec}
 import graft.operators.IvfIndex
@@ -204,7 +204,7 @@ object IndexAwareRules {
     * deployments. */
   def install(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
-    val want = Seq(PruneBallSearch, PruneKnnSort)
+    val want = Seq(PruneBallSearch, PruneKnnSort, FuseBallPredicate)
     val missing = want.filterNot(r => existing.exists(_ eq r))
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations = existing ++ missing
@@ -489,6 +489,71 @@ object IndexAwareRules {
         r *= 2
       }
       None
+    }
+  }
+
+  /** Rewrite ball predicates in Filter conjuncts to the EARLY-EXIT fused
+    * form (functions.SqDistWithin): `graft_sqdist(a, b) <= r²` abandons
+    * the distance accumulation the moment the partial sum passes r² —
+    * the reference's per-element cutoff (include/pktree.hpp:1121),
+    * soundness argument on the expression's scaladoc. The big winners
+    * are high-dim near-dup blocks (Dedup.embeddingNearDup*: most
+    * candidate pairs are FAR, and a far 64-dim pair exits after a
+    * handful of elements).
+    *
+    * Scope guards:
+    *   - only TOP-LEVEL conjuncts of a Filter condition (null ≡ false
+    *     there; inside NOT/OR-of-NOT it would change results);
+    *   - both vector operands arbitrary, the bound a DoubleType
+    *     expression free of the filter's input (typically a literal);
+    *     non-negativity is NOT required — a negative r² just exits on
+    *     the first element, still correct;
+    *   - over a REGISTERED index relation whose condition lacks the
+    *     pruning-key conjunct, hold off one fixpoint round so
+    *     PruneBallSearch (which pattern-matches the raw SqDistL2 form)
+    *     fires first — then rewrite, including the ball conjunct that
+    *     rule injected. */
+  object FuseBallPredicate extends Rule[LogicalPlan] with PredicateHelper {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, child) if !pruningPending(cond, child) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val rewritten = conjuncts.map(fuse)
+        if (rewritten.zip(conjuncts).forall { case (a, b) => a eq b }) f
+        else Filter(rewritten.reduce(And), child)
+    }
+
+    /** True when PruneBallSearch still owes this filter its key
+      * conjunct: exactly one registered index relation below, the key
+      * column resolvable, but no key conjunct in the condition yet. */
+    private def pruningPending(cond: Expression, child: LogicalPlan): Boolean =
+      registeredRelations(child) match {
+        case Seq((_, IndexInfo(geom, _), lr)) =>
+          val relOut = lr.outputSet
+          child.output.exists(a => a.name == geom.keyName &&
+            geom.keyTypeOk(a.dataType) && relOut.contains(a)) &&
+          !splitConjunctivePredicates(cond).exists {
+            case In(a: Attribute, _) => a.name == geom.keyName
+            case EqualTo(a: Attribute, _) => a.name == geom.keyName
+            case _ => false
+          }
+        case _ => false
+      }
+
+    private def boundOk(b: Expression): Boolean =
+      b.dataType == DoubleType && b.deterministic &&
+        b.references.isEmpty // a plan-constant bound, typically a literal
+
+    private def fuse(e: Expression): Expression = e match {
+      case LessThanOrEqual(sq: SqDistL2, b) if boundOk(b) =>
+        SqDistWithin(sq.left, sq.right, b, strict = false)
+      case GreaterThanOrEqual(b, sq: SqDistL2) if boundOk(b) =>
+        SqDistWithin(sq.left, sq.right, b, strict = false)
+      case LessThan(sq: SqDistL2, b) if boundOk(b) =>
+        SqDistWithin(sq.left, sq.right, b, strict = true)
+      case GreaterThan(b, sq: SqDistL2) if boundOk(b) =>
+        SqDistWithin(sq.left, sq.right, b, strict = true)
+      case other => other
     }
   }
 }

@@ -447,10 +447,12 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     val optimized = query.queryExecution.optimizedPlan.toString
     assert(optimized.contains("cell_id#"),
       s"adaptive ball filter must gain a cell conjunct:\n$optimized")
-    assert(optimized.matches("(?s).*IN \\([^)]*-\\d[^)]*\\).*"),
+    // a single-candidate IN collapses to equality — accept either form
+    assert(optimized.matches("(?s).*(IN \\([^)]*-\\d[^)]*\\)|= -\\d).*"),
       s"hot-cell candidate set must include NEGATIVE fine ids:\n$optimized")
     val physical = query.queryExecution.executedPlan.toString
-    assert(physical.contains("In(cell_id"),
+    assert(physical.contains("In(cell_id") ||
+        physical.contains("EqualTo(cell_id"),
       s"cell filter not pushed to parquet:\n$physical")
     val naive = Search.rangeSearch(df, "vec", array(qh.map(lit): _*), rr)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
@@ -460,11 +462,37 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     // the kNN sort rewrite fires through the same geometry
     val knnQ = spark.read.parquet(tmp)
       .orderBy(sqDist(col("vec"), array(qh.map(lit): _*))).limit(10)
-    assert(knnQ.queryExecution.executedPlan.toString.contains("In(cell_id"),
+    val knnPhys = knnQ.queryExecution.executedPlan.toString
+    assert(knnPhys.contains("In(cell_id") ||
+        knnPhys.contains("EqualTo(cell_id"),
       "kNN sort over the adaptive index must get a pruned scan")
     val naiveK = Search.knn(df, "vec", "id", array(qh.map(lit): _*), 10)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(knnQ.select("id").collect().map(_.getLong(0)).toSeq == naiveK)
     assert(re.size() == 400)
+  }
+
+  /** FuseBallPredicate must not pre-empt PruneBallSearch: over a
+    * registered index the final plan carries BOTH the injected key
+    * conjunct AND the early-exit fused ball predicate, and stays
+    * lossless. */
+  test("early-exit fuse composes with index pruning (both in the plan)") {
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val idx = GridIndex.readIndex(spark, indexPath)
+    val query = idx.filter(
+      sqDist(col("vec"), array(q.map(lit): _*)) <= lit(r * r))
+    val optimized = query.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cell_id#"),
+      s"pruning conjunct lost to the fuse rewrite:\n$optimized")
+    assert(optimized.contains("graft_sqdist_within"),
+      s"ball conjunct not fused:\n$optimized")
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.rangeSearch(raw, "vec", array(q.map(lit): _*), r)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(query.select(col("p_partkey")).collect().map(_.getLong(0))
+      .sorted.toSeq == expect)
   }
 }

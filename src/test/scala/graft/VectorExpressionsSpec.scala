@@ -103,4 +103,103 @@ class VectorExpressionsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
   }
+
+  // ==========================================================================
+  // Early-exit ball predicate (SqDistWithin via FuseBallPredicate):
+  // filter RESULTS must equal the unfused form exactly — the abandoned
+  // sum is never observable.
+  // ==========================================================================
+
+  test("early-exit ball filter: fused plan, identical rows to builtin " +
+      "composition incl. exact-boundary distances") {
+    import spark.implicits._
+    graft.plans.IndexAwareRules.install(spark)
+    val rnd = new scala.util.Random(31)
+    // random far/near mix + crafted EXACT-boundary pairs: sqdist == 25.0
+    // precisely (3-4-0 triple), where <= keeps and < drops — the seam
+    // where a sloppy early exit would diverge
+    val data = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 10 - 5),
+        Seq.fill(16)(rnd.nextDouble() * 10 - 5))
+    } ++ Seq(
+      (1000L, Seq(3.0, 4.0) ++ Seq.fill(14)(0.0), Seq.fill(16)(0.0)),
+      (1001L, Seq(5.1) ++ Seq.fill(15)(0.0), Seq.fill(16)(0.0)))
+    // parquet round-trip: a LocalRelation would be constant-folded at
+    // optimization time, hiding the plan shape under test
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fuse").toString + "/t"
+    data.toDF("id", "a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    for (strict <- Seq(false, true)) {
+      val cmp: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+        if (strict) _ < _ else _ <= _
+      val fused = df.filter(cmp(
+        VectorFunctions.sqDist(col("a"), col("b")), lit(25.0)))
+      val plan = fused.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_sqdist_within"),
+        s"fused predicate missing (strict=$strict):\n$plan")
+      val ref = df.filter(cmp(
+        VectorFunctions.sqDistBuiltin(col("a"), col("b")), lit(25.0)))
+      assert(fused.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        ref.select("id").collect().map(_.getLong(0)).sorted.toSeq,
+        s"fused filter diverged (strict=$strict)")
+      // boundary row: kept by <=, dropped by <
+      val ids = fused.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1000L) != strict)
+      assert(!ids.contains(1001L))
+    }
+  }
+
+  test("early-exit filter: null/mismatch rows dropped like the unfused " +
+      "form; reversed operand order and lit-first comparisons fuse too") {
+    import spark.implicits._
+    graft.plans.IndexAwareRules.install(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fuse_null").toString + "/t"
+    Seq(
+      (1L, Some(Seq(1.0, 1.0)), Some(Seq(1.0, 1.0))),
+      (2L, Some(Seq(9.0, 9.0)), Some(Seq(0.0, 0.0))),
+      (3L, None: Option[Seq[Double]], Some(Seq(1.0, 1.0))),
+      (4L, Some(Seq(1.0)), Some(Seq(1.0, 1.0)))) // length mismatch
+      .toDF("id", "a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    // lit >= sqdist (reversed) must fuse non-strict
+    val fused = df.filter(
+      lit(4.0) >= VectorFunctions.sqDist(col("a"), col("b")))
+    assert(fused.queryExecution.optimizedPlan.toString
+      .contains("graft_sqdist_within"))
+    assert(fused.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // lit > sqdist (reversed strict)
+    val fusedS = df.filter(
+      lit(4.0) > VectorFunctions.sqDist(col("a"), col("b")))
+    assert(fusedS.queryExecution.optimizedPlan.toString
+      .contains("graft_sqdist_within_strict"))
+    assert(fusedS.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("early-exit predicate under codegen: CODEGEN_ONLY keeps results") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      graft.plans.IndexAwareRules.install(spark)
+      val rnd = new scala.util.Random(37)
+      val df = (0 until 200).map { i =>
+        (i.toLong, Seq.fill(64)(rnd.nextDouble()), Seq.fill(64)(rnd.nextDouble()))
+      }.toDF("id", "a", "b")
+      val fused = df.filter(
+          VectorFunctions.sqDist(col("a"), col("b")) <= lit(10.0))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val ref = df.filter(
+          VectorFunctions.sqDistBuiltin(col("a"), col("b")) <= lit(10.0))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(fused == ref && fused.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
