@@ -868,7 +868,14 @@ object Dedup {
     * boilerplate bits, not on content, so dropping it is the same recall
     * trade minhashCandidates' maxBucketSize already makes (and at
     * production widths — 64 bits — the cap never fires: buckets are
-    * output-sized there). Default 1000, the LSH default. */
+    * output-sized there). Default 1000, the LSH default.
+    *
+    * @note BEHAVIOR CHANGE (round 9): maxBandBucket defaults to 1000
+    *       where this operator was previously uncapped — pairs whose
+    *       every agreeing band is saturated are no longer emitted at
+    *       scale (a deliberate recall trade for a bounded plan; no-op
+    *       at fixture scale, q71's oracle proves it). Callers that need
+    *       the exact uncapped semantics pass maxBandBucket = 0. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           nBits: Int = 16,
                           maxHamming: Int = 2,

@@ -461,7 +461,12 @@ object Multimodal {
                         useDHash: Boolean = false,
                         maxBandBucket: Int = 1000): DataFrame = {
     val sigCol = if (useDHash) "dhash" else "ahash"
-    Dedup.hammingPairs(imageHashes(media).toDF(), "id", sigCol,
+    // persisted: hammingPairs consumes the signature relation several
+    // times (banding, hot-bucket census, verify re-joins) — without the
+    // persist every consumer would re-DECODE the whole image corpus
+    val sig = CacheScope.register(imageHashes(media).toDF().persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Dedup.hammingPairs(sig, "id", sigCol,
       nBits = 64, maxHamming = maxHamming, maxBandBucket = maxBandBucket)
   }
 

@@ -189,8 +189,10 @@ object Search {
     // Contract: labels must be integral — the vote argmax casts to long,
     // and a string label would become null SILENTLY (null pred_label
     // instead of an error). Fail loudly at plan time instead.
+    // (exactly Spark's integral typeNames — "tinyint"/"smallint" etc.
+    // are SQL aliases, not DataType.typeName values)
     val labelType = labeled.schema(labelCol).dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+    require(Seq("byte", "short", "integer", "long")
         .contains(labelType.typeName),
       s"knnClassify labels must be integral (got $labelType for " +
         s"'$labelCol'); map categorical labels to a code column first")
