@@ -40,7 +40,11 @@ object Tables {
   def withGraftConf(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
+    // SPARK_GRAFT_AQE=false: measurement knob for the per-round AQE
+    // re-planning cost inside fixed-shape iterative loops (graph
+    // family) — production default stays on
+    .config("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Register every table as a temp view so spark.sql(...) mirrors the

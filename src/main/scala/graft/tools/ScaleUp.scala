@@ -114,18 +114,24 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")))
       .drop("__copy"), "documents")
     val dim = read("embeddings").selectExpr("size(embedding)").head().getInt(0)
-    // rotation by `copy` is only injective while copy < dim: copy == dim
-    // would be the identity (exact cross-copy duplicate vectors — the
-    // quadratic-pair trap this perturbation exists to avoid) and
-    // copy > dim a negative slice length
-    require(copies <= dim,
-      s"copies=$copies must be <= embedding dim=$dim for distinct rotations")
+    // rotation by `copy % dim` is injective within one dim-sized block of
+    // copies; the second block reuses the rotations with the ODD indices
+    // sign-flipped (norm-preserving, so unit-norm stays unit), keeping
+    // every cross-copy vector distinct — the quadratic-pair trap this
+    // perturbation exists to avoid. Two blocks bound the tool at 2×dim
+    // copies (128 at dim 64 — covers the ×100 sf10 generation).
+    require(copies <= 2 * dim,
+      s"copies=$copies must be <= 2*dim=${2 * dim} for distinct variants")
+    val rot = col("__copy") % dim
+    val rotated = concat(
+      slice(col("embedding"), rot + 1, lit(dim) - rot),
+      slice(col("embedding"), lit(1), rot))
     out(fan(read("embeddings"))
       .withColumn("vec_id", shift(100000L)(col("vec_id")))
-      .withColumn("embedding", concat(
-        slice(col("embedding"), col("__copy") + 1,
-          lit(dim) - col("__copy")),
-        slice(col("embedding"), lit(1), col("__copy"))))
+      .withColumn("embedding",
+        when((col("__copy") / dim).cast("int") === 0, rotated)
+          .otherwise(transform(rotated,
+            (x, i) => when(i % 2 === 1, -x).otherwise(x))))
       .withColumn("label",
         (col("label") + col("__copy") * 1000).cast("int"))
       .drop("__copy"), "embeddings")
