@@ -47,6 +47,24 @@ object Tables {
       sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
+  /** Data-scale shuffle sizing for the BENCH entrypoints: shuffles START
+    * wide and AQE coalesces them down to the data.
+    * spark.sql.shuffle.partitions (= cores locally) is the right FINAL
+    * width for fixture-scale work, but it also bounds per-task shuffle
+    * block size: the sf10 run showed linear-work queries going 12× per
+    * 10× data purely from 32-way shuffles spilling (~10M rows/task).
+    * 8×cores initial partitions cost little at small sf (AQE merges them
+    * back — parallelismFirst targets the core count) and keep tasks
+    * memory-resident at 100× — how a 1000-executor cluster should be
+    * configured (large initial, AQE-sized final). NOT in withGraftConf:
+    * the test session and Verify run dozens of metadata-sized jobs per
+    * query, where 8× the task count is pure scheduler overhead. */
+  def withBenchShuffle(b: SparkSession.Builder,
+                       cpus: Int): SparkSession.Builder = b
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+        (8 * cpus).toString))
+
   /** Register every table as a temp view so spark.sql(...) mirrors the
     * DuckDB oracle exactly. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -420,3 +420,76 @@ case class RademacherProject(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): RademacherProject = copy(child = newChild)
 }
+
+/** Nearest centroid of one vector over a plan-constant centroid matrix:
+  * struct(d, c) with d = round(sqDist(v, centroid_c), roundTo) minimal,
+  * ties to the smallest centroid id — bit-identical to the
+  * `array_min(array(struct(round(sqDist(v, c_i)), i) ...))` formulation
+  * Clustering.kmeans uses at small k (struct comparison is
+  * lexicographic: smallest rounded distance, then smallest id).
+  *
+  * Exists for the same reason as IvfMemberships: at SemDeDup's auto-k
+  * (k ≈ √n — 670 at sf10) the literal-tree formulation is a ~90,000-node
+  * expression that analysis walks repeatedly and codegen can't hold
+  * (64 KB method limit → interpreted fallback); this is one primitive
+  * double[][] pass per row, matrix decoded once per task. The
+  * accumulation is the same ascending-index IEEE sum as SqDistL2 and the
+  * rounding the same HALF_UP BigDecimal as Spark's `round`, so the two
+  * paths agree bit-for-bit (ClusteringSpec pins the parity across the
+  * switch threshold). Null vector / length mismatch / null element →
+  * null row, matching the builtin composition's null poisoning. */
+case class NearestCentroid(child: Expression,
+                           centroids: Array[Array[Double]],
+                           roundTo: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def prettyName: String = "graft_nearest_centroid"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k = centroids.length
+    if (k == 0) return null
+    val dim = centroids(0).length
+    if (x.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      v(i) = x.getDouble(i); i += 1
+    }
+    var bestD = Double.MaxValue
+    var best = -1
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var s = 0.0; var t = 0
+      while (t < dim) { val df = v(t) - c(t); s += df * df; t += 1 }
+      val d = java.math.BigDecimal.valueOf(s)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (d < bestD) { bestD = d; best = j } // strict < = smallest-id tie
+      j += 1
+    }
+    InternalRow(bestD, best)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}

@@ -32,6 +32,11 @@ import graft.functions.VectorFunctions.sqDist
   */
 object Clustering {
 
+  /** Largest k the literal struct-array argmin formulation serves before
+    * kmeans switches to the primitive-loop NearestCentroid expression —
+    * see the comment inside [[kmeans]]. */
+  val ExprKMax = 16
+
   /** SSL-prototypes / D4-style outlier pruning over a clustered
     * embedding space: every row gets its squared-L2 distance to its
     * final centroid as a WITHIN-CLUSTER percentile (percent_rank, ties
@@ -137,13 +142,26 @@ object Clustering {
     val dim = cents.head._2.size
 
     def assigned: DataFrame = {
-      val options = array(cents.map { case (cid, c) =>
-        struct(
-          round(sqDist(col("__v"), array(c.map(lit): _*)), roundTo)
-            .as("d"),
-          lit(cid).as("c"))
-      }: _*)
-      base.withColumn("__b", array_min(options))
+      // Two formulations of the same argmin, bit-identical by
+      // construction (ClusteringSpec pins parity across the threshold):
+      // the literal struct-array fuses into whole-stage codegen and wins
+      // at small k; past ExprKMax the tree is tens of thousands of nodes
+      // (analysis cost, 64 KB codegen limit → interpreted fallback), so
+      // SemDeDup's auto-k (≈ √n) uses the primitive-loop expression.
+      val best =
+        if (cents.size <= Clustering.ExprKMax) {
+          val options = array(cents.map { case (cid, c) =>
+            struct(
+              round(sqDist(col("__v"), array(c.map(lit): _*)), roundTo)
+                .as("d"),
+              lit(cid).as("c"))
+          }: _*)
+          array_min(options)
+        } else org.apache.spark.sql.GraftColumn(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.GraftColumn.expr(col("__v")),
+            cents.sortBy(_._1).map(_._2.toArray).toArray, roundTo))
+      base.withColumn("__b", best)
         .select(col(idCol), col("__v"),
           col("__b.c").cast("long").as("cluster"), col("__b.d").as("dist"))
     }

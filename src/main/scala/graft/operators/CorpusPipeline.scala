@@ -173,6 +173,7 @@ object CorpusPipeline {
                       embVecCol: String = "embedding",
                       semanticK: Int = 4, semanticIters: Int = 2,
                       semanticMinCosine: Double = 0.3,
+                      semanticAutoKFloor: Long = 10000L,
                       minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                       minhashK: Int = 8, minJaccard: Double = 0.5,
                       collapseComponents: Boolean = false): DataFrame = {
@@ -235,8 +236,23 @@ object CorpusPipeline {
           val survEmb = CacheScope.register(emb
             .join(clean.select(col(idCol)), Seq(idCol), "left_semi")
             .persist())
+          // SemDeDup's k must GROW with the corpus (the paper's own
+          // contract: cluster count ∝ n keeps within-cluster pair joins
+          // bounded — a fixed k=4 at sf10 meant 4 blocks of ~112k rows
+          // and a 2.5e10-cosine join, the q51 fixed-nlist defect one
+          // level up). k = √n balances the n·k assignment scan against
+          // the n²/k pair join (both n^1.5); below the floor the
+          // caller's k is used verbatim, so small-corpus runs — and the
+          // sf0.01 oracle's k=4 fixed point — are untouched. The count
+          // is one bounded scalar action on an already-persisted
+          // relation (the q62 nEval precedent).
+          val nSurv = survEmb.count()
+          val semK =
+            if (nSurv <= semanticAutoKFloor) semanticK
+            else math.max(semanticK,
+              math.ceil(math.sqrt(nSurv.toDouble)).toInt)
           val losers = Dedup.semanticDedup(survEmb, idCol, embVecCol,
-              semanticK, semanticIters, semanticMinCosine)
+              semK, semanticIters, semanticMinCosine)
             .filter(col("keep") === 0L).select(col(idCol))
             .localCheckpoint(true)
           clean.join(losers, Seq(idCol), "left_anti")

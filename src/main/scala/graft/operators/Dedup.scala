@@ -349,14 +349,34 @@ object Dedup {
     *
     * Scale: per string O(maxDist²) window grams — linear blowup, one
     * equi-join, no all-pairs anywhere; 10+-char segments are selective.
-    * Corpora with a hot identical prefix (the candidates are then real
-    * near-matches) surface the same m² pairs any exact method must
-    * output. */
+    *
+    * HOT-PREFIX REFINEMENT: real corpora have boilerplate prefixes
+    * ("Subject: Re: ", page templates — at sf10, 3% of documents
+    * sharing one 10-char segment put 267M pairs through one bucket's
+    * join), where candidates are m² but TRUE matches usually are not —
+    * an exact method need not pay the quadratic join. Buckets over
+    * `maxSegBucket` A-rows re-apply the SAME pigeonhole one level down:
+    * every member of bucket (i, g) contains g verbatim, and for any
+    * true pair found via an edit script preserving segment i, the
+    * script maps prefix→prefix and suffix→suffix with total cost ≤
+    * maxDist — so the COMPLEMENTS (key with the matched region removed;
+    * all of identical length, the windows are fixed-width) are
+    * themselves within maxDist, and the segment lemma applies to them
+    * verbatim. Side A emits its complement's maxDist+1 sub-segments,
+    * side B a ±maxDist drift window per sub-segment, the hot join keys
+    * on (seg, gram, subseg, subgram), and a pair whose guaranteed
+    * bucket is hot surfaces through the sub-join (cold buckets are
+    * untouched — at fixture scale no bucket is hot and the plan is
+    * unchanged). Lossless by the same lemma at both levels;
+    * verification is unchanged. DedupSpec pins brute-force parity on a
+    * forced-hot-prefix corpus. */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = 2, keyLen: Int = 32): DataFrame = {
+                        maxDist: Int = 2, keyLen: Int = 32,
+                        maxSegBucket: Int = 1024): DataFrame = {
     require(maxDist >= 1, "maxDist >= 1 (use exactByKey for 0)")
     require(keyLen >= 2 * (maxDist + 1),
       "keyLen too small for maxDist+1 non-trivial segments")
+    require(maxSegBucket >= 2, "maxSegBucket >= 2")
     val keyed = CacheScope.register(docs
       .select(col(idCol),
         rpad(substring(col(textCol), 1, keyLen), keyLen, " ").as("__key"))
@@ -379,10 +399,27 @@ object Dedup {
           substring(col("__key"), st + 1, l).as("__gram")))
       }
     }.reduce(_ union _).distinct() // shifts can coincide on repeated text
-    val cands = segs.join(wins, Seq("__seg", "__gram"))
+    // Saturated (seg, gram) buckets — metadata-sized (ONLY over-cap
+    // keys), broadcast to both sides. Empty at fixture scale: the one
+    // added job is this count's scan of the A-side emission.
+    val hotKeys = CacheScope.register(segs
+      .groupBy(col("__seg"), col("__gram"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxSegBucket)
+      .select(col("__seg"), col("__gram"))
+      .persist())
+    val anyHot = hotKeys.limit(1).count() > 0
+    val coldCands = (if (anyHot)
+        segs.join(broadcast(hotKeys), Seq("__seg", "__gram"), "left_anti")
+      else segs)
+      .join(wins, Seq("__seg", "__gram"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
+    val cands = (if (anyHot)
+        coldCands.unionByName(hotCandsEdit(keyed, idCol, hotKeys, bounds,
+          maxDist, keyLen))
+      else coldCands)
       .distinct()
     cands
       .join(keyed.select(col(idCol).as("a"), col("__key").as("__ka")),
@@ -392,6 +429,78 @@ object Dedup {
       .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** The hot-bucket arm of [[editDistancePairs]]: candidates for pairs
+    * whose guaranteed segment match falls in a saturated (seg, gram)
+    * bucket, via the segment pigeonhole applied to the COMPLEMENT (the
+    * key with the matched window removed — fixed-length, so the sub-grid
+    * is global per segment). Side A emits its complement's maxDist+1
+    * sub-segments (exploded map-side AFTER the broadcast semi-join on
+    * the hot keys, so cold rows never fan out); side B emits a ±maxDist
+    * drift window per sub-segment of each window position's complement.
+    * Join key: (seg, gram, subseg, subgram) — the hot gram stays IN the
+    * key, so sub-buckets only subdivide their parent. If the sub-bucket
+    * is still saturated the join is honestly quadratic — that corpus
+    * shares both the segment AND a complement sub-segment, where true
+    * pairs are dense; one refinement level multiplies selectivity by
+    * the sub-gram's ~|Σ|^7 and needs no recursion in practice. */
+  private def hotCandsEdit(keyed: DataFrame, idCol: String,
+                           hotKeys: DataFrame,
+                           bounds: Seq[(Int, Int, Int)],
+                           maxDist: Int, keyLen: Int): DataFrame = {
+    val nSeg = maxDist + 1
+    def comp(st: Int, l: Int): Column = concat(
+      substring(col("__key"), 1, st),
+      substring(col("__key"), st + l + 1, keyLen - st - l))
+    def subBounds(cl: Int) = (0 until nSeg).map { j =>
+      val t0 = j * cl / nSeg
+      (j, t0, (j + 1) * cl / nSeg - t0)
+    }
+    def project(side: String, subs: Column)(base: DataFrame): DataFrame =
+      base.select(col(side), col("__seg"), col("__gram"),
+          explode(subs).as("__s"))
+        .select(col(side), col("__seg"), col("__gram"),
+          col("__s.__sub").as("__sub"),
+          col("__s.__subgram").as("__subgram"))
+    val aSide = bounds.map { case (i, s0, l) =>
+      val cl = keyLen - l
+      val subs = array(subBounds(cl).map { case (j, t0, tl) =>
+        struct(lit(j).as("__sub"),
+          substring(col("__comp"), t0 + 1, tl).as("__subgram"))
+      }: _*)
+      project("a", subs)(keyed
+        .select(col(idCol).as("a"), lit(i).as("__seg"),
+          substring(col("__key"), s0 + 1, l).as("__gram"),
+          comp(s0, l).as("__comp"))
+        .join(broadcast(hotKeys), Seq("__seg", "__gram"), "left_semi"))
+    }.reduce(_ unionByName _)
+    val bSide = bounds.flatMap { case (i, s0, l) =>
+      val cl = keyLen - l
+      (-maxDist to maxDist).flatMap { d =>
+        val st = s0 + d
+        if (st < 0 || st + l > keyLen) None
+        else Some {
+          val subs = array(subBounds(cl).flatMap { case (j, t0, tl) =>
+            (-maxDist to maxDist).flatMap { e =>
+              val u0 = t0 + e
+              if (u0 < 0 || u0 + tl > cl) None
+              else Some(struct(lit(j).as("__sub"),
+                substring(col("__comp"), u0 + 1, tl).as("__subgram")))
+            }
+          }: _*)
+          project("b", subs)(keyed
+            .select(col(idCol).as("b"), lit(i).as("__seg"),
+              substring(col("__key"), st + 1, l).as("__gram"),
+              comp(st, l).as("__comp"))
+            .join(broadcast(hotKeys), Seq("__seg", "__gram"), "left_semi"))
+        }
+      }
+    }.reduce(_ unionByName _).distinct() // windows can coincide
+    aSide.join(bSide, Seq("__seg", "__gram", "__sub", "__subgram"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
   }
 
   /** Two-snapshot corpus diff by content fingerprint: one row per doc id
@@ -1176,11 +1285,11 @@ object Dedup {
     // maxSqDist, which admits true d² up to maxSqDist + 5e-7, so the
     // effective radius is r = sqrt(maxSqDist + 1e-6); the ASYMMETRIC
     // home×probe join (see assignMultiHomed) needs 2r on the probe side.
+    val slack = 2.0 * math.sqrt(maxSqDist + 1e-6)
     val expanded = CacheScope.register(IvfIndex.assignMultiHomed(df,
-      vecCol, centroids,
-      slack = 2.0 * math.sqrt(maxSqDist + 1e-6)).persist())
-    pairsFromLists(expanded, idCol, vecCol, "dist",
-      (a, b) => sqDist(a, b), _ <= maxSqDist)
+      vecCol, centroids, slack).persist())
+    pairsFromListsRefined(expanded, idCol, vecCol, vecCol, "dist",
+      (a, b) => sqDist(a, b), _ <= maxSqDist, slack)
   }
 
   /** Shared tail of the IVF-blocked near-dup variants: the ASYMMETRIC
@@ -1194,6 +1303,142 @@ object Dedup {
     * slack/rounding boundary reasoning lives in the CALLERS; this is
     * just the join mechanics, kept in one place so a boundary fix can't
     * drift between the L2 and cosine variants. */
+  /** [[pairsFromLists]] with RECURSIVE LOSSLESS REFINEMENT of saturated
+    * lists — the engine's answer to the autoNlist clamp meeting a 100×
+    * corpus. Past the clamp (4096 lists: centroids ride plans as
+    * literals, so nlist cannot follow n forever), per-list occupancy
+    * grows linearly with n and the blocked join's Σ|home|·|probe| turns
+    * quadratic — measured 29.8× per 10× data on q52 at sf10. This is
+    * the reference's node-overflow subdivision
+    * (/root/reference/include/pktree.hpp:587-635 — a node whose bucket
+    * overflows subdivides) re-expressed as joins:
+    *
+    * Lists at or under `maxListRows` rows take the base join untouched
+    * — at fixture scales NOTHING here fires and the plan is byte-
+    * identical to before. A saturated list L is re-blocked by its OWN
+    * rows: sub-centroids are a deterministic hash-stride pick of L's
+    * HOME rows (one per ~`subTarget` rows, capped at `subKMax` — the
+    * same sampling rule as fitCentroids, computed as column arithmetic,
+    * no driver loop and no per-list fit); every row of L is assigned a
+    * sub-home (argmin by (d, sub_id) — deterministic ties) plus
+    * sub-memberships within the SAME `slack` the level-1 expansion
+    * used, via one equi-join on list_id + one (list_id, row) argmin
+    * aggregate. Blocks become (L, sub) — keyed by xxhash64 of the pair;
+    * a hash collision only MERGES two blocks (more candidates, never
+    * fewer) so it cannot lose a pair — and the construction recurses on
+    * depth until blocks are under the cap.
+    *
+    * Losslessness composes level by level: for a qualifying pair (u, v)
+    * with u's home list L, the level-1 proof (assignMultiHomed: slack =
+    * 2r) puts v among L's rows; within L both u and v are measured
+    * against the SAME sub-centroid set, so the identical triangle-
+    * inequality argument — d(v, c_sub(u)) ≤ d*_v + 2r — puts v in u's
+    * sub-block. A list whose stride pick comes up empty (hash luck on a
+    * tiny home set) falls back to the base join for that list, lossless
+    * either way. Each qualifying pair still surfaces exactly once (u's
+    * home chain is unique), so the cold/hot union needs no dedup.
+    *
+    * PROGRESS GUARD: a saturated block that did not shrink versus its
+    * parent is a genuine dense clique (diameter within the slack —
+    * every row lands in every sub-list), where refinement multiplies
+    * membership rows while discriminating nothing and the TRUE output
+    * is quadratic anyway; such blocks route to the base join, which is
+    * optimal for them. So recursion cost is only paid where it buys
+    * separation.
+    *
+    * Scale: each level costs ≤ `subKMax`× the saturated rows through
+    * one join (the honest price of a k-ary quantizer tree level) and
+    * multiplies per-list capacity by ~`subKMax`; depth 3 over the 4096
+    * coarse lists covers ~32·256³ ≈ 5e8 rows per list before the base
+    * join sees a saturated block again. Measured at sf10 (4M vectors):
+    * q52 201.6 s → see BASELINE.md. */
+  private[operators] def pairsFromListsRefined(
+      expanded: DataFrame, idCol: String, vecCol: String,
+      blockVecCol: String, scoreName: String,
+      score: (Column, Column) => Column, keep: Column => Column,
+      slack: Double, maxListRows: Long = 256L, subTarget: Int = 32,
+      subKMax: Int = 256, depth: Int = 3): DataFrame = {
+    if (depth <= 0)
+      return pairsFromLists(expanded, idCol, vecCol, scoreName, score, keep)
+    // __pocc rides only on recursive calls: the parent block's row count,
+    // the progress guard below compares against it
+    val hasPocc = expanded.columns.contains("__pocc")
+    val baseCols = Seq(idCol, vecCol, blockVecCol).distinct ++
+      Seq("list_id", "is_home")
+    val cols = baseCols ++ (if (hasPocc) Seq("__pocc") else Nil)
+    val rows = expanded.select(cols.map(col): _*)
+    // one row per list (≤ nlist at level 1, ≤ saturated sub-blocks
+    // below) — metadata-sized; persisted because the saturation check,
+    // the broadcast join, and the stride arithmetic all read it
+    val occ = CacheScope.register(rows.groupBy(col("list_id")).agg(
+      count(lit(1)).as("__occ"),
+      sum(col("is_home").cast("long")).as("__occh"),
+      (if (hasPocc) first(col("__pocc")) else lit(Long.MaxValue))
+        .as("__parent")).persist())
+    // PROGRESS GUARD: refine a saturated block only if the previous
+    // level actually SHRANK it. A block whose diameter is within the
+    // slack (a genuine dense near-dup clique — every pair is real) puts
+    // every row in every sub-list: occupancy does not drop, and
+    // recursing would multiply membership rows ×subk per level while
+    // discriminating nothing. Such a block's true output is quadratic,
+    // so the base join is optimal for it — route it cold.
+    val refinable = col("__occ") > maxListRows && col("__occ") < col("__parent")
+    // Short-circuit: no refinable saturated list → the base join IS the
+    // right plan, and the refinement machinery must not appear in it
+    // (fixture-scale runs — and every oracle query — take this arm; the
+    // only added cost is this one metadata-sized action over the
+    // caller-persisted expansion).
+    val anyHot = occ.filter(refinable).limit(1).count() > 0
+    if (!anyHot)
+      return pairsFromLists(expanded.select(baseCols.map(col): _*),
+        idCol, vecCol, scoreName, score, keep)
+    val flagged = rows.drop("__pocc").join(broadcast(occ), Seq("list_id"))
+    val hot = flagged.filter(refinable)
+    // deterministic per-list sub-quantizer: every (occh/subk)-th home
+    // row by id hash; subk = ceil(occ/subTarget) capped at subKMax
+    val subk = least(ceil(col("__occ") / subTarget), lit(subKMax))
+      .cast("long")
+    val stride = greatest(floor(col("__occh") / subk), lit(1L)).cast("long")
+    val subq = hot.filter(col("is_home") &&
+        pmod(xxhash64(col(idCol)), stride) === 0)
+      .select(col("list_id"), col(idCol).as("__subid"),
+        col(blockVecCol).as("__subv"))
+    val withSub = subq.select(col("list_id")).distinct()
+    // cold branch = everything not refinable (under-cap lists, saturated-
+    // but-not-shrinking cliques) plus hot lists whose stride pick came up
+    // empty (rare; lossless either way)
+    val coldRows = flagged.filter(!refinable)
+      .unionByName(hot.join(withSub, Seq("list_id"), "left_anti"))
+      .select(baseCols.map(col): _*)
+    val coldPairs = pairsFromLists(coldRows, idCol, vecCol, scoreName,
+      score, keep)
+    val exploded = hot.join(withSub, Seq("list_id"), "left_semi")
+      .join(subq, Seq("list_id"))
+      .withColumn("__d", sqDist(col(blockVecCol), col("__subv")))
+      .drop("__subv")
+    val best = exploded.groupBy(col("list_id"), col(idCol))
+      .agg(min(struct(col("__d"), col("__subid"))).as("__h"))
+    // Lineage CUT, not just a cache: every recursion level's plan would
+    // otherwise embed ~6 references to the parent's full tree (occ,
+    // flagged, subq, exploded, best all re-state `rows`) — exponential
+    // plan size in depth; Catalyst re-analysis dominated wall time and
+    // explainString alone could OOM (the prepareTraining lesson). The
+    // checkpoint truncates to a leaf; the next level's occupancy count
+    // and both base-join sides read the materialized blocks.
+    val mem2 = exploded.join(best, Seq("list_id", idCol))
+      .filter(sqrt(col("__d")) <= sqrt(col("__h.__d")) + slack)
+      .withColumn("is_home",
+        col("is_home") && col("__subid") === col("__h.__subid"))
+      .withColumn("__pocc", col("__occ")) // parent size, progress guard
+      .withColumn("list_id", xxhash64(col("list_id"), col("__subid")))
+      .select((baseCols :+ "__pocc").map(col): _*)
+      .localCheckpoint(true)
+    val hotPairs = pairsFromListsRefined(mem2, idCol, vecCol, blockVecCol,
+      scoreName, score, keep, slack, maxListRows, subTarget, subKMax,
+      depth - 1)
+    coldPairs.unionByName(hotPairs)
+  }
+
   private def pairsFromLists(expanded: DataFrame, idCol: String,
                              vecCol: String, scoreName: String,
                              score: (Column, Column) => Column,
@@ -1241,10 +1486,11 @@ object Dedup {
         lit(0.0).as("cosine"))
     // asymmetric home×probe join: 2× the symmetric slack (see
     // assignMultiHomed's losslessness proof)
+    val slack = 2.0 * math.sqrt(maxSq)
     val expanded = CacheScope.register(IvfIndex.assignMultiHomed(n, "__nv",
-      cents, slack = 2.0 * math.sqrt(maxSq)).persist())
-    pairsFromLists(expanded, idCol, vecCol, "cosine",
-      (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine)
+      cents, slack).persist())
+    pairsFromListsRefined(expanded, idCol, vecCol, "__nv", "cosine",
+      (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine, slack)
   }
 
   /** Chunk-level (paragraph) corpus dedup, CCNet-style (Wenzek et al.

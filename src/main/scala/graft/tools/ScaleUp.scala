@@ -15,11 +15,13 @@ import graft.Tables
   * exactly ×copies while join/group cardinalities scale the way a larger
   * generated dataset would. Content columns are perturbed so similarity
   * workloads keep their character instead of degenerating:
-  *   - documents.text word-suffixed per copy (`_c<i>`): shingles from
-  *     different copies never match, so near-dup pair counts stay LINEAR
-  *     in copies (replicating text verbatim would manufacture 10-way
-  *     duplicate cliques the real corpus doesn't have — superlinear pair
-  *     blowup that benchmarks the fixture, not the engine);
+  *   - documents.text passed through a per-copy character BIJECTION
+  *     (letter/digit rotation + case swap — see copyTranslate below):
+  *     within-copy structure is preserved exactly while cross-copy
+  *     words, char-grams, and prefixes share nothing, so near-dup pair
+  *     counts stay LINEAR in copies under EVERY granularity of measure
+  *     (word shingles, char-gram signatures, edit-distance prefixes —
+  *     the earlier word-suffix scheme kept only the first linear);
   *   - embeddings.embedding cyclically rotated by `copy` positions — an
   *     ORTHOGONAL map, so every within-copy distance, angle, and norm is
   *     preserved exactly (near-dup/ANN structure replicates per copy →
@@ -106,11 +108,38 @@ object ScaleUp {
       .withColumn("event_id", shift(1000000L)(col("event_id")))
       .withColumn("user_id", shift(10000L)(col("user_id")))
       .drop("__copy"), "events")
+    // Per-copy CHARACTER BIJECTION, not a word suffix. The ×100 run
+    // exposed the suffix scheme (`word` → `word_c<i>`) as a correlation
+    // factory at every granularity finer than a word: all copies share
+    // the literal segment "<word>_c" (one PassJoin bucket held 16,335
+    // docs → 267M edit-distance candidates at sf10), and char-grams of
+    // `quick_c17` vs `quick_c23` are near-identical (100-member GENUINE
+    // SimHash cliques → 22M true pairs). A bijection on the alphabet
+    // preserves every within-copy structure EXACTLY (word identity,
+    // shingle sets, edit distances, lengths, token counts) while
+    // cross-copy words, char-grams, and key prefixes share nothing:
+    // letters rotate by copy%26 (case-preserving), the whole mapping
+    // case-swaps at (copy/26)%2, digits rotate by copy%10 — distinct
+    // mappings up to lcm(26,2,10) = 260 copies. One translate() per
+    // copy, pure and deterministic.
+    def copyTranslate(i: Int): Column = {
+      val lo = ('a' to 'z').mkString; val up = ('A' to 'Z').mkString
+      val dg = ('0' to '9').mkString
+      def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+      val (mlo, mup) = {
+        val l = rot(lo, i % 26); val u = rot(up, i % 26)
+        if ((i / 26) % 2 == 1) (l.toUpperCase, u.toLowerCase) else (l, u)
+      }
+      translate(col("text"), lo + up + dg, mlo + mup + rot(dg, i % 10))
+    }
+    require(copies <= 260,
+      s"copies=$copies must be <= 260 for distinct text bijections")
     out(fan(read("documents"))
       .withColumn("doc_id", shift(100000L)(col("doc_id")))
-      .withColumn("text", when(col("__copy") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), lit("([^ ]+)"),
-          concat(lit("$1_c"), col("__copy")))))
+      .withColumn("text", (1 until copies).foldLeft(col("text")) {
+        (acc, i) => when(col("__copy") === i, copyTranslate(i))
+          .otherwise(acc)
+      })
       .withColumn("n_chars", length(col("text")))
       .drop("__copy"), "documents")
     val dim = read("embeddings").selectExpr("size(embedding)").head().getInt(0)
@@ -126,8 +155,17 @@ object ScaleUp {
     val rotated = concat(
       slice(col("embedding"), rot + 1, lit(dim) - rot),
       slice(col("embedding"), lit(1), rot))
+    // PRIME id stride: the clustered-fixture derivation downstream
+    // (clusteredEmbeddings: cluster = vec_id % (n/50)) must see copies
+    // SPREAD across clusters. A round stride like 100000 is ≡ 0 modulo
+    // every n/50 the fixture computes at sf1/sf10 (400, 4000), which
+    // aliases all copies of a base vector into one cluster — cluster
+    // sizes then grow with copies instead of staying at the designed 50,
+    // and "cluster ∝ n, size constant" silently becomes "size ∝ copies"
+    // (measured: q52's sf10 output doubled). 99991 is prime, so it is
+    // coprime to every such modulus in range.
     out(fan(read("embeddings"))
-      .withColumn("vec_id", shift(100000L)(col("vec_id")))
+      .withColumn("vec_id", shift(99991L)(col("vec_id")))
       .withColumn("embedding",
         when((col("__copy") / dim).cast("int") === 0, rotated)
           .otherwise(transform(rotated,

@@ -182,6 +182,52 @@ class DedupSpec extends AnyFunSuite {
     assert(fx.count() > 0)
   }
 
+  test("editDistancePairs hot-prefix refinement: brute-force parity when " +
+      "a segment bucket saturates") {
+    import spark.implicits._
+    // adversarial corpus: EVERY doc shares the boilerplate first segment
+    // ("Subject: Re" — chars 1-10 of the 32-char key are identical), so
+    // with maxSegBucket=8 the (0, gram) bucket saturates and the
+    // complement sub-join must find every pair the cold join would have.
+    // Tails: clusters of near-identical endings (true pairs, d<=2 via
+    // substitutions AND an indel shift) + unique tails (no pairs).
+    val boiler = "Subject: Re "
+    val rows = ((0 until 40).map { i =>
+      val grp = i % 8
+      val tail = s"order ${('a' + grp).toChar}${i / 8} item"
+      (i.toLong, boiler + tail)
+    } ++ Seq(
+      100L -> (boiler + "order a0 itXm"), // sub vs id 0's tail
+      101L -> (boiler + "ordr a0 item"),  // deletion shift vs id 0
+      102L -> (boiler + "zzzz unique tail"))).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(rows, "doc_id", "text",
+        maxDist = 2, keyLen = 32, maxSegBucket = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val keys = rows.collect().map(r => r.getLong(0) ->
+      r.getString(1).take(32).padTo(32, ' ')).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- keys.keys; b <- keys.keys if a < b
+      d = lev(keys(a), keys(b)) if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(want.nonEmpty, "fixture must plant hot-bucket pairs")
+    assert(want.contains((0L, 100L)) && want.contains((0L, 101L)))
+    assert(got == want)
+    // cap high enough that nothing saturates → identical answer through
+    // the pure cold plan (the refinement changes cost, never results)
+    val cold = Dedup.editDistancePairs(rows, "doc_id", "text",
+        maxDist = 2, keyLen = 32, maxSegBucket = 100000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cold == want)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged partition the " +
       "id space") {
     import spark.implicits._

@@ -440,6 +440,41 @@ class IvfIndexSpec extends AnyFunSuite {
       asg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("kmeans large-k expression path is bit-identical to the literal " +
+      "struct-array formulation (the ExprKMax switch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.sqDist
+    // 120 points on a noisy ring, k=20 > ExprKMax=16 → NearestCentroid
+    // expression path; the spec re-derives the assignment through the
+    // literal formulation kmeans uses at small k and demands equality —
+    // including rounded-distance ties (several points land equidistant
+    // under rounding to 1 decimal, exercising the smallest-id rule).
+    assert(operators.Clustering.ExprKMax < 20)
+    val pts = (0L until 120L).map { i =>
+      val a = i.toDouble / 120 * 2 * math.Pi
+      (i, Seq(math.cos(a) * 10, math.sin(a) * 10, (i % 7).toDouble))
+    }
+    val df = pts.toDF("id", "vec")
+    val (asg, cents) = operators.Clustering.kmeans(df, "id", "vec",
+      k = 20, iters = 2, roundTo = 1)
+    val got = asg.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // literal-formulation replica over the SAME final centroids
+    val options = array(cents.map { case (cid, c) =>
+      struct(round(sqDist(col("__v"), array(c.map(lit): _*)), 1).as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    val want = df.select(col("id"),
+        col("vec").cast("array<double>").as("__v"))
+      .withColumn("__b", array_min(options))
+      .select(col("id"), col("__b.c").cast("long"), col("__b.d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.map(_._2).size > 10, "fixture should spread over clusters")
+  }
+
   test("kCenterGreedy: hand-traced farthest-point traversal on a line; " +
     "seed is smallest id; ties break by id; partition-invariant") {
     import spark.implicits._

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.VectorFunctions.sqDist
+
+/** The recursive lossless refinement of saturated IVF lists
+  * (Dedup.pairsFromListsRefined): parity with brute force when lists
+  * saturate, multi-level recursion parity, and the no-op guarantee at
+  * fixture occupancy. */
+class RefinedPairsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic 4-dim corpus: `nDense` points on a LINE through
+    * (10,10,10,10) with 0.1 spacing — each point near-dups with its ~7
+    * neighbours per side (linear true output, so the refinement's
+    * sub-blocks genuinely separate), any list cap under nDense
+    * saturates — plus two sparse 20-point shells far away and, when
+    * `clique` > 0, a tight duplicate clique (diameter ≪ threshold) that
+    * exercises the no-shrink progress guard. */
+  private def skewed(nDense: Int, clique: Int = 0) = {
+    val dense = (0 until nDense).map { i =>
+      (i.toLong, Array(10.0 + i * 0.1, 10.0 + (i % 3) * 0.01,
+        10.0, 10.0).toSeq)
+    }
+    val sparse = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) -20.0 else 40.0
+      (100000L + i, Array(c + i * 1.0, c, c - i * 1.0, c).toSeq)
+    }
+    val dup = (0 until clique).map { i =>
+      (200000L + i, Array(-50.0 + i * 1e-4, -50.0, -50.0, -50.0).toSeq)
+    }
+    (dense ++ sparse ++ dup).toDF("vec_id", "embedding")
+  }
+
+  private def brute(df: org.apache.spark.sql.DataFrame,
+                    maxSq: Double): Set[(Long, Long, Double)] = {
+    val l = df.select(col("vec_id").as("a"), col("embedding").as("__va"))
+    val r = df.select(col("vec_id").as("b"), col("embedding").as("__vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("dist", round(sqDist(col("__va"), col("__vb")), 6))
+      .filter(col("dist") <= maxSq)
+      .select("a", "b", "dist").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+  }
+
+  test("saturated list (600 rows > 256 cap): refined result == brute force") {
+    val df = skewed(600, clique = 300)
+    val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 3)
+    val got = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
+        cents, maxSqDist = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val want = brute(df, 0.5)
+    assert(want.nonEmpty, "fixture must plant real pairs")
+    assert(got == want)
+  }
+
+  test("multi-level recursion (cap 8, subk 4, depth 3) == base join") {
+    val df = skewed(200)
+    val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 2)
+    val slack = 2.0 * math.sqrt(0.5 + 1e-6)
+    val expanded = IvfIndex.assignMultiHomed(
+      df.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding")), "embedding", cents, slack).persist()
+    def run(depth: Int) = Dedup.pairsFromListsRefined(expanded,
+        "vec_id", "embedding", "embedding", "dist",
+        (a, b) => sqDist(a, b), _ <= 0.5, slack,
+        maxListRows = 8L, subTarget = 4, subKMax = 4, depth = depth)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val deep = run(3)
+    val base = run(0)
+    assert(base == brute(df, 0.5))
+    assert(deep == base)
+    expanded.unpersist()
+  }
+
+  test("cosine variant at saturation == its own unrefined answer") {
+    val df = skewed(400)
+    val got = Dedup.embeddingNearDupCosine(df, "vec_id", "embedding",
+        nlist = 2, minCosine = 0.999)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // brute cosine
+    val l = df.select(col("vec_id").as("a"), col("embedding").as("__va"))
+    val r = df.select(col("vec_id").as("b"), col("embedding").as("__vb"))
+    val want = l.join(r, col("a") < col("b"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= 0.999)
+      .select("a", "b", "cosine").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture must plant real cosine pairs")
+    assert(got == want)
+  }
+}
