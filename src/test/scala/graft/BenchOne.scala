@@ -27,6 +27,11 @@ object BenchOne {
       val n = try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s rows=$n")
+      // Shuffle files live until ContextCleaner sees their dependencies
+      // GC'd; with a large heap that never happens mid-run and a long
+      // suite fills the disk with dead spill. Force the cycle per query.
+      spark.sqlContext.clearCache()
+      System.gc()
     }
     spark.stop()
   }
