@@ -26,7 +26,17 @@ object Bench {
     // them — the returned DataFrame still references the cached relation.
     // Across 88 executions (warmup + timed) that accumulates; clearing after
     // each query keeps every measurement self-contained and memory flat.
-    def clearCache(): Unit = spark.sharedState.cacheManager.clearCache()
+    // cacheManager.clearCache() only sees SQL-level caches: the iterative
+    // family (PageRank/CC/label-prop/refined-pairs) cuts lineage with
+    // RDD-level localCheckpoint blocks that live until the ContextCleaner
+    // happens to GC them — across 3×159 executions in one 8 GB JVM that
+    // accumulation is what SIGKILLed the round-10 official bench (exit 137
+    // mid-pass-2). Unpersist them explicitly after every query.
+    def clearCache(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     if (new java.io.File(warmDir).isDirectory) {
       names.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).count()

@@ -643,7 +643,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b")).persist()
     }
     pairs.count()
-    scoped.foreach(_.unpersist(blocking = false))
+    scoped.release()
     e.unpersist(blocking = false)
     pairs
   }
@@ -659,7 +659,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b")).persist()
     }
     pairs.count()
-    scoped.foreach(_.unpersist(blocking = false))
+    scoped.release()
     e.unpersist(blocking = false)
     pairs
   }

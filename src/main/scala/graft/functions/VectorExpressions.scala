@@ -230,7 +230,12 @@ case class SqDistWithin(left: Expression, right: Expression,
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       s += d * d
-      if (if (strict) s >= r2 else s > r2) return false // early exit
+      // Early exit on the NEGATED keep-condition (not `s > r2`): once any
+      // element is NaN the partial sum is NaN forever, and `NaN > r2` is
+      // false — a positive exit test would run to completion and KEEP a
+      // row whose unfused `sqdist <= r2` comparison is false (Spark
+      // orders NaN above every double). `!(NaN <= r2)` bails instead.
+      if (!(if (strict) s < r2 else s <= r2)) return false // early exit
       i += 1
     }
     true // completion implies the bound held at every step, incl. the last
@@ -243,7 +248,9 @@ case class SqDistWithin(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val out = ctx.freshName("out")
-      val bailCmp = if (strict) ">=" else ">"
+      // negated keep-condition, same reason as nullSafeEval: a NaN partial
+      // sum must bail (→ false), matching the unfused NaN-drops-row filter
+      val keepCmp = if (strict) "<" else "<="
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -255,7 +262,7 @@ case class SqDistWithin(left: Expression, right: Expression,
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double ${s}_d = $a.getDouble($i) - $b.getDouble($i);
          |    $s += ${s}_d * ${s}_d;
-         |    if ($s $bailCmp $r2) { $out = true; break; }
+         |    if (!($s $keepCmp $r2)) { $out = true; break; }
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = !$out; }
          |}
@@ -475,16 +482,28 @@ case class NearestCentroid(child: Expression,
       if (x.isNullAt(i)) return null
       v(i) = x.getDouble(i); i += 1
     }
-    var bestD = Double.MaxValue
+    var bestD = 0.0
     var best = -1
     var j = 0
     while (j < k) {
       val c = centroids(j)
       var s = 0.0; var t = 0
       while (t < dim) { val df = v(t) - c(t); s += df * df; t += 1 }
-      val d = java.math.BigDecimal.valueOf(s)
-        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (d < bestD) { bestD = d; best = j } // strict < = smallest-id tie
+      // BigDecimal.valueOf throws NumberFormatException on NaN/Infinity;
+      // Spark's round() (RoundBase) passes them through — mirror that, or
+      // one NaN embedding element hard-fails the whole job at k > ExprKMax
+      // where the literal path would have propagated it.
+      val d = if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Double.compare matches Spark's double ordering for this argmin
+      // (NaN above every value and equal to itself; negative zero cannot
+      // arise from a sum of squares), so ties-to-smallest-id via strict <
+      // stays bit-identical to array_min over the literal struct array
+      // even when some — or all — distances are NaN/Infinite.
+      if (best == -1 || java.lang.Double.compare(d, bestD) < 0) {
+        bestD = d; best = j
+      }
       j += 1
     }
     InternalRow(bestD, best)

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Call-scoped registry for operator-internal caches.
   *
@@ -12,13 +14,32 @@ import org.apache.spark.sql.DataFrame
   * Left alone, those caches outlive the call and accumulate in a
   * long-lived session (VERDICT r4 hygiene finding).
   *
-  * The seam: operators pass each such intermediate through `register`.
-  * A pipeline that MATERIALIZES its result (so the intermediates are
-  * provably no longer needed) wraps the building code in `collect`,
-  * runs one eager action on the result, then unpersists everything the
-  * scope captured. Without an active scope, `register` is a no-op and
-  * the session-level caching behavior is exactly what it always was —
-  * interactive users keep their warm intermediates.
+  * The iterative operators (connectedComponents, PageRank/PPR, label
+  * propagation, the refined-pairs lineage cut, prepareTraining's stage
+  * cuts) have a second kind of residue: `localCheckpoint` RDD blocks.
+  * Those are invisible to the SQL cacheManager AND to
+  * `DataFrame.unpersist` — they are freed only when the ContextCleaner
+  * happens to GC the RDD object, which in a long-lived session (or a
+  * 3×159-query bench loop in one 8 GB JVM — the round-10 exit-137
+  * SIGKILL) is far too late. Operators route each checkpointed Dataset
+  * through `registerCheckpoint`, which captures the underlying RDD
+  * handle for explicit release.
+  *
+  * The seam: operators pass each such intermediate through `register` /
+  * `registerCheckpoint`. A pipeline that MATERIALIZES its result (so the
+  * intermediates are provably no longer needed) wraps the building code
+  * in `collect`, runs one eager action on the result, then calls
+  * `release()` on everything the scope captured. Without an active
+  * scope, both register calls are no-ops and the session-level behavior
+  * is exactly what it always was — interactive users keep their warm
+  * intermediates (and the ContextCleaner keeps owning checkpoint
+  * blocks).
+  *
+  * Releasing a checkpoint's blocks is safe under the same contract as
+  * releasing a persisted intermediate — the scope's result is
+  * materialized (into its own MEMORY_AND_DISK cache) first. A local
+  * checkpoint's blocks were already lost on executor death, so release
+  * narrows nothing: recompute-after-loss failed before and after.
   *
   * Driver-side and per-thread (plans are built single-threaded on the
   * driver); scopes nest — an inner `collect` hides the outer one, so an
@@ -27,27 +48,57 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object CacheScope {
 
-  private val active = new ThreadLocal[java.util.ArrayList[DataFrame]]
+  /** Everything one scope captured. `release()` after the scope's result
+    * is materialized; idempotent (unpersist on unpersisted is a no-op). */
+  final class Captured(dfs: Seq[DataFrame], rdds: Seq[RDD[_]]) {
+    def release(): Unit = {
+      dfs.foreach(_.unpersist(blocking = false))
+      rdds.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private final class Bufs {
+    val dfs = new java.util.ArrayList[DataFrame]
+    val rdds = new java.util.ArrayList[RDD[_]]
+  }
+
+  private val active = new ThreadLocal[Bufs]
 
   /** Operators: route a just-persisted intermediate through here. */
   private[graft] def register(df: DataFrame): DataFrame = {
     val buf = active.get()
-    if (buf != null) buf.add(df)
+    if (buf != null) buf.dfs.add(df)
     df
+  }
+
+  /** Operators: route a just-`localCheckpoint`ed Dataset through here.
+    * Captures the checkpoint's underlying RDD (the blocks live at RDD
+    * level, where no SQL-side unpersist can reach them). The extraction
+    * matches the shape `Dataset.localCheckpoint` returns — a bare
+    * LogicalRDD leaf; anything else is left to the ContextCleaner. */
+  private[graft] def registerCheckpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val buf = active.get()
+    if (buf != null) ds.queryExecution.logical match {
+      case l: LogicalRDD => buf.rdds.add(l.rdd)
+      case _ => ()
+    }
+    ds
   }
 
   /** Pipelines: run `body` with a fresh scope; returns (result, captured
     * intermediates). The caller MUST materialize the result before
-    * unpersisting the captured frames — unpersist is always semantically
-    * safe, but dropping them pre-materialization forfeits the reuse the
-    * operators persisted them for. */
-  private[graft] def collect[A](body: => A): (A, Seq[DataFrame]) = {
+    * `release()` — for persisted frames dropping them early merely
+    * forfeits reuse, for checkpoint blocks it would break the result's
+    * remaining lineage. */
+  private[graft] def collect[A](body: => A): (A, Captured) = {
     val prev = active.get()
-    val buf = new java.util.ArrayList[DataFrame]
+    val buf = new Bufs
     active.set(buf)
     try {
       val a = body
-      val captured = Seq.tabulate(buf.size())(buf.get)
+      val captured = new Captured(
+        Seq.tabulate(buf.dfs.size())(buf.dfs.get),
+        Seq.tabulate(buf.rdds.size())(buf.rdds.get))
       (a, captured)
     } finally active.set(prev)
   }

@@ -156,7 +156,14 @@ object Clustering {
                 .as("d"),
               lit(cid).as("c"))
           }: _*)
-          array_min(options)
+          val m = array_min(options)
+          // Null-poison degenerate rows (null vector / null element /
+          // length mismatch): sqDist then yields null d for EVERY
+          // centroid, and struct comparison sorts nulls first, so the
+          // bare min would be (null, 0) — cluster 0 with null dist —
+          // while the primitive-loop path returns a null row. Matching
+          // nulls keeps assignments invariant across the ExprKMax switch.
+          when(m.getField("d").isNull, lit(null)).otherwise(m)
         } else org.apache.spark.sql.GraftColumn(
           graft.functions.NearestCentroid(
             org.apache.spark.sql.GraftColumn.expr(col("__v")),

@@ -47,7 +47,7 @@ object CorpusPipeline {
           minhashK, minJaccard, collapseComponents), idCol).persist()
     }
     corpus.count()
-    scoped.foreach(_.unpersist(blocking = false))
+    scoped.release()
     corpus
   }
 
@@ -108,7 +108,7 @@ object CorpusPipeline {
     // scope captured (including the operator-internal caches) rather
     // than leaking input-sized entries into a long-lived session.
     corpus.count()
-    scoped.foreach(_.unpersist(blocking = false))
+    scoped.release()
     corpus
   }
 
@@ -211,15 +211,17 @@ object CorpusPipeline {
       // a leaf; executor-loss trade-off is the same one
       // connectedComponents' default rounds make, and the blocks are
       // reclaimed by the ContextCleaner once the call returns.
-      val deduped = dedupStages(gated, idCol, textCol, minTokens,
-        maxPunctRatio, minhashK, minJaccard, collapseComponents,
-        chunkDedupTokens, spanScrubTokens)
-        .localCheckpoint(true)
+      val deduped = CacheScope.registerCheckpoint(
+        dedupStages(gated, idCol, textCol, minTokens,
+          maxPunctRatio, minhashK, minJaccard, collapseComponents,
+          chunkDedupTokens, spanScrubTokens)
+        .localCheckpoint(true))
       val clean = evalDocs match {
         case Some(ev) =>
-          val tainted = TextAnalysis.decontaminate(deduped, ev, idCol,
-            textCol, n = decontamNgram).select(col(idCol))
-            .localCheckpoint(true)
+          val tainted = CacheScope.registerCheckpoint(
+            TextAnalysis.decontaminate(deduped, ev, idCol,
+              textCol, n = decontamNgram).select(col(idCol))
+            .localCheckpoint(true))
           deduped.join(tainted, Seq(idCol), "left_anti")
         case None => deduped
       }
@@ -251,10 +253,11 @@ object CorpusPipeline {
             if (nSurv <= semanticAutoKFloor) semanticK
             else math.max(semanticK,
               math.ceil(math.sqrt(nSurv.toDouble)).toInt)
-          val losers = Dedup.semanticDedup(survEmb, idCol, embVecCol,
+          val losers = CacheScope.registerCheckpoint(
+            Dedup.semanticDedup(survEmb, idCol, embVecCol,
               semK, semanticIters, semanticMinCosine)
             .filter(col("keep") === 0L).select(col(idCol))
-            .localCheckpoint(true)
+            .localCheckpoint(true))
           clean.join(losers, Seq(idCol), "left_anti")
         case None => clean
       }
@@ -272,7 +275,7 @@ object CorpusPipeline {
       splitDf.join(packed, Seq(idCol), "left").persist()
     }
     out.count()
-    scoped.foreach(_.unpersist(blocking = false))
+    scoped.release()
     out
   }
 
@@ -308,11 +311,11 @@ object CorpusPipeline {
     val chunked = chunkDedupTokens match {
       case Some(w) =>
         val cd = Dedup.dedupChunks(exact, idCol, textCol, w)
-        exact
+        CacheScope.registerCheckpoint(exact
           .join(cd.filter(col("n_kept") > 0)
             .select(col(idCol), col("new_text")), Seq(idCol))
           .withColumn(textCol, col("new_text")).drop("new_text")
-          .localCheckpoint(true)
+          .localCheckpoint(true))
       case None => exact
     }
 
@@ -327,11 +330,11 @@ object CorpusPipeline {
     val corpus = spanScrubTokens match {
       case Some(w) =>
         val ds = Dedup.duplicateSpans(chunked, idCol, textCol, w)
-        chunked
+        CacheScope.registerCheckpoint(chunked
           .join(ds.filter(length(col("scrubbed")) > 0)
             .select(col(idCol), col("scrubbed")), Seq(idCol))
           .withColumn(textCol, col("scrubbed")).drop("scrubbed")
-          .localCheckpoint(true)
+          .localCheckpoint(true))
       case None => chunked
     }
 

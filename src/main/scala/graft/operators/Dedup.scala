@@ -1097,7 +1097,8 @@ object Dedup {
         val p = s"$dir/round_$ckptN"; ckptN += 1
         df.write.parquet(p)
         df.sparkSession.read.parquet(p)
-      case None => df.localCheckpoint(eager = false)
+      case None =>
+        CacheScope.registerCheckpoint(df.localCheckpoint(eager = false))
     }
     // The pair input is often an expensive join/aggregate (q47 feeds the
     // full n-gram Jaccard pipeline in here). It is read twice by the
@@ -1425,14 +1426,15 @@ object Dedup {
     // explainString alone could OOM (the prepareTraining lesson). The
     // checkpoint truncates to a leaf; the next level's occupancy count
     // and both base-join sides read the materialized blocks.
-    val mem2 = exploded.join(best, Seq("list_id", idCol))
+    val mem2 = CacheScope.registerCheckpoint(
+      exploded.join(best, Seq("list_id", idCol))
       .filter(sqrt(col("__d")) <= sqrt(col("__h.__d")) + slack)
       .withColumn("is_home",
         col("is_home") && col("__subid") === col("__h.__subid"))
       .withColumn("__pocc", col("__occ")) // parent size, progress guard
       .withColumn("list_id", xxhash64(col("list_id"), col("__subid")))
       .select((baseCols :+ "__pocc").map(col): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val hotPairs = pairsFromListsRefined(mem2, idCol, vecCol, blockVecCol,
       scoreName, score, keep, slack, maxListRows, subTarget, subKMax,
       depth - 1)

@@ -151,7 +151,8 @@ object Graph {
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
       if (i % checkpointEvery == 0 && i < rounds)
-        next = next.localCheckpoint(eager = false)
+        next = CacheScope.registerCheckpoint(
+          next.localCheckpoint(eager = false))
       e = CacheScope.register(next.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
@@ -278,7 +279,8 @@ object Graph {
         .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
           .as("__m"))
         .select(col("node2").as("node"), col("__m.l").as("label"))
-      labels = voted.union(noIn).localCheckpoint(eager = false)
+      labels = CacheScope.registerCheckpoint(
+        voted.union(noIn).localCheckpoint(eager = false))
     }
     labels
   }
@@ -337,7 +339,8 @@ object Graph {
         .select(col("node"),
           round(p0tele + lit(damping) * col("__in"), roundTo).as("rank"))
         .union(zeroIn)
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+      if (i % 5 == 0 && i < iters)
+        ranks = CacheScope.registerCheckpoint(ranks.localCheckpoint(false))
     }
     ranks
   }
@@ -356,7 +359,8 @@ object Graph {
         val p = s"$dir/round_$ckptN"; ckptN += 1
         df.write.parquet(p)
         df.sparkSession.read.parquet(p)
-      case None => df.localCheckpoint(eager = false)
+      case None =>
+        CacheScope.registerCheckpoint(df.localCheckpoint(eager = false))
     }
     // e is consumed by BOTH derived relations below (degree-annotated
     // edges, node set): persist it so the caller's edge-construction

@@ -286,8 +286,8 @@ object IndexAwareRules {
       * predicate still runs). The vector operand must be an attribute OF
       * THE REGISTERED RELATION — a vector from the other side of a join
       * lives in a different geometry. */
-    private def ballOf(e: Expression, relOut: AttributeSet,
-                       unitNorm: Boolean): Option[(Seq[Double], Double)] = {
+    private[plans] def ballOf(e: Expression, relOut: AttributeSet,
+                              unitNorm: Boolean): Option[(Seq[Double], Double)] = {
       def fromSq(sq: SqDistL2, bound: Expression): Option[(Seq[Double], Double)] =
         (sq.left, sq.right, bound) match {
           case (v: Attribute, qv, Literal(r2: Double, DoubleType))
@@ -525,10 +525,17 @@ object IndexAwareRules {
 
     /** True when PruneBallSearch still owes this filter its key
       * conjunct: exactly one registered index relation below, the key
-      * column resolvable, but no key conjunct in the condition yet. */
+      * column resolvable, no key conjunct in the condition yet — AND a
+      * ball conjunct that rule can actually rewrite (its own `ballOf`
+      * extraction, dims matching, with a prunable non-empty key set).
+      * Without the last check, any other filter over an index relation
+      * (cosine over a non-unit-norm index, a non-constant bound, an
+      * unregistered vector column) would hold the fusion off on EVERY
+      * fixpoint round — a permanent missed optimization rather than the
+      * intended one-round hold-off. */
     private def pruningPending(cond: Expression, child: LogicalPlan): Boolean =
       registeredRelations(child) match {
-        case Seq((_, IndexInfo(geom, _), lr)) =>
+        case Seq((_, IndexInfo(geom, unitNorm), lr)) =>
           val relOut = lr.outputSet
           child.output.exists(a => a.name == geom.keyName &&
             geom.keyTypeOk(a.dataType) && relOut.contains(a)) &&
@@ -536,7 +543,12 @@ object IndexAwareRules {
             case In(a: Attribute, _) => a.name == geom.keyName
             case EqualTo(a: Attribute, _) => a.name == geom.keyName
             case _ => false
-          }
+          } &&
+          splitConjunctivePredicates(cond).exists(c =>
+            PruneBallSearch.ballOf(c, relOut, unitNorm).exists {
+              case (q, r) => q.size == geom.dim &&
+                geom.keysForBall(q, r).exists(_.nonEmpty)
+            })
         case _ => false
       }
 

@@ -164,6 +164,15 @@ object ScaleUp {
     // and "cluster ∝ n, size constant" silently becomes "size ∝ copies"
     // (measured: q52's sf10 output doubled). 99991 is prime, so it is
     // coprime to every such modulus in range.
+    // The prime stride is only disjoint if every base id fits under it:
+    // re-scaling an already-scaled output (or a bigger generated fixture)
+    // would otherwise alias copy ranges into duplicate vec_ids and corrupt
+    // every pair count downstream. One cheap agg guards it.
+    val maxVecId = read("embeddings").agg(max(col("vec_id"))).head().getLong(0)
+    require(maxVecId < 99991L,
+      s"base vec_id max $maxVecId >= stride 99991: copy id ranges would " +
+        "overlap — rescale from the ORIGINAL fixture or raise the stride " +
+        "to a prime above the max id")
     out(fan(read("embeddings"))
       .withColumn("vec_id", shift(99991L)(col("vec_id")))
       .withColumn("embedding",

@@ -175,6 +175,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(sem.subsetOf(without) && sem.size < without.size)
   }
 
+  test("scoped pipeline leaves ZERO persistent RDDs behind (localCheckpoint " +
+       "blocks reclaimed, not left to the ContextCleaner)") {
+    // The round-10 official bench died at exit 137: checkpoint blocks are
+    // invisible to the SQL cacheManager and accumulate in a long-lived
+    // session. CacheScope.registerCheckpoint is the engine-side fix —
+    // this drives the FULL pipeline (every checkpoint site: stage cuts,
+    // decontamination, chunk/span rewrites, CC rounds, semantic stage)
+    // and asserts the session is block-clean afterwards.
+    val sc = spark.sparkContext
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val before = sc.getPersistentRDDs.keySet
+    val out = CorpusPipeline.prepareTraining(train, "doc_id", "text",
+      evalDocs = Some(eval), chunkDedupTokens = Some(8),
+      spanScrubTokens = Some(8), embeddings = Some(emb),
+      collapseComponents = true, packShards = 2)
+    assert(out.count() > 0)
+    out.unpersist(blocking = true)
+    val leaked = sc.getPersistentRDDs.filter { case (id, _) =>
+      !before.contains(id) }
+    assert(leaked.isEmpty, "leaked RDD blocks after a scoped pipeline: " +
+      leaked.values.map(r => s"id=${r.id} ${r.name} ${r.getStorageLevel}")
+        .mkString("; "))
+  }
+
   test("connectedComponents: empty pair table yields empty labels, no NPE") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -495,4 +495,30 @@ class IndexAwareRulesSpec extends AnyFunSuite {
     assert(query.select(col("p_partkey")).collect().map(_.getLong(0))
       .sorted.toSeq == expect)
   }
+
+  /** The hold-off must be a ONE-ROUND wait for PruneBallSearch, not a
+    * blanket suppression: a ball whose vector operand is a computed
+    * array (not an attribute of the registered relation) can never gain
+    * a key conjunct, and before the round-11 fix pruningPending kept
+    * the early-exit fusion off for it on every fixpoint round. */
+  test("unprunable ball over a registered index still fuses immediately") {
+    IndexAwareRules.registerIndex(indexPath, spec)
+    IndexAwareRules.install(spark)
+    val idx = GridIndex.readIndex(spark, indexPath)
+    val computed = array(col("vec").getItem(0), col("vec").getItem(1))
+    val query = idx.filter(
+      sqDist(computed, array(q.map(lit): _*)) <= lit(r * r))
+    val optimized = query.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_sqdist_within"),
+      s"PruneBallSearch can never rewrite this filter — the fuse must " +
+        s"not be held off:\n$optimized")
+    // and it stays lossless: the computed array IS vec element-wise
+    val raw = Tables.load(spark, SparkTestSession.sf0001, "part")
+      .withColumn("vec", array(col("p_retailprice").cast("double"),
+        col("p_size").cast("double")))
+    val expect = Search.rangeSearch(raw, "vec", array(q.map(lit): _*), r)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(query.select(col("p_partkey")).collect().map(_.getLong(0))
+      .sorted.toSeq == expect)
+  }
 }

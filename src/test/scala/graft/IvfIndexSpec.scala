@@ -475,6 +475,67 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.map(_._2).size > 10, "fixture should spread over clusters")
   }
 
+  test("kmeans degenerate vectors (NaN / Inf-overflow / null / length " +
+      "mismatch): no crash, identical rows across the ExprKMax switch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.sqDist
+    // Round-10 advice: BigDecimal.valueOf(NaN) threw in the primitive-loop
+    // path, and the literal path assigned degenerate rows to (cluster 0,
+    // null dist) while the expression path returned null rows. Both fixed;
+    // this pins the agreed semantics: NaN/Inf distances propagate (NaN ties
+    // to cluster 0 — Spark orders NaN equal to itself), degenerate inputs
+    // null-poison the whole row in BOTH formulations.
+    val clean = (0L until 20L).map { i =>
+      val a = i.toDouble / 20 * 2 * math.Pi
+      (i, Option(Seq(math.cos(a) * 10, math.sin(a) * 10)))
+    }
+    val degenerate: Seq[(Long, Option[Seq[Double]])] = Seq(
+      (100L, Some(Seq(Double.NaN, 0.0))),  // NaN poisons every distance
+      (101L, Some(Seq(Double.NaN, Double.NaN))),
+      (102L, Some(Seq(1e308, 1e308))),     // every distance overflows → Inf
+      (103L, None),                        // null vector
+      (104L, Some(Seq(1.0))))              // length mismatch
+    val df = (clean ++ degenerate).toDF("id", "vec")
+    assert(operators.Clustering.ExprKMax < 20)
+    // k=20 > ExprKMax → primitive-loop NearestCentroid path; iters=0 seeds
+    // centroids from ids 0..19, so a literal-formulation replica over the
+    // returned cents shares them exactly
+    val (asg, cents) = operators.Clustering.kmeans(df, "id", "vec",
+      k = 20, iters = 0, roundTo = 1)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L
+        else java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }.toSet
+    val got = norm(asg.collect())
+    val options = array(cents.map { case (cid, c) =>
+      struct(round(sqDist(col("__v"), array(c.map(lit): _*)), 1).as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    val m = array_min(options)
+    val want = norm(df.select(col("id"),
+        col("vec").cast("array<double>").as("__v"))
+      .withColumn("__b", when(m.getField("d").isNull, lit(null)).otherwise(m))
+      .select(col("id"), col("__b.c").cast("long"), col("__b.d"))
+      .collect())
+    assert(got == want)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    val nanBits = java.lang.Double.doubleToLongBits(Double.NaN)
+    val infBits = java.lang.Double.doubleToLongBits(Double.PositiveInfinity)
+    assert(byId(100L) == ((0L, nanBits)) && byId(101L) == ((0L, nanBits)))
+    assert(byId(102L) == ((0L, infBits)))
+    assert(byId(103L) == ((-1L, -1L)) && byId(104L) == ((-1L, -1L)))
+    // and the SMALL-k literal path end-to-end (k=2 <= ExprKMax): the
+    // null-poison wrapper inside kmeans itself, not the spec's replica
+    val (asg2, _) = operators.Clustering.kmeans(df, "id", "vec",
+      k = 2, iters = 0, roundTo = 1)
+    val small = norm(asg2.collect()).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(small(103L) == ((-1L, -1L)) && small(104L) == ((-1L, -1L)))
+    assert(small(100L)._1 == 0L && small(100L)._2 == nanBits)
+  }
+
   test("kCenterGreedy: hand-traced farthest-point traversal on a line; " +
     "seed is smallest id; ties break by id; partition-invariant") {
     import spark.implicits._

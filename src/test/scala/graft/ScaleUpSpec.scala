@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.ScaleUp
+
+/** Pins the ScaleUp fixture invariants the round-10 sf10 postmortems paid
+  * for (VERDICT r10 "What's missing #4"): the ×N bench fixture must not
+  * MANUFACTURE cross-copy correlation at any granularity a dedup measure
+  * looks at, and must preserve within-copy structure exactly — otherwise
+  * a scaling run measures the fixture, not the engine. A future fixture
+  * edit that reintroduces the word-suffix / round-stride / magnitude-
+  * offset failure modes fails here, not at sf10.
+  */
+class ScaleUpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val outDir: String = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_scaleup").toString + "/sf3x"
+    ScaleUp.write(spark, SparkTestSession.sf0001, tmp, copies = 3)
+    tmp
+  }
+  private val copies = 3
+  private val docStride = 100000L
+  private val vecStride = 99991L
+
+  private def docCopies(baseId: Long): Map[Int, String] = {
+    val ids = (0 until copies).map(i => baseId + i * docStride)
+    spark.read.parquet(s"$outDir/documents.parquet")
+      .filter(col("doc_id").isin(ids: _*))
+      .collect().map { r =>
+        ((r.getLong(0) / docStride).toInt, r.getString(1))
+      }.toMap
+  }
+
+  test("row counts scale by exactly ×copies; dimension tables fixed") {
+    def n(dir: String, t: String) =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(n(outDir, t) == copies * n(SparkTestSession.sf0001, t), t)
+    for (t <- Seq("region", "nation"))
+      assert(n(outDir, t) == n(SparkTestSession.sf0001, t), t)
+  }
+
+  test("text bijection: cross-copy WORD sets share nothing (shingle-level " +
+      "disjointness), within-copy word structure preserved exactly") {
+    // the round-9 word-suffix scheme (`word` -> `word_c<i>`) failed this:
+    // all copies shared the literal `<word>_c` segment
+    val sample = Seq(0L, 7L, 123L, 499L)
+    for (base <- sample) {
+      val texts = docCopies(base)
+      assert(texts.size == copies, s"doc $base: missing copies")
+      def words(s: String): Set[String] =
+        s.split("\\s+").filter(_.exists(_.isLetterOrDigit)).toSet
+      for (i <- 0 until copies; j <- (i + 1) until copies) {
+        val shared = words(texts(i)).intersect(words(texts(j)))
+        assert(shared.isEmpty,
+          s"doc $base copies $i/$j share words: ${shared.take(5)}")
+      }
+      // bijection preserves token count and every token length
+      def shape(s: String): Seq[Int] = s.split("\\s+").map(_.length).toSeq
+      assert((1 until copies).forall(i => shape(texts(i)) == shape(texts(0))),
+        s"doc $base: bijection changed token shape")
+    }
+  }
+
+  test("text bijection: cross-copy char-3-gram overlap is noise-level " +
+      "(SimHash decorrelation), within-copy edit distance exact") {
+    def grams(s: String): Set[String] =
+      s.sliding(3).filter(_.exists(_.isLetterOrDigit)).toSet
+    for (base <- Seq(1L, 42L)) {
+      val texts = docCopies(base)
+      for (i <- 0 until copies; j <- (i + 1) until copies) {
+        val (a, b) = (grams(texts(i)), grams(texts(j)))
+        val jac = a.intersect(b).size.toDouble / a.union(b).size
+        // same doc through two bijections must look like UNRELATED text
+        // to a char-gram measure (the r10 sf10 run measured genuine
+        // 100-member SimHash cliques when this failed)
+        assert(jac < 0.2, s"doc $base copies $i/$j char-gram Jaccard $jac")
+      }
+    }
+    // within-copy pairwise edit distance is EXACTLY preserved (bijection
+    // on the alphabet): ld(t_i(a), t_i(b)) == ld(a, b)
+    val ab = docCopies(11L); val cd = docCopies(12L)
+    val base = spark.range(1).select(
+      levenshtein(lit(ab(0)), lit(cd(0))).as("d")).head().getInt(0)
+    for (i <- 1 until copies) {
+      val d = spark.range(1).select(
+        levenshtein(lit(ab(i)), lit(cd(i))).as("d")).head().getInt(0)
+      assert(d == base, s"copy $i edit distance $d != base $base")
+    }
+  }
+
+  test("PassJoin-segment disjointness: position-aligned substrings differ " +
+      "at every alphanumeric segment across copies") {
+    // PassJoin buckets by (segment content, position): equal lengths +
+    // equal segment text across copies would re-merge the copies into
+    // one bucket (the 16,335-doc / 267M-candidate r10 incident)
+    for (base <- Seq(3L, 99L)) {
+      val texts = docCopies(base)
+      val len = texts(0).length
+      assert((1 until copies).forall(texts(_).length == len))
+      val nSeg = 4
+      val cut = (0 to nSeg).map(s => s * len / nSeg)
+      for (s <- 0 until nSeg) {
+        val segs = (0 until copies).map(i =>
+          texts(i).substring(cut(s), cut(s + 1)))
+        if (segs(0).exists(_.isLetterOrDigit))
+          assert(segs.distinct.size == copies,
+            s"doc $base segment $s collides across copies")
+      }
+    }
+  }
+
+  test("embedding variants: norm- and distance-preserving, cross-copy " +
+      "distinct, prime stride spreads copies across derived clusters") {
+    val base = spark.read.parquet(
+        s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ids = base.keys.flatMap(b =>
+      (0 until copies).map(i => b + i * vecStride)).toSeq
+    val scaled = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for ((b, v0) <- base; i <- 0 until copies) {
+      val vi = scaled(b + i * vecStride)
+      assert(math.abs(norm(vi) - norm(v0)) <= 1e-12 * (1 + norm(v0)),
+        s"vec $b copy $i norm drifted")
+    }
+    // within-copy pairwise distances preserved (rotation is orthogonal)
+    for (i <- 0 until copies; a <- Seq(0L, 3L); c <- Seq(5L, 7L)) {
+      val d0 = dist(base(a), base(c))
+      val di = dist(scaled(a + i * vecStride), scaled(c + i * vecStride))
+      assert(math.abs(di - d0) <= 1e-9 * (1 + d0),
+        s"copy $i distance ($a,$c) drifted: $di vs $d0")
+    }
+    // cross-copy variants of the SAME base vector are pairwise distinct
+    // (the magnitude-offset trap would collapse them after unit-norm)
+    for ((b, _) <- base) {
+      val vs = (0 until copies).map(i => scaled(b + i * vecStride))
+      assert(vs.distinct.size == copies, s"vec $b copies collide")
+    }
+    // stride invariants: prime (so coprime to EVERY derived modulus
+    // below it — the clustered-fixture cluster = vec_id % (n/50)), and
+    // larger than every base id (disjoint copy ranges, guarded in-tool)
+    assert(BigInt(vecStride).isProbablePrime(40), "stride must be prime")
+    val maxBase = spark.read.parquet(
+        s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    assert(maxBase < vecStride)
+    // copies land in DISTINCT clusters under the derived modulus
+    val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    val m = n / 50
+    assert(m > copies)
+    assert((0 until copies).map(i => (i * vecStride) % m).distinct.size
+      == copies, s"copies alias under cluster modulus $m")
+  }
+
+  test("re-scaling an already-scaled output is rejected (stride guard)") {
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_scaleup2").toString + "/x"
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.write(spark, outDir, tmp2, copies = 2)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+}

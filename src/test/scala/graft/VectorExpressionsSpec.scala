@@ -202,4 +202,51 @@ class VectorExpressionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("early-exit filter drops NaN/Infinity rows exactly like the " +
+      "unfused form, interpreted AND codegen") {
+    // Spark orders NaN above every double, so `sqdist <= r2` is FALSE
+    // when any element is NaN — but a positive exit test (`s > r2`) never
+    // trips on a NaN partial sum and would run to completion and KEEP the
+    // row (round-10 advice finding). The negated keep-condition bails.
+    import spark.implicits._
+    graft.plans.IndexAwareRules.install(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fuse_nan").toString + "/t"
+    Seq(
+      (1L, Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0)), // d²=0: kept
+      (2L, Seq(Double.NaN, 0.0, 0.0), Seq(0.0, 0.0, 0.0)), // NaN 1st elem
+      (3L, Seq(0.0, 0.0, Double.NaN), Seq(0.0, 0.0, 0.0)), // NaN last elem
+      (4L, Seq(Double.PositiveInfinity, 0.0, 0.0), Seq(0.0, 0.0, 0.0)),
+      (5L, Seq(1e308, 0.0, 0.0), Seq(-1e308, 0.0, 0.0)), // overflow → Inf
+      (6L, Seq(0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0))) // d²=0: kept
+      .toDF("id", "a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        for (strict <- Seq(false, true)) {
+          val cmp: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.Column = if (strict) _ < _ else _ <= _
+          val fused = df.filter(cmp(
+            VectorFunctions.sqDist(col("a"), col("b")), lit(25.0)))
+          assert(fused.queryExecution.optimizedPlan.toString
+            .contains("graft_sqdist_within"), s"not fused ($mode)")
+          val got = fused.select("id").collect().map(_.getLong(0)).sorted.toSeq
+          val want = df.filter(cmp(
+              VectorFunctions.sqDistBuiltin(col("a"), col("b")), lit(25.0)))
+            .select("id").collect().map(_.getLong(0)).sorted.toSeq
+          assert(got == want,
+            s"NaN/Inf divergence ($mode, strict=$strict): $got vs $want")
+          assert(got == Seq(1L, 6L)) // NaN/Inf rows all dropped
+        }
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+          case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+        }
+      }
+    }
+  }
 }
