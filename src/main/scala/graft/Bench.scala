@@ -32,9 +32,13 @@ object Bench {
     // happens to GC them — across 3×159 executions in one 8 GB JVM that
     // accumulation is what SIGKILLed the round-10 official bench (exit 137
     // mid-pass-2). Unpersist them explicitly after every query.
+    // SPARK_GRAFT_BENCH_RDD_SWEEP=false reverts to the r10 behavior —
+    // the A/B knob that confirmed the crash mechanism (r11)
+    val rddSweep = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_RDD_SWEEP", "true").toBoolean
     def clearCache(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
+      if (rddSweep) spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
     if (new java.io.File(warmDir).isDirectory) {
@@ -56,8 +60,13 @@ object Bench {
       clearCache()
       // progress to stderr (stdout stays the one JSON line): long runs
       // at sf1 are otherwise a black box, and a pathological query
-      // (the q52-incident class) can only be identified mid-flight
-      System.err.println(f"[bench] $name%-32s $dt%8.2f s")
+      // (the q52-incident class) can only be identified mid-flight.
+      // rdds/heap (sampled AFTER the clear): the accumulation signature
+      // that SIGKILLed the r10 run is visible here long before the OOM
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name%-32s $dt%8.2f s " +
+        f"rdds=${spark.sparkContext.getPersistentRDDs.size}%3d " +
+        f"heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%5dM")
       name -> dt
     }.toMap
     val p1 = timedPass()

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput bench — the perf face of the streaming family
+  * (every operator there is batch-parity spec-proven; this records what
+  * the micro-batch loop actually sustains). Two faces:
+  *
+  *   - `streamingFunnel`: the custom-state flatMapGroupsWithState path.
+  *     The sf events table is split into N time-range micro-batches,
+  *     appended to a landing directory one at a time (the file-source
+  *     arrival pattern), each followed by processAllAvailable(). Reports
+  *     rows/s over the whole run and the peak state-store row count —
+  *     the two numbers that decide whether the operator survives a
+  *     continuous deployment (throughput and state growth).
+  *
+  *   - `dedupAgainstIndexSink`: the rolling-crawl foreachBatch loop
+  *     (screen against the standing LSH index, append survivors). The
+  *     documents table streams against a reference index seeded from a
+  *     10% slice; each batch pays the real probe + append cost.
+  *
+  * Prints ONE JSON line (the Bench contract). Not part of the driver's
+  * BENCH protocol — results are recorded in BASELINE.md.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val spark = Tables.withGraftConf(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_streambench").toString
+
+    // ---------- face 1: streamingFunnel over time-ordered micro-batches
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val (loUs, hiUs) = {
+      val r = ev.agg(min(unix_micros(col("ts").cast("timestamp"))),
+        max(unix_micros(col("ts").cast("timestamp")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val batched = ev.withColumn("__b",
+      ((unix_micros(col("ts").cast("timestamp")) - loUs) * nBatches / (hiUs - loUs + 1))
+        .cast("int")).persist()
+    val nEvents = batched.count()
+    val evDir = s"$work/events"
+    def writeBatch(i: Int): Unit = batched.filter(col("__b") === i)
+      .drop("__b").coalesce(1).write.mode("append").parquet(evDir)
+    writeBatch(0) // schema probe target for readStream
+    val steps = Seq("view", "click", "purchase")
+    val t0 = System.nanoTime()
+    val q = graft.streaming.EventWindows
+      .streamingFunnel(graft.streaming.EventWindows.readStream(spark, evDir),
+        steps, maxGapSeconds = 86400L)
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/funnel_ckpt")
+      .format("memory").queryName("sb_funnel").start()
+    var stateMax = 0L
+    try {
+      q.processAllAvailable()
+      for (i <- 1 until nBatches) {
+        writeBatch(i)
+        q.processAllAvailable()
+        stateMax = math.max(stateMax, q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max))
+      }
+    } finally q.stop()
+    val funnelSecs = (System.nanoTime() - t0) / 1e9
+    val funnelOut = spark.table("sb_funnel").count()
+    batched.unpersist()
+
+    // ---------- face 2: rolling-crawl dedup against a standing LSH index
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val refCut = nDocs / 10
+    val idxPath = s"$work/lsh_idx"
+    graft.operators.Dedup.buildRefIndex(
+      docs.filter(col("doc_id") < refCut), "doc_id", "text", idxPath)
+    val streamDocs = docs.filter(col("doc_id") >= refCut)
+      .withColumn("__b", (col("doc_id") % nBatches).cast("int")).persist()
+    val nStream = streamDocs.count()
+    val docDir = s"$work/docs"
+    def writeDocBatch(i: Int): Unit = streamDocs.filter(col("__b") === i)
+      .drop("__b").coalesce(1).write.mode("append").parquet(docDir)
+    writeDocBatch(0)
+    val t1 = System.nanoTime()
+    val dq = graft.streaming.EventWindows.dedupAgainstIndexSink(
+      spark.readStream.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        .parquet(docDir),
+      idxPath, "text", s"$work/crawl_out", s"$work/crawl_ckpt")
+    try {
+      dq.processAllAvailable()
+      for (i <- 1 until nBatches) { writeDocBatch(i); dq.processAllAvailable() }
+    } finally dq.stop()
+    val dedupSecs = (System.nanoTime() - t1) / 1e9
+    val kept = spark.read.parquet(s"$work/crawl_out").count()
+    streamDocs.unpersist()
+
+    val total = funnelSecs + dedupSecs
+    println(
+      s"""{"metric":"stream_total","value":$total,"unit":"sec",""" +
+      s""""batches":$nBatches,""" +
+      s""""funnel":{"rows":$nEvents,"secs":$funnelSecs,""" +
+      s""""rows_per_sec":${(nEvents / funnelSecs).round},""" +
+      s""""out_rows":$funnelOut,"state_rows_max":$stateMax},""" +
+      s""""dedup":{"rows":$nStream,"secs":$dedupSecs,""" +
+      s""""rows_per_sec":${(nStream / dedupSecs).round},""" +
+      s""""kept":$kept},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -45,6 +45,15 @@ object Tables {
     // family) — production default stays on
     .config("spark.sql.adaptive.enabled",
       sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+    // The engine's intentional single-partition windows (metadata-sized
+    // relations: histograms, shortlists, sketch bins) declare a CONSTANT
+    // partition key so WindowExec's "No Partition Defined" warning only
+    // fires for accidental corpus-sized global windows. This rule would
+    // strip the foldable key and bring the false alarms back; the key
+    // costs one literal hash per (metadata-sized) row, so excluding the
+    // rule trades nothing measurable for a clean warning channel.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Data-scale shuffle sizing for the BENCH entrypoints: shuffles START

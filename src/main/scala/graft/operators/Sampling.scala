@@ -275,22 +275,37 @@ object Sampling {
     * score value holds most rows degrades toward the global window; the
     * score's rounding granularity is the knob that prevents it.)
     *
-    * @param scoreCol pre-rounded quality score, higher = better
+    * @param scoreCol quality score, higher = better. Discretized
+    *                 internally to `scoreDecimals` places — the
+    *                 "value-bounded histogram" claim above is ENFORCED
+    *                 here, not hoped for: a caller passing a raw
+    *                 continuous score (every quality proxy is one) would
+    *                 otherwise produce n distinct histogram rows and turn
+    *                 the global window into a single-task sort of the
+    *                 corpus (round-10 advice finding). Rows tying at the
+    *                 chosen granularity rank by id, the documented
+    *                 tie-break — pass pre-rounded scores (the oracle
+    *                 queries do) for exact back-compat.
     * @param tokenCol per-row token count
+    * @param scoreDecimals rounding granularity of the internal histogram;
+    *                 bounds the window relation at range×10^d rows
     * @return the kept rows of df, original columns */
   def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: Column,
-                          tokenCol: Column, budget: Long): DataFrame = {
+                          tokenCol: Column, budget: Long,
+                          scoreDecimals: Int = 6): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     import org.apache.spark.sql.expressions.Window
     // base feeds the histogram AND both kept branches — persist so the
     // caller's lineage (often a full tokenization pass) runs once
     val base = CacheScope.register(
-      df.withColumn("__score", scoreCol)
+      df.withColumn("__score", round(scoreCol, scoreDecimals))
         .withColumn("__tok", tokenCol.cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hist = base.groupBy(col("__score")).agg(sum(col("__tok")).as("__g"))
-    // running total over DISTINCT scores only (value-bounded relation)
-    val wBefore = Window.orderBy(col("__score").desc)
+    // running total over DISTINCT scores only (value-bounded relation);
+    // constant partition key = same single-partition plan, declared as
+    // intentional so the WindowExec warning flags only accidental ones
+    val wBefore = Window.partitionBy(lit(0)).orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val h = hist.withColumn("__before",
       coalesce(sum(col("__g")).over(wBefore), lit(0L)))

@@ -118,9 +118,12 @@ object Sketches {
     require(ps.forall(p => p > 0 && p <= 1), "quantiles in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val w = (hi - lo) / nBins
+    // constant partition key: same single-partition execution over the
+    // sketch-sized relation, but declared — WindowExec's "No Partition
+    // Defined" warning then only fires for ACCIDENTAL global windows
     val cum = hist
       .withColumn("__cum", sum(col("cnt")).over(
-        Window.orderBy(col("bin"))
+        Window.partitionBy(lit(0)).orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__before", col("__cum") - col("cnt"))
     val n = hist.agg(sum(col("cnt")).cast("double").as("__n"))

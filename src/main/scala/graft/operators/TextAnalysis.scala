@@ -324,7 +324,10 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("count"))
     val total = counts.agg(sum(col("count")).as("__tot"))
     val order = Seq(col("count").desc, col("token").asc)
-    val w = Window.orderBy(order: _*)
+    // vocabSize-bounded relation; constant partition key declares the
+    // single-partition window intentional (keeps WindowExec's warning
+    // channel clean for accidental corpus-sized ones)
+    val w = Window.partitionBy(lit(0)).orderBy(order: _*)
     counts.orderBy(order: _*).limit(vocabSize)
       .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -401,9 +401,12 @@ object TextSearch {
   def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
               kRrf: Int): DataFrame = {
     require(lists.size >= 2, "need at least two shortlists")
+    // shortlists are k-sized by contract; the constant partition key
+    // keeps the single-partition rank intentional-and-silent (WindowExec
+    // warns on empty partition specs only)
     val ranked = lists.zipWithIndex.map { case ((df, score), i) =>
       df.select(col(idCol), row_number().over(
-        Window.orderBy(col(score).desc, col(idCol)))
+        Window.partitionBy(lit(0)).orderBy(col(score).desc, col(idCol)))
         .cast("long").as(s"rank_${i + 1}"))
     }
     val joined = ranked.reduce(_.join(_, Seq(idCol), "full_outer"))

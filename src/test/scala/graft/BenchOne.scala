@@ -30,7 +30,11 @@ object BenchOne {
       // Shuffle files live until ContextCleaner sees their dependencies
       // GC'd; with a large heap that never happens mid-run and a long
       // suite fills the disk with dead spill. Force the cycle per query.
+      // localCheckpoint blocks are likewise invisible to clearCache
+      // (the r10 exit-137 mechanism in the full Bench) — sweep them too.
       spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     spark.stop()

@@ -623,6 +623,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("tok"), 1000000L).count() == 2)
   }
 
+  test("selectByTokenBudget: raw continuous scores are discretized " +
+      "internally — the global window stays histogram-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // a score with n distinct full-precision values: before the round-11
+    // hardening the "value-bounded histogram" was only a scaladoc @param
+    // contract, and a raw quality proxy meant an n-row single-task
+    // window; the internal rounding now enforces the bound
+    val df = (1L to 500L).map(i => (i, 1.0 / i, 10L))
+      .toDF("id", "score", "tok")
+    def run() = Sampling.selectByTokenBudget(df, "id", col("score"),
+      col("tok"), budget = 1000L, scoreDecimals = 2)
+    val got = run().select("id").collect().map(_.getLong(0)).toSet
+    // reference: naive cumsum over the ROUNDED score (the documented
+    // discretization contract), id tie-break
+    val w = Window.orderBy(round(col("score"), 2).desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = df.withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") <= 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naive && got.size == 100)
+    // every window in the optimized plan declares a partition spec: the
+    // intentional single-partition windows carry a constant key (which
+    // the optimizer must not strip), so an EMPTY spec — the thing
+    // WindowExec warns about — again means an accidental global window
+    val lw = run().queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(lw.nonEmpty && lw.forall(_.partitionSpec.nonEmpty),
+      "intentional global windows must keep their constant partition key")
+  }
+
   test("weightedReservoir: exactly n, repartition-stable, weight-biased") {
     import spark.implicits._
     val rows = (1L to 2000L).map(i => (i, if (i <= 200) 50.0 else 1.0))
