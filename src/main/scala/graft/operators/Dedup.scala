@@ -1271,7 +1271,8 @@ object Dedup {
     * the wrong tool; use capByKey/LSH on content instead. */
   def embeddingNearDupByIvf(df: DataFrame, idCol: String, vecCol: String,
                             centroids: IvfIndex.Centroids,
-                            maxSqDist: Double): DataFrame = {
+                            maxSqDist: Double,
+                            maxListRows: Long = 2048L): DataFrame = {
     // Zero centroids = zero vectors were available to fit them (empty
     // input): the correct answer is zero pairs — assignMulti's empty
     // literal array would fail analysis instead.
@@ -1290,7 +1291,8 @@ object Dedup {
     val expanded = CacheScope.register(IvfIndex.assignMultiHomed(df,
       vecCol, centroids, slack).persist())
     pairsFromListsRefined(expanded, idCol, vecCol, vecCol, "dist",
-      (a, b) => sqDist(a, b), _ <= maxSqDist, slack)
+      (a, b) => sqDist(a, b), _ <= maxSqDist, slack,
+      maxListRows = maxListRows)
   }
 
   /** Shared tail of the IVF-blocked near-dup variants: the ASYMMETRIC
@@ -1339,25 +1341,36 @@ object Dedup {
     * either way. Each qualifying pair still surfaces exactly once (u's
     * home chain is unique), so the cold/hot union needs no dedup.
     *
-    * PROGRESS GUARD: a saturated block that did not shrink versus its
-    * parent is a genuine dense clique (diameter within the slack —
-    * every row lands in every sub-list), where refinement multiplies
-    * membership rows while discriminating nothing and the TRUE output
-    * is quadratic anyway; such blocks route to the base join, which is
-    * optimal for them. So recursion cost is only paid where it buys
-    * separation.
+    * PROGRESS GUARD: a saturated block recurses only if the previous
+    * level cut its occupancy AT LEAST IN HALF (geometric shrinkage).
+    * A genuinely separable block shrinks by ~subk per level, so halving
+    * is a near-free bar for it — but a dense clique (diameter within
+    * the slack: every row lands in every sub-list) shrinks barely or
+    * not at all, and under the earlier shrank-at-all guard a
+    * 300→290→280 clique recursed every level, multiplying membership
+    * rows ×subk each time while discriminating nothing (the r11
+    * q51/q52 regression: 1.6 s → 9.9 s at sf0.1 — masked in r10
+    * because the official bench crashed before measuring it). Such
+    * blocks route to the base join, which is optimal for them: their
+    * TRUE output is quadratic anyway.
+    *
+    * `maxListRows` is set where the base join's per-list quadratic cost
+    * actually exceeds one refinement level's (explode ×subk + argmin +
+    * checkpoint + ~10 scheduler rounds): a 2048-row list is ~4M fused
+    * distance evals (~tens of ms) — cheaper than the machinery. The
+    * fixture-scale clustered oracles (50-member cliques, occupancy
+    * ≲ 300 with slack multiplicity) now take the base join untouched.
     *
     * Scale: each level costs ≤ `subKMax`× the saturated rows through
     * one join (the honest price of a k-ary quantizer tree level) and
     * multiplies per-list capacity by ~`subKMax`; depth 3 over the 4096
-    * coarse lists covers ~32·256³ ≈ 5e8 rows per list before the base
-    * join sees a saturated block again. Measured at sf10 (4M vectors):
-    * q52 201.6 s → see BASELINE.md. */
+    * coarse lists covers ~2048·256³ ≈ 3e13 rows per list before the
+    * base join sees a saturated block again. */
   private[operators] def pairsFromListsRefined(
       expanded: DataFrame, idCol: String, vecCol: String,
       blockVecCol: String, scoreName: String,
       score: (Column, Column) => Column, keep: Column => Column,
-      slack: Double, maxListRows: Long = 256L, subTarget: Int = 32,
+      slack: Double, maxListRows: Long = 2048L, subTarget: Int = 32,
       subKMax: Int = 256, depth: Int = 3): DataFrame = {
     if (depth <= 0)
       return pairsFromLists(expanded, idCol, vecCol, scoreName, score, keep)
@@ -1376,14 +1389,14 @@ object Dedup {
       sum(col("is_home").cast("long")).as("__occh"),
       (if (hasPocc) first(col("__pocc")) else lit(Long.MaxValue))
         .as("__parent")).persist())
-    // PROGRESS GUARD: refine a saturated block only if the previous
-    // level actually SHRANK it. A block whose diameter is within the
-    // slack (a genuine dense near-dup clique — every pair is real) puts
-    // every row in every sub-list: occupancy does not drop, and
-    // recursing would multiply membership rows ×subk per level while
-    // discriminating nothing. Such a block's true output is quadratic,
-    // so the base join is optimal for it — route it cold.
-    val refinable = col("__occ") > maxListRows && col("__occ") < col("__parent")
+    // PROGRESS GUARD (geometric — scaladoc above): refine a saturated
+    // block only if the previous level at least HALVED it. Separable
+    // blocks shrink ~×subk per level and clear the bar for free; dense
+    // cliques shrink marginally and route to the base join after at
+    // most one paid level. (__parent = Long.MaxValue at level 1; the
+    // doubling cannot overflow for any real occupancy.)
+    val refinable = col("__occ") > maxListRows &&
+      col("__occ") * 2 <= col("__parent")
     // Short-circuit: no refinable saturated list → the base join IS the
     // right plan, and the refinement machinery must not appear in it
     // (fixture-scale runs — and every oracle query — take this arm; the
@@ -1470,7 +1483,8 @@ object Dedup {
     * cosine 0 with everything and can never qualify, which is what makes
     * the normalize-zero-passthrough safe here. */
   def embeddingNearDupCosine(df: DataFrame, idCol: String, vecCol: String,
-                             nlist: Int, minCosine: Double): DataFrame = {
+                             nlist: Int, minCosine: Double,
+                             maxListRows: Long = 2048L): DataFrame = {
     require(minCosine > 0 && minCosine <= 1, "minCosine in (0, 1]")
     // 2e-6: 1e-6 covers the rounded acceptance (cos >= minCosine - 5e-7
     // ⇒ normalized d² <= 2(1-minCosine) + 1e-6) and the second 1e-6 is
@@ -1492,7 +1506,8 @@ object Dedup {
     val expanded = CacheScope.register(IvfIndex.assignMultiHomed(n, "__nv",
       cents, slack).persist())
     pairsFromListsRefined(expanded, idCol, vecCol, "__nv", "cosine",
-      (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine, slack)
+      (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine, slack,
+      maxListRows = maxListRows)
   }
 
   /** Chunk-level (paragraph) corpus dedup, CCNet-style (Wenzek et al.

@@ -47,15 +47,56 @@ class RefinedPairsSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
   }
 
-  test("saturated list (600 rows > 256 cap): refined result == brute force") {
+  test("saturated list (600 rows > forced 256 cap): refined == brute force") {
     val df = skewed(600, clique = 300)
     val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 3)
     val got = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
-        cents, maxSqDist = 0.5)
+        cents, maxSqDist = 0.5, maxListRows = 256L)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     val want = brute(df, 0.5)
     assert(want.nonEmpty, "fixture must plant real pairs")
     assert(got == want)
+  }
+
+  test("fixture-occupancy lists stay on the UNREFINED plan (default cap): " +
+       "no Union arm, result == brute force") {
+    // the r11 q51/q52 regression pin: a clustered corpus whose lists
+    // hold a few hundred rows must take the base join untouched — one
+    // refinement level there costs seconds and separates nothing (its
+    // cliques are genuine). Structural check: the refined path's plan is
+    // a cold∪hot Union; the short-circuit returns the plain join.
+    val df = skewed(600, clique = 300)
+    val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 3)
+    val out = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
+      cents, maxSqDist = 0.5) // default maxListRows: 600-row lists are cold
+    assert(!out.queryExecution.analyzed.toString.contains("Union"),
+      "default-cap fixture-scale plan must not contain the refinement arm")
+    val got = out.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == brute(df, 0.5))
+  }
+
+  test("progress guard is GEOMETRIC: a barely-shrinking clique recurses at " +
+       "most one level (plan nests at most one refinement Union)") {
+    // 300 identical-to-1e-4 vectors: every row lands in every sub-list,
+    // occupancy cannot halve, so depth-3 must not build 3 nested
+    // refinement arms (the ×subk-per-level row blowup of the r11
+    // regression). One paid level is the accepted probe cost.
+    val df = skewed(0, clique = 300)
+    val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 2)
+    val out = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
+      cents, maxSqDist = 0.5, maxListRows = 64L)
+    // one refinement level plans exactly THREE Union nodes: the final
+    // cold∪hot, plus the cold-rows assembly union RESTATED by both
+    // sides of the base self-join. A second recursion level would add
+    // its own three under the hot arm.
+    val unions = out.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.size <= 3,
+      s"dense clique recursed past one refinement level (${unions.size} Unions)")
+    val got = out.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == brute(df, 0.5) && got.nonEmpty)
   }
 
   test("multi-level recursion (cap 8, subk 4, depth 3) == base join") {
