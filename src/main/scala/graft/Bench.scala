@@ -17,7 +17,7 @@ object Bench {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false"), cpus.toInt))
+        .config("spark.ui.enabled", "false"), cpus.toInt, sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -56,23 +56,37 @@ object Tables {
       "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
-  /** Data-scale shuffle sizing for the BENCH entrypoints: shuffles START
-    * wide and AQE coalesces them down to the data.
+  /** DATA-SIZED initial shuffle width for the BENCH entrypoints —
+    * partitions track the dataset, exactly how a real cluster is sized.
     * spark.sql.shuffle.partitions (= cores locally) is the right FINAL
     * width for fixture-scale work, but it also bounds per-task shuffle
     * block size: the sf10 run showed linear-work queries going 12× per
     * 10× data purely from 32-way shuffles spilling (~10M rows/task).
-    * 8×cores initial partitions cost little at small sf (AQE merges them
-    * back — parallelismFirst targets the core count) and keep tasks
-    * memory-resident at 100× — how a 1000-executor cluster should be
-    * configured (large initial, AQE-sized final). NOT in withGraftConf:
-    * the test session and Verify run dozens of metadata-sized jobs per
-    * query, where 8× the task count is pure scheduler overhead. */
-  def withBenchShuffle(b: SparkSession.Builder,
-                       cpus: Int): SparkSession.Builder = b
-    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    * r10 answered with a flat 8×cores initial width and AQE coalescing
+    * down — but MEASURED at sf0.1 that costs 25-40% on multi-stage
+    * pipeline queries (a few hundred near-empty reduce tasks per stage
+    * × many stages; q59 6.1→8.9 s, q73 9.9→13.7 s), so the flat knob
+    * was trading the small end for the big one. Instead: initial
+    * partitions = input bytes / 4 MB of parquet (≈100 MB of in-flight
+    * shuffle per task at the observed ~25× parquet-to-shuffle
+    * amplification), clamped to [cores, 8×cores]. sf0.1/sf1 land on
+    * `cores` (the measured-best width there), sf10 on 8×cores (the
+    * spill fix), and the clamp keeps the knob harmless on empty or
+    * enormous dirs. SPARK_GRAFT_INITIAL_PARTITIONS overrides for
+    * measurement. NOT in withGraftConf: the test session and Verify
+    * run dozens of metadata-sized jobs per query, where extra task
+    * count is pure scheduler overhead. */
+  def withBenchShuffle(b: SparkSession.Builder, cpus: Int,
+                       sfDir: String): SparkSession.Builder = {
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    val sized = dirBytes(new java.io.File(sfDir)) / (4L << 20)
+    val initial = math.min(math.max(sized, cpus.toLong), 8L * cpus)
+    b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-        (8 * cpus).toString))
+        initial.toString))
+  }
 
   /** Register every table as a temp view so spark.sql(...) mirrors the
     * DuckDB oracle exactly. */

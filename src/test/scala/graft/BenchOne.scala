@@ -12,7 +12,7 @@ object BenchOne {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false"), cpus.toInt))
+        .config("spark.ui.enabled", "false"), cpus.toInt, sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
