@@ -1272,7 +1272,8 @@ object Dedup {
   def embeddingNearDupByIvf(df: DataFrame, idCol: String, vecCol: String,
                             centroids: IvfIndex.Centroids,
                             maxSqDist: Double,
-                            maxListRows: Long = 2048L): DataFrame = {
+                            maxListRows: Long = 256L,
+                            minRefineCandidates: Long = 4000000L): DataFrame = {
     // Zero centroids = zero vectors were available to fit them (empty
     // input): the correct answer is zero pairs — assignMulti's empty
     // literal array would fail analysis instead.
@@ -1292,7 +1293,8 @@ object Dedup {
       vecCol, centroids, slack).persist())
     pairsFromListsRefined(expanded, idCol, vecCol, vecCol, "dist",
       (a, b) => sqDist(a, b), _ <= maxSqDist, slack,
-      maxListRows = maxListRows)
+      maxListRows = maxListRows,
+      minRefineCandidates = minRefineCandidates)
   }
 
   /** Shared tail of the IVF-blocked near-dup variants: the ASYMMETRIC
@@ -1354,23 +1356,34 @@ object Dedup {
     * blocks route to the base join, which is optimal for them: their
     * TRUE output is quadratic anyway.
     *
-    * `maxListRows` is set where the base join's per-list quadratic cost
-    * actually exceeds one refinement level's (explode ×subk + argmin +
-    * checkpoint + ~10 scheduler rounds): a 2048-row list is ~4M fused
-    * distance evals (~tens of ms) — cheaper than the machinery. The
-    * fixture-scale clustered oracles (50-member cliques, occupancy
-    * ≲ 300 with slack multiplicity) now take the base join untouched.
+    * TWO knobs decide when the machinery engages, because two different
+    * things go wrong at two different scales:
+    *   - `maxListRows` (per list) bounds PER-TASK memory: the base join
+    *     hash-partitions by list_id, so one saturated list is one
+    *     task's quadratic candidate set (a 3.5k-row orphan-flooded list
+    *     at sf1 put ~12M pairs through a single distinct hash table ×32
+    *     concurrent tasks → executor OOM). 256 keeps the worst task at
+    *     ~65k candidates.
+    *   - `minRefineCandidates` (total, Σ home·occ over saturated lists)
+    *     bounds WHEN refinement is worth its ~4 s of fixed machinery
+    *     (multi-join, eager checkpoint, extra scheduler rounds): the
+    *     fixture-scale clustered oracles have a few 300-row lists
+    *     (~0.6M total candidates — the base join costs milliseconds),
+    *     and paying the machinery there was the r11 q51/q52 regression.
+    *     Below the gate the base join runs even for over-cap lists —
+    *     bounded by the gate itself, so the per-task set stays small.
     *
     * Scale: each level costs ≤ `subKMax`× the saturated rows through
     * one join (the honest price of a k-ary quantizer tree level) and
     * multiplies per-list capacity by ~`subKMax`; depth 3 over the 4096
-    * coarse lists covers ~2048·256³ ≈ 3e13 rows per list before the
+    * coarse lists covers ~256·256³ ≈ 4e9 rows per list before the
     * base join sees a saturated block again. */
   private[operators] def pairsFromListsRefined(
       expanded: DataFrame, idCol: String, vecCol: String,
       blockVecCol: String, scoreName: String,
       score: (Column, Column) => Column, keep: Column => Column,
-      slack: Double, maxListRows: Long = 2048L, subTarget: Int = 32,
+      slack: Double, maxListRows: Long = 256L,
+      minRefineCandidates: Long = 4000000L, subTarget: Int = 32,
       subKMax: Int = 256, depth: Int = 3): DataFrame = {
     if (depth <= 0)
       return pairsFromLists(expanded, idCol, vecCol, scoreName, score, keep)
@@ -1395,23 +1408,40 @@ object Dedup {
     // cliques shrink marginally and route to the base join after at
     // most one paid level. (__parent = Long.MaxValue at level 1; the
     // doubling cannot overflow for any real occupancy.)
+    //
+    // HOME-PAYOFF RULE: refinement of list i costs ~occ_i×subk_i rows
+    // through the sub-assignment explode, while the base join costs
+    // home_i×occ_i candidates — so refinement pays only when home_i ≫
+    // subk_i. A slack-flooded list (rows whose own nearest centroid is
+    // FAR probe a large fraction of all lists — the sf1 cosine fixture
+    // put 70× membership multiplication through this path) has
+    // home_i ≪ occ_i: its base join is a thin home-slice per task
+    // (~72k candidates at sf1) while one refinement level explodes
+    // ~100M rows. Such lists route cold; margin 2× keeps borderline
+    // lists off the machinery too.
+    // deterministic per-list sub-quantizer sizing (also used below):
+    // subk = ceil(occ/subTarget) capped at subKMax
+    val subk = least(ceil(col("__occ") / subTarget), lit(subKMax))
+      .cast("long")
     val refinable = col("__occ") > maxListRows &&
-      col("__occ") * 2 <= col("__parent")
-    // Short-circuit: no refinable saturated list → the base join IS the
-    // right plan, and the refinement machinery must not appear in it
-    // (fixture-scale runs — and every oracle query — take this arm; the
-    // only added cost is this one metadata-sized action over the
-    // caller-persisted expansion).
-    val anyHot = occ.filter(refinable).limit(1).count() > 0
-    if (!anyHot)
+      col("__occ") * 2 <= col("__parent") &&
+      col("__occh") >= subk * 2
+    // Short-circuit on TOTAL candidate work (Σ home·occ over refinable
+    // lists): below the gate the base join IS the right plan, and the
+    // refinement machinery must not appear in it (fixture-scale runs —
+    // and every oracle query — take this arm; the only added cost is
+    // this one metadata-sized action over the caller-persisted
+    // expansion).
+    val hotWork = occ.filter(refinable)
+      .agg(coalesce(sum(col("__occh") * col("__occ")), lit(0L)))
+      .head().getLong(0)
+    if (hotWork < math.max(minRefineCandidates, 1L))
       return pairsFromLists(expanded.select(baseCols.map(col): _*),
         idCol, vecCol, scoreName, score, keep)
     val flagged = rows.drop("__pocc").join(broadcast(occ), Seq("list_id"))
     val hot = flagged.filter(refinable)
     // deterministic per-list sub-quantizer: every (occh/subk)-th home
-    // row by id hash; subk = ceil(occ/subTarget) capped at subKMax
-    val subk = least(ceil(col("__occ") / subTarget), lit(subKMax))
-      .cast("long")
+    // row by id hash
     val stride = greatest(floor(col("__occh") / subk), lit(1L)).cast("long")
     val subq = hot.filter(col("is_home") &&
         pmod(xxhash64(col(idCol)), stride) === 0)
@@ -1484,7 +1514,8 @@ object Dedup {
     * the normalize-zero-passthrough safe here. */
   def embeddingNearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                              nlist: Int, minCosine: Double,
-                             maxListRows: Long = 2048L): DataFrame = {
+                             maxListRows: Long = 256L,
+                             minRefineCandidates: Long = 4000000L): DataFrame = {
     require(minCosine > 0 && minCosine <= 1, "minCosine in (0, 1]")
     // 2e-6: 1e-6 covers the rounded acceptance (cos >= minCosine - 5e-7
     // ⇒ normalized d² <= 2(1-minCosine) + 1e-6) and the second 1e-6 is
@@ -1494,7 +1525,17 @@ object Dedup {
     val maxSq = 2.0 * (1.0 - minCosine) + 2e-6
     val n = df.select(col(idCol), col(vecCol),
       VectorFunctions.normalize(col(vecCol)).as("__nv"))
-    val cents = IvfIndex.fitCentroids(n, "__nv", idCol, nlist)
+    // refineIters = 1: on the unit sphere the 2r membership slack is
+    // LARGE relative to typical direction separations, so a row whose
+    // raw-sample centroid coverage missed its direction (d_home ~ √2)
+    // probes a huge fraction of all lists — measured 70× membership
+    // multiplication at sf1 on the clustered fixture. One Lloyd pass
+    // over the fit sample moves centroids onto the actual direction
+    // means (d_home → ~0 for everyone) and collapsed the expansion
+    // 1.4M → 33k rows for ~1.4 s of driver fit. Blocking is lossless
+    // for ANY centroid set, so results are bit-identical.
+    val cents = IvfIndex.fitCentroids(n, "__nv", idCol, nlist,
+      refineIters = 1)
     // empty input fits zero centroids; the correct answer is zero pairs
     // (assignMulti's empty literal array would fail analysis instead)
     if (cents.isEmpty)
@@ -1507,7 +1548,8 @@ object Dedup {
       cents, slack).persist())
     pairsFromListsRefined(expanded, idCol, vecCol, "__nv", "cosine",
       (a, b) => VectorFunctions.cosine(a, b), _ >= minCosine, slack,
-      maxListRows = maxListRows)
+      maxListRows = maxListRows,
+      minRefineCandidates = minRefineCandidates)
   }
 
   /** Chunk-level (paragraph) corpus dedup, CCNet-style (Wenzek et al.

@@ -51,7 +51,8 @@ class RefinedPairsSpec extends AnyFunSuite {
     val df = skewed(600, clique = 300)
     val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 3)
     val got = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
-        cents, maxSqDist = 0.5, maxListRows = 256L)
+        cents, maxSqDist = 0.5, maxListRows = 256L,
+        minRefineCandidates = 0L)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     val want = brute(df, 0.5)
     assert(want.nonEmpty, "fixture must plant real pairs")
@@ -68,7 +69,7 @@ class RefinedPairsSpec extends AnyFunSuite {
     val df = skewed(600, clique = 300)
     val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 3)
     val out = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
-      cents, maxSqDist = 0.5) // default maxListRows: 600-row lists are cold
+      cents, maxSqDist = 0.5) // default work gate: ~0.4M candidates is cold
     assert(!out.queryExecution.analyzed.toString.contains("Union"),
       "default-cap fixture-scale plan must not contain the refinement arm")
     val got = out.collect()
@@ -85,7 +86,8 @@ class RefinedPairsSpec extends AnyFunSuite {
     val df = skewed(0, clique = 300)
     val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 2)
     val out = Dedup.embeddingNearDupByIvf(df, "vec_id", "embedding",
-      cents, maxSqDist = 0.5, maxListRows = 64L)
+      cents, maxSqDist = 0.5, maxListRows = 64L,
+      minRefineCandidates = 0L)
     // one refinement level plans exactly THREE Union nodes: the final
     // cold∪hot, plus the cold-rows assembly union RESTATED by both
     // sides of the base self-join. A second recursion level would add
@@ -109,7 +111,8 @@ class RefinedPairsSpec extends AnyFunSuite {
     def run(depth: Int) = Dedup.pairsFromListsRefined(expanded,
         "vec_id", "embedding", "embedding", "dist",
         (a, b) => sqDist(a, b), _ <= 0.5, slack,
-        maxListRows = 8L, subTarget = 4, subKMax = 4, depth = depth)
+        maxListRows = 8L, minRefineCandidates = 0L,
+        subTarget = 4, subKMax = 4, depth = depth)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     val deep = run(3)
     val base = run(0)
