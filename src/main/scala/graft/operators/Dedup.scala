@@ -214,7 +214,9 @@ object Dedup {
     * groupBy(doc) (per-doc sort is document-sized, never a global sort —
     * the global ORDER is (df, hash) compared lexicographically, so no
     * dense-rank shuffle exists); candidates from one prefix-prefix
-    * equi-join; verification joins only candidate docs' full shingle
+    * equi-join, thinned in-stream by the PPJoin positional filter
+    * (Xiao et al. WWW'08 — see the inline proof at the join) before
+    * any exchange; verification joins only candidate docs' full shingle
     * sets. Same caveat as the hashed Jaccard path: a 64-bit hash
     * collision could merge two shingles (negligible, deterministic). */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -242,19 +244,40 @@ object Dedup {
       - ceil(lit(minJaccard) * size(col("__sorted"))).cast("int") + 1)
     val prefix = CacheScope.register(ordered
       .select(col(idCol), col("__n"),
-        explode(slice(col("__sorted"), lit(1), prefixLen)).as("__p"))
-      .select(col(idCol), col("__n"), col("__p.shingle").as("shingle"))
+        posexplode(slice(col("__sorted"), lit(1), prefixLen)))
+      .select(col(idCol), col("__n"), col("pos").as("__i"),
+        col("col.shingle").as("shingle"))
       .persist())
-    // Candidate pairs: shared prefix shingle + length filter. DISTINCT
-    // before verification — a pair can collide on several prefix
-    // shingles and must be verified once.
+    // Candidate pairs: shared prefix shingle + length filter + the
+    // PPJoin POSITIONAL filter. A match at 0-based sorted-array
+    // position i in A and j in B bounds the true overlap: every common
+    // shingle other than this one is strictly LATER in the global
+    // (df, hash) order in both documents, so c <= 1 + min(na-i-1,
+    // nb-j-1). J >= t forces c >= t(na+nb)/(1+t); a matching row whose
+    // positional bound can't reach that is dead weight. Lossless: a
+    // qualifying pair's globally-smallest common shingle w* lies in
+    // both prefixes (the prefix proof above) and AT w* the bound holds
+    // (all c-1 other common shingles are later than w* in both), so at
+    // least that row survives into the DISTINCT. This is what keeps
+    // the candidate stream disk-bounded at scale: boilerplate shingles
+    // sit at the END of prefixes (rarity order), where na-i-1 is small
+    // and the bound kills their df^2 match block before the exchange —
+    // measured at x100: the unfiltered join spilled past a 66 GB disk,
+    // the filtered one completes. The 1e-6 slack keeps the double
+    // rounding of t/(1+t) from ever discarding a boundary candidate
+    // (sizes ~1e5 max, so the slack admits no integer below the bound).
+    // DISTINCT before verification — a pair can collide on several
+    // prefix shingles and must be verified once.
     val cands = prefix.select(col(idCol).as("a"), col("__n").as("na"),
-        col("shingle"))
+        col("__i").as("__ia"), col("shingle"))
       .join(prefix.select(col(idCol).as("b"), col("__n").as("nb"),
-        col("shingle")), Seq("shingle"))
+        col("__i").as("__ib"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
       .filter(least(col("na"), col("nb"))
         >= lit(minJaccard) * greatest(col("na"), col("nb")))
+      .filter((lit(1.0) + least(col("na") - col("__ia") - 1,
+        col("nb") - col("__ib") - 1)) * lit(1.0 + minJaccard)
+        >= lit(minJaccard) * (col("na") + col("nb")) - lit(1e-6))
       .select(col("a"), col("b"), col("na"), col("nb"))
       .distinct()
     // Verify: exact intersection count over the candidates' full sets.

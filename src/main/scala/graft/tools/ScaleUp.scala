@@ -41,6 +41,22 @@ import graft.Tables
   */
 object ScaleUp {
 
+  /** The copy-i character bijection as a translate() (from, to) pair —
+    * object-level and pure so the spec can pin the whole 100-copy family
+    * without generating data. See the invariants at the call site. */
+  def translationFor(i: Int): (String, String) = {
+    val lo = ('a' to 'z').mkString; val up = ('A' to 'Z').mkString
+    val dg = ('0' to '9').mkString
+    def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+    def base(s: String) = if ((i / 52) % 2 == 1) s.reverse else s
+    val (mlo, mup) = {
+      val l = rot(base(lo), i % 26); val u = rot(base(up), i % 26)
+      if ((i / 26) % 2 == 1) (l.toUpperCase, u.toLowerCase) else (l, u)
+    }
+    val mdg = rot(if ((i / 10) % 2 == 1) dg.reverse else dg, i % 10)
+    (lo + up + dg, mlo + mup + mdg)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else ".benchdata/sf1"
@@ -117,23 +133,40 @@ object ScaleUp {
     // SimHash cliques → 22M true pairs). A bijection on the alphabet
     // preserves every within-copy structure EXACTLY (word identity,
     // shingle sets, edit distances, lengths, token counts) while
-    // cross-copy words, char-grams, and key prefixes share nothing:
-    // letters rotate by copy%26 (case-preserving), the whole mapping
-    // case-swaps at (copy/26)%2, digits rotate by copy%10 — distinct
-    // mappings up to lcm(26,2,10) = 260 copies. One translate() per
-    // copy, pure and deterministic.
+    // cross-copy words, char-grams, and key prefixes share nothing.
+    //
+    // Letter maps: rotate by copy%26 (case-preserving), case-swap at
+    // (copy/26)%2, and — the r11 fix — REVERSE the alphabet base at
+    // (copy/52)%2. Rotation×case alone yields only 52 distinct letter
+    // maps, so at 100 copies every copy i<48 had a byte-identical text
+    // twin at i+52: ~240k manufactured cross-copy "near-dup" pairs that
+    // inflated q19/q134 output 11x over linear and flooded q71's SimHash
+    // buckets into its df cap at the x100 scale. Reversal is
+    // orientation-reversing, so no rot∘case composition equals another
+    // block's map; two maps from different reversal blocks coincide on
+    // at most 2 letters (rot_k∘rev has 2 fixed points for odd k, 0 for
+    // even — solutions of 2c ≡ 25+k mod 26), far below any shingle-level
+    // overlap a near-dup measure can amplify. 104 distinct letter maps.
+    //
+    // Digit maps: same rotation+reversal scheme (20 distinct maps). The
+    // shipped corpus is digit-free (guarded below), so digits never
+    // carry cross-copy identity; the guard fails generation loudly if a
+    // future corpus has digits and copies exceeds the digit-map family.
     def copyTranslate(i: Int): Column = {
-      val lo = ('a' to 'z').mkString; val up = ('A' to 'Z').mkString
-      val dg = ('0' to '9').mkString
-      def rot(s: String, k: Int) = s.drop(k) + s.take(k)
-      val (mlo, mup) = {
-        val l = rot(lo, i % 26); val u = rot(up, i % 26)
-        if ((i / 26) % 2 == 1) (l.toUpperCase, u.toLowerCase) else (l, u)
-      }
-      translate(col("text"), lo + up + dg, mlo + mup + rot(dg, i % 10))
+      val (from, to) = translationFor(i)
+      translate(col("text"), from, to)
     }
-    require(copies <= 260,
-      s"copies=$copies must be <= 260 for distinct text bijections")
+    require(copies <= 104,
+      s"copies=$copies must be <= 104 for distinct text bijections")
+    if (copies > 20) {
+      // digit maps wrap at 20: only safe because the corpus has none
+      val digitDocs = read("documents")
+        .filter(col("text").rlike("[0-9]")).count()
+      require(digitDocs == 0,
+        s"copies=$copies > 20 distinct digit maps but $digitDocs docs " +
+          "contain digits: cross-copy digit content would collide — " +
+          "extend the digit bijection family before scaling this corpus")
+    }
     out(fan(read("documents"))
       .withColumn("doc_id", shift(100000L)(col("doc_id")))
       .withColumn("text", (1 until copies).foldLeft(col("text")) {

@@ -165,6 +165,43 @@ class ScaleUpSpec extends AnyFunSuite {
       == copies, s"copies alias under cluster modulus $m")
   }
 
+  test("bijection family: 100 copy maps are pairwise near-disjoint on " +
+      "LETTERS — no two copies agree on more than 2 letter mappings") {
+    // The r10 letter scheme (rotation x case-swap) had only 52 distinct
+    // maps: at 100 copies every copy i < 48 had a byte-identical twin at
+    // i + 52 — ~240k manufactured cross-copy pairs (q19/q134 output 11x
+    // over linear, q71's SimHash buckets driven into the df cap) in the
+    // first post-bijection sf10 run. The reversal layer makes all 104
+    // maps distinct; maps from different reversal blocks can coincide on
+    // at most the 2 fixed points of rot_k∘reverse (odd k). Checked as
+    // FUNCTIONS, at every copy pair, over the full alphabet the corpus
+    // uses — a fixture edit that shrinks the family fails here, not at
+    // a day-long x100 bench.
+    val maps = (0 until 100).map { i =>
+      val (from, to) = ScaleUp.translationFor(i)
+      from.zip(to).toMap
+    }
+    val letters = ('a' to 'z') ++ ('A' to 'Z')
+    for (i <- 0 until 100; j <- (i + 1) until 100) {
+      val lowAgree = ('a' to 'z').count(c => maps(i)(c) == maps(j)(c))
+      assert(lowAgree <= 2,
+        s"copies $i/$j agree on $lowAgree lowercase letters")
+      // and never on a letter's CASE CLASS wholesale: full-map identity
+      assert(letters.exists(c => maps(i)(c) != maps(j)(c)),
+        s"copies $i/$j have identical letter maps")
+    }
+    // every map is a bijection on each character class (translate() with
+    // a non-bijective target would merge characters and DESTROY
+    // within-copy structure instead of preserving it)
+    for (i <- 0 until 100) {
+      assert(('a' to 'z').map(maps(i)).distinct.size == 26, s"copy $i lo")
+      assert(('A' to 'Z').map(maps(i)).distinct.size == 26, s"copy $i up")
+      assert(('0' to '9').map(maps(i)).distinct.size == 10, s"copy $i dg")
+    }
+    // copy 0 is the identity: the base copy ships untouched
+    assert(letters.forall(c => maps(0)(c) == c))
+  }
+
   test("re-scaling an already-scaled output is rejected (stride guard)") {
     val tmp2 = java.nio.file.Files
       .createTempDirectory("graft_scaleup2").toString + "/x"
