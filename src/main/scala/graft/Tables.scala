@@ -69,11 +69,20 @@ object Tables {
     * was trading the small end for the big one. Instead: initial
     * partitions = input bytes / 4 MB of parquet (≈100 MB of in-flight
     * shuffle per task at the observed ~25× parquet-to-shuffle
-    * amplification), clamped to [cores, 8×cores]. sf0.1/sf1 land on
-    * `cores` (the measured-best width there), sf10 on 8×cores (the
-    * spill fix), and the clamp keeps the knob harmless on empty or
-    * enormous dirs. SPARK_GRAFT_INITIAL_PARTITIONS overrides for
-    * measurement. NOT in withGraftConf: the test session and Verify
+    * amplification), clamped to [cores, 2×cores]. sf0.1/sf1 land on
+    * `cores` (the measured-best width there), sf10 on 2×cores, and the
+    * clamp keeps the knob harmless on empty or enormous dirs. The
+    * upper clamp was 8×cores in r11's first cut; the post-fix ×100 A/B
+    * measured it against 2×cores and 2× won across the board — the
+    * iterative family pays the initial width on EVERY round's
+    * node-state exchange (PPR 315→124 s, PageRank 189→105, triangles
+    * 193→125 at sf10) and even the spill-prone shingle joins prefer it
+    * (exact prefix-Jaccard 366→225; 32-wide still spills: 516). On a
+    * real cluster `cores` is the executor total, so the absolute width
+    * still scales out; what this clamp encodes is per-CORE width, and
+    * 2 strikes the measured balance between per-task spill and
+    * per-round scheduler floor. SPARK_GRAFT_INITIAL_PARTITIONS
+    * overrides for measurement. NOT in withGraftConf: the test session and Verify
     * run dozens of metadata-sized jobs per query, where extra task
     * count is pure scheduler overhead. */
   def withBenchShuffle(b: SparkSession.Builder, cpus: Int,
@@ -82,7 +91,7 @@ object Tables {
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
     val sized = dirBytes(new java.io.File(sfDir)) / (4L << 20)
-    val initial = math.min(math.max(sized, cpus.toLong), 8L * cpus)
+    val initial = math.min(math.max(sized, cpus.toLong), 2L * cpus)
     b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
         initial.toString))

@@ -512,3 +512,159 @@ case class NearestCentroid(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): NearestCentroid = copy(child = newChild)
 }
+
+/** PQ sub-centroid codes of one vector over a plan-constant codebook
+  * tensor [m][ksub][subDim]: array<int> of the per-subspace argmin codes.
+  * Bit-identical to the literal formulation
+  * `array(array_min(transform(book_j, c -> struct(sqDist(slice_j, c), id)))
+  * .getField("id") ...)` (IvfIndex.pqEncodeLiteral, kept as the spec's
+  * reference): the per-subspace sum is the same ascending-index IEEE fold
+  * as SqDistL2, the argmin the same smallest-distance-then-smallest-id
+  * order (Double.compare handles NaN exactly like Spark's struct
+  * comparison: NaN above every value, so NaN distances lose to any real
+  * one and an all-NaN subspace keeps code 0), and a null element yields
+  * code 0 for its subspace exactly as the literal path's null-distance
+  * structs sort first in array_min. One documented divergence: a null
+  * vector or wrong TOTAL length yields all-zero codes, where the literal
+  * path zeroes only the subspaces whose slice underruns — the stricter
+  * form, pinned in the spec (no fixture and no caller produces
+  * malformed-length vectors; the require in fitPq fixes dim = m·subDim).
+  *
+  * Exists because the literal formulation costs ~200 µs/row: per row it
+  * allocates m·ksub candidate structs plus slices and falls out of
+  * whole-stage codegen (the ×100 bench measured the encode pass at 43 s
+  * for 200k rows — 85% of q76's budget excess). This is one primitive
+  * double[][][] pass, matrix decoded once per task, no per-row
+  * allocation beyond the output array. */
+case class PqEncodeCodes(child: Expression,
+                         codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def prettyName: String = "graft_pq_encode"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def m = codebooks.length
+  private def subDim = codebooks(0)(0).length
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<double>, got ${other.sql}")
+    }
+
+  // the literal path yields code 0 per subspace on any degenerate input
+  // (null distances sort first in array_min); mirror it, including for a
+  // NULL child — hence eval, not nullSafeEval
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    val codes = new Array[Int](m)
+    if (a == null) return new GenericArrayData(codes)
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != m * subDim) return new GenericArrayData(codes)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val off = j * subDim
+      var degenerate = false
+      var t = 0
+      while (t < subDim && !degenerate) {
+        if (x.isNullAt(off + t)) degenerate = true
+        t += 1
+      }
+      if (!degenerate) {
+        var bestD = 0.0
+        var best = -1
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c)
+          var s = 0.0
+          var u = 0
+          while (u < subDim) {
+            val df = x.getDouble(off + u) - cent(u); s += df * df; u += 1
+          }
+          if (best == -1 || java.lang.Double.compare(s, bestD) < 0) {
+            bestD = s; best = c
+          }
+          c += 1
+        }
+        codes(j) = best
+      }
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeCodes = copy(child = newChild)
+}
+
+/** PQ reconstruction residual ||x − decode(codes)|| from the STORED code
+  * column: one primitive pass of m·subDim subtract-squares (the coded
+  * sub-centroid looked up per subspace) accumulated in ascending
+  * dimension order — the identical partial-sum sequence to
+  * `sqrt(sqDist(vec, pqDecode(codes)))` (subspaces are contiguous
+  * ascending slices), so the stored residual is bit-identical while
+  * skipping the per-row decode materialization that dominated the ×100
+  * encode pass. Null vector, wrong vector length, null element, null or
+  * out-of-range code → null, matching the builtin composition's null
+  * poisoning. */
+case class PqResidualFromCodes(left: Expression, right: Expression,
+                               codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "graft_pq_residual"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private def m = codebooks.length
+  private def subDim = codebooks(0)(0).length
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires (array<double>, array<int>), " +
+              s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    if (x.numElements() != m * subDim || codes.numElements() != m) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= codebooks(j).length) return null
+      val cent = codebooks(j)(c)
+      val off = j * subDim
+      var t = 0
+      while (t < subDim) {
+        if (x.isNullAt(off + t)) return null
+        val df = x.getDouble(off + t) - cent(t); s += df * df; t += 1
+      }
+      j += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqResidualFromCodes =
+    copy(left = newLeft, right = newRight)
+}

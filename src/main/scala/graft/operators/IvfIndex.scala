@@ -437,10 +437,22 @@ object IvfIndex {
     PqParams(m, subDim, books)
   }
 
-  /** Encode a vector to its m nearest-sub-centroid codes — the same
-    * literal-codebook argmin expression shape as `assign`, once per
-    * subspace; map-side, codegen'd, no shuffle. */
+  /** Encode a vector to its m nearest-sub-centroid codes. Evaluated by
+    * the primitive-loop [[graft.functions.PqEncodeCodes]] expression —
+    * bit-identical to [[pqEncodeLiteral]] (the argmin/accumulation-order
+    * proof lives on the expression; PqExpressionSpec pins the parity) —
+    * because the literal form costs ~200 µs/row in per-row candidate
+    * structs: the ×100 bench measured the encode pass at 43 s over 200k
+    * rows, 85% of q76's scale-budget excess. Map-side, no shuffle. */
   def pqEncode(vec: Column, p: PqParams): Column =
+    org.apache.spark.sql.GraftColumn(graft.functions.PqEncodeCodes(
+      org.apache.spark.sql.GraftColumn.expr(vec.cast("array<double>")),
+      codebookTensor(p)))
+
+  /** The original literal-codebook argmin formulation — the REFERENCE
+    * semantics [[pqEncode]]'s expression must match (same shape as
+    * `assign`, once per subspace). Retained for the parity spec. */
+  private[graft] def pqEncodeLiteral(vec: Column, p: PqParams): Column =
     array((0 until p.m).map { j =>
       val sub = slice(vec.cast("array<double>"), j * p.subDim + 1, p.subDim)
       val cands = transform(centroidArray(p.codebooks(j)), c =>
@@ -448,6 +460,9 @@ object IvfIndex {
           c.getField("list_id").as("list_id")))
       array_min(cands).getField("list_id")
     }: _*)
+
+  private def codebookTensor(p: PqParams): Array[Array[Array[Double]]] =
+    p.codebooks.map(_.sortBy(_._1).map(_._2.toArray).toArray).toArray
 
   /** Add the PQ code column alongside the full-precision vectors. */
   def withPqCodes(df: DataFrame, vecCol: String, p: PqParams): DataFrame =
@@ -499,7 +514,7 @@ object IvfIndex {
     * — m·ksub doubles computed driver-side, shipped as literals) indexed
     * by the stored code column. Equals sqDist(q, pqDecode(codes)) by
     * construction, evaluated as m array lookups + adds. */
-  private def adcExpr(p: PqParams, q: Seq[Double]): Column = {
+  private[graft] def adcExpr(p: PqParams, q: Seq[Double]): Column = {
     val luts: Seq[Seq[Double]] = (0 until p.m).map { j =>
       val qs = q.slice(j * p.subDim, (j + 1) * p.subDim)
       p.codebooks(j).sortBy(_._1).map { case (_, c) =>
@@ -535,11 +550,19 @@ object IvfIndex {
   val PqResCol = "__pqres"
 
   /** Add the residual column alongside the PQ codes (map-side, one
-    * distance expression — build-time work, like the codes). */
+    * distance expression — build-time work, like the codes). Evaluated
+    * by the primitive-loop [[graft.functions.PqResidualFromCodes]] over
+    * the STORED code column — bit-identical to the reference form
+    * `sqrt(sqDist(vec, pqDecode(codes)))` (identical ascending partial
+    * sums; PqExpressionSpec pins it) without the per-row decode
+    * materialization that dominated the ×100 encode pass. */
   def withPqResiduals(df: DataFrame, vecCol: String, p: PqParams): DataFrame =
-    df.withColumn(PqResCol,
-      sqrt(sqDist(col(vecCol).cast("array<double>"),
-        pqDecode(col(PqCol), p))))
+    df.withColumn(PqResCol, org.apache.spark.sql.GraftColumn(
+      graft.functions.PqResidualFromCodes(
+        org.apache.spark.sql.GraftColumn.expr(
+          col(vecCol).cast("array<double>")),
+        org.apache.spark.sql.GraftColumn.expr(col(PqCol)),
+        codebookTensor(p))))
 
   /** PROVABLY-EXACT stacked ANN serving over an IVF+PQ layout: returns
     * the exact global top-k while scanning only code/residual columns
@@ -664,8 +687,12 @@ object IvfIndex {
     * the collection — one map-side distance + a scalar max (build-time
     * sidecar material, like listRadii). */
   def maxPqResidual(index: DataFrame, vecCol: String, p: PqParams): Double =
-    index.agg(max(sqrt(sqDist(col(vecCol).cast("array<double>"),
-      pqDecode(col(PqCol), p))))).head().getDouble(0)
+    index.agg(max(org.apache.spark.sql.GraftColumn(
+      graft.functions.PqResidualFromCodes(
+        org.apache.spark.sql.GraftColumn.expr(
+          col(vecCol).cast("array<double>")),
+        org.apache.spark.sql.GraftColumn.expr(col(PqCol)),
+        codebookTensor(p))))).head().getDouble(0)
 
   /** Exactness certificate for [[searchPqProbed]] at given parameters:
     * returns (probeMargin, shortlistMargin); BOTH strictly positive
