@@ -1501,9 +1501,15 @@ object Dedup {
       .withColumn("list_id", xxhash64(col("list_id"), col("__subid")))
       .select((baseCols :+ "__pocc").map(col): _*)
       .localCheckpoint(true))
+    // Named args: after minRefineCandidates entered the signature, the
+    // old positional call silently widened subTarget into it (machinery
+    // engaged at ~32 candidates, sub-fan-out collapsed to 2 then 1, and
+    // depth never decremented) — invisible to result equality because
+    // refinement is lossless.
     val hotPairs = pairsFromListsRefined(mem2, idCol, vecCol, blockVecCol,
-      scoreName, score, keep, slack, maxListRows, subTarget, subKMax,
-      depth - 1)
+      scoreName, score, keep, slack, maxListRows = maxListRows,
+      minRefineCandidates = minRefineCandidates, subTarget = subTarget,
+      subKMax = subKMax, depth = depth - 1)
     coldPairs.unionByName(hotPairs)
   }
 

@@ -121,6 +121,46 @@ class RefinedPairsSpec extends AnyFunSuite {
     expanded.unpersist()
   }
 
+  test("recursion threads the caller's knobs (named-arg pin): depth=1 " +
+       "builds exactly one refinement level, depth=2 nests a second") {
+    // Pre-r12 the recursive call was positional across an inserted
+    // parameter: subTarget widened into minRefineCandidates, subKMax
+    // slid into subTarget, depth-1 into subKMax, and depth reset to its
+    // default — so `depth` never decremented and inner levels ran with
+    // scrambled gates. Lossless refinement made that invisible to
+    // result equality; the plan shape is where it shows. One refinement
+    // level plans exactly 3 Unions (final cold∪hot + the cold-rows
+    // assembly restated by both base-join sides); each further level
+    // adds its own 3 under the hot arm.
+    val df = skewed(200)
+    val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 2)
+    val slack = 2.0 * math.sqrt(0.5 + 1e-6)
+    val expanded = IvfIndex.assignMultiHomed(
+      df.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding")), "embedding", cents, slack).persist()
+    def unions(depth: Int) = {
+      val out = Dedup.pairsFromListsRefined(expanded,
+        "vec_id", "embedding", "embedding", "dist",
+        (a, b) => sqDist(a, b), _ <= 0.5, slack,
+        maxListRows = 8L, minRefineCandidates = 0L,
+        subTarget = 4, subKMax = 4, depth = depth)
+      (out.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size,
+        out.collect().map(x =>
+          (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet)
+    }
+    val (u1, got1) = unions(1)
+    val (u2, got2) = unions(2)
+    assert(u1 == 3,
+      s"depth=1 must stop after ONE refinement level ($u1 Unions)")
+    assert(u2 > u1,
+      s"depth=2 must nest a second level on this fixture ($u2 vs $u1)")
+    val want = brute(df, 0.5)
+    assert(got1 == want && got2 == want)
+    expanded.unpersist()
+  }
+
   test("cosine variant at saturation == its own unrefined answer") {
     val df = skewed(400)
     val got = Dedup.embeddingNearDupCosine(df, "vec_id", "embedding",
