@@ -64,13 +64,19 @@ object StreamBench {
       .option("checkpointLocation", s"$work/funnel_ckpt")
       .format("memory").queryName("sb_funnel").start()
     var stateMax = 0L
+    // sample after EVERY processAllAvailable, including the initial
+    // batch-0 drain — a run where batch 0 dominates must not
+    // under-report state_rows_max
+    def sampleState(): Unit =
+      stateMax = math.max(stateMax, q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max))
     try {
       q.processAllAvailable()
+      sampleState()
       for (i <- 1 until nBatches) {
         writeBatch(i)
         q.processAllAvailable()
-        stateMax = math.max(stateMax, q.recentProgress
-          .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max))
+        sampleState()
       }
     } finally q.stop()
     val funnelSecs = (System.nanoTime() - t0) / 1e9

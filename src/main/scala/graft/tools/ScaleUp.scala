@@ -167,6 +167,14 @@ object ScaleUp {
           "contain digits: cross-copy digit content would collide — " +
           "extend the digit bijection family before scaling this corpus")
     }
+    // same overlap guard as vec_id below: copies are only disjoint if
+    // every base id fits under the stride (empty table -> -1, passes)
+    val maxDocId = read("documents")
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+    require(maxDocId < 100000L,
+      s"base doc_id max $maxDocId >= stride 100000: copy id ranges " +
+        "would overlap - rescale from the ORIGINAL fixture or raise " +
+        "the stride above the max id")
     out(fan(read("documents"))
       .withColumn("doc_id", shift(100000L)(col("doc_id")))
       .withColumn("text", (1 until copies).foldLeft(col("text")) {
@@ -201,7 +209,8 @@ object ScaleUp {
     // re-scaling an already-scaled output (or a bigger generated fixture)
     // would otherwise alias copy ranges into duplicate vec_ids and corrupt
     // every pair count downstream. One cheap agg guards it.
-    val maxVecId = read("embeddings").agg(max(col("vec_id"))).head().getLong(0)
+    val maxVecId = read("embeddings")
+      .agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0)
     require(maxVecId < 99991L,
       s"base vec_id max $maxVecId >= stride 99991: copy id ranges would " +
         "overlap — rescale from the ORIGINAL fixture or raise the stride " +

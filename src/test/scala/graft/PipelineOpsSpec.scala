@@ -623,6 +623,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("tok"), 1000000L).count() == 2)
   }
 
+  test("selectByTokenBudget: scores split only BELOW the default 1e-6 " +
+      "granularity tie and rank by id; a wider scoreDecimals separates " +
+      "them (the documented back-compat knob)") {
+    import spark.implicits._
+    // r11 ADVICE pin: the default 6-decimal rounding is on for ALL
+    // callers — two rows whose scores differ only at 1e-9 TIE at the
+    // default granularity (rank by id: the lower id wins the budget),
+    // and the same call at scoreDecimals=12 ranks them by true score.
+    // Every in-repo caller (q111's stop_ratio) passes a pre-rounded
+    // score, so the default changes nothing there — this pins what a
+    // raw-score caller gets.
+    val df = Seq((1L, 0.500000000, 10L), (2L, 0.500000001, 10L))
+      .toDF("id", "score", "tok")
+    val atDefault = Sampling.selectByTokenBudget(df, "id", col("score"),
+        col("tok"), budget = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(atDefault == Set(1L),
+      "sub-1e-6 deltas must tie at the default granularity (id order)")
+    val atFull = Sampling.selectByTokenBudget(df, "id", col("score"),
+        col("tok"), budget = 10L, scoreDecimals = 12)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(atFull == Set(2L),
+      "scoreDecimals=12 must rank by the true score")
+  }
+
   test("selectByTokenBudget: raw continuous scores are discretized " +
       "internally — the global window stays histogram-sized") {
     import spark.implicits._
@@ -934,5 +959,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // single node routes everything to it
     assert(route(Seq("solo")).values.toSet == Set("solo"))
+  }
+
+  test("bpeMerges: hand-traced Sennrich corpus — counts, greedy merge " +
+      "order, smallest-pair tie-break") {
+    import spark.implicits._
+    // the classic BPE corpus: low×5, lower×2, newest×6, widest×3
+    // (one doc per occurrence — type counting must aggregate)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // hand trace (end-of-word marker '_'):
+    //  r1: e-s 9 ties s-t 9 and t-_ 9 → smallest pair (e,s) wins
+    //  r2: es-t 9 ties t-_ 9 → (es,t) < (t,_)
+    //  r3: est-_ 9 unique max
+    //  r4: l-o 7 ties o-w 7 → (l,o) < (o,w)
+    assert(got == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "est", "_", 9L), (4, "l", "o", 7L)), got.toString)
+    // greedy left-to-right on overlapping runs: "b a a a" merges (a,a)
+    // once in the run of three — the leftmost pair
+    val run = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(run, "text", 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // aaa → a a a _: pairs a-a 2 (per occurrence... 1 type, cnt 2 docs?
+    // one type "aaa" ×2) → a-a counts 2×2=4? No: adjacent pairs of
+    // (a,a,a,_) are (a,a),(a,a),(a,a_?) — (a,a) twice + (a,_) once,
+    // weighted by type count 2 → a-a 4, a-_ 2 → merge (a,a); greedy
+    // rewrite gives (aa,a,_) NOT (a,aa,_): round 2 pairs aa-a 2, a-_ 2
+    // → tie (a,_) vs (aa,a): "a"<"aa" → (a,_) 2
+    assert(m == Seq((1, "a", "a", 4L), (2, "a", "_", 2L)), m.toString)
   }
 }
