@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -220,7 +220,8 @@ object Dedup {
     * sets. Same caveat as the hashed Jaccard path: a 64-bit hash
     * collision could merge two shingles (negligible, deterministic). */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                         n: Int = 3, minJaccard: Double = 0.5,
+                         candRowsPerPartition: Long = 2000000L): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
     val all = CacheScope.register(
       shingles(docs, idCol, textCol, n, repartitionById = false)
@@ -268,10 +269,31 @@ object Dedup {
     // (sizes ~1e5 max, so the slack admits no integer below the bound).
     // DISTINCT before verification — a pair can collide on several
     // prefix shingles and must be verified once.
-    val cands = prefix.select(col(idCol).as("a"), col("__n").as("na"),
-        col("__i").as("__ia"), col("shingle"))
-      .join(prefix.select(col(idCol).as("b"), col("__n").as("nb"),
-        col("__i").as("__ib"), col("shingle")), Seq("shingle"))
+    // OCCUPANCY-SIZED EXCHANGE: the join's per-task candidate block is
+    // the match-block sum of its task's shingles (Σ c·(c−1)/2 over
+    // prefix occurrences c), which grows with the SQUARE of shingle
+    // popularity while the session's initial width is sized for linear
+    // scan bytes — and AQE can only coalesce DOWN from it. One
+    // metadata-sized action over the persisted prefix relation
+    // estimates the stream; both join sides are then hash-partitioned
+    // on shingle at the estimate-derived width (no extra exchange: the
+    // join reuses the repartition). The DISTINCT keeps its map-side
+    // partial aggregate INSIDE the w-wide join tasks — per-task hash
+    // tables are bounded by the same estimate, and only the partially-
+    // deduped pair stream reaches its exchange. Fixture-scale
+    // estimates clamp to the session width — oracle plans unchanged.
+    val candEst = prefix.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
+      .head().getLong(0) / 2L
+    val w = candidateWidth(docs.sparkSession, candEst,
+      candRowsPerPartition, tag = "prefix-jaccard")
+    def sized(df: DataFrame): DataFrame =
+      w.map(df.repartition(_, col("shingle"))).getOrElse(df)
+    val cands = sized(prefix.select(col(idCol).as("a"),
+        col("__n").as("na"), col("__i").as("__ia"), col("shingle")))
+      .join(sized(prefix.select(col(idCol).as("b"), col("__n").as("nb"),
+        col("__i").as("__ib"), col("shingle"))), Seq("shingle"))
       .filter(col("a") < col("b"))
       .filter(least(col("na"), col("nb"))
         >= lit(minJaccard) * greatest(col("na"), col("nb")))
@@ -890,7 +912,6 @@ object Dedup {
   def minhashAgainstIndex(fresh: DataFrame, indexPath: String,
                           textCol: String, minJaccard: Double = 0.5,
                           maxBucketSize: Int = 1000): DataFrame = {
-    require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
     val spark = fresh.sparkSession
     val meta = LshIndexMeta.read(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(
@@ -900,6 +921,25 @@ object Dedup {
       lshBands(idCol, meta.k, meta.rowsPerBand)(
         minhashSignatures(fresh, idCol, textCol, meta.k, meta.shingleN))
         .withColumnRenamed(idCol, "__fid").persist())
+    val shB = shingles(fresh, idCol, textCol, meta.shingleN,
+        repartitionById = false)
+      .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
+      .distinct()
+    probeIndexCore(spark, meta, indexPath, bf, shB, minJaccard,
+      maxBucketSize)
+  }
+
+  /** The probe core shared by [[minhashAgainstIndex]] and [[crawlStep]]:
+    * given the batch's BANDED relation (persisted by the caller — it is
+    * read by the bucket collect, the hot-cap union and the band join)
+    * and its distinct hashed-shingle relation, prune the saved index to
+    * the named buckets and run the band join + exact verification. */
+  private def probeIndexCore(spark: SparkSession, meta: LshIndexMeta,
+                             indexPath: String, bf: DataFrame,
+                             shB: DataFrame, minJaccard: Double,
+                             maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
+    val idCol = meta.idCol
     // the batch's band buckets — a distinct over the (tiny) banded batch
     // relation; its values are the ONLY partitions of bands/ a collision
     // can live in
@@ -921,12 +961,66 @@ object Dedup {
       .filter(col(LshRidBucketCol).isin(ridBuckets: _*))
       .drop(LshRidBucketCol)
       .join(cands.select(col("__rid")).distinct(), Seq("__rid"), "left_semi")
-    val shF = shingles(fresh, idCol, textCol, meta.shingleN,
-        repartitionById = false)
-      .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
-      .distinct()
+    val shF = shB
       .join(cands.select(col("__fid")).distinct(), Seq("__fid"), "left_semi")
     crossVerifyTail(cands, shF, shR, idCol, minJaccard)
+  }
+
+  /** One ROLLING-CRAWL micro-batch step — the foreachBatch body of the
+    * streaming sink, fused: screen `batch` against the saved index,
+    * hand the kept rows to `writeKept` (the sink's at-least-once
+    * overwrite point), then append the kept docs' bands and shingles to
+    * the index — FROM THE RELATIONS THE SCREEN ALREADY COMPUTED. The
+    * unfused loop (minhashAgainstIndex + write + appendRefIndex) paid
+    * the signature pipeline twice and the shingle pipeline twice per
+    * batch — md5 over k×shingles re-run from raw text for the append —
+    * plus a second sidecar read; at 560-doc batches those fixed
+    * recomputes dominated the measured ~12 docs/s. Here the batch's
+    * banded signatures and distinct hashed shingles are persisted once;
+    * verification semi-joins them, and both partitioned appends are
+    * cached-relation scans. Append layout and geometry are byte-
+    * compatible with [[appendRefIndex]] (same rename, same bucket
+    * expression, same partitionBy), so probe answers are identical —
+    * batch-parity is spec-pinned in StreamingSpec. */
+  def crawlStep(batch: DataFrame, indexPath: String, textCol: String,
+                minJaccard: Double = 0.5, maxBucketSize: Int = 1000)
+               (writeKept: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val meta = LshIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
+    val idCol = meta.idCol
+    val bf = CacheScope.register(
+      lshBands(idCol, meta.k, meta.rowsPerBand)(
+        minhashSignatures(batch, idCol, textCol, meta.k, meta.shingleN))
+        .withColumnRenamed(idCol, "__fid").persist())
+    val shB = CacheScope.register(
+      shingles(batch, idCol, textCol, meta.shingleN,
+          repartitionById = false)
+        .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
+        .distinct().persist())
+    val matched = probeIndexCore(spark, meta, indexPath, bf, shB,
+      minJaccard, maxBucketSize).select(col(idCol))
+    val kept = CacheScope.register(
+      batch.join(matched, Seq(idCol), "left_anti").persist())
+    try {
+      writeKept(kept)
+      val keptIds = kept.select(col(idCol).as("__fid"))
+      bf.join(keptIds, Seq("__fid"), "left_semi")
+        .withColumnRenamed("__fid", "__rid")
+        .withColumn(LshBandBucketCol,
+          pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy(LshBandBucketCol)
+        .parquet(s"$indexPath/$LshBandsDir")
+      shB.join(keptIds, Seq("__fid"), "left_semi")
+        .withColumnRenamed("__fid", "__rid")
+        .withColumn(LshRidBucketCol,
+          pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy(LshRidBucketCol)
+        .parquet(s"$indexPath/$LshShinglesDir")
+    } finally kept.unpersist()
   }
 
   /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the
@@ -1407,7 +1501,8 @@ object Dedup {
       score: (Column, Column) => Column, keep: Column => Column,
       slack: Double, maxListRows: Long = 256L,
       minRefineCandidates: Long = 4000000L, subTarget: Int = 32,
-      subKMax: Int = 256, depth: Int = 3): DataFrame = {
+      subKMax: Int = 256, depth: Int = 3,
+      candRowsPerPartition: Long = 65536L): DataFrame = {
     if (depth <= 0)
       return pairsFromLists(expanded, idCol, vecCol, scoreName, score, keep)
     // __pocc rides only on recursive calls: the parent block's row count,
@@ -1454,13 +1549,23 @@ object Dedup {
     // refinement machinery must not appear in it (fixture-scale runs —
     // and every oracle query — take this arm; the only added cost is
     // this one metadata-sized action over the caller-persisted
-    // expansion).
-    val hotWork = occ.filter(refinable)
-      .agg(coalesce(sum(col("__occh") * col("__occ")), lit(0L)))
-      .head().getLong(0)
+    // expansion). The same action also sums the NON-refinable lists'
+    // candidate work — that is exactly the base join's input volume,
+    // and it sizes the base join's exchange (candidateWidth above)
+    // whichever arm runs.
+    val spark = expanded.sparkSession
+    val works = occ.agg(
+      coalesce(sum(when(refinable, col("__occh") * col("__occ"))),
+        lit(0L)),
+      coalesce(sum(when(!refinable, col("__occh") * col("__occ"))),
+        lit(0L))).head()
+    val hotWork = works.getLong(0)
+    val coldWork = works.getLong(1)
     if (hotWork < math.max(minRefineCandidates, 1L))
       return pairsFromLists(expanded.select(baseCols.map(col): _*),
-        idCol, vecCol, scoreName, score, keep)
+        idCol, vecCol, scoreName, score, keep,
+        width = candidateWidth(spark, hotWork + coldWork,
+          candRowsPerPartition, tag = "lists-all"))
     val flagged = rows.drop("__pocc").join(broadcast(occ), Seq("list_id"))
     val hot = flagged.filter(refinable)
     // deterministic per-list sub-quantizer: every (occh/subk)-th home
@@ -1478,7 +1583,9 @@ object Dedup {
       .unionByName(hot.join(withSub, Seq("list_id"), "left_anti"))
       .select(baseCols.map(col): _*)
     val coldPairs = pairsFromLists(coldRows, idCol, vecCol, scoreName,
-      score, keep)
+      score, keep,
+      width = candidateWidth(spark, coldWork, candRowsPerPartition,
+        tag = "lists-cold"))
     val exploded = hot.join(withSub, Seq("list_id"), "left_semi")
       .join(subq, Seq("list_id"))
       .withColumn("__d", sqDist(col(blockVecCol), col("__subv")))
@@ -1509,18 +1616,69 @@ object Dedup {
     val hotPairs = pairsFromListsRefined(mem2, idCol, vecCol, blockVecCol,
       scoreName, score, keep, slack, maxListRows = maxListRows,
       minRefineCandidates = minRefineCandidates, subTarget = subTarget,
-      subKMax = subKMax, depth = depth - 1)
+      subKMax = subKMax, depth = depth - 1,
+      candRowsPerPartition = candRowsPerPartition)
     coldPairs.unionByName(hotPairs)
   }
 
+  /** Exchange width for a candidate stream of `estRows` rows. The
+    * session's initial width is sized for SCANS (bytes of parquet),
+    * but a similarity join's candidate stream can be orders of
+    * magnitude larger than its inputs, and AQE can only coalesce an
+    * exchange DOWN from the initial width, never split an oversized
+    * uniform exchange UP — so an under-provisioned candidate exchange
+    * spills per task (measured at ×100: q133's candidate stream at
+    * 32-wide spilled past a 66 GB disk; q52's same-window sweep put
+    * its optimum at 256-wide vs the shipped session 64). Clamps:
+    * None when the estimate does not beat the session's own initial
+    * width — the candidate stream then inherits the session plan
+    * unchanged (AQE may still coalesce a tiny stream BELOW cores, so
+    * fixture-scale oracle plans are byte-identical to the unsized
+    * ones); capped at `maxWidth` (per-round scheduler floor — the
+    * 2×cores suite clamp exists because width costs real time on
+    * metadata-sized exchanges; 1024 bounds the one deliberately-wide
+    * join). */
+  private[operators] def candidateWidth(spark: SparkSession,
+                                        estRows: Long,
+                                        rowsPerPartition: Long,
+                                        maxWidth: Int = 1024,
+                                        tag: String = "cand"): Option[Int] = {
+    val conf = spark.conf
+    val session = conf
+      .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .orElse(conf.getOption("spark.sql.shuffle.partitions"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val sized = if (estRows <= 0L) 0L
+      else (estRows + rowsPerPartition - 1L) / rowsPerPartition
+    val w = math.min(maxWidth.toLong, sized)
+    if (w > session) {
+      // observability, same channel as the [cc] round prints: the width
+      // decision is invisible in .explain once AQE renumbers stages
+      println(s"[width] $tag est=$estRows -> $w (session $session)")
+      Some(w.toInt)
+    } else None
+  }
+
+  /** `width` sizes the candidate join's own exchange from the
+    * caller's occupancy stats (Σ home·occ over the lists routed
+    * here): both sides are hash-partitioned on list_id at that width,
+    * so the join itself adds no exchange and its per-task candidate
+    * block is bounded by the estimate, not by the session's
+    * scan-sized initial width. None = inherit the session plan
+    * (callers with no stats — the depth-0 leaf — and estimates the
+    * session width already covers). */
   private def pairsFromLists(expanded: DataFrame, idCol: String,
                              vecCol: String, scoreName: String,
                              score: (Column, Column) => Column,
-                             keep: Column => Column): DataFrame = {
-    val l = expanded.filter(col("is_home"))
-      .select(col("list_id"), col(idCol).as("a"), col(vecCol).as("__va"))
-    val r = expanded.select(col("list_id"), col(idCol).as("b"),
-      col(vecCol).as("__vb"))
+                             keep: Column => Column,
+                             width: Option[Int] = None): DataFrame = {
+    def sized(df: DataFrame): DataFrame =
+      width.map(w => df.repartition(w, col("list_id"))).getOrElse(df)
+    val l = sized(expanded.filter(col("is_home"))
+      .select(col("list_id"), col(idCol).as("a"), col(vecCol).as("__va")))
+    val r = sized(expanded.select(col("list_id"), col(idCol).as("b"),
+      col(vecCol).as("__vb")))
     l.join(r, Seq("list_id"))
       .filter(col("a") < col("b"))
       .withColumn(scoreName, round(score(col("__va"), col("__vb")), 6))

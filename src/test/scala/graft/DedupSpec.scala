@@ -137,6 +137,71 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == 704L)
   }
 
+  test("prefixJaccardPairs: the candidate join sizes its own exchange " +
+      "from the match-block estimate; defaults leave fixture plans " +
+      "unsized") {
+    // The r12 occupancy-sized-exchange contract (the q133 ×100 spill
+    // fix): with a forced 1-row/partition estimate the prefix-prefix
+    // join must carry explicit shingle repartitions on BOTH sides at
+    // one width wider than the session's, and with the default
+    // estimate a fixture-sized corpus must plan NO explicit
+    // numbered shingle repartition (oracle plans unchanged). Results
+    // identical either way.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def numberedShingleRepartitions(
+        df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.count()
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val found = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(p: SparkPlan): Unit = {
+        if (!seen.add(System.identityHashCode(p))) return
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+          case _: ReusedExchangeExec => ()
+          case e: ShuffleExchangeExec =>
+            // REPARTITION_BY_NUM = the sized exchange (explicit width);
+            // the corpus spine's repartition(col) is REPARTITION_BY_COL
+            // and must not count.
+            if (e.shuffleOrigin.toString == "REPARTITION_BY_NUM" &&
+                e.outputPartitioning.toString.contains("shingle"))
+              found += e.outputPartitioning.numPartitions
+            e.children.foreach(walk)
+          case other => other.children.foreach(walk)
+        }
+        p.subqueries.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      found.toSeq
+    }
+    val docs40 = (0 until 40).map { i =>
+      val tail = if (i <= 1) "identical trailing content here"
+                 else s"unique tail $i alpha beta gamma"
+      (i.toLong, s"all rights reserved to $tail")
+    }.toDF("doc_id", "text")
+    val sizedOut = Dedup.prefixJaccardPairs(docs40, "doc_id", "text",
+      n = 3, minJaccard = 0.2, candRowsPerPartition = 1L)
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val widths = numberedShingleRepartitions(sizedOut)
+    assert(widths.size == 2 && widths.distinct.size == 1 &&
+      widths.head > session,
+      s"expected both join sides sized wider than $session: $widths")
+    val defaultOut = Dedup.prefixJaccardPairs(docs40, "doc_id", "text",
+      n = 3, minJaccard = 0.2)
+    assert(numberedShingleRepartitions(defaultOut).isEmpty,
+      "fixture-scale estimate must leave the session plan untouched")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(sizedOut.collect().map(key).toSet ==
+      defaultOut.collect().map(key).toSet)
+    assert(defaultOut.count() == 704L)
+  }
+
   test("editDistancePairs: pigeonhole candidates lose nothing vs brute " +
       "force; insert/delete shifts are caught") {
     import spark.implicits._

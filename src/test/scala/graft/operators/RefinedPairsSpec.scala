@@ -161,6 +161,73 @@ class RefinedPairsSpec extends AnyFunSuite {
     expanded.unpersist()
   }
 
+  test("occupancy-sized exchange: the base join repartitions by list_id " +
+       "at the estimate-derived width; default estimate leaves the plan " +
+       "unsized") {
+    // The r11 ×100 finding: the candidate join inherited the session's
+    // scan-sized initial width and AQE can only coalesce DOWN, so the
+    // per-task candidate block spilled. The fix sizes the join's own
+    // exchange from the occupancy stats (Σ home·occ). Pinned both ways:
+    // a 1-row/partition estimate must produce the 1024-capped explicit
+    // width on BOTH join sides, and the default estimate on this tiny
+    // fixture must produce NO explicit list_id repartition (oracle
+    // plans unchanged).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def listIdRepartitions(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.count()
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val found = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(p: SparkPlan): Unit = {
+        if (!seen.add(System.identityHashCode(p))) return
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+          case _: ReusedExchangeExec => ()
+          case e: ShuffleExchangeExec =>
+            if (e.shuffleOrigin.toString.startsWith("REPARTITION_BY") &&
+                e.outputPartitioning.toString.contains("list_id"))
+              found += e.outputPartitioning.numPartitions
+            e.children.foreach(walk)
+          case other => other.children.foreach(walk)
+        }
+        p.subqueries.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      found.toSeq
+    }
+    val df = skewed(200)
+    val cents = IvfIndex.fitCentroids(df, "embedding", "vec_id", nlist = 2)
+    val slack = 2.0 * math.sqrt(0.5 + 1e-6)
+    val expanded = IvfIndex.assignMultiHomed(
+      df.select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding")), "embedding", cents, slack).persist()
+    def run(rowsPerPart: Long) = Dedup.pairsFromListsRefined(expanded,
+      "vec_id", "embedding", "embedding", "dist",
+      (a, b) => sqDist(a, b), _ <= 0.5, slack,
+      candRowsPerPartition = rowsPerPart)
+    // ~80k candidates on this fixture: at 1 row/partition the width is
+    // the 1024 cap; both the home side and the probe side carry it.
+    val sizedOut = run(1L)
+    val widths = listIdRepartitions(sizedOut)
+    assert(widths == Seq(1024, 1024),
+      s"expected both join sides repartitioned at the 1024 cap: $widths")
+    // default estimate: ~80k candidates / 65536 = 2 <= session width →
+    // no explicit repartition; plan shape is the pre-r12 one.
+    val unsizedOut = run(65536L)
+    assert(listIdRepartitions(unsizedOut).isEmpty,
+      "small estimates must leave the session plan untouched")
+    val got = sizedOut.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == brute(df, 0.5) && got.nonEmpty)
+    assert(unsizedOut.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet == got)
+    expanded.unpersist()
+  }
+
   test("cosine variant at saturation == its own unrefined answer") {
     val df = skewed(400)
     val got = Dedup.embeddingNearDupCosine(df, "vec_id", "embedding",
