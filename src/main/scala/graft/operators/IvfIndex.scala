@@ -657,6 +657,15 @@ object IvfIndex {
     val expandIds = codes
       .filter(sqrt(col("__adist")) - col(PqResCol) <= lit(dk0))
       .select(col(idCol))
+    // DEGRADATION OBSERVABILITY: the exactness contract holds on ANY
+    // collection, but when PQ lower bounds cannot prune (unclusterable
+    // data), "expand = N of N" means the certified path paid a full
+    // vector scan — a cost regime the caller should see, not infer.
+    // Both counts scan the persisted code relation (metadata-cost).
+    val expandN = expandIds.count()
+    val probedN = codes.count()
+    println(s"[pq-exact] expand=$expandN of $probedN probed " +
+      s"(lists ${lists.size} of ${centroids.size}, seed=$seed)")
     probedVecs.join(expandIds, Seq(idCol))
       .withColumn("dist",
         round(sqDist(col(vecCol).cast("array<double>"), qVec), roundTo))

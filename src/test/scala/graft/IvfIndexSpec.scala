@@ -155,6 +155,75 @@ class IvfIndexSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("searchPqExact surfaces its expansion count: full-scan regime " +
+       "on the unclusterable fixture, pruned on separated clusters") {
+    import spark.implicits._
+    // r11 verdict item: the exact contract holds on ANY collection, but
+    // when PQ lower bounds cannot prune, the certified expansion IS the
+    // probed collection — that degradation must be visible, not
+    // inferred. The stat line is the observable; parse it.
+    val rx =
+      """\[pq-exact\] expand=(\d+) of (\d+) probed \(lists (\d+) of (\d+)"""
+        .r.unanchored
+    def statsOf(body: => Unit): (Long, Long, Int, Int) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8"))(body)
+      buf.toString("UTF-8") match {
+        case rx(e1, p1, l1, n1) => (e1.toLong, p1.toLong, l1.toInt, n1.toInt)
+        case other => fail(s"no [pq-exact] stat line in: $other")
+      }
+    }
+    // random-ish fixture: lower bounds can't separate anything — the
+    // expansion must cover (nearly) everything probed
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val p = IvfIndex.fitPq(e, "embedding", "vec_id", m = 8)
+    val index = IvfIndex.withPqResiduals(
+      IvfIndex.withPqCodes(
+        IvfIndex.assign(e, "embedding", "vec_id", cents), "embedding", p),
+      "embedding", p).cache()
+    val total = index.count()
+    val (re, rp, _, _) = statsOf {
+      IvfIndex.searchPqExact(index, "embedding", "vec_id", cents, p,
+        queryVec(3L), k = 10, seed = 10).collect()
+    }
+    assert(rp == total && re == rp,
+      s"unclusterable fixture must show the full-scan regime: $re of $rp" +
+        s" (collection $total)")
+    index.unpersist()
+    // separated clusters with exhaustive codebooks (zero residual):
+    // list pruning + tight bounds must expand far less than the corpus
+    val centers = Seq(
+      Seq(0.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(200.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 200, 0, 0, 0, 0, 0, 0),
+      Seq(0.0, 0, 200, 0, 0, 0, 0, 0))
+    val pts = for (c <- 0 until 4; i <- 0 until 40) yield {
+      val id = (c * 40 + i).toLong
+      val off = (0 until 8).map(d => ((id * 31 + d * 7) % 11).toDouble / 10.0)
+      (id, centers(c).zip(off).map { case (a, b) => a + b })
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val ccents: IvfIndex.Centroids =
+      centers.zipWithIndex.map { case (c, i) => (i, c) }
+    val books = (0 until 4).map { j =>
+      pts.map(_._2.slice(j * 2, j * 2 + 2)).distinct.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+    }
+    val cp = IvfIndex.PqParams(4, 2, books)
+    val cindex = IvfIndex.withPqResiduals(
+      IvfIndex.withPqCodes(
+        IvfIndex.assign(df, "embedding", "vec_id", ccents), "embedding", cp),
+      "embedding", cp).cache()
+    val (ce, cpn, clists, ctot) = statsOf {
+      IvfIndex.searchPqExact(cindex, "embedding", "vec_id", ccents, cp,
+        centers(0).map(_ + 0.05), k = 5, seed = 5).collect()
+    }
+    assert(clists < ctot && cpn <= 40L && ce <= cpn,
+      s"separated clusters must prune: expand=$ce of $cpn, " +
+        s"lists $clists of $ctot")
+    cindex.unpersist()
+  }
+
   test("certifyPqProbed: separated clusters certify a pruned operating " +
        "point; overlapping fixture honestly refuses") {
     import spark.implicits._
