@@ -386,18 +386,15 @@ object EventWindows {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val b = batch.toDF().persist()
-        try {
-          val idCol = graft.operators.Dedup.LshIndexMeta
-            .read(b.sparkSession, indexPath).get.idCol
-          val matched = graft.operators.Dedup
-            .minhashAgainstIndex(b, indexPath, textCol, minJaccard)
-            .select(org.apache.spark.sql.functions.col(idCol))
-          val kept = b.join(matched, Seq(idCol), "left_anti")
-            .persist()
+        // Dedup.crawlStep fuses the loop: the batch's signatures and
+        // shingles are computed once and shared by the screen's
+        // verification and both index appends (the unfused
+        // minhashAgainstIndex + appendRefIndex form recomputed both
+        // pipelines from raw text per batch — the fixed cost that
+        // bounded docs/s at small batches).
+        try graft.operators.Dedup.crawlStep(b, indexPath, textCol,
+          minJaccard) { kept =>
           kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
-          graft.operators.Dedup.appendRefIndex(kept, textCol, indexPath)
-          kept.unpersist()
-          ()
         } finally b.unpersist()
       }
       .start()
