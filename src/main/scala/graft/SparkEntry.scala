@@ -2539,6 +2539,19 @@ object SparkEntry {
     * oracle states. PNG is lossless and gray luma is exact
     * ((299+587+114)/1000 · v = v), so the equality is bit-tight, not
     * statistical. */
+  /** Q160 — TOKENIZER INDUCTION: the BPE merge loop (TextAnalysis.
+    * bpeMerges) over the document corpus, 10 rounds. Per round one
+    * vocab-sized pair-count shuffle over the word-TYPE table + a
+    * metadata-sized driver argmax (highest count, then smallest pair) —
+    * the q92/q108 iterative-rounding contract; the corpus itself is
+    * read once by the initial type count. Oracle: the same 10 rounds
+    * unrolled as CTEs — pair counts from the evolving type relation,
+    * the same tie-break, and the merge applied as the anchored
+    * '·l··r·' → '·lr·' rewrite (left-to-right non-overlapping replace
+    * is identical in both engines and IS BPE's greedy merge order). */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 10)
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2736,6 +2749,7 @@ object SparkEntry {
     "q157_adaptive_saved_range" -> (q157 _),
     "q158_adaptive_saved_knn" -> (q158 _),
     "q159_image_phash_neardup" -> (q159 _),
+    "q160_bpe_merges" -> (q160 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -5211,5 +5225,135 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 8 = b.doc_id % 8
         |ORDER BY a, b""".stripMargin,
+    "q160_bpe_merges" ->
+      """WITH t0 AS (
+        |  SELECT '··' || regexp_replace(w, '(.)', '\1··', 'g') || '_··' AS sym,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY 1
+        |),
+        |p1 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t0)))
+        |  GROUP BY 1, 2
+        |),
+        |b1 AS (SELECT l, r, pc FROM p1 ORDER BY pc DESC, l, r LIMIT 1),
+        |t1 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t0, b1),
+        |p2 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t1)))
+        |  GROUP BY 1, 2
+        |),
+        |b2 AS (SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 1),
+        |t2 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t1, b2),
+        |p3 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t2)))
+        |  GROUP BY 1, 2
+        |),
+        |b3 AS (SELECT l, r, pc FROM p3 ORDER BY pc DESC, l, r LIMIT 1),
+        |t3 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t2, b3),
+        |p4 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t3)))
+        |  GROUP BY 1, 2
+        |),
+        |b4 AS (SELECT l, r, pc FROM p4 ORDER BY pc DESC, l, r LIMIT 1),
+        |t4 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t3, b4),
+        |p5 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t4)))
+        |  GROUP BY 1, 2
+        |),
+        |b5 AS (SELECT l, r, pc FROM p5 ORDER BY pc DESC, l, r LIMIT 1),
+        |t5 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t4, b5),
+        |p6 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t5)))
+        |  GROUP BY 1, 2
+        |),
+        |b6 AS (SELECT l, r, pc FROM p6 ORDER BY pc DESC, l, r LIMIT 1),
+        |t6 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t5, b6),
+        |p7 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t6)))
+        |  GROUP BY 1, 2
+        |),
+        |b7 AS (SELECT l, r, pc FROM p7 ORDER BY pc DESC, l, r LIMIT 1),
+        |t7 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t6, b7),
+        |p8 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t7)))
+        |  GROUP BY 1, 2
+        |),
+        |b8 AS (SELECT l, r, pc FROM p8 ORDER BY pc DESC, l, r LIMIT 1),
+        |t8 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t7, b8),
+        |p9 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t8)))
+        |  GROUP BY 1, 2
+        |),
+        |b9 AS (SELECT l, r, pc FROM p9 ORDER BY pc DESC, l, r LIMIT 1),
+        |t9 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t8, b9),
+        |p10 AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT cnt, toks[i] AS l, toks[i+1] AS r FROM (
+        |      SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM (
+        |        SELECT cnt, list_filter(string_split(sym, '··'), x -> x <> '') AS toks
+        |        FROM t9)))
+        |  GROUP BY 1, 2
+        |),
+        |b10 AS (SELECT l, r, pc FROM p10 ORDER BY pc DESC, l, r LIMIT 1),
+        |t10 AS (SELECT replace(sym, '·'||l||'··'||r||'·', '·'||l||r||'·') AS sym, cnt
+        |         FROM t9, b10)
+        |SELECT 1 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b1
+        |UNION ALL SELECT 2 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b2
+        |UNION ALL SELECT 3 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b3
+        |UNION ALL SELECT 4 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b4
+        |UNION ALL SELECT 5 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b5
+        |UNION ALL SELECT 6 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b6
+        |UNION ALL SELECT 7 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b7
+        |UNION ALL SELECT 8 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b8
+        |UNION ALL SELECT 9 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b9
+        |UNION ALL SELECT 10 AS round, l AS left_sym, r AS right_sym, pc AS pair_count FROM b10
+        |ORDER BY round""".stripMargin,
   )
 }

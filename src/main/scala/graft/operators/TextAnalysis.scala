@@ -820,6 +820,84 @@ object TextAnalysis {
     * aggregate for document frequency, a single-row n_groups aggregate
     * broadcast-crossed, and a per-group top-k window over the (small)
     * distinct-token aggregate — the corpus itself is only read once. */
+  /** TOKENIZER INDUCTION — the byte-pair-encoding merge loop (Sennrich
+    * et al. 2016): "build the vocab from the corpus you just cleaned",
+    * the last missing step of the training-data pipeline. Per round,
+    * count adjacent symbol pairs over the word-TYPE table weighted by
+    * type frequency (ONE vocab-sized shuffle — the corpus itself is
+    * only read by the initial word-count aggregate), pick the argmax
+    * merge on the driver (metadata-sized: one row), and apply it as a
+    * string rewrite. Deterministic tie-break: highest count, then
+    * smallest (left, right) pair lexicographically.
+    *
+    * Scale shape = the q92/q108 iterative-rounding contract: the
+    * evolving state (the merge list) lives on the DRIVER, so the type
+    * table is persisted ONCE and each round's plan is the fixed base
+    * relation plus an N-deep codegen'd replace chain — no growing
+    * data lineage, no per-round checkpoint.
+    *
+    * Representation: word types are lowercased alphabetic tokens
+    * ([a-z]+ after whitespace split — the standard academic cleanup);
+    * each becomes '··'-delimited symbols with a '_' end-of-word marker
+    * ("low" → "··l··o··w··_··"). A merge of (l, r) is the literal
+    * rewrite '·l··r·' → '·lr·': the leading/trailing single '·' anchor
+    * full symbols (no prefix/suffix false matches — every symbol is
+    * [a-z_]+, never containing '·'), and left-to-right non-overlapping
+    * replace semantics (identical in Spark and DuckDB/standard SQL,
+    * which is what makes the oracle expressible) are exactly BPE's
+    * greedy merge order: in "l l l" only the first two merge. Sharing
+    * one delimiter char between adjacent pairs would let the replace
+    * CONSUME the boundary and skip back-to-back occurrences ("a b a b"
+    * merging only once); the doubled delimiter leaves each occurrence
+    * its own anchors.
+    *
+    * @return one row per merge round: (round, left_sym, right_sym,
+    *         pair_count), in round order; stops early if the corpus
+    *         runs out of pairs */
+  def bpeMerges(docs: DataFrame, textCol: String,
+                nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges >= 1")
+    val spark = docs.sparkSession
+    val types = CacheScope.register(docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("__w"))
+      .filter(col("__w").rlike("^[a-z]+$"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .select(concat(lit("··"),
+          regexp_replace(col("__w"), "(.)", "$1··"),
+          lit("_··")).as("__sym"),
+        col("__cnt"))
+      .persist())
+    var merges = Vector.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      // the sym column after all merges so far: a driver-built replace
+      // chain, codegen'd — never a data-side join
+      val symNow = merges.foldLeft(col("__sym")) {
+        case (c, (_, l, rr, _)) =>
+          replace(c, lit("·" + l + "··" + rr + "·"), lit("·" + l + rr + "·"))
+      }
+      val toks = filter(split(symNow, "··"), x => x =!= lit(""))
+      // adjacent pairs (toks[i], toks[i+1]); transform's index is
+      // 0-based over the length-(n-1) prefix slice, element_at 1-based
+      val pairsArr = transform(slice(toks, lit(1), size(toks) - 1),
+        (x, i) => struct(x.as("l"), element_at(toks, i + 2).as("r")))
+      val top = types
+        .select(col("__cnt"), explode(pairsArr).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__cnt")).as("__pc"))
+        .orderBy(col("__pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top.head
+        merges :+= ((r, t.getString(0), t.getString(1), t.getLong(2)))
+      }
+    }
+    import spark.implicits._
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, groupCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
