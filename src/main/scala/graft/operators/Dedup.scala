@@ -221,7 +221,38 @@ object Dedup {
     * collision could merge two shingles (negligible, deterministic). */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minJaccard: Double = 0.5,
-                         candRowsPerPartition: Long = 2000000L): DataFrame = {
+                         candRowsPerPartition: Long = 0L): DataFrame = {
+    val (all, cands) = prefixJaccardCore(docs, idCol, textCol, n,
+      minJaccard, candRowsPerPartition)
+    // Verify: exact intersection count over the candidates' full sets.
+    val c = cands
+      .join(all.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(all.select(col(idCol).as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    c.withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The pre-verification candidate relation of [[prefixJaccardPairs]]
+    * — the stream whose volume decides the operator's scale posture.
+    * Exposed for the candidate-LINEARITY spec: on disjoint corpus
+    * growth (k alphabet-disjoint copies) the positional filter keeps
+    * this stream exactly k-linear, which is the per-node-regime bound
+    * the 100 TB argument rests on. */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame =
+    prefixJaccardCore(docs, idCol, textCol, n, minJaccard, 0L)._2
+
+  private def prefixJaccardCore(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                minJaccard: Double,
+                                candRowsPerPartition: Long)
+      : (DataFrame, DataFrame) = {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
     val all = CacheScope.register(
       shingles(docs, idCol, textCol, n, repartitionById = false)
@@ -269,23 +300,34 @@ object Dedup {
     // (sizes ~1e5 max, so the slack admits no integer below the bound).
     // DISTINCT before verification — a pair can collide on several
     // prefix shingles and must be verified once.
-    // OCCUPANCY-SIZED EXCHANGE: the join's per-task candidate block is
-    // the match-block sum of its task's shingles (Σ c·(c−1)/2 over
-    // prefix occurrences c), which grows with the SQUARE of shingle
-    // popularity while the session's initial width is sized for linear
-    // scan bytes — and AQE can only coalesce DOWN from it. One
-    // metadata-sized action over the persisted prefix relation
-    // estimates the stream; both join sides are then hash-partitioned
-    // on shingle at the estimate-derived width (no extra exchange: the
-    // join reuses the repartition). The DISTINCT keeps its map-side
-    // partial aggregate INSIDE the w-wide join tasks — per-task hash
-    // tables are bounded by the same estimate, and only the partially-
-    // deduped pair stream reaches its exchange. Fixture-scale
-    // estimates clamp to the session width — oracle plans unchanged.
-    val candEst = prefix.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__c"))
-      .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
-      .head().getLong(0) / 2L
+    // OPT-IN SIZED EXCHANGE (candRowsPerPartition > 0): the join's
+    // per-task candidate block is the match-block sum of its task's
+    // shingles (Σ c·(c−1)/2 over prefix occurrences c), quadratic in
+    // shingle popularity while the session's initial width is sized
+    // for linear scan bytes — and AQE can only coalesce DOWN. The
+    // estimate prices that sum per shingle and repartitions both join
+    // sides to the derived width (no extra exchange: the join reuses
+    // the repartition; the DISTINCT's map-side partial aggregate stays
+    // inside the sized join tasks). OFF BY DEFAULT, measured reason:
+    // unlike the IVF path (whose occupancy stats ride an aggregate it
+    // must run anyway), this estimate is a full pre-scan of the
+    // prefix relation — it serializes the cache fill that otherwise
+    // pipelines into the join's own map stage, and at ×100 the stats
+    // action cost 1.6× the whole query (355 s vs 219 s) while the
+    // same-window width sweep put the session width at the optimum
+    // anyway (64: 225 s, 256: 366 s session-wide). The 100 TB posture
+    // is the per-node-regime argument instead, pinned by the
+    // candidate-linearity spec (DedupSpec): the positional filter
+    // keeps the candidate stream LINEAR in disjoint corpus growth, so
+    // a real executor's share at fixed per-node data stays in the
+    // measured linear regime — the ×100 single-box overshoot is spill
+    // past one box's memory, not a scaling defect of the plan.
+    val candEst =
+      if (candRowsPerPartition <= 0L) 0L
+      else prefix.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
+        .head().getLong(0) / 2L
     val w = candidateWidth(docs.sparkSession, candEst,
       candRowsPerPartition, tag = "prefix-jaccard")
     def sized(df: DataFrame): DataFrame =
@@ -302,17 +344,7 @@ object Dedup {
         >= lit(minJaccard) * (col("na") + col("nb")) - lit(1e-6))
       .select(col("a"), col("b"), col("na"), col("nb"))
       .distinct()
-    // Verify: exact intersection count over the candidates' full sets.
-    val c = cands
-      .join(all.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(all.select(col(idCol).as("b"), col("shingle")),
-        Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("c"))
-    c.withColumn("jaccard",
-        round(col("c") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
+    (all, cands)
   }
 
   /** Rarity-WEIGHTED Jaccard similarity join: pairs scored by

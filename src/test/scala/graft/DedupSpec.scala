@@ -137,6 +137,39 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == 704L)
   }
 
+  test("prefixJaccard candidate stream is EXACTLY additive over " +
+      "alphabet-disjoint sub-corpora — the per-node-regime bound") {
+    // The ×100 q133 overshoot is single-box spill, not a scaling
+    // defect: this pins WHY. Cross-alphabet shingles never collide and
+    // the global (df, hash) order restricted to one sub-corpus equals
+    // its stand-alone order, so the pre-verification candidate stream
+    // of a union is the SUM of the parts — per-copy candidate volume
+    // is constant, hence a real executor's share at fixed per-node
+    // data stays in the measured linear regime regardless of corpus
+    // size. Asserted exactly, not approximately.
+    import spark.implicits._
+    def corpus(shift: Int, idBase: Long) = {
+      val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      (0 until 12).map { i =>
+        val doc = (words.drop(i % 3) ++ words.take(4 + (i % 4)))
+          .mkString(" ")
+        (idBase + i, doc.map(c =>
+          if (c >= 'a' && c <= 'h') (c + shift).toChar else c))
+      }
+    }
+    val parts = Seq(corpus(0, 0L), corpus(8, 100L), corpus(16, 200L))
+    val alone = parts.map { p =>
+      Dedup.prefixJaccardCandidates(p.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, minJaccard = 0.5).count()
+    }
+    assert(alone.forall(_ > 0L), s"each copy must produce candidates: $alone")
+    val union = Dedup.prefixJaccardCandidates(
+      parts.flatten.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, minJaccard = 0.5).count()
+    assert(union == alone.sum,
+      s"candidate stream must be exactly additive: $union vs $alone")
+  }
+
   test("prefixJaccardPairs: the candidate join sizes its own exchange " +
       "from the match-block estimate; defaults leave fixture plans " +
       "unsized") {
