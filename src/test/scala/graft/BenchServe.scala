@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the AT-REST SERVING bench — build-once / probe-forever,
+  * timed separately, at any SF dir (the production face of the index
+  * lifecycle, which the per-query BENCH protocol never isolates: q75–
+  * q82 rebuild their index inside the query, so build dominates and
+  * the partition-pruning claims are invisible).
+  *
+  * Knobs scale with data the way a real deployment's do — they are
+  * BUILD-time parameters, so sizing them to the corpus is part of the
+  * contract being measured:
+  *   - vector: nlist = n/4096 (bounded lists) → an nProbe=4 probe
+  *     reads ~4 lists ≈ 16k vectors at ANY corpus size; probe-from-
+  *     disk cost should track that, not the corpus.
+  *   - text: nBuckets = nDocs/3125 (bounded bucket dirs) → a 3-term
+  *     query reads ≤3 bucket directories of shrinking corpus fraction
+  *     + term row-group pushdown; probe cost should track the query
+  *     terms' postings, not the corpus.
+  * The certified-exact vector probe (annSearchPqExact) is reported
+  * too: on this near-uniform fixture its expansion is the whole
+  * collection by contract (the [pq-exact] stat makes that visible),
+  * so it is the honest linear bound the pruned probes beat.
+  *
+  * Probes run 3× with the SQL cache cleared between runs (min
+  * reported — steady-state serving with a warm OS page cache).
+  * Usage: SPARK_GRAFT_SF_DIR=... Test/runMain graft.BenchServe */
+object BenchServe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.withGraftConf(Tables.withBenchShuffle(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"), cpus.toInt, sfDir))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def probeMin(body: => Long): (Double, Long) = {
+      var best = Double.MaxValue; var rows = -1L
+      for (_ <- 1 to 3) {
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        rows = body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, rows)
+    }
+    def freshDir(tag: String): String = {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_serve_${tag}_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      p
+    }
+
+    // ---------------- vector row: IVF layout, list-pruned serving
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val n = e.count()
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val nlist = math.max(16L, n / 4096L).toInt
+    val vecPath = freshDir("vec")
+    val buildVec = secs {
+      VectorIndex.create(e, "embedding", "vec_id", dim, nlist = nlist)
+        .save(vecPath)
+    }
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val idx = VectorIndex.load(spark, vecPath)
+    val (probeAnn, annRows) = probeMin {
+      idx.annSearch(q, k = 12, nProbe = 4).count()
+    }
+    val (probeExact, exactRows) = probeMin {
+      idx.annSearchPqExact(q, k = 12, seed = 48).count()
+    }
+
+    // ---------------- text row: postings index, bucket-pruned serving
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val nBuckets = math.max(16L, nDocs / 3125L).toInt
+    val textPath = freshDir("text")
+    val buildText = secs {
+      operators.TextSearch.buildIndex(docs, "doc_id", "text", textPath,
+        nBuckets = nBuckets)
+    }
+    val (probeText, textRows) = probeMin {
+      operators.TextSearch.bm25Indexed(spark, textPath,
+        Seq("spark", "vector", "query"), k = 20).count()
+    }
+
+    println(
+      s"""{"metric":"serve","sf":"$sfDir","n_vecs":$n,"n_docs":$nDocs,""" +
+      s""""vector":{"nlist":$nlist,"build_secs":$buildVec,""" +
+      s""""probe_ann_secs":$probeAnn,"ann_rows":$annRows,""" +
+      s""""probe_exact_secs":$probeExact,"exact_rows":$exactRows},""" +
+      s""""text":{"n_buckets":$nBuckets,"build_secs":$buildText,""" +
+      s""""probe_secs":$probeText,"rows":$textRows}}""")
+    spark.stop()
+  }
+}
