@@ -85,6 +85,29 @@ private[graft] object CacheScope {
     ds
   }
 
+  /** Sinks: run `body` with a fresh scope and release everything it
+    * captured when it returns OR throws. Correct ONLY for bodies that
+    * fully materialize their effects internally (every consumer action
+    * — writes, counts — happens inside `body`); a body that returns a
+    * lazy frame must use [[collect]] instead, or the release would pull
+    * caches out from under the caller's later action. Exists for the
+    * streaming `foreachBatch` sinks (ADVICE r12: the micro-batch thread
+    * opens no scope, so `register` was a no-op there and a rolling
+    * crawl accumulated two cached relations per batch without bound). */
+  private[graft] def scoped[A](body: => A): A = {
+    val prev = active.get()
+    val buf = new Bufs
+    active.set(buf)
+    try body
+    finally {
+      active.set(prev)
+      Seq.tabulate(buf.dfs.size())(buf.dfs.get)
+        .foreach(_.unpersist(blocking = false))
+      Seq.tabulate(buf.rdds.size())(buf.rdds.get)
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Pipelines: run `body` with a fresh scope; returns (result, captured
     * intermediates). The caller MUST materialize the result before
     * `release()` — for persisted frames dropping them early merely

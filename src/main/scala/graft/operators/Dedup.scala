@@ -969,7 +969,9 @@ object Dedup {
   private def probeIndexCore(spark: SparkSession, meta: LshIndexMeta,
                              indexPath: String, bf: DataFrame,
                              shB: DataFrame, minJaccard: Double,
-                             maxBucketSize: Int): DataFrame = {
+                             maxBucketSize: Int,
+                             excludeRefIds: Option[DataFrame] = None)
+      : DataFrame = {
     require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
     val idCol = meta.idCol
     // the batch's band buckets — a distinct over the (tiny) banded batch
@@ -979,9 +981,23 @@ object Dedup {
       .select(pmod(xxhash64(col("band_val")), lit(meta.nBuckets))
         .cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val br = spark.read.parquet(s"$indexPath/$LshBandsDir")
+    val brAll = spark.read.parquet(s"$indexPath/$LshBandsDir")
       .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
       .drop(LshBandBucketCol)
+    // excludeRefIds (a 1-column `__rid` frame): indexed copies of the
+    // probing batch's OWN docs are not duplicates — crawlStep passes the
+    // batch's id set so an at-least-once replay, whose appends already
+    // committed, screens against exactly the reference set the original
+    // run saw (ADVICE r12: without this, every replayed doc self-matched
+    // at jaccard 1.0, kept went empty, and the batch_id overwrite
+    // replaced good output with an empty directory). The anti-join sits
+    // on the reference side BEFORE the band join, so the bucket-cap
+    // counts in crossBandCandidates are replay-invariant too, not just
+    // the candidate pairs. In a non-replay run crawl ids are fresh and
+    // the anti-join removes nothing.
+    val br = excludeRefIds.fold(brAll)(ex =>
+      brAll.join(ex.select(col("__rid")).distinct(), Seq("__rid"),
+        "left_anti"))
     val cands = crossBandCandidates(bf, br, maxBucketSize)
     // candidate ref docs' shingle buckets — metadata-sized collect
     // (<= nBuckets values), names the shingles/ partitions to verify in
@@ -1013,10 +1029,28 @@ object Dedup {
     * cached-relation scans. Append layout and geometry are byte-
     * compatible with [[appendRefIndex]] (same rename, same bucket
     * expression, same partitionBy), so probe answers are identical —
-    * batch-parity is spec-pinned in StreamingSpec. */
+    * batch-parity is spec-pinned in StreamingSpec.
+    *
+    * Replay safety (at-least-once sinks): the screen EXCLUDES reference
+    * rows whose id is in the batch itself, so a replayed batch — whose
+    * appends may already have committed before the checkpoint did —
+    * screens against exactly the reference set the original run saw and
+    * recomputes the identical `kept` (the batch_id-scoped overwrite is
+    * then a true idempotent rewrite). The re-appends add duplicate
+    * (band, shingle) rows for the kept ids; those change no later probe
+    * answer: band collisions are set-semantics (`cands` is distinct) and
+    * the verification's shingle relations are distinct per (id, hash).
+    *
+    * Cache lifecycle: the whole step runs in a [[CacheScope.scoped]]
+    * block — every intermediate persisted here or in the shared probe
+    * core is released when the step returns or throws. Sound because the
+    * step materializes all its effects internally (writeKept + both
+    * appends); nothing lazy escapes. (ADVICE r12: the foreachBatch
+    * thread opens no pipeline scope, so a rolling crawl leaked two-plus
+    * cached relations per micro-batch.) */
   def crawlStep(batch: DataFrame, indexPath: String, textCol: String,
                 minJaccard: Double = 0.5, maxBucketSize: Int = 1000)
-               (writeKept: DataFrame => Unit): Unit = {
+               (writeKept: DataFrame => Unit): Unit = CacheScope.scoped {
     val spark = batch.sparkSession
     val meta = LshIndexMeta.read(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(
@@ -1032,27 +1066,27 @@ object Dedup {
         .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
         .distinct().persist())
     val matched = probeIndexCore(spark, meta, indexPath, bf, shB,
-      minJaccard, maxBucketSize).select(col(idCol))
+      minJaccard, maxBucketSize,
+      excludeRefIds = Some(batch.select(col(idCol).as("__rid"))))
+      .select(col(idCol))
     val kept = CacheScope.register(
       batch.join(matched, Seq(idCol), "left_anti").persist())
-    try {
-      writeKept(kept)
-      val keptIds = kept.select(col(idCol).as("__fid"))
-      bf.join(keptIds, Seq("__fid"), "left_semi")
-        .withColumnRenamed("__fid", "__rid")
-        .withColumn(LshBandBucketCol,
-          pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy(LshBandBucketCol)
-        .parquet(s"$indexPath/$LshBandsDir")
-      shB.join(keptIds, Seq("__fid"), "left_semi")
-        .withColumnRenamed("__fid", "__rid")
-        .withColumn(LshRidBucketCol,
-          pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy(LshRidBucketCol)
-        .parquet(s"$indexPath/$LshShinglesDir")
-    } finally kept.unpersist()
+    writeKept(kept)
+    val keptIds = kept.select(col(idCol).as("__fid"))
+    bf.join(keptIds, Seq("__fid"), "left_semi")
+      .withColumnRenamed("__fid", "__rid")
+      .withColumn(LshBandBucketCol,
+        pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(LshBandBucketCol)
+      .parquet(s"$indexPath/$LshBandsDir")
+    shB.join(keptIds, Seq("__fid"), "left_semi")
+      .withColumnRenamed("__fid", "__rid")
+      .withColumn(LshRidBucketCol,
+        pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(LshRidBucketCol)
+      .parquet(s"$indexPath/$LshShinglesDir")
   }
 
   /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the
@@ -1332,8 +1366,7 @@ object Dedup {
       labels = next
       val s = repSum(labels) // materializes checkpoint + cache in one job
       prev.unpersist() // round caches don't accumulate
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $rounds sum=$s")
+      graft.Obs.event("cc", "round" -> rounds, "sum" -> s)
       if (prevSum.exists(_.compareTo(s) == 0)) {
         symLoop.unpersist(); sym.unpersist(); edges.unpersist()
         // SQL-cache hygiene: the converged labels are already
@@ -1676,8 +1709,18 @@ object Dedup {
                                         maxWidth: Int = 1024,
                                         tag: String = "cand"): Option[Int] = {
     val conf = spark.conf
-    val session = conf
-      .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    // initialPartitionNum only *means* anything when AQE is on (it is
+    // the coalesce ceiling AQE shrinks from); with AQE off the real
+    // exchange width is shuffle.partitions, and comparing against a
+    // stale/higher initialPartitionNum would wrongly suppress a needed
+    // repartition (ADVICE r12). Unset adaptive.enabled = Spark's
+    // default, which is on.
+    val aqeOn = conf.getOption("spark.sql.adaptive.enabled")
+      .forall(_.equalsIgnoreCase("true"))
+    val session = (if (aqeOn)
+        conf.getOption(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      else None)
       .orElse(conf.getOption("spark.sql.shuffle.partitions"))
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(spark.sparkContext.defaultParallelism)
@@ -1685,9 +1728,10 @@ object Dedup {
       else (estRows + rowsPerPartition - 1L) / rowsPerPartition
     val w = math.min(maxWidth.toLong, sized)
     if (w > session) {
-      // observability, same channel as the [cc] round prints: the width
-      // decision is invisible in .explain once AQE renumbers stages
-      println(s"[width] $tag est=$estRows -> $w (session $session)")
+      // observability: the width decision is invisible in .explain once
+      // AQE renumbers stages — surface it where a deployment can see it
+      graft.Obs.event("width", "tag" -> tag, "est" -> estRows,
+        "width" -> w, "session" -> session)
       Some(w.toInt)
     } else None
   }

@@ -661,11 +661,17 @@ object IvfIndex {
     // collection, but when PQ lower bounds cannot prune (unclusterable
     // data), "expand = N of N" means the certified path paid a full
     // vector scan — a cost regime the caller should see, not infer.
-    // Both counts scan the persisted code relation (metadata-cost).
-    val expandN = expandIds.count()
-    val probedN = codes.count()
-    println(s"[pq-exact] expand=$expandN of $probedN probed " +
-      s"(lists ${lists.size} of ${centroids.size}, seed=$seed)")
+    // The two counts scan the persisted code relation (cheap but real
+    // actions), so they run only when someone will see them
+    // (Obs.withCapture on this thread, or spark.graft.obs=true); the
+    // default serving path pays zero stat-only actions (ADVICE r12).
+    if (graft.Obs.statsWanted(index.sparkSession)) {
+      val expandN = expandIds.count()
+      val probedN = codes.count()
+      graft.Obs.event("pq-exact", "expand" -> expandN,
+        "probed" -> probedN, "lists" -> lists.size,
+        "nlist" -> centroids.size, "seed" -> seed)
+    }
     probedVecs.join(expandIds, Seq(idCol))
       .withColumn("dist",
         round(sqDist(col(vecCol).cast("array<double>"), qVec), roundTo))

@@ -162,16 +162,15 @@ class IvfIndexSpec extends AnyFunSuite {
     // when PQ lower bounds cannot prune, the certified expansion IS the
     // probed collection — that degradation must be visible, not
     // inferred. The stat line is the observable; parse it.
-    val rx =
-      """\[pq-exact\] expand=(\d+) of (\d+) probed \(lists (\d+) of (\d+)"""
-        .r.unanchored
+    // the stat is a structured Obs event (r12 ADVICE: stdout was a
+    // load-bearing API); capturing also flips Obs.statsWanted on this
+    // thread, which is what makes the operator compute the counts at all
     def statsOf(body: => Unit): (Long, Long, Int, Int) = {
-      val buf = new java.io.ByteArrayOutputStream()
-      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8"))(body)
-      buf.toString("UTF-8") match {
-        case rx(e1, p1, l1, n1) => (e1.toLong, p1.toLong, l1.toInt, n1.toInt)
-        case other => fail(s"no [pq-exact] stat line in: $other")
-      }
+      val (_, events) = graft.Obs.withCapture(body)
+      val kv = events.collectFirst { case ("pq-exact", pairs) => pairs.toMap }
+        .getOrElse(fail(s"no pq-exact event in: $events"))
+      (kv("expand").asInstanceOf[Long], kv("probed").asInstanceOf[Long],
+        kv("lists").asInstanceOf[Int], kv("nlist").asInstanceOf[Int])
     }
     // random-ish fixture: lower bounds can't separate anything — the
     // expansion must cover (nearly) everything probed

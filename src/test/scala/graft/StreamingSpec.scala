@@ -244,6 +244,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("crawlStep replay is idempotent: a re-run batch whose appends " +
+       "already committed recomputes the identical kept set") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val refText = "spark shuffles data across executors during wide " +
+      "transformations and the optimizer prunes columns at the scan"
+    val baseB = "a completely different sentence about gardening and " +
+      "rich loamy soil with earthworms and compost in early spring"
+    operators.Dedup.buildRefIndex(
+      Seq((100L, refText)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/idx", nBuckets = 8)
+    // doc 1 dups the standing ref; docs 2 and 3 are within-batch
+    // near-dups of EACH OTHER (the screen is index-only, so both are
+    // kept); doc 4 is unique. The within-batch pair is the hard case:
+    // after the appends commit, a replayed 3 would match 2's indexed
+    // copy (a DIFFERENT id — self-pair exclusion alone cannot save it),
+    // so idempotency requires excluding the batch's whole id set from
+    // the reference side.
+    val batch = Seq(
+      (1L, refText + " extra"),
+      (2L, baseB),
+      (3L, baseB + " indeed"),
+      (4L, "totally novel text about astronomy telescopes and the " +
+        "moons of jupiter visible tonight")).toDF("doc_id", "text")
+    def run(): Set[Long] = {
+      var kept: Set[Long] = null
+      operators.Dedup.crawlStep(batch, s"$tmp/idx", "text") { k =>
+        kept = k.select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      kept
+    }
+    val first = run()
+    assert(first == Set(2L, 3L, 4L), s"first pass kept $first")
+    // at-least-once replay: the index now carries docs 2/3/4's bands and
+    // shingles; without the batch-id exclusion every kept doc
+    // self-matches at jaccard 1.0 and kept collapses to empty
+    val second = run()
+    assert(second == first, s"replay kept $second != original $first")
+    // and a genuinely NEW near-dup of a batch survivor is still caught
+    // (the exclusion is scoped to the probing batch's own ids)
+    var kept3: Set[Long] = null
+    operators.Dedup.crawlStep(
+      Seq((7L, baseB + " truly")).toDF("doc_id", "text"),
+      s"$tmp/idx", "text") { k =>
+      kept3 = k.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(kept3 == Set.empty[Long], s"doc 7 should dup doc 2: $kept3")
+  }
+
+  test("crawlStep releases every cache it takes (no per-micro-batch " +
+       "accumulation on the scope-less foreachBatch thread)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    operators.Dedup.buildRefIndex(
+      Seq((100L, "standing reference document about distributed " +
+        "query engines and shuffle exchanges")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/idx", nBuckets = 8)
+    val batch = Seq(
+      (1L, "first crawled page text mentions volcanoes and glaciers"),
+      (2L, "second crawled page text mentions rivers and deltas"))
+      .toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    operators.Dedup.crawlStep(batch, s"$tmp/idx", "text") { kept =>
+      kept.write.mode("overwrite").parquet(s"$tmp/out/batch_id=0")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "crawlStep left cached relations behind (ADVICE r12: unbounded " +
+        "growth in a long-running rolling crawl)")
+  }
+
   test("streaming funnel equals the batch recurrence (strict, first-anchor)") {
     val dir = SparkTestSession.sf0001
     val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
