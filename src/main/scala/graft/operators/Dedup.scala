@@ -328,8 +328,16 @@ object Dedup {
         .agg(count(lit(1)).as("__c"))
         .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
         .head().getLong(0) / 2L
-    val w = candidateWidth(docs.sparkSession, candEst,
-      candRowsPerPartition, tag = "prefix-jaccard")
+    // GRAFT_PREFIX_WIDTH: measurement override for the candidate-join
+    // width — forces the exchange to N partitions with ZERO stats jobs
+    // (the A/B the r12 verdict asked for: is the rejected estimate's
+    // loss the stats pre-scan, or is a wider join-only exchange itself
+    // a loss here?). Dev knob, same contract as
+    // SPARK_GRAFT_INITIAL_PARTITIONS; not a production path.
+    val forced = sys.env.get("GRAFT_PREFIX_WIDTH")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+    val w = forced.orElse(candidateWidth(docs.sparkSession, candEst,
+      candRowsPerPartition, tag = "prefix-jaccard"))
     def sized(df: DataFrame): DataFrame =
       w.map(df.repartition(_, col("shingle"))).getOrElse(df)
     val cands = sized(prefix.select(col(idCol).as("a"),
@@ -911,11 +919,24 @@ object Dedup {
                                 rowsPerBand: Int, shingleN: Int,
                                 nBuckets: Int,
                                 mode: org.apache.spark.sql.SaveMode): Unit = {
+    // repartition by the partitionBy column before every partitioned
+    // write: each bucket's rows land in exactly ONE task, so a write
+    // emits exactly one file per touched bucket — at ANY batch size
+    // (tasks still parallelize ACROSS buckets for a big ingest).
+    // Without it, every writer task emits a file for every bucket it
+    // holds rows for: tasks × buckets tiny files PER APPEND. Measured
+    // (r13, StreamBench sf0.1): the 8-batch rolling crawl ended at
+    // 10,530 band + 16,407 shingle files for ~20k rows, and the
+    // per-batch relisting of that population — growing with every
+    // append — was the real fixed cost bounding the loop at ~10
+    // docs/s. This is the at-rest ingest geometry fix; compact stays
+    // the long-run file-count answer.
     lshBands(idCol, k, rowsPerBand)(
         minhashSignatures(ref, idCol, textCol, k, shingleN))
       .withColumnRenamed(idCol, "__rid")
       .withColumn(LshBandBucketCol,
         pmod(xxhash64(col("band_val")), lit(nBuckets)).cast("int"))
+      .repartition(col(LshBandBucketCol))
       .write.mode(mode).partitionBy(LshBandBucketCol)
       .parquet(s"$path/$LshBandsDir")
     shingles(ref, idCol, textCol, shingleN, repartitionById = false)
@@ -923,6 +944,7 @@ object Dedup {
       .distinct()
       .withColumn(LshRidBucketCol,
         pmod(xxhash64(col("__rid")), lit(nBuckets)).cast("int"))
+      .repartition(col(LshRidBucketCol))
       .write.mode(mode).partitionBy(LshRidBucketCol)
       .parquet(s"$path/$LshShinglesDir")
   }
@@ -995,9 +1017,14 @@ object Dedup {
     // counts in crossBandCandidates are replay-invariant too, not just
     // the candidate pairs. In a non-replay run crawl ids are fresh and
     // the anti-join removes nothing.
+    // broadcast explicitly: the exclusion set is one batch's ids by
+    // contract, and this runs inside foreachBatch where AQE (and its
+    // runtime broadcast conversion) is disabled — without the hint a
+    // static-stats misestimate would shuffle the whole pruned bands
+    // relation for a per-batch id filter
     val br = excludeRefIds.fold(brAll)(ex =>
-      brAll.join(ex.select(col("__rid")).distinct(), Seq("__rid"),
-        "left_anti"))
+      brAll.join(broadcast(ex.select(col("__rid")).distinct()),
+        Seq("__rid"), "left_anti"))
     val cands = crossBandCandidates(bf, br, maxBucketSize)
     // candidate ref docs' shingle buckets — metadata-sized collect
     // (<= nBuckets values), names the shingles/ partitions to verify in
@@ -1072,11 +1099,17 @@ object Dedup {
     val kept = CacheScope.register(
       batch.join(matched, Seq(idCol), "left_anti").persist())
     writeKept(kept)
+    // same one-file-per-touched-bucket geometry as writeRefRelations
+    // (repartition on the partitionBy column): a rolling crawl appends
+    // every batch, so without it the index's file population grows by
+    // tasks × buckets per batch and the NEXT batch's probes pay the
+    // relisting — the measured ~10 docs/s wall (r13, BASELINE.md)
     val keptIds = kept.select(col(idCol).as("__fid"))
     bf.join(keptIds, Seq("__fid"), "left_semi")
       .withColumnRenamed("__fid", "__rid")
       .withColumn(LshBandBucketCol,
         pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
+      .repartition(col(LshBandBucketCol))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(LshBandBucketCol)
       .parquet(s"$indexPath/$LshBandsDir")
@@ -1084,6 +1117,7 @@ object Dedup {
       .withColumnRenamed("__fid", "__rid")
       .withColumn(LshRidBucketCol,
         pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
+      .repartition(col(LshRidBucketCol))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(LshRidBucketCol)
       .parquet(s"$indexPath/$LshShinglesDir")

@@ -858,15 +858,7 @@ object TextAnalysis {
                 nMerges: Int): DataFrame = {
     require(nMerges >= 1, "nMerges >= 1")
     val spark = docs.sparkSession
-    val types = CacheScope.register(docs
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("__w"))
-      .filter(col("__w").rlike("^[a-z]+$"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
-      .select(concat(lit("··"),
-          regexp_replace(col("__w"), "(.)", "$1··"),
-          lit("_··")).as("__sym"),
-        col("__cnt"))
-      .persist())
+    val types = CacheScope.register(bpeTypes(docs, textCol).persist())
     var merges = Vector.empty[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -876,15 +868,8 @@ object TextAnalysis {
         case (c, (_, l, rr, _)) =>
           replace(c, lit("·" + l + "··" + rr + "·"), lit("·" + l + rr + "·"))
       }
-      val toks = filter(split(symNow, "··"), x => x =!= lit(""))
-      // adjacent pairs (toks[i], toks[i+1]); transform's index is
-      // 0-based over the length-(n-1) prefix slice, element_at 1-based
-      val pairsArr = transform(slice(toks, lit(1), size(toks) - 1),
-        (x, i) => struct(x.as("l"), element_at(toks, i + 2).as("r")))
-      val top = types
-        .select(col("__cnt"), explode(pairsArr).as("__p"))
-        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
-        .agg(sum(col("__cnt")).as("__pc"))
+      val top = bpePairCounts(types.select(col("__cnt"),
+          symNow.as("__sym")))
         .orderBy(col("__pc").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -893,6 +878,124 @@ object TextAnalysis {
         merges :+= ((r, t.getString(0), t.getString(1), t.getLong(2)))
       }
     }
+    import spark.implicits._
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** Word-TYPE table for BPE: one row per distinct lowercased [a-z]+
+    * token with its corpus frequency, symbolized as '··'-delimited
+    * characters + the '_' end-of-word marker (see [[bpeMerges]]). */
+  private def bpeTypes(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(split(lower(col(textCol)), "\\s+")).as("__w"))
+    .filter(col("__w").rlike("^[a-z]+$"))
+    .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    .select(concat(lit("··"),
+        regexp_replace(col("__w"), "(.)", "$1··"),
+        lit("_··")).as("__sym"),
+      col("__cnt"))
+
+  /** Adjacent-symbol pair counts over a (__sym, __cnt) relation:
+    * (l, r, __pc = Σ type-frequency-weighted occurrences). */
+  private def bpePairCounts(types: DataFrame): DataFrame = {
+    val toks = filter(split(col("__sym"), "··"), x => x =!= lit(""))
+    // adjacent pairs (toks[i], toks[i+1]); transform's index is
+    // 0-based over the length-(n-1) prefix slice, element_at 1-based
+    val pairsArr = transform(slice(toks, lit(1), size(toks) - 1),
+      (x, i) => struct(x.as("l"), element_at(toks, i + 2).as("r")))
+    types.select(col("__cnt"), explode(pairsArr).as("__p"))
+      .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("__cnt")).as("__pc"))
+  }
+
+  /** [[bpeMerges]] at production merge counts: identical output (same
+    * counts, same greedy order, same tie-break — spec-pinned equal on
+    * the Sennrich corpus), different round cost. The recount loop pays
+    * one FULL pair recount per round (every type re-exploded through an
+    * r-deep replace chain — fine for tens of merges, quadratic-ish
+    * pain at a real 32k vocabulary). Here the loop maintains the two
+    * relations BPE actually evolves, so a round's data cost is sized
+    * by the types CONTAINING the merged pair, not the corpus:
+    *
+    *   - `state`  (__sym, __cnt): word types after all merges so far.
+    *   - `pc`     (l, r, __pc):   current adjacent-pair counts.
+    *
+    * Per round: argmax over `pc` (vocab-sized, 1-row collect — same
+    * contract as the recount loop); delta = pair counts of affected
+    * types AFTER minus BEFORE the rewrite (exact longs, so the merged
+    * argmax/tie-break ordering is bit-identical to a recount); fold the
+    * delta into `pc` (outer-join merge, drop zeros); rewrite `state`.
+    * Both relations are re-`localCheckpoint`ed eagerly each round —
+    * the evolving state lives in vocab-sized RDD blocks, the lineage
+    * never grows, and the previous round's blocks are unpersisted as
+    * soon as the new ones are materialized (the q47/q108 iterative
+    * contract). Driver state stays one (l, r) pair per round.
+    *
+    * Cost shape: 3 fixed jobs/round (argmax, pc merge, state rewrite).
+    * The round's SHUFFLE terms are the affected types' pair delta plus
+    * one pair-vocabulary-sized merge join; the state rewrite is a
+    * map-only vocab scan. What's gone vs the recount: the per-round
+    * corpus-wide pair re-explode (Σ word-lengths rows through a
+    * shuffle) and the r-deep replace chain whose CPU grows with every
+    * round — the terms that make 32k recount rounds intractable. At
+    * toy scale the extra fixed jobs make delta SLOWER than recount;
+    * the crossover is measured in BASELINE.md (r13). */
+  def bpeMergesDelta(docs: DataFrame, textCol: String,
+                     nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges >= 1")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.execution.LogicalRDD
+    // eager vocab-sized checkpoint; returns the new frame + a handle to
+    // the PREVIOUS round's blocks so the loop can free them immediately
+    def ckpt(df: DataFrame): DataFrame =
+      CacheScope.registerCheckpoint(df.localCheckpoint(true))
+    def blocksOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case l: LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
+    def free(df: DataFrame): Unit =
+      blocksOf(df).foreach(_.unpersist(blocking = false))
+    var state = ckpt(bpeTypes(docs, textCol))
+    var pc = ckpt(bpePairCounts(state))
+    var merges = Vector.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = pc.orderBy(col("__pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges :+= ((r, l, rr, n))
+        val pat = "·" + l + "··" + rr + "·"
+        val rewritten = replace(col("__sym"), lit(pat), lit("·" + l + rr + "·"))
+        // only types containing the merged pair change ANY pair count;
+        // their delta is exact: pairs(after) − pairs(before)
+        val affected = state.filter(col("__sym").contains(pat))
+        val delta = bpePairCounts(
+            affected.select(rewritten.as("__sym"), col("__cnt")))
+          .withColumnRenamed("__pc", "__add")
+          .join(bpePairCounts(affected).withColumnRenamed("__pc", "__sub"),
+            Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("__add"), lit(0L))
+              - coalesce(col("__sub"), lit(0L))).as("__d"))
+          .filter(col("__d") =!= 0L)
+        val pc2 = ckpt(pc.join(delta, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("__pc"), lit(0L))
+              + coalesce(col("__d"), lit(0L))).as("__pc"))
+          .filter(col("__pc") > 0L))
+        val state2 = ckpt(state.select(
+          when(col("__sym").contains(pat), rewritten)
+            .otherwise(col("__sym")).as("__sym"),
+          col("__cnt")))
+        free(pc); free(state)
+        pc = pc2; state = state2
+      }
+    }
+    free(pc); free(state)
     import spark.implicits._
     merges.toDF("round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("round"))

@@ -994,4 +994,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     // → tie (a,_) vs (aa,a): "a"<"aa" → (a,_) 2
     assert(m == Seq((1, "a", "a", 4L), (2, "a", "_", 2L)), m.toString)
   }
+
+  test("bpeMergesDelta ≡ bpeMerges: identical merges on the Sennrich " +
+      "corpus (incl. past exhaustion) and on the greedy-overlap run") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // 10 merges — the q160 operating point; delta maintenance must
+    // reproduce the recount's counts, greedy order, and tie-breaks
+    // exactly (exact longs → bit-identical argmax)
+    assert(rows(TextAnalysis.bpeMergesDelta(docs, "text", 10))
+      == rows(TextAnalysis.bpeMerges(docs, "text", 10)))
+    // run both past pair exhaustion: every word fully merged into one
+    // symbol → both stop at the same round with the same list
+    assert(rows(TextAnalysis.bpeMergesDelta(docs, "text", 60))
+      == rows(TextAnalysis.bpeMerges(docs, "text", 60)))
+    // greedy left-to-right overlap semantics survive the delta rewrite
+    val run = Seq((1L, "aaa aaa"), (2L, "abab cdcd")).toDF("doc_id", "text")
+    assert(rows(TextAnalysis.bpeMergesDelta(run, "text", 6))
+      == rows(TextAnalysis.bpeMerges(run, "text", 6)))
+    // the loop frees every per-round checkpoint it takes (superseded
+    // rounds immediately, the final pair on return) — an unbounded
+    // merge loop must not accumulate vocab-sized RDD blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextAnalysis.bpeMergesDelta(docs, "text", 5).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"bpeMergesDelta leaked RDD blocks: $leaked")
+  }
 }
