@@ -2552,6 +2552,13 @@ object SparkEntry {
   private def q160(s: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 10)
 
+  /** q160's merge loop in DELTA mode (maintained pair counts, per-round
+    * work sized by types containing the merged pair — the production
+    * merge-count path). Same contract, same oracle TEXT as q160: the
+    * equivalence is oracle-gated, not just spec-gated. */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpeMergesDelta(t(s, dir, "documents"), "text", 10)
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2750,6 +2757,7 @@ object SparkEntry {
     "q158_adaptive_saved_knn" -> (q158 _),
     "q159_image_phash_neardup" -> (q159 _),
     "q160_bpe_merges" -> (q160 _),
+    "q161_bpe_merges_delta" -> (q161 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3264,7 +3272,13 @@ object SparkEntry {
       |FROM p GROUP BY shard, bin
       |ORDER BY shard, bin""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // delta-mode BPE is contract-identical to the recount: one oracle
+    // text serves both, so the equivalence is hash-checked by DuckDB
+    // every round, not only by the Sennrich spec
+    ("q161_bpe_merges_delta" -> oracleSqlBase("q160_bpe_merges"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->
       """SELECT p_partkey, p_name FROM part WHERE p_size <= 10
         |ORDER BY p_partkey""".stripMargin,
