@@ -309,7 +309,12 @@ class VectorIndex private (
             IvfIndex.withPqResiduals(withPq, vecCol, p)
           case _ => withPq
         }
-        withRes.write.mode("overwrite").partitionBy("list_id").parquet(path)
+        // one writer task per list -> one file per list (lists are
+        // bounded by construction, ~4k rows; same geometry rule as
+        // compactSaved — without it assign()'s task layout sprays
+        // tasks x lists tiny files that every probe re-lists)
+        withRes.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(path)
         plans.IndexAwareRules.registerIvfIndex(path, c, unit)
         val radii = pqp.map(_ => IvfIndex.listRadii(withRes, vecCol, c))
         (Some(sqp), pqp, radii)
@@ -450,6 +455,9 @@ object VectorIndex {
     // fails here, loudly, instead of writing ragged files
     val layoutCols = spark.read.parquet(path).columns
     encoded.select(layoutCols.map(col): _*)
+      // appends are the rolling-ingest face: one file per touched list
+      // per append, not tasks x lists (r13 geometry rule)
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(path)
     // sidecar refresh from the NEW rows only (metadata-sized jobs)
     val unit = meta.unitNorm.getOrElse(false) && {

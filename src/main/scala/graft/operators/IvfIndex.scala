@@ -265,6 +265,10 @@ object IvfIndex {
   def buildIndex(df: DataFrame, vecCol: String, idCol: String,
                  centroids: Centroids, path: String): Unit =
     assign(df, vecCol, idCol, centroids)
+      // one writer task per list -> one file per list directory (the
+      // r13 geometry rule: assign()'s spread layout would otherwise
+      // write tasks x lists tiny files, paid by every probe's listing)
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
   /** The nProbe list ids nearest to the query vector — pure driver math

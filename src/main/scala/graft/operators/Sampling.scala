@@ -545,6 +545,11 @@ object Sampling {
     * TextSearch.buildIndex). */
   def writeShards(packed: DataFrame, idCol: String, path: String): Unit = {
     packed.withColumn("shard_part", col("shard"))
+      // one writer task per shard -> each shard directory is one file,
+      // the artifact shape a training loader wants (and the r13
+      // geometry rule: otherwise tasks x shards tiny files). Shards
+      // are sized by the packer, so per-task write volume is bounded.
+      .repartition(col("shard_part"))
       .write.partitionBy("shard_part").mode("overwrite")
       .parquet(s"$path/data")
     packManifest(packed, idCol)

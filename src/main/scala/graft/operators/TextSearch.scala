@@ -186,6 +186,11 @@ object TextSearch {
       .agg(count(lit(1)).cast("double").as("__tf"))
       .withColumn(BucketCol,
         pmod(xxhash64(col("__term")), lit(nBuckets)).cast("int"))
+      // one writer task per bucket -> one file per bucket per write
+      // (same geometry rule as compactIndex; without it the postings
+      // agg's task layout sprays tasks x buckets tiny files and every
+      // probe pays the listing — the r13 crawl-loop lesson)
+      .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
     TextIndexMeta.write(spark, path,
       TextIndexMeta(1, idCol, n, sumDl.toDouble / n, nBuckets, Some(sumDl)))
@@ -230,6 +235,9 @@ object TextSearch {
         .agg(count(lit(1)).cast("double").as("__tf"))
         .withColumn(BucketCol,
           pmod(xxhash64(col("__term")), lit(meta.nBuckets)).cast("int"))
+        // rolling appends multiply file count: one file per touched
+        // bucket per append, not tasks x buckets (r13 geometry rule)
+        .repartition(col(BucketCol))
         .write.mode("append").partitionBy(BucketCol).parquet(indexPath)
       val n = meta.nDocs + n2
       val s = sumDl0 + sumDl2

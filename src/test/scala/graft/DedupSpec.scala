@@ -859,4 +859,42 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight.subsetOf(uncapped))
   }
+
+  test("index write geometry: every partitioned write emits at most ONE " +
+      "file per touched bucket dir (the r13 rolling-ingest contract)") {
+    // the file population of an at-rest index must grow by at most
+    // #touched-buckets per write, not tasks x buckets — otherwise a
+    // rolling ingest's probes pay an O(appends x tasks) listing (the
+    // mechanism behind the measured 9 -> 38 docs/s crawl fix)
+    def filesPerDir(root: String): Map[String, Int] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(_.isDirectory).map(sub =>
+        sub.getName -> sub.listFiles().count(_.getName.endsWith(".parquet"))
+      ).toMap
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_geom").toString
+    // LSH index: build + one append, many docs so every bucket is hit
+    // from many upstream tasks
+    val many = docs.repartition(16)
+    Dedup.buildRefIndex(many, "doc_id", "text", s"$tmp/lsh", nBuckets = 8)
+    val afterBuild = filesPerDir(s"$tmp/lsh/${Dedup.LshBandsDir}")
+    assert(afterBuild.nonEmpty && afterBuild.values.max <= 1,
+      s"build wrote >1 file in a bucket dir: $afterBuild")
+    Dedup.appendRefIndex(many.limit(200), "text", s"$tmp/lsh")
+    val afterAppend = filesPerDir(s"$tmp/lsh/${Dedup.LshBandsDir}")
+    assert(afterAppend.values.max <= 2,
+      s"append wrote >1 new file in a bucket dir: $afterAppend")
+    // postings index: same contract on build + append
+    operators.TextSearch.buildIndex(many, "doc_id", "text",
+      s"$tmp/text", nBuckets = 8)
+    val tb = filesPerDir(s"$tmp/text")
+      .filter(_._1.startsWith(operators.TextSearch.BucketCol + "="))
+    assert(tb.nonEmpty && tb.values.max <= 1, s"text build: $tb")
+    operators.TextSearch.appendIndex(
+      many.limit(200).withColumn("doc_id", col("doc_id") + 1000000L),
+      "text", s"$tmp/text")
+    val ta = filesPerDir(s"$tmp/text")
+      .filter(_._1.startsWith(operators.TextSearch.BucketCol + "="))
+    assert(ta.values.max <= 2, s"text append: $ta")
+  }
 }
