@@ -34,3 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// log4j2.properties exists to quiet IN-REPO forked runs (see the file's
+// header); keep it out of the packaged jar so the library never ships a
+// logging override into a deployment's classpath.
+Compile / packageBin / mappings ~= (_.filterNot(_._2 == "log4j2.properties"))

@@ -71,17 +71,25 @@ private[graft] object CacheScope {
     df
   }
 
+  /** The RDD blocks behind a just-`localCheckpoint`ed Dataset — the
+    * blocks live at RDD level, where no SQL-side unpersist can reach
+    * them. None if the plan isn't the bare LogicalRDD leaf
+    * `Dataset.localCheckpoint` returns; the ONE place this extraction
+    * lives (iterative loops that free superseded rounds use it too, so
+    * a Spark plan-shape change is a single fix, not a silent leak in
+    * one of two copies). */
+  private[graft] def checkpointBlocksOf[T](ds: Dataset[T]): Option[RDD[_]] =
+    ds.queryExecution.logical match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Operators: route a just-`localCheckpoint`ed Dataset through here.
-    * Captures the checkpoint's underlying RDD (the blocks live at RDD
-    * level, where no SQL-side unpersist can reach them). The extraction
-    * matches the shape `Dataset.localCheckpoint` returns — a bare
-    * LogicalRDD leaf; anything else is left to the ContextCleaner. */
+    * Anything not matching the checkpoint shape is left to the
+    * ContextCleaner. */
   private[graft] def registerCheckpoint[T](ds: Dataset[T]): Dataset[T] = {
     val buf = active.get()
-    if (buf != null) ds.queryExecution.logical match {
-      case l: LogicalRDD => buf.rdds.add(l.rdd)
-      case _ => ()
-    }
+    if (buf != null) checkpointBlocksOf(ds).foreach(buf.rdds.add)
     ds
   }
 

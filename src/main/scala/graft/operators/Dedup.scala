@@ -322,20 +322,22 @@ object Dedup {
     // a real executor's share at fixed per-node data stays in the
     // measured linear regime — the ×100 single-box overshoot is spill
     // past one box's memory, not a scaling defect of the plan.
-    val candEst =
-      if (candRowsPerPartition <= 0L) 0L
-      else prefix.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("__c"))
-        .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
-        .head().getLong(0) / 2L
     // GRAFT_PREFIX_WIDTH: measurement override for the candidate-join
     // width — forces the exchange to N partitions with ZERO stats jobs
     // (the A/B the r12 verdict asked for: is the rejected estimate's
     // loss the stats pre-scan, or is a wider join-only exchange itself
-    // a loss here?). Dev knob, same contract as
+    // a loss here?). Consulted BEFORE the estimate so the override
+    // really does skip the pre-scan even when candRowsPerPartition is
+    // also set. Dev knob, same contract as
     // SPARK_GRAFT_INITIAL_PARTITIONS; not a production path.
     val forced = sys.env.get("GRAFT_PREFIX_WIDTH")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+    val candEst =
+      if (forced.nonEmpty || candRowsPerPartition <= 0L) 0L
+      else prefix.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") * (col("__c") - 1L)), lit(0L)))
+        .head().getLong(0) / 2L
     val w = forced.orElse(candidateWidth(docs.sparkSession, candEst,
       candRowsPerPartition, tag = "prefix-jaccard"))
     def sized(df: DataFrame): DataFrame =
@@ -931,13 +933,22 @@ object Dedup {
     // append — was the real fixed cost bounding the loop at ~10
     // docs/s. This is the at-rest ingest geometry fix; compact stays
     // the long-run file-count answer.
+    //
+    // Write-parallelism coupling: one-task-per-bucket makes nBuckets
+    // the BULK-BUILD parallelism knob as well as the probe-pruning
+    // knob — size it to the corpus (the BenchServe discipline:
+    // nBuckets ≈ nDocs/3125, so per-bucket volume is constant and
+    // build parallelism grows with data). maxRecordsPerFile is the
+    // safety net for a mis-sized knob: a hot bucket degrades to a few
+    // bounded files instead of one giant one.
     lshBands(idCol, k, rowsPerBand)(
         minhashSignatures(ref, idCol, textCol, k, shingleN))
       .withColumnRenamed(idCol, "__rid")
       .withColumn(LshBandBucketCol,
         pmod(xxhash64(col("band_val")), lit(nBuckets)).cast("int"))
       .repartition(col(LshBandBucketCol))
-      .write.mode(mode).partitionBy(LshBandBucketCol)
+      .write.mode(mode).option("maxRecordsPerFile", 4000000)
+      .partitionBy(LshBandBucketCol)
       .parquet(s"$path/$LshBandsDir")
     shingles(ref, idCol, textCol, shingleN, repartitionById = false)
       .select(col(idCol).as("__rid"), xxhash64(col("shingle")).as("__sh"))
@@ -945,7 +956,8 @@ object Dedup {
       .withColumn(LshRidBucketCol,
         pmod(xxhash64(col("__rid")), lit(nBuckets)).cast("int"))
       .repartition(col(LshRidBucketCol))
-      .write.mode(mode).partitionBy(LshRidBucketCol)
+      .write.mode(mode).option("maxRecordsPerFile", 4000000)
+      .partitionBy(LshRidBucketCol)
       .parquet(s"$path/$LshShinglesDir")
   }
 
@@ -1036,9 +1048,39 @@ object Dedup {
       .filter(col(LshRidBucketCol).isin(ridBuckets: _*))
       .drop(LshRidBucketCol)
       .join(cands.select(col("__rid")).distinct(), Seq("__rid"), "left_semi")
+      // crossVerifyTail's contract requires shR DISTINCT per (id, hash):
+      // the crawl ingest keeps the index duplicate-free by construction
+      // (crawlStep skips re-appends on replay), but one crash window —
+      // shingles append committed, bands append not — can leave a doc's
+      // shingle rows doubled on the NEXT replay. This distinct (over the
+      // pruned, candidate-filtered relation — small) makes that window
+      // harmless instead of inflating later batches' Jaccard into false
+      // duplicate drops.
+      .distinct()
     val shF = shB
       .join(cands.select(col("__fid")).distinct(), Seq("__fid"), "left_semi")
     crossVerifyTail(cands, shF, shR, idCol, minJaccard)
+  }
+
+  /** Batch ids already present in the saved index: the semi-join of the
+    * PRUNED bands relation (an indexed copy of a batch doc has the
+    * batch doc's own band values, so all its rows live in the batch's
+    * band buckets) against the batch id set. Metadata-cost on a clean
+    * run (empty); on an at-least-once replay it names exactly the docs
+    * whose appends already committed. */
+  private def alreadyIndexedIds(spark: SparkSession, meta: LshIndexMeta,
+                                indexPath: String, bf: DataFrame,
+                                batchIds: DataFrame): DataFrame = {
+    val bandBuckets = bf
+      .select(pmod(xxhash64(col("band_val")), lit(meta.nBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$indexPath/$LshBandsDir")
+      .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
+      .select(col("__rid"))
+      .join(broadcast(batchIds.select(col("__rid")).distinct()),
+        Seq("__rid"), "left_semi")
+      .distinct()
   }
 
   /** One ROLLING-CRAWL micro-batch step — the foreachBatch body of the
@@ -1063,10 +1105,21 @@ object Dedup {
     * appends may already have committed before the checkpoint did —
     * screens against exactly the reference set the original run saw and
     * recomputes the identical `kept` (the batch_id-scoped overwrite is
-    * then a true idempotent rewrite). The re-appends add duplicate
-    * (band, shingle) rows for the kept ids; those change no later probe
-    * answer: band collisions are set-semantics (`cands` is distinct) and
-    * the verification's shingle relations are distinct per (id, hash).
+    * then a true idempotent rewrite). The appends are idempotent too:
+    * kept docs already present in the index (detected from the pruned
+    * bands relation — [[alreadyIndexedIds]]) are NOT re-appended, so a
+    * replay leaves the index byte-identical instead of doubling the
+    * kept docs' rows. Duplicate rows would NOT be benign for later
+    * batches: the exact-Jaccard verification reads the index shingle
+    * relation and the hot-bucket cap counts band rows, so doubled rows
+    * would inflate both (a once-replayed index would then wrongly drop
+    * borderline docs and wrongly skip capped buckets — the r13 review
+    * finding). Write order closes the remaining crash windows: shingles
+    * append FIRST, bands second, presence detected from bands (written
+    * last) — a crash between the two re-appends only the missing bands
+    * on replay, and the one unclosable window (shingles committed twice
+    * before bands ever commits) is made harmless by the probe-side
+    * distinct on the pruned shingle relation.
     *
     * Cache lifecycle: the whole step runs in a [[CacheScope.scoped]]
     * block — every intermediate persisted here or in the shared probe
@@ -1099,21 +1152,23 @@ object Dedup {
     val kept = CacheScope.register(
       batch.join(matched, Seq(idCol), "left_anti").persist())
     writeKept(kept)
+    // idempotent ingest: only kept docs NOT already in the index are
+    // appended (presence read from the pruned bands relation — empty on
+    // a clean run, exactly the committed docs on a replay)
+    val appendIds = CacheScope.register(
+      kept.select(col(idCol).as("__rid"))
+        .join(alreadyIndexedIds(spark, meta, indexPath, bf,
+          kept.select(col(idCol).as("__rid"))), Seq("__rid"), "left_anti")
+        .withColumnRenamed("__rid", "__fid")
+        .persist())
     // same one-file-per-touched-bucket geometry as writeRefRelations
     // (repartition on the partitionBy column): a rolling crawl appends
     // every batch, so without it the index's file population grows by
     // tasks × buckets per batch and the NEXT batch's probes pay the
-    // relisting — the measured ~10 docs/s wall (r13, BASELINE.md)
-    val keptIds = kept.select(col(idCol).as("__fid"))
-    bf.join(keptIds, Seq("__fid"), "left_semi")
-      .withColumnRenamed("__fid", "__rid")
-      .withColumn(LshBandBucketCol,
-        pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
-      .repartition(col(LshBandBucketCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy(LshBandBucketCol)
-      .parquet(s"$indexPath/$LshBandsDir")
-    shB.join(keptIds, Seq("__fid"), "left_semi")
+    // relisting — the measured ~10 docs/s wall (r13, BASELINE.md).
+    // Shingles BEFORE bands: presence is detected from bands, so the
+    // bands append is the commit point of the pair (see scaladoc).
+    shB.join(appendIds, Seq("__fid"), "left_semi")
       .withColumnRenamed("__fid", "__rid")
       .withColumn(LshRidBucketCol,
         pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
@@ -1121,6 +1176,14 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(LshRidBucketCol)
       .parquet(s"$indexPath/$LshShinglesDir")
+    bf.join(appendIds, Seq("__fid"), "left_semi")
+      .withColumnRenamed("__fid", "__rid")
+      .withColumn(LshBandBucketCol,
+        pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
+      .repartition(col(LshBandBucketCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(LshBandBucketCol)
+      .parquet(s"$indexPath/$LshBandsDir")
   }
 
   /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the

@@ -944,18 +944,12 @@ object TextAnalysis {
                      nMerges: Int): DataFrame = {
     require(nMerges >= 1, "nMerges >= 1")
     val spark = docs.sparkSession
-    import org.apache.spark.sql.execution.LogicalRDD
-    // eager vocab-sized checkpoint; returns the new frame + a handle to
-    // the PREVIOUS round's blocks so the loop can free them immediately
+    // eager vocab-sized checkpoint; superseded rounds are freed
+    // immediately via the shared block extraction in CacheScope
     def ckpt(df: DataFrame): DataFrame =
       CacheScope.registerCheckpoint(df.localCheckpoint(true))
-    def blocksOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical match {
-        case l: LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
     def free(df: DataFrame): Unit =
-      blocksOf(df).foreach(_.unpersist(blocking = false))
+      CacheScope.checkpointBlocksOf(df).foreach(_.unpersist(blocking = false))
     var state = ckpt(bpeTypes(docs, textCol))
     var pc = ckpt(bpePairCounts(state))
     var merges = Vector.empty[(Int, String, String, Long)]

@@ -189,9 +189,13 @@ object TextSearch {
       // one writer task per bucket -> one file per bucket per write
       // (same geometry rule as compactIndex; without it the postings
       // agg's task layout sprays tasks x buckets tiny files and every
-      // probe pays the listing — the r13 crawl-loop lesson)
+      // probe pays the listing — the r13 crawl-loop lesson). This also
+      // makes nBuckets the BUILD parallelism knob: size it to the
+      // corpus (nDocs/3125 in BenchServe) so per-bucket volume stays
+      // constant; maxRecordsPerFile bounds a mis-sized hot bucket.
       .repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+      .write.mode("overwrite").option("maxRecordsPerFile", 4000000)
+      .partitionBy(BucketCol).parquet(path)
     TextIndexMeta.write(spark, path,
       TextIndexMeta(1, idCol, n, sumDl.toDouble / n, nBuckets, Some(sumDl)))
   }
@@ -238,7 +242,8 @@ object TextSearch {
         // rolling appends multiply file count: one file per touched
         // bucket per append, not tasks x buckets (r13 geometry rule)
         .repartition(col(BucketCol))
-        .write.mode("append").partitionBy(BucketCol).parquet(indexPath)
+        .write.mode("append").option("maxRecordsPerFile", 4000000)
+        .partitionBy(BucketCol).parquet(indexPath)
       val n = meta.nDocs + n2
       val s = sumDl0 + sumDl2
       TextIndexMeta.write(spark, indexPath,

@@ -280,8 +280,20 @@ class StreamingSpec extends AnyFunSuite {
     // at-least-once replay: the index now carries docs 2/3/4's bands and
     // shingles; without the batch-id exclusion every kept doc
     // self-matches at jaccard 1.0 and kept collapses to empty
+    def idxRows() = (
+      spark.read.parquet(s"$tmp/idx/bands").count(),
+      spark.read.parquet(s"$tmp/idx/shingles").count())
+    val rowsAfterFirst = idxRows()
     val second = run()
     assert(second == first, s"replay kept $second != original $first")
+    // and the index itself is REPLAY-STABLE: the re-run appends nothing
+    // (already-indexed kept docs are skipped). Duplicated rows would not
+    // be benign — the exact-Jaccard verification reads the index shingle
+    // relation and the hot-bucket cap counts band rows, so a doubled doc
+    // would inflate later batches' scores into false duplicate drops
+    // (r13 review finding)
+    assert(idxRows() == rowsAfterFirst,
+      s"replay grew the index: $rowsAfterFirst -> ${idxRows()}")
     // and a genuinely NEW near-dup of a batch survivor is still caught
     // (the exclusion is scoped to the probing batch's own ids)
     var kept3: Set[Long] = null
