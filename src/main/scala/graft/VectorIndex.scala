@@ -314,7 +314,10 @@ class VectorIndex private (
         // compactSaved — without it assign()'s task layout sprays
         // tasks x lists tiny files that every probe re-lists)
         withRes.repartition(col("list_id"))
-          .write.mode("overwrite").partitionBy("list_id").parquet(path)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile",
+            operators.WriteGeometry.MaxFileRows)
+          .partitionBy("list_id").parquet(path)
         plans.IndexAwareRules.registerIvfIndex(path, c, unit)
         val radii = pqp.map(_ => IvfIndex.listRadii(withRes, vecCol, c))
         (Some(sqp), pqp, radii)
@@ -458,7 +461,9 @@ object VectorIndex {
       // appends are the rolling-ingest face: one file per touched list
       // per append, not tasks x lists (r13 geometry rule)
       .repartition(col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(path)
+      .write.mode("append")
+      .option("maxRecordsPerFile", operators.WriteGeometry.MaxFileRows)
+      .partitionBy("list_id").parquet(path)
     // sidecar refresh from the NEW rows only (metadata-sized jobs)
     val unit = meta.unitNorm.getOrElse(false) && {
       val m = encoded.agg(max(abs(
@@ -541,7 +546,9 @@ object VectorIndex {
     fs.delete(tmp, true)
     // one writer task per list → one merged file per list directory
     live.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", operators.WriteGeometry.MaxFileRows)
+      .partitionBy("list_id").parquet(tmp.toString)
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("list_id=") || n == TombstoneDir)

@@ -947,7 +947,8 @@ object Dedup {
       .withColumn(LshBandBucketCol,
         pmod(xxhash64(col("band_val")), lit(nBuckets)).cast("int"))
       .repartition(col(LshBandBucketCol))
-      .write.mode(mode).option("maxRecordsPerFile", 4000000)
+      .write.mode(mode)
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .partitionBy(LshBandBucketCol)
       .parquet(s"$path/$LshBandsDir")
     shingles(ref, idCol, textCol, shingleN, repartitionById = false)
@@ -956,7 +957,8 @@ object Dedup {
       .withColumn(LshRidBucketCol,
         pmod(xxhash64(col("__rid")), lit(nBuckets)).cast("int"))
       .repartition(col(LshRidBucketCol))
-      .write.mode(mode).option("maxRecordsPerFile", 4000000)
+      .write.mode(mode)
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .partitionBy(LshRidBucketCol)
       .parquet(s"$path/$LshShinglesDir")
   }
@@ -1004,20 +1006,17 @@ object Dedup {
                              indexPath: String, bf: DataFrame,
                              shB: DataFrame, minJaccard: Double,
                              maxBucketSize: Int,
-                             excludeRefIds: Option[DataFrame] = None)
+                             excludeRefIds: Option[DataFrame] = None,
+                             prunedBands: Option[DataFrame] = None)
       : DataFrame = {
     require(maxBucketSize >= 2, "maxBucketSize >= 2: a 1-doc bucket never pairs")
     val idCol = meta.idCol
-    // the batch's band buckets — a distinct over the (tiny) banded batch
-    // relation; its values are the ONLY partitions of bands/ a collision
-    // can live in
-    val bandBuckets = bf
-      .select(pmod(xxhash64(col("band_val")), lit(meta.nBuckets))
-        .cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val brAll = spark.read.parquet(s"$indexPath/$LshBandsDir")
-      .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
-      .drop(LshBandBucketCol)
+    // the batch's pruned bands relation — callers that need it for more
+    // than the screen (crawlStep's presence check) compute it once via
+    // [[prunedBandsOf]] and pass it in, so the bucket collect and the
+    // directory listing happen once per micro-batch
+    val brAll = prunedBands.getOrElse(
+      prunedBandsOf(spark, meta, indexPath, bf))
     // excludeRefIds (a 1-column `__rid` frame): indexed copies of the
     // probing batch's OWN docs are not duplicates — crawlStep passes the
     // batch's id set so an at-least-once replay, whose appends already
@@ -1062,26 +1061,45 @@ object Dedup {
     crossVerifyTail(cands, shF, shR, idCol, minJaccard)
   }
 
-  /** Batch ids already present in the saved index: the semi-join of the
-    * PRUNED bands relation (an indexed copy of a batch doc has the
-    * batch doc's own band values, so all its rows live in the batch's
-    * band buckets) against the batch id set. Metadata-cost on a clean
-    * run (empty); on an at-least-once replay it names exactly the docs
-    * whose appends already committed. */
-  private def alreadyIndexedIds(spark: SparkSession, meta: LshIndexMeta,
-                                indexPath: String, bf: DataFrame,
-                                batchIds: DataFrame): DataFrame = {
+  /** The saved bands relation pruned to the batch's band buckets — a
+    * distinct over the (tiny) banded batch relation names the ONLY
+    * partitions of bands/ a collision can live in. One bucket collect +
+    * one directory listing; share the returned frame across consumers. */
+  private def prunedBandsOf(spark: SparkSession, meta: LshIndexMeta,
+                            indexPath: String, bf: DataFrame): DataFrame = {
     val bandBuckets = bf
       .select(pmod(xxhash64(col("band_val")), lit(meta.nBuckets))
         .cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     spark.read.parquet(s"$indexPath/$LshBandsDir")
       .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
+      .drop(LshBandBucketCol)
+  }
+
+  /** Batch ids FULLY present in the saved index: ids whose visible band
+    * row count reaches the per-doc band count (every doc with ≥1
+    * shingle has exactly nBands = k/rowsPerBand band rows). Counting —
+    * rather than testing any-row existence — closes the
+    * partial-job-commit window: if a crash left only SOME of a doc's
+    * band files visible, the doc does not pass the threshold and the
+    * replay re-appends it whole (its band rows for the committed subset
+    * are then duplicated — set-semantic candidates are unaffected, the
+    * hot-bucket cap marginally inflated for those buckets — instead of
+    * the alternative, a doc PERMANENTLY missing bands and silently
+    * invisible to future collisions on them). The semi-join runs on the
+    * pruned bands relation the screen already reads (an indexed copy of
+    * a batch doc has the batch doc's own band values, so all its rows
+    * live in the batch's band buckets); empty on a clean run. */
+  private def alreadyIndexedIds(prunedBands: DataFrame,
+                                batchIds: DataFrame,
+                                nBands: Int): DataFrame =
+    prunedBands
       .select(col("__rid"))
       .join(broadcast(batchIds.select(col("__rid")).distinct()),
         Seq("__rid"), "left_semi")
-      .distinct()
-  }
+      .groupBy(col("__rid")).agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= nBands)
+      .select(col("__rid"))
 
   /** One ROLLING-CRAWL micro-batch step — the foreachBatch body of the
     * streaming sink, fused: screen `batch` against the saved index,
@@ -1114,12 +1132,18 @@ object Dedup {
     * relation and the hot-bucket cap counts band rows, so doubled rows
     * would inflate both (a once-replayed index would then wrongly drop
     * borderline docs and wrongly skip capped buckets — the r13 review
-    * finding). Write order closes the remaining crash windows: shingles
-    * append FIRST, bands second, presence detected from bands (written
-    * last) — a crash between the two re-appends only the missing bands
-    * on replay, and the one unclosable window (shingles committed twice
-    * before bands ever commits) is made harmless by the probe-side
-    * distinct on the pruned shingle relation.
+    * finding). Crash windows, precisely: shingles append FIRST, bands
+    * second, presence detected from bands (written last), so a crash
+    * between the two appends means the replay re-appends BOTH — the
+    * bands land once (they never committed), the shingles land twice;
+    * that doubled-shingles state is made harmless by the probe-side
+    * distinct on the pruned shingle relation. Presence is a per-doc
+    * band-row COUNT (>= nBands), not any-row existence, so even a
+    * partial bands job commit re-appends the doc whole (duplicate band
+    * rows for the committed subset — candidates are set-semantic, the
+    * hot-bucket cap marginally inflated for those buckets) rather than
+    * leaving a doc permanently missing bands and invisible to future
+    * collisions on them.
     *
     * Cache lifecycle: the whole step runs in a [[CacheScope.scoped]]
     * block — every intermediate persisted here or in the shared probe
@@ -1145,20 +1169,25 @@ object Dedup {
           repartitionById = false)
         .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
         .distinct().persist())
+    // one bucket collect + one bands/ listing per batch, shared by the
+    // screen and the presence check (r13 review: the first cut listed
+    // and collected twice on the streaming hot path)
+    val brAll = prunedBandsOf(spark, meta, indexPath, bf)
     val matched = probeIndexCore(spark, meta, indexPath, bf, shB,
       minJaccard, maxBucketSize,
-      excludeRefIds = Some(batch.select(col(idCol).as("__rid"))))
+      excludeRefIds = Some(batch.select(col(idCol).as("__rid"))),
+      prunedBands = Some(brAll))
       .select(col(idCol))
     val kept = CacheScope.register(
       batch.join(matched, Seq(idCol), "left_anti").persist())
     writeKept(kept)
-    // idempotent ingest: only kept docs NOT already in the index are
-    // appended (presence read from the pruned bands relation — empty on
-    // a clean run, exactly the committed docs on a replay)
+    // idempotent ingest: only kept docs NOT already fully in the index
+    // are appended (presence counted from the pruned bands relation —
+    // empty on a clean run, exactly the committed docs on a replay)
     val appendIds = CacheScope.register(
       kept.select(col(idCol).as("__rid"))
-        .join(alreadyIndexedIds(spark, meta, indexPath, bf,
-          kept.select(col(idCol).as("__rid"))), Seq("__rid"), "left_anti")
+        .join(alreadyIndexedIds(brAll, kept.select(col(idCol).as("__rid")),
+          meta.k / meta.rowsPerBand), Seq("__rid"), "left_anti")
         .withColumnRenamed("__rid", "__fid")
         .persist())
     // same one-file-per-touched-bucket geometry as writeRefRelations
@@ -1174,6 +1203,7 @@ object Dedup {
         pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
       .repartition(col(LshRidBucketCol))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .partitionBy(LshRidBucketCol)
       .parquet(s"$indexPath/$LshShinglesDir")
     bf.join(appendIds, Seq("__fid"), "left_semi")
@@ -1182,6 +1212,7 @@ object Dedup {
         pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
       .repartition(col(LshBandBucketCol))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .partitionBy(LshBandBucketCol)
       .parquet(s"$indexPath/$LshBandsDir")
   }

@@ -269,7 +269,9 @@ object IvfIndex {
       // r13 geometry rule: assign()'s spread layout would otherwise
       // write tasks x lists tiny files, paid by every probe's listing)
       .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
+      .partitionBy("list_id").parquet(path)
 
   /** The nProbe list ids nearest to the query vector — pure driver math
     * on the metadata-sized centroid table. */

@@ -551,6 +551,7 @@ object Sampling {
       // are sized by the packer, so per-task write volume is bounded.
       .repartition(col("shard_part"))
       .write.partitionBy("shard_part").mode("overwrite")
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .parquet(s"$path/data")
     packManifest(packed, idCol)
       .write.mode("overwrite").parquet(s"$path/manifest")

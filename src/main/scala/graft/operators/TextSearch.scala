@@ -194,7 +194,8 @@ object TextSearch {
       // corpus (nDocs/3125 in BenchServe) so per-bucket volume stays
       // constant; maxRecordsPerFile bounds a mis-sized hot bucket.
       .repartition(col(BucketCol))
-      .write.mode("overwrite").option("maxRecordsPerFile", 4000000)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .partitionBy(BucketCol).parquet(path)
     TextIndexMeta.write(spark, path,
       TextIndexMeta(1, idCol, n, sumDl.toDouble / n, nBuckets, Some(sumDl)))
@@ -242,7 +243,8 @@ object TextSearch {
         // rolling appends multiply file count: one file per touched
         // bucket per append, not tasks x buckets (r13 geometry rule)
         .repartition(col(BucketCol))
-        .write.mode("append").option("maxRecordsPerFile", 4000000)
+        .write.mode("append")
+        .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
         .partitionBy(BucketCol).parquet(indexPath)
       val n = meta.nDocs + n2
       val s = sumDl0 + sumDl2
@@ -336,7 +338,9 @@ object TextSearch {
     fs.delete(tmp, true)
     // one writer task per bucket value → one merged file per directory
     live.repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
+      .partitionBy(BucketCol).parquet(tmp.toString)
     // swap: the old bucket dirs + tombstones go, the compacted bucket
     // dirs move in; the sidecar (still exact) stays untouched
     fs.listStatus(root).foreach { st =>
