@@ -1090,9 +1090,9 @@ object Dedup {
     * pruned bands relation the screen already reads (an indexed copy of
     * a batch doc has the batch doc's own band values, so all its rows
     * live in the batch's band buckets); empty on a clean run. */
-  private def alreadyIndexedIds(prunedBands: DataFrame,
-                                batchIds: DataFrame,
-                                nBands: Int): DataFrame =
+  private[graft] def alreadyIndexedIds(prunedBands: DataFrame,
+                                       batchIds: DataFrame,
+                                       nBands: Int): DataFrame =
     prunedBands
       .select(col("__rid"))
       .join(broadcast(batchIds.select(col("__rid")).distinct()),

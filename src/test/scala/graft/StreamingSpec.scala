@@ -305,6 +305,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept3 == Set.empty[Long], s"doc 7 should dup doc 2: $kept3")
   }
 
+  test("crawl presence check requires the FULL per-doc band count: a " +
+       "partially-committed doc is re-appended whole, never skipped") {
+    import spark.implicits._
+    // the r13 review hole: any-row presence would treat a doc whose
+    // bands append crashed mid job-commit (some files visible, some
+    // not) as fully indexed, permanently losing its remaining bands —
+    // silent recall loss no later batch can detect. Count-based
+    // presence re-appends it whole instead.
+    val nBands = 4
+    val bands = Seq( // (__rid, band_idx) — band_val irrelevant here
+      (1L, 0), (1L, 1),                   // doc 1: PARTIAL (2 of 4)
+      (2L, 0), (2L, 1), (2L, 2), (2L, 3), // doc 2: complete
+      (3L, 0), (3L, 0), (3L, 1), (3L, 1), // doc 3: complete + doubled
+      (3L, 2), (3L, 2), (3L, 3), (3L, 3)) //   (the shingles-twice window)
+      .toDF("__rid", "band_idx")
+    val batch = Seq(1L, 2L, 3L, 4L).toDF("__rid") // 4: not indexed at all
+    val present = operators.Dedup
+      .alreadyIndexedIds(bands, batch, nBands)
+      .collect().map(_.getLong(0)).toSet
+    assert(present == Set(2L, 3L),
+      s"partial doc 1 and absent doc 4 must be re-appended: $present")
+  }
+
   test("crawlStep releases every cache it takes (no per-micro-batch " +
        "accumulation on the scope-less foreachBatch thread)") {
     import spark.implicits._
