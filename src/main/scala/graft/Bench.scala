@@ -72,7 +72,14 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Ascending-cost key order: the driver's bench artifact keeps only
+    // the TAIL of an over-long JSON line (r12/r13 both archived with a
+    // head-truncated map), so cheapest-first ordering makes the
+    // surviving tail carry the expensive half of the suite — the half
+    // every cross-round comparison actually reads (r13 VERDICT). JSON
+    // objects are order-insensitive, so any complete parse is
+    // unaffected.
+    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

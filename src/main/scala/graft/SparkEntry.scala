@@ -2559,6 +2559,29 @@ object SparkEntry {
   private def q161(s: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.bpeMergesDelta(t(s, dir, "documents"), "text", 10)
 
+  /** Q162 — COMPACTION of the saved LSH reference index
+    * (Dedup.compactRefIndex): q80's build + append + probe with the
+    * fourth lifecycle verb between ingest and probe. The appends leave
+    * one file per touched bucket per ingest; compact merges each
+    * bucket's files into one and drops any crash-window duplicate
+    * rows — and the probe must be unable to tell: q162 shares q80's
+    * oracle (= q68's recompute oracle), so build / append / compact /
+    * probe and the one-shot recompute all hash-match the same answer. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_idxc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    operators.Dedup.buildRefIndex(ref.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", path, nBuckets = 16)
+    operators.Dedup.appendRefIndex(ref.filter(col("doc_id") % 10 =!= 0),
+      "text", path)
+    operators.Dedup.compactRefIndex(s, path)
+    operators.Dedup.minhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), path, "text")
+      .orderBy(col("doc_id"))
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2758,6 +2781,7 @@ object SparkEntry {
     "q159_image_phash_neardup" -> (q159 _),
     "q160_bpe_merges" -> (q160 _),
     "q161_bpe_merges_delta" -> (q161 _),
+    "q162_lsh_index_compact" -> (q162 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3276,7 +3300,10 @@ object SparkEntry {
     // delta-mode BPE is contract-identical to the recount: one oracle
     // text serves both, so the equivalence is hash-checked by DuckDB
     // every round, not only by the Sennrich spec
-    ("q161_bpe_merges_delta" -> oracleSqlBase("q160_bpe_merges"))
+    ("q161_bpe_merges_delta" -> oracleSqlBase("q160_bpe_merges")) +
+    // compaction is physically invisible to the probe: same oracle as
+    // the saved-index probe (which itself shares the recompute oracle)
+    ("q162_lsh_index_compact" -> duckCrossDedupOracle)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

@@ -114,6 +114,38 @@ object StreamBench {
     } finally dq.stop()
     val dedupSecs = (System.nanoTime() - t1) / 1e9
     val kept = spark.read.parquet(s"$work/crawl_out").count()
+
+    // ---------- crawl epilogue: the COMPACT verb on the crawled index.
+    // The write-geometry rule bounds appends at one file per touched
+    // bucket per batch, so after nBatches the population is
+    // O(buckets × batches); compact is the long-run floor (r13
+    // VERDICT: the LSH layout was the one without the verb). Measured
+    // here where it matters — on the index the crawl just grew — with
+    // the same probe timed either side of it.
+    def idxFiles(): Long = {
+      def cnt(dir: String): Long = {
+        val root = java.nio.file.Paths.get(idxPath, dir)
+        val st = java.nio.file.Files.walk(root)
+        try st.filter(f => f.toString.endsWith(".parquet")).count()
+        finally st.close()
+      }
+      cnt(graft.operators.Dedup.LshBandsDir) +
+        cnt(graft.operators.Dedup.LshShinglesDir)
+    }
+    def probeSecs(): Double = {
+      val t = System.nanoTime()
+      graft.operators.Dedup.minhashAgainstIndex(
+        streamDocs.filter(col("__b") === 0).drop("__b"), idxPath, "text")
+        .count()
+      (System.nanoTime() - t) / 1e9
+    }
+    val filesBefore = idxFiles()
+    val probeBefore = probeSecs()
+    val tC = System.nanoTime()
+    graft.operators.Dedup.compactRefIndex(spark, idxPath)
+    val compactSecs = (System.nanoTime() - tC) / 1e9
+    val filesAfter = idxFiles()
+    val probeAfter = probeSecs()
     streamDocs.unpersist()
 
     val total = funnelSecs + dedupSecs
@@ -125,7 +157,11 @@ object StreamBench {
       s""""out_rows":$funnelOut,"state_rows_max":$stateMax},""" +
       s""""dedup":{"rows":$nStream,"secs":$dedupSecs,""" +
       s""""rows_per_sec":${(nStream / dedupSecs).round},""" +
-      s""""kept":$kept},"sf":"$sfDir"}""")
+      s""""kept":$kept},""" +
+      s""""compact":{"files_before":$filesBefore,""" +
+      s""""files_after":$filesAfter,"secs":$compactSecs,""" +
+      s""""probe_before_secs":$probeBefore,""" +
+      s""""probe_after_secs":$probeAfter},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

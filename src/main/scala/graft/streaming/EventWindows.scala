@@ -372,12 +372,17 @@ object EventWindows {
     * Batch-parity: each micro-batch's kept set equals what
     * Dedup.minhashAgainstIndex + anti-join would keep given the same
     * index state (spec-pinned in StreamingSpec). foreachBatch gives
-    * at-least-once sink semantics on restart — the batch-id parquet
-    * subdirectory of `outPath` makes replayed batches overwrite
-    * instead of duplicate, and re-appending a replayed batch to the
-    * index only adds duplicate band/shingle rows, which change no
-    * probe answer (bands join distinct, shingles count distinct after
-    * the index's distinct write — so screening stays correct). */
+    * at-least-once sink semantics on restart; a replayed batch is safe
+    * by two mechanisms in Dedup.crawlStep, NOT because duplicate index
+    * rows would be benign (they are not — doubled shingle rows inflate
+    * later batches' exact-Jaccard into false drops, the r13 finding):
+    * (1) the screen excludes reference rows whose id is in the batch
+    * itself, so the replay sees exactly the reference set the original
+    * run saw and recomputes the identical `kept` — the batch-id
+    * parquet subdirectory of `outPath` then makes the rewrite a true
+    * idempotent overwrite; (2) appends are presence-gated — kept docs
+    * already fully indexed (all band indices visible) are skipped — so
+    * the replay leaves the index byte-identical. */
   def dedupAgainstIndexSink(docs: DataFrame, indexPath: String,
                             textCol: String, outPath: String,
                             checkpoint: String,

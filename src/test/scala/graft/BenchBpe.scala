@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   * secs/round for the LAST block of rounds (rounds [n/2, n] — the
   * marginal cost, where the recount's growth shows).
   * Usage: SPARK_GRAFT_SF_DIR=... Test/runMain graft.BenchBpe [maxMerges]
+  *        [mode] — optional 2nd arg "delta" or "recount" runs one mode
+  *        only (the 1k+-merge anchor wants delta alone: the recount's
+  *        growing marginal makes it minutes-per-point there, and its
+  *        curve is already recorded to 320).
   */
 object BenchBpe {
   def main(args: Array[String]): Unit = {
@@ -34,7 +38,8 @@ object BenchBpe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     val points = Iterator.iterate(10)(_ * 2).takeWhile(_ <= maxMerges).toSeq
-    for (n <- points; mode <- Seq("recount", "delta")) {
+    val modes = args.lift(1).map(Seq(_)).getOrElse(Seq("recount", "delta"))
+    for (n <- points; mode <- modes) {
       val half = secs {
         (if (mode == "delta")
           graft.operators.TextAnalysis.bpeMergesDelta(docs, "text", n / 2)

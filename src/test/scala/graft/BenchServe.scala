@@ -81,6 +81,30 @@ object BenchServe {
       idx.annSearchPqExact(q, k = 12, seed = 48).count()
     }
 
+    // ---------------- recall row: is the FAST pruned probe also GOOD
+    // at these exact deployment knobs? (r13 VERDICT: probe speed was
+    // recorded at 3 SFs, recall only ever at fixture scale.) 64 query
+    // vectors drawn from the corpus itself; truth = exact top-k by
+    // brute force (Search.knnBatch); approx = the SAME annSearch call
+    // the timing row measures, same nlist/nProbe.
+    val recallK = 12
+    val qRows = e.orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding")).collect()
+    val approxAll = qRows.map { r =>
+      idx.annSearch(r.getSeq[Float](1).map(_.toDouble), k = recallK,
+          nProbe = 4)
+        .select(lit(r.getLong(0)).as("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val exactAll = operators.Search.knnBatch(e, "embedding", "vec_id",
+      e.orderBy(col("vec_id")).limit(64)
+        .select(col("vec_id").as("qid"), col("embedding")),
+      "embedding", "qid", k = recallK)
+    val rec = operators.Search.recallAtK(
+        approxAll, exactAll.select(col("qid"), col("vec_id")),
+        "qid", "vec_id")
+      .agg(avg(col("recall")), min(col("recall"))).head()
+    val (recMean, recMin) = (rec.getDouble(0), rec.getDouble(1))
+
     // ---------------- text row: postings index, bucket-pruned serving
     val docs = Tables.load(spark, sfDir, "documents")
     val nDocs = docs.count()
@@ -99,7 +123,9 @@ object BenchServe {
       s"""{"metric":"serve","sf":"$sfDir","n_vecs":$n,"n_docs":$nDocs,""" +
       s""""vector":{"nlist":$nlist,"build_secs":$buildVec,""" +
       s""""probe_ann_secs":$probeAnn,"ann_rows":$annRows,""" +
-      s""""probe_exact_secs":$probeExact,"exact_rows":$exactRows},""" +
+      s""""probe_exact_secs":$probeExact,"exact_rows":$exactRows,""" +
+      s""""recall":{"k":$recallK,"n_queries":64,"n_probe":4,""" +
+      s""""mean":$recMean,"min":$recMin}},""" +
       s""""text":{"n_buckets":$nBuckets,"build_secs":$buildText,""" +
       s""""probe_secs":$probeText,"rows":$textRows}}""")
     spark.stop()

@@ -897,4 +897,68 @@ class DedupSpec extends AnyFunSuite {
       .filter(_._1.startsWith(operators.TextSearch.BucketCol + "="))
     assert(ta.values.max <= 2, s"text append: $ta")
   }
+
+  test("compactRefIndex: probe bit-identical across compaction, one " +
+      "file per bucket after, crash-window duplicate rows dropped") {
+    def filesPerDir(root: String): Map[String, Int] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(_.isDirectory).map(sub =>
+        sub.getName -> sub.listFiles().count(_.getName.endsWith(".parquet"))
+      ).toMap
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshc").toString
+    val idx = s"$tmp/idx"
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val fresh = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.buildRefIndex(ref.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", idx, nBuckets = 8)
+    Dedup.appendRefIndex(ref.filter(col("doc_id") % 10 =!= 0), "text", idx)
+    // simulate BOTH crash windows the probe tolerates at read time:
+    // doubled shingle rows (shingles committed, bands not, replay
+    // re-appended both) and duplicate PARTIAL band rows (partial bands
+    // job commit followed by a whole re-append)
+    val shPath = s"$idx/${Dedup.LshShinglesDir}"
+    val bPath = s"$idx/${Dedup.LshBandsDir}"
+    // localCheckpoint materializes the dup rows BEFORE the append, so
+    // the write never scans the directory it is appending to
+    spark.read.parquet(shPath).filter(col("__rid") % 7 === 0)
+      .localCheckpoint()
+      .write.mode("append").partitionBy(Dedup.LshRidBucketCol)
+      .parquet(shPath)
+    spark.read.parquet(bPath)
+      .filter(col("__rid") % 7 === 0 && col("band_idx") < 2)
+      .localCheckpoint()
+      .write.mode("append").partitionBy(Dedup.LshBandBucketCol)
+      .parquet(bPath)
+    def probe() = Dedup.minhashAgainstIndex(fresh, idx, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    val before = probe()
+    Dedup.compactRefIndex(spark, idx)
+    val after = probe()
+    assert(after === before && after.nonEmpty,
+      "compaction changed probe answers")
+    // and both equal the from-scratch recompute (absolute anchor, not
+    // just before/after relative)
+    val want = Dedup.minhashAgainst(fresh, ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    assert(after === want)
+    // physical contract: ONE file per bucket directory in both
+    // relations (build=1 + append=1 + dup-append made it 2-3 before)
+    val shFiles = filesPerDir(shPath)
+    val bFiles = filesPerDir(bPath)
+    assert(shFiles.nonEmpty && shFiles.values.max <= 1, s"shingles: $shFiles")
+    assert(bFiles.nonEmpty && bFiles.values.max <= 1, s"bands: $bFiles")
+    // the duplicate rows are physically gone, not just probe-masked
+    Seq(shPath, bPath).foreach { pth =>
+      val df = spark.read.parquet(pth)
+      assert(df.count() == df.distinct().count(),
+        s"$pth still holds duplicate rows after compact")
+    }
+    // staging directories cleaned up
+    val leftover = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.endsWith(".compacting"))
+    assert(leftover.isEmpty, s"staging left behind: ${leftover.toList}")
+  }
 }

@@ -393,6 +393,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val m1 = operators.Sampling.readShardManifest(spark, path)
     val m2 = operators.Sampling.packManifest(packed, "doc_id")
     assert(m1.except(m2).count() == 0 && m2.except(m1).count() == 0)
+    // each shard file is physically ordered by (bin, offset_in_bin) —
+    // the sequential-read contract a training loader relies on (ADVICE
+    // r13: the write-geometry repartition alone scatters the order).
+    // Read WITHOUT a sort and check monotonicity per file.
+    val fileOrder = spark.read.parquet(s"$path/data")
+      .select(input_file_name().as("f"), col("bin"), col("offset_in_bin"),
+        monotonically_increasing_id().as("pos"))
+      .collect().groupBy(_.getString(0))
+    fileOrder.foreach { case (f, rows) =>
+      val inFile = rows.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(inFile == inFile.sorted,
+        s"shard file $f not in (bin, offset) order: ${inFile.take(8)}")
+    }
   }
 
   test("packSequences: concat-then-chunk bins, straddle spills, order-stable") {

@@ -318,14 +318,21 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 0), (1L, 1),                   // doc 1: PARTIAL (2 of 4)
       (2L, 0), (2L, 1), (2L, 2), (2L, 3), // doc 2: complete
       (3L, 0), (3L, 0), (3L, 1), (3L, 1), // doc 3: complete + doubled
-      (3L, 2), (3L, 2), (3L, 3), (3L, 3)) //   (the shingles-twice window)
+      (3L, 2), (3L, 2), (3L, 3), (3L, 3), //   (the shingles-twice window)
+      (5L, 0), (5L, 1),                   // doc 5: partial commit (2 of 4)
+      (5L, 0), (5L, 1), (5L, 2))          //   + PARTIAL re-append (3 of 4):
+                                          //   5 raw rows >= 4, band 3 absent
       .toDF("__rid", "band_idx")
-    val batch = Seq(1L, 2L, 3L, 4L).toDF("__rid") // 4: not indexed at all
+    // 4: not indexed at all
+    val batch = Seq(1L, 2L, 3L, 4L, 5L).toDF("__rid")
     val present = operators.Dedup
       .alreadyIndexedIds(bands, batch, nBands)
       .collect().map(_.getLong(0)).toSet
+    // doc 5 is the ADVICE r13 masking case: a raw ROW count (>= nBands)
+    // would call it present and band 3 would be permanently invisible
+    // to future collisions; the distinct-band_idx count re-appends it
     assert(present == Set(2L, 3L),
-      s"partial doc 1 and absent doc 4 must be re-appended: $present")
+      s"docs 1/4/5 must be re-appended, 2/3 skipped: $present")
   }
 
   test("crawlStep releases every cache it takes (no per-micro-batch " +
