@@ -2582,6 +2582,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q163 — tombstone DELETION from the saved LSH reference index
+    * (Dedup.deleteFromRefIndex): the full ref slice is indexed, the
+    * %10==0 half is tombstoned — no partition file rewritten — and the
+    * probe must answer what an index REBUILT on the survivors would:
+    * deleted docs vanish from band candidates, from the hot-bucket
+    * cap's membership, and therefore from every match. The oracle IS
+    * the survivors-only recompute (ref predicate doc_id % 10 = 5). The
+    * crawl takedown path: q81/q82's contract for the LSH layout. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_idxt_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    operators.Dedup.buildRefIndex(ref, "doc_id", "text", path,
+      nBuckets = 16)
+    operators.Dedup.deleteFromRefIndex(s, path,
+      ref.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+    operators.Dedup.minhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), path, "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q164 — the FULL LSH lifecycle in one query: build on half the ref
+    * slice, append the other half, tombstone the %10==0 docs, compact
+    * (tombstones applied physically, buckets merged to one file each,
+    * tombstone dir gone), then probe. Shares q163's survivors-only
+    * oracle — four lifecycle verbs later, the probe still answers
+    * exactly what a fresh build on the survivors would (the q94/q95
+    * contract for the LSH layout). */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_idxlc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    operators.Dedup.buildRefIndex(ref.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", path, nBuckets = 16)
+    operators.Dedup.appendRefIndex(ref.filter(col("doc_id") % 10 =!= 0),
+      "text", path)
+    operators.Dedup.deleteFromRefIndex(s, path,
+      ref.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+    operators.Dedup.compactRefIndex(s, path)
+    operators.Dedup.minhashAgainstIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), path, "text")
+      .orderBy(col("doc_id"))
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2782,6 +2828,8 @@ object SparkEntry {
     "q160_bpe_merges" -> (q160 _),
     "q161_bpe_merges_delta" -> (q161 _),
     "q162_lsh_index_compact" -> (q162 _),
+    "q163_lsh_index_delete" -> (q163 _),
+    "q164_lsh_lifecycle" -> (q164 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3303,7 +3351,14 @@ object SparkEntry {
     ("q161_bpe_merges_delta" -> oracleSqlBase("q160_bpe_merges")) +
     // compaction is physically invisible to the probe: same oracle as
     // the saved-index probe (which itself shares the recompute oracle)
-    ("q162_lsh_index_compact" -> duckCrossDedupOracle)
+    ("q162_lsh_index_compact" -> duckCrossDedupOracle) +
+    // deletion answers the rebuilt-on-survivors recompute (ref slice
+    // minus the tombstoned %10==0 half = doc_id % 10 = 5), and the
+    // full four-verb lifecycle must land on the same answer
+    ("q163_lsh_index_delete" ->
+      duckCrossDedup("doc_id % 5 != 0", "doc_id % 10 = 5")) +
+    ("q164_lsh_lifecycle" ->
+      duckCrossDedup("doc_id % 5 != 0", "doc_id % 10 = 5"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

@@ -889,6 +889,7 @@ object Dedup {
   val LshShinglesDir = "shingles"
   val LshBandBucketCol = "__bb"
   val LshRidBucketCol = "__rb"
+  val LshTombstoneDir = "tombstones"
 
   /** Materialize the reference side of [[minhashAgainst]] at `path`:
     * banded MinHash signatures (nBands rows per doc) under `bands/`,
@@ -1081,9 +1082,56 @@ object Dedup {
       .select(pmod(xxhash64(col("band_val")), lit(meta.nBuckets))
         .cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$indexPath/$LshBandsDir")
-      .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
-      .drop(LshBandBucketCol)
+    lshLiveOnly(spark, indexPath,
+      spark.read.parquet(s"$indexPath/$LshBandsDir")
+        .filter(col(LshBandBucketCol).isin(bandBuckets: _*))
+        .drop(LshBandBucketCol))
+  }
+
+  /** Tombstone anti-join for the saved LSH layout — a no-op when no
+    * delete has ever run. Sits at the ONE chokepoint every consumer of
+    * the saved bands relation reads through ([[prunedBandsOf]]), and
+    * BELOW the hot-bucket cap and the band join, so deleted docs
+    * vanish from collision candidates, cap membership, AND the crawl
+    * presence check — the probe equals an index rebuilt on the
+    * survivors exactly (q163 carries a survivors-only oracle). The
+    * verification shingle relation needs no filter of its own: its
+    * rows are semi-joined to the band join's candidates, which cannot
+    * name a tombstoned doc. */
+  private def lshLiveOnly(spark: SparkSession, indexPath: String,
+                          bands: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(indexPath, LshTombstoneDir)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) bands
+    else bands.join(spark.read.parquet(t.toString), Seq("__rid"),
+      "left_anti")
+  }
+
+  /** Tombstone-delete reference documents from a saved LSH index — the
+    * third lifecycle verb (build / append / delete / compact), same
+    * contract as TextSearch.deleteFromIndex and VectorIndex.deleteSaved:
+    * an id relation lands under `tombstones/`, no partition file is
+    * rewritten, and every probe anti-joins it below the candidate and
+    * cap logic, so results equal a rebuild on the survivors (q163).
+    * The crawl's takedown path: a doc removed from the standing corpus
+    * stops shadowing future near-duplicates immediately.
+    *
+    * Caller contract (shared with the append verbs): ids are never
+    * reused — a tombstoned id re-appended later stays masked until
+    * [[compactRefIndex]] purges both its rows and its tombstone, after
+    * which the id may be ingested fresh. */
+  def deleteFromRefIndex(spark: SparkSession, indexPath: String,
+                         ids: DataFrame): Unit = {
+    LshIndexMeta.read(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
+    require(ids.columns.length == 1, "pass a single-column id relation")
+    // sidecar untouched: the LSH meta stores signature geometry only,
+    // no corpus aggregates (unlike the postings index's N/avgdl)
+    ids.select(col(ids.columns.head).as("__rid")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/$LshTombstoneDir")
   }
 
   /** Batch ids FULLY present in the saved index: ids whose visible
@@ -1242,8 +1290,12 @@ object Dedup {
     * O(64 · batches) files, and every later probe's directory listing
     * pays that population — compact is the long-run file-count floor
     * the r13 record named without shipping. Each relation is rewritten
-    * to what [[buildRefIndex]] over the current corpus would have
-    * produced physically: rows DEDUPLICATED — the doubled shingle rows
+    * to what [[buildRefIndex]] over the current SURVIVOR corpus would
+    * have produced physically: tombstoned docs' rows dropped and the
+    * tombstone directory removed (the [[deleteFromRefIndex]] debt paid,
+    * re-licensing deleted ids for fresh ingest — q164 probes the full
+    * build/append/delete/compact lifecycle against a survivors-only
+    * oracle); rows DEDUPLICATED — the doubled shingle rows
     * of the shingles-committed/bands-not crash window and the
     * duplicate band rows of a partial bands job commit, tolerated at
     * probe time by set-semantic candidates, the distinct'd
@@ -1269,7 +1321,10 @@ object Dedup {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/$dir.compacting")
       fs.delete(tmp, true)
-      spark.read.parquet(root.toString)
+      // tombstoned docs leave BOTH relations for good here (bands feed
+      // candidates, shingles feed verification — the delete verb masks
+      // them at probe time, compact pays the debt physically)
+      lshLiveOnly(spark, indexPath, spark.read.parquet(root.toString))
         .distinct() // crash-window duplicate rows leave the layout here
         .repartition(col(bucketCol))
         .write.mode("overwrite")
@@ -1288,6 +1343,11 @@ object Dedup {
     }
     compactRelation(LshBandsDir, LshBandBucketCol)
     compactRelation(LshShinglesDir, LshRidBucketCol)
+    // both relations are survivor-only now; the tombstones are applied
+    // and disappear (same end state as TextSearch.compactIndex)
+    val tPath = new org.apache.hadoop.fs.Path(indexPath, LshTombstoneDir)
+    tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tPath, true)
   }
 
   /** Per-document SimHash (nBits <= 64): bit j comes from the sign of the

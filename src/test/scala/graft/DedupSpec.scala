@@ -961,4 +961,40 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getName).filter(_.endsWith(".compacting"))
     assert(leftover.isEmpty, s"staging left behind: ${leftover.toList}")
   }
+
+  test("deleteFromRefIndex: tombstoned docs answer as a rebuild on the " +
+      "survivors; compact applies the tombstones physically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsht").toString
+    val idx = s"$tmp/idx"
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val fresh = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.buildRefIndex(ref, "doc_id", "text", idx, nBuckets = 8)
+    Dedup.deleteFromRefIndex(spark, idx,
+      ref.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+    def probe() = Dedup.minhashAgainstIndex(fresh, idx, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    // the contract: delete-at-rest ≡ rebuild on the survivors
+    val survivors = ref.filter(col("doc_id") % 10 =!= 0)
+    val want = Dedup.minhashAgainst(fresh, survivors, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    val afterDelete = probe()
+    assert(afterDelete === want && want.nonEmpty)
+    // and strictly fewer matches than the undeleted index would give
+    // (the fixture plants near-dups across the %10 boundary)
+    val allRef = Dedup.minhashAgainst(fresh, ref, "doc_id", "text")
+      .agg(sum(col("n_ref_dups"))).head().getLong(0)
+    assert(afterDelete.map(_._2).sum < allRef,
+      "deleting half the ref slice should lose some matches")
+    // compact pays the tombstone debt physically: dir gone, rows gone,
+    // probe identical
+    Dedup.compactRefIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/${Dedup.LshTombstoneDir}").exists(),
+      "tombstone dir should disappear on compact")
+    val deadRows = spark.read.parquet(s"$idx/${Dedup.LshBandsDir}")
+      .filter(col("__rid") % 10 === 0).count()
+    assert(deadRows == 0, s"tombstoned band rows survived compact: $deadRows")
+    assert(probe() === want, "probe changed across compact")
+  }
 }
