@@ -2628,6 +2628,53 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q165 — at-rest ingest into the SAVED GRID layout
+    * (VectorIndex.appendSaved, r14): the fixed grid is fitted and saved
+    * on the EVEN half of the 2-D part fixture, the odd half appends at
+    * rest — cell ids from the sidecar's frozen geometry, new files
+    * internally cell-sorted so row-group pruning survives — and the
+    * loaded index must answer q25/q3's range query over the union
+    * exactly (shares that oracle verbatim). Odd-half rows outside the
+    * even-half extent clamp into boundary cells on both the write and
+    * enumeration sides (GridIndex.ballCoordRanges), so they stay
+    * findable — the r3-at-rest analog the IVF layout got in r7. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_grid_app_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val p = partVec(s, dir).select("p_partkey", "p_retailprice",
+      "p_size", "vec")
+    val even = p.filter(col("p_partkey") % 2 === 0)
+    VectorIndex.create(even, "vec", "p_partkey", dim = 2,
+      cellsPerDim = 8).save(path)
+    VectorIndex.appendSaved(s, path,
+      p.filter(col("p_partkey") % 2 =!= 0))
+    VectorIndex.load(s, path)
+      .rangeSearch(Seq(910.0, 25.0), 20.0)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q166 — at-rest ingest into the SAVED ADAPTIVE layout: q165's
+    * lifecycle with the two-level grid (hot set fitted on the even
+    * half, FROZEN for the append — a cell drifting over rowCap waits
+    * for rebuild, the documented drift contract), probed with q158's
+    * exact-kNN query and oracle. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_adpt_app_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val p = partVec(s, dir).select("p_partkey", "p_retailprice",
+      "p_size", "vec")
+    val even = p.filter(col("p_partkey") % 2 === 0)
+    VectorIndex.create(even, "vec", "p_partkey", dim = 2,
+      cellsPerDim = 8, rowCap = 20, refine = 4).save(path)
+    VectorIndex.appendSaved(s, path,
+      p.filter(col("p_partkey") % 2 =!= 0))
+    VectorIndex.load(s, path)
+      .knn(Seq(910.0, 25.0), 10)
+      .select(col("p_partkey"), col("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2830,6 +2877,8 @@ object SparkEntry {
     "q162_lsh_index_compact" -> (q162 _),
     "q163_lsh_index_delete" -> (q163 _),
     "q164_lsh_lifecycle" -> (q164 _),
+    "q165_grid_append_saved" -> (q165 _),
+    "q166_adaptive_append_saved" -> (q166 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3358,7 +3407,12 @@ object SparkEntry {
     ("q163_lsh_index_delete" ->
       duckCrossDedup("doc_id % 5 != 0", "doc_id % 10 = 5")) +
     ("q164_lsh_lifecycle" ->
-      duckCrossDedup("doc_id % 5 != 0", "doc_id % 10 = 5"))
+      duckCrossDedup("doc_id % 5 != 0", "doc_id % 10 = 5")) +
+    // at-rest grid/adaptive append: persistence + ingest must change
+    // nothing — the union answers the original full-corpus oracles
+    ("q165_grid_append_saved" -> oracleSqlBase("q25_range_pruned")) +
+    ("q166_adaptive_append_saved" ->
+      oracleSqlBase("q158_adaptive_saved_knn"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

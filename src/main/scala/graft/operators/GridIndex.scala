@@ -168,7 +168,17 @@ object GridIndex {
     (0 until spec.dim).map { i =>
       val lo = math.floor((q(i) - r - spec.origin(i)) / spec.width(i)).toLong
       val hi = math.floor((q(i) + r - spec.origin(i)) / spec.width(i)).toLong
-      (math.max(lo, 0L), math.min(hi, spec.cells(i) - 1L))
+      // BOTH endpoints clamp into [0, cells-1] — not just lo from below
+      // and hi from above. Rows are stored with cellCoord's clamped
+      // coordinate (appendSaved admits out-of-box vectors), and the
+      // clamp is monotone, so a ball containing a point always
+      // enumerates the point's clamped cell IFF the query ranges clamp
+      // the same way; one-sided clamping turned a ball fully beyond the
+      // grid into an empty range and silently missed boundary-clamped
+      // rows (caught by the r14 out-of-box append spec). For any ball
+      // that intersects the grid the two forms are identical.
+      (math.min(math.max(lo, 0L), spec.cells(i) - 1L),
+       math.max(math.min(hi, spec.cells(i) - 1L), 0L))
     }
 
   private def cartesian(ranges: Seq[(Long, Long)]): Seq[Seq[Long]] =

@@ -104,6 +104,25 @@ object BenchServe {
         "qid", "vec_id")
       .agg(avg(col("recall")), min(col("recall"))).head()
     val (recMean, recMin) = (rec.getDouble(0), rec.getDouble(1))
+    // the recall/nProbe CURVE: what one more probe buys (recall) and
+    // costs (probe seconds) at this corpus size — the knob a
+    // deployment actually turns. On the near-uniform bench fixture
+    // recall tracks ~nProbe/nlist (no cluster structure to exploit);
+    // a clustered corpus (q115's harness) does better per probe.
+    val sweep = Seq(4, 8, 16, math.max(nlist / 2, 24)).distinct
+      .filter(_ <= nlist).map { np =>
+        val (pSecs, _) = probeMin { idx.annSearch(q, k = 12, nProbe = np)
+          .count() }
+        val ap = qRows.map { r =>
+          idx.annSearch(r.getSeq[Float](1).map(_.toDouble), k = recallK,
+              nProbe = np)
+            .select(lit(r.getLong(0)).as("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        val rw = operators.Search.recallAtK(
+            ap, exactAll.select(col("qid"), col("vec_id")), "qid", "vec_id")
+          .agg(avg(col("recall"))).head().getDouble(0)
+        s"""{"n_probe":$np,"probe_secs":$pSecs,"mean_recall":$rw}"""
+      }.mkString("[", ",", "]")
 
     // ---------------- text row: postings index, bucket-pruned serving
     val docs = Tables.load(spark, sfDir, "documents")
@@ -125,7 +144,8 @@ object BenchServe {
       s""""probe_ann_secs":$probeAnn,"ann_rows":$annRows,""" +
       s""""probe_exact_secs":$probeExact,"exact_rows":$exactRows,""" +
       s""""recall":{"k":$recallK,"n_queries":64,"n_probe":4,""" +
-      s""""mean":$recMean,"min":$recMin}},""" +
+      s""""mean":$recMean,"min":$recMin},""" +
+      s""""recall_sweep":$sweep},""" +
       s""""text":{"n_buckets":$nBuckets,"build_secs":$buildText,""" +
       s""""probe_secs":$probeText,"rows":$textRows}}""")
     spark.stop()

@@ -415,15 +415,7 @@ class VectorIndexSpec extends AnyFunSuite {
       "appended rows for this fixture") // guards the fixture, not the op
   }
 
-  test("appendSaved refuses grid layouts and ragged dims") {
-    val low = randomDf(50, 2, 7)
-    val gpath = java.nio.file.Files
-      .createTempDirectory("graft_vi_appg").toString + "/idx"
-    VectorIndex.create(low, "vec", "id", dim = 2).save(gpath)
-    val eg = intercept[IllegalArgumentException] {
-      VectorIndex.appendSaved(spark, gpath, low)
-    }
-    assert(eg.getMessage.contains("IVF layouts only"))
+  test("appendSaved refuses ragged dims") {
     val hi = randomDf(80, 16, 9)
     val path = java.nio.file.Files
       .createTempDirectory("graft_vi_appd").toString + "/idx"
@@ -432,6 +424,86 @@ class VectorIndexSpec extends AnyFunSuite {
       VectorIndex.appendSaved(spark, path, randomDf(5, 8, 11))
     }
     assert(ed.getMessage.contains("dim"))
+  }
+
+  test("appendSaved on GRID layouts: frozen stored geometry, sorted new " +
+      "files, pruned search exact over the union — incl. out-of-box rows") {
+    val df = randomDf(300, 2, 21)
+    val even = df.filter(col("id") % 2 === 0)
+    val odd = df.filter(col("id") % 2 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_appg").toString + "/idx"
+    VectorIndex.create(even, "vec", "id", dim = 2).save(path)
+    val specBefore = IndexMeta.read(spark, path).get.grid.get
+    val countsBefore = IndexMeta.read(spark, path).get.cellCountsMap.get
+    VectorIndex.appendSaved(spark, path, odd)
+    val metaAfter = IndexMeta.read(spark, path).get
+    // geometry FROZEN: spec identical (a re-fit from the union would
+    // re-key every stored cell_id)
+    assert(metaAfter.grid.get == specBefore)
+    // cellCounts merged exactly: totals equal the union's rows
+    assert(metaAfter.cellCountsMap.get.values.sum == 300)
+    assert(countsBefore.values.sum == even.count())
+    // range + kNN over the loaded union equal brute force
+    val re = VectorIndex.load(spark, path)
+    val q = Seq(10.0, -5.0)
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(t => (t._2, t._1)).toSeq
+    val knnGot = sorted(re.knn(q, 7)
+      .select(col("id"), col("dist")).collect())
+    val knnWant = sorted(Search.knn(df, "vec", "id",
+        array(q.map(lit): _*), 7)
+      .select(col("id"), col("dist")).collect())
+    assert(knnGot == knnWant)
+    assert(knnGot.exists(_._1 % 2 == 1),
+      "union result should include appended rows for this fixture")
+    // OUT-OF-BOX appended rows clamp into boundary cells on BOTH the
+    // write and enumeration sides, so they stay findable: plant a
+    // point far outside the fitted extent and range-search around it
+    import spark.implicits._
+    val far = Seq((9001L, Seq(500.0, 500.0), "payload_far"))
+      .toDF("id", "vec", "name")
+    VectorIndex.appendSaved(spark, path, far)
+    val hit = VectorIndex.load(spark, path)
+      .rangeSearch(Seq(500.0, 500.0), 1.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(hit == Set(9001L),
+      s"out-of-box appended row must remain findable: $hit")
+  }
+
+  test("appendSaved on ADAPTIVE layouts: stored hot set frozen, probes " +
+      "exact over the union") {
+    val df = randomDf(400, 2, 33)
+    val even = df.filter(col("id") % 2 === 0)
+    val odd = df.filter(col("id") % 2 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_appa").toString + "/idx"
+    VectorIndex.create(even, "vec", "id", dim = 2, cellsPerDim = 8,
+      rowCap = 10, refine = 4).save(path)
+    val hotBefore = IndexMeta.read(spark, path).get.adaptive.get.hot
+    VectorIndex.appendSaved(spark, path, odd)
+    assert(IndexMeta.read(spark, path).get.adaptive.get.hot == hotBefore,
+      "append must not re-fit the hot set")
+    val re = VectorIndex.load(spark, path)
+    val q = Seq(10.0, -5.0)
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(t => (t._2, t._1)).toSeq
+    val got = sorted(re.knn(q, 9)
+      .select(col("id"), col("dist")).collect())
+    val want = sorted(Search.knn(df, "vec", "id",
+        array(q.map(lit): _*), 9)
+      .select(col("id"), col("dist")).collect())
+    assert(got == want)
+    val rng = re.rangeSearch(Seq(10.0, -5.0), 10.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val rngWant = df.withColumn("d",
+        graft.functions.VectorFunctions.sqDist(col("vec"),
+          array(lit(10.0), lit(-5.0))))
+      .filter(col("d") <= 100.0).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rng == rngWant && rngWant.nonEmpty)
   }
 
   test("deleteSaved: tombstoned rows vanish from every search path; " +
