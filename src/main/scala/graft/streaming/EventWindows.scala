@@ -382,11 +382,23 @@ object EventWindows {
     * parquet subdirectory of `outPath` then makes the rewrite a true
     * idempotent overwrite; (2) appends are presence-gated — kept docs
     * already fully indexed (all band indices visible) are skipped — so
-    * the replay leaves the index byte-identical. */
+    * the replay leaves the index byte-identical.
+    *
+    * `compactEvery = n` (0 = never) runs Dedup.compactRefIndex after
+    * every n-th micro-batch — the maintenance loop a real deployment
+    * interleaves with ingest, since each append adds ≤1 file per
+    * touched bucket and the file population otherwise grows without
+    * bound (r14 measurement: 8 appends left 1,152 files, compact
+    * floors it at one per bucket dir = 128 and halved the next probe).
+    * Safe under replay: compaction is probe-invariant by contract
+    * (q162's oracle), so re-running it after a replayed batch changes
+    * no answer; a crash mid-compact leaves the pre-compact layout
+    * serviceable (the `.compacting` staging contract). */
   def dedupAgainstIndexSink(docs: DataFrame, indexPath: String,
                             textCol: String, outPath: String,
                             checkpoint: String,
-                            minJaccard: Double = 0.5): StreamingQuery =
+                            minJaccard: Double = 0.5,
+                            compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -397,9 +409,13 @@ object EventWindows {
         // minhashAgainstIndex + appendRefIndex form recomputed both
         // pipelines from raw text per batch — the fixed cost that
         // bounded docs/s at small batches).
-        try graft.operators.Dedup.crawlStep(b, indexPath, textCol,
-          minJaccard) { kept =>
-          kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+        try {
+          graft.operators.Dedup.crawlStep(b, indexPath, textCol,
+            minJaccard) { kept =>
+            kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+          }
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+            graft.operators.Dedup.compactRefIndex(b.sparkSession, indexPath)
         } finally b.unpersist()
       }
       .start()

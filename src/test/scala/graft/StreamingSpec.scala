@@ -244,6 +244,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("rolling crawl with compactEvery: interleaved maintenance changes " +
+       "no kept set, floors the file count, and later batches still " +
+       "dedup against compacted state") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crawlc").toString
+    val baseA = "spark shuffles data across executors during wide " +
+      "transformations and the optimizer prunes columns at the scan"
+    val baseB = "a completely different sentence about gardening and " +
+      "rich loamy soil with earthworms and compost in early spring"
+    operators.Dedup.buildRefIndex(Seq((100L, baseA)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/idx", nBuckets = 8)
+    val srcDir = s"$tmp/src"
+    Seq((1L, baseA + " extra"), (2L, baseB))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    // compact after EVERY batch — the most adversarial cadence: every
+    // later batch probes and presence-checks compacted state only
+    val q = EventWindows.dedupAgainstIndexSink(stream, s"$tmp/idx", "text",
+      s"$tmp/out", s"$tmp/ckpt", compactEvery = 1)
+    try {
+      q.processAllAvailable()
+      Seq((3L, baseB + " indeed"),
+          (4L, "totally novel text about astronomy telescopes and the " +
+            "moons of jupiter visible tonight"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // identical kept set to the uncompacted crawl test above
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+    // the file population sits at the compacted floor: at most one
+    // parquet file per bucket dir in both relations
+    Seq(operators.Dedup.LshBandsDir, operators.Dedup.LshShinglesDir)
+      .foreach { d =>
+        val dirs = new java.io.File(s"$tmp/idx/$d").listFiles()
+          .filter(_.isDirectory)
+        assert(dirs.nonEmpty)
+        dirs.foreach { sub =>
+          val n = sub.listFiles().count(_.getName.endsWith(".parquet"))
+          assert(n <= 1, s"$d/${sub.getName}: $n files after compact")
+        }
+      }
+    // and the compacted index still answers the batch probe exactly
+    // (survivors 2 and 4 indexed; a fresh near-dup of 2 must match)
+    val m = operators.Dedup.minhashAgainstIndex(
+      Seq((9L, baseB + " truly")).toDF("doc_id", "text"),
+      s"$tmp/idx", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(m == Set(9L))
+  }
+
   test("crawlStep replay is idempotent: a re-run batch whose appends " +
        "already committed recomputes the identical kept set") {
     import spark.implicits._
