@@ -98,6 +98,11 @@ object StreamBench {
     def writeDocBatch(i: Int): Unit = streamDocs.filter(col("__b") === i)
       .drop("__b").coalesce(1).write.mode("append").parquet(docDir)
     writeDocBatch(0)
+    // SPARK_GRAFT_CRAWL_COMPACT_EVERY > 0 interleaves compactRefIndex
+    // with ingest at that batch cadence — measuring the SUSTAINED
+    // maintenance loop, not just the one-shot epilogue sweep below
+    val compactEvery = sys.env
+      .getOrElse("SPARK_GRAFT_CRAWL_COMPACT_EVERY", "0").toInt
     val t1 = System.nanoTime()
     val dq = graft.streaming.EventWindows.dedupAgainstIndexSink(
       spark.readStream.schema(
@@ -107,7 +112,8 @@ object StreamBench {
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType))))
         .parquet(docDir),
-      idxPath, "text", s"$work/crawl_out", s"$work/crawl_ckpt")
+      idxPath, "text", s"$work/crawl_out", s"$work/crawl_ckpt",
+      compactEvery = compactEvery)
     try {
       dq.processAllAvailable()
       for (i <- 1 until nBatches) { writeDocBatch(i); dq.processAllAvailable() }
@@ -158,7 +164,7 @@ object StreamBench {
       s""""dedup":{"rows":$nStream,"secs":$dedupSecs,""" +
       s""""rows_per_sec":${(nStream / dedupSecs).round},""" +
       s""""kept":$kept},""" +
-      s""""compact":{"files_before":$filesBefore,""" +
+      s""""compact":{"every":$compactEvery,"files_before":$filesBefore,""" +
       s""""files_after":$filesAfter,"secs":$compactSecs,""" +
       s""""probe_before_secs":$probeBefore,""" +
       s""""probe_after_secs":$probeAfter},"sf":"$sfDir"}""")

@@ -124,6 +124,46 @@ object BenchServe {
         s"""{"n_probe":$np,"probe_secs":$pSecs,"mean_recall":$rw}"""
       }.mkString("[", ",", "]")
 
+    // ---------------- clustered-recall row: the FAVORABLE regime at
+    // the same corpus SIZE. The bench embeddings are near-uniform —
+    // the IVF worst case, where recall can only track the probed
+    // fraction. Real embedding corpora cluster; here a clustered
+    // corpus of the SAME n and dim is derived deterministically from
+    // the data itself (every vector pulled 4:1 toward one of nlist
+    // anchor vectors, anchor = vec_id % nlist — engine arithmetic
+    // only, no RNG), indexed with the SAME knobs, and recall@12 at
+    // nProbe=4 measured the same way. The uniform row is the floor;
+    // this is what the same index does when the data has the
+    // structure IVF exploits.
+    val anchors = e.orderBy(col("vec_id")).limit(nlist)
+      .select((col("vec_id") % nlist).as("__a"),
+        col("embedding").cast("array<double>").as("__av"))
+    val clustered = e
+      .select(col("vec_id"), (col("vec_id") % nlist).as("__a"),
+        col("embedding").cast("array<double>").as("__v"))
+      .join(broadcast(anchors), "__a")
+      .select(col("vec_id"), zip_with(col("__av"), col("__v"),
+        (a, x) => a * 4.0 + x).as("embedding"))
+      .persist()
+    clustered.count()
+    val cIdx = VectorIndex.create(clustered, "embedding", "vec_id", dim,
+      nlist = nlist)
+    val cq = clustered.orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding")).collect()
+    val cApprox = cq.map { r =>
+      cIdx.annSearch(r.getSeq[Double](1), k = recallK, nProbe = 4)
+        .select(lit(r.getLong(0)).as("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val cExact = operators.Search.knnBatch(clustered, "embedding",
+      "vec_id", clustered.orderBy(col("vec_id")).limit(64)
+        .select(col("vec_id").as("qid"), col("embedding")),
+      "embedding", "qid", k = recallK)
+    val cRec = operators.Search.recallAtK(
+        cApprox, cExact.select(col("qid"), col("vec_id")), "qid", "vec_id")
+      .agg(avg(col("recall")), min(col("recall"))).head()
+    val (cMean, cMin) = (cRec.getDouble(0), cRec.getDouble(1))
+    clustered.unpersist()
+
     // ---------------- text row: postings index, bucket-pruned serving
     val docs = Tables.load(spark, sfDir, "documents")
     val nDocs = docs.count()
@@ -145,7 +185,9 @@ object BenchServe {
       s""""probe_exact_secs":$probeExact,"exact_rows":$exactRows,""" +
       s""""recall":{"k":$recallK,"n_queries":64,"n_probe":4,""" +
       s""""mean":$recMean,"min":$recMin},""" +
-      s""""recall_sweep":$sweep},""" +
+      s""""recall_sweep":$sweep,""" +
+      s""""recall_clustered":{"k":$recallK,"n_queries":64,"n_probe":4,""" +
+      s""""mean":$cMean,"min":$cMin}},""" +
       s""""text":{"n_buckets":$nBuckets,"build_secs":$buildText,""" +
       s""""probe_secs":$probeText,"rows":$textRows}}""")
     spark.stop()
