@@ -14,6 +14,13 @@ import org.apache.spark.sql.SparkSession
   *     config captures these per-level, per-appender (raw stdout, the
   *     previous channel, is capturable by nobody once the driver log is
   *     multiplexed).
+  *   - the Spark listener bus — every event is also posted to the
+  *     active SparkContext as an [[org.apache.spark.graft.GraftObsEvent]],
+  *     so a CLUSTER deployment captures decisions with a standard
+  *     `SparkListener.onOtherEvent` (metrics sink, structured pipeline)
+  *     instead of scraping driver logs. Posting is an async enqueue
+  *     (no Spark action, no listener work on the calling thread) and a
+  *     no-op when no context is running.
   *   - an optional in-process capture hook ([[withCapture]]) — specs and
   *     harnesses assert on the structured event, not on parsed stdout.
   *
@@ -47,11 +54,13 @@ object Obs {
     capture.get() != null ||
       spark.conf.getOption("spark.graft.obs").exists(_.equalsIgnoreCase("true"))
 
-  /** Emit one event. Driver-side, no Spark actions. */
+  /** Emit one event. Driver-side, no Spark actions (the listener-bus
+    * post is an asynchronous enqueue). */
   def event(tag: String, kv: (String, Any)*): Unit = {
     if (log.isInfoEnabled())
       log.info(s"[$tag] " +
         kv.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    org.apache.spark.graft.ObsBus.postActive(tag, kv)
     val buf = capture.get()
     if (buf != null) buf += ((tag, kv))
   }

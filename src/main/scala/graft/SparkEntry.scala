@@ -2675,6 +2675,28 @@ object SparkEntry {
       .orderBy(col("dist"), col("p_partkey"))
   }
 
+  /** Q167 — FILTERED certified-exact kNN (IvfIndex.searchFilteredExact):
+    * top-10 nearest neighbors among rows with label = 3 only — the
+    * predicate-attached serving query every deployment runs (tenant,
+    * language, freshness filters). Starts at nProbe0 = 2 of 16 lists and
+    * escalates by the triangle-inequality ring certificate until the
+    * filtered top-k provably equals brute force over the filtered
+    * collection — so the DuckDB WHERE + ORDER BY LIMIT oracle applies
+    * EXACTLY despite the pruned probing (q27 gets exactness by probing
+    * everything; this path proves it while probing less). */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = operators.IvfIndex.fitCentroids(e, "embedding",
+      "vec_id", 16)
+    val index = operators.IvfIndex.assign(e, "embedding", "vec_id",
+      centroids)
+    val q = e.filter(col("vec_id") === 7).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    operators.IvfIndex.searchFilteredExact(index, "embedding", "vec_id",
+        centroids, q, k = 10, pred = col("label") === 3, nProbe0 = 2)
+      .select(col("vec_id"), col("dist"))
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2879,6 +2901,7 @@ object SparkEntry {
     "q164_lsh_lifecycle" -> (q164 _),
     "q165_grid_append_saved" -> (q165 _),
     "q166_adaptive_append_saved" -> (q166 _),
+    "q167_filtered_knn_exact" -> (q167 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3412,7 +3435,16 @@ object SparkEntry {
     // nothing — the union answers the original full-corpus oracles
     ("q165_grid_append_saved" -> oracleSqlBase("q25_range_pruned")) +
     ("q166_adaptive_append_saved" ->
-      oracleSqlBase("q158_adaptive_saved_knn"))
+      oracleSqlBase("q158_adaptive_saved_knn")) +
+    // filtered kNN is certificate-escalated until provably exact, so
+    // plain filtered brute force is the oracle — the WHERE mirrors the
+    // Spark-side pred, the rest is q27's text
+    ("q167_filtered_knn_exact" ->
+      s"""SELECT e.vec_id, ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+         |FROM embeddings e,
+         |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+         |WHERE e.label = 3
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

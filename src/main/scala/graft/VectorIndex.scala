@@ -171,6 +171,23 @@ class VectorIndex private (
       pqParams.get, q, k, sd, listRadii)
   }
 
+  /** FILTERED exact kNN over the IVF layout
+    * (IvfIndex.searchFilteredExact): top-k among rows satisfying `pred`
+    * (the predicate serving deployments attach — tenant, language,
+    * freshness), probe-escalated by the ring certificate until provably
+    * equal to brute force over the filtered collection. Uses the
+    * sidecar's per-list radii when stored (sound after append: they
+    * only ever grow there) and computes them in one job otherwise. */
+  def annSearchFiltered(q: Seq[Double], k: Int, pred: Column,
+                        nProbe0: Int = 4): DataFrame = {
+    require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    val assigned =
+      if (data.columns.contains("list_id")) data
+      else IvfIndex.assign(data, vecCol, idCol, centroids.get)
+    IvfIndex.searchFilteredExact(assigned, vecCol, idCol, centroids.get,
+      q, k, pred, nProbe0, listRadii)
+  }
+
   /** Incremental insertion — reference `insert` (hpp:1262). New rows are
     * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
     * clamp to border cells; pruning stays lossless because query-side cell

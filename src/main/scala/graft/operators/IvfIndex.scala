@@ -801,4 +801,97 @@ object IvfIndex {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /** FILTERED exact kNN: the top-k nearest rows AMONG THOSE SATISFYING
+    * `pred` (language = 'en', date range, tenant id — the predicate
+    * every real serving deployment attaches), certified exact while
+    * probing as few lists as the data allows.
+    *
+    * Filtered ANN cannot reuse a fixed nProbe: the predicate thins each
+    * probed list by an unknown selectivity, so any static probe count
+    * either under-fills k (selective predicates) or over-scans
+    * (permissive ones). This operator adapts per query, driver-planned
+    * like [[searchPqExact]]:
+    *
+    *   1. probe the nProbe0 nearest lists; compute the filtered in-list
+    *      top-k (ONE pruned job; `pred` sits directly on the scan, so
+    *      simple predicates reach the parquet reader as PushedFilters
+    *      BELOW the `list_id IN` partition pruning);
+    *   2. certificate: any vector in an unprobed list c' satisfies
+    *      ||q−x|| >= ||q−c'|| − radius(c') (triangle inequality via its
+    *      centroid — the [[searchPqExact]] ring bound). If the k-th
+    *      found FILTERED distance d_k undercuts every unprobed list's
+    *      bound, no unprobed row — filtered or not — can place, and the
+    *      result equals brute force over the filtered collection;
+    *   3. otherwise escalate: probe exactly the unprobed lists whose
+    *      bound <= d_k (inclusive: an unprobed row at exactly d_k could
+    *      win the (dist, id) tie-break). While fewer than k rows match
+    *      (d_k = ∞, the certificate cannot fire), DOUBLE the probe set
+    *      by centroid distance instead — log2(nlist) rounds worst-case
+    *      before degenerating to the brute-force scan a sub-k match
+    *      count makes unavoidable.
+    *
+    * Driver state per round: k (id, dist) rows + the nlist-sized bound
+    * table — metadata, never the collection. At rest the radii come
+    * from the build-time sidecar ([[listRadii]] is one job otherwise)
+    * and each round scans only newly probed partitions' row groups that
+    * survive the predicate's min/max stats. The returned DataFrame is
+    * the final probed-set plan (lazy, re-optimizable by the caller);
+    * the loop's own actions are the per-round top-k collects.
+    *
+    * Emits an `Obs` `filtered-knn` event (rounds, probed, matched) —
+    * the selectivity/escalation decision is invisible in the final
+    * plan, and it is exactly what a deployment tunes nProbe0 against. */
+  def searchFilteredExact(index: DataFrame, vecCol: String, idCol: String,
+                          centroids: Centroids, q: Seq[Double], k: Int,
+                          pred: Column, nProbe0: Int = 4,
+                          radii: Option[Map[Int, Double]] = None,
+                          roundTo: Int = 6): DataFrame = {
+    val radiiM = radii.getOrElse(listRadii(index, vecCol, centroids))
+    def qDist(c: Seq[Double]): Double = math.sqrt(
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    // ascending centroid distance: both the seed probe order and the
+    // doubling order when the filtered match count is still under k
+    val centDists = centroids.map { case (id, c) => (qDist(c), id) }
+    val order = centDists.sorted.map(_._2)
+    val bound: Map[Int, Double] = centDists.map { case (d, id) =>
+      id -> math.max(0.0, d - radiiM.getOrElse(id, 0.0))
+    }.toMap
+    val qVec = array(q.map(lit): _*)
+    val filtered = index.filter(pred)
+    // unrounded squared distances inside the loop: the certificate must
+    // compare TRUE distances (display rounding could shave d_k below an
+    // unprobed bound it actually exceeds); rounding happens only in the
+    // returned plan, matching the family's output convention
+    def topk(lists: Seq[Int]): DataFrame = filtered
+      .filter(col("list_id").isin(lists: _*))
+      .withColumn("__d2", sqDist(col(vecCol), qVec))
+      .orderBy(col("__d2"), col(idCol))
+      .limit(k)
+    def result(lists: Seq[Int]): DataFrame = topk(lists)
+      .select(col(idCol), round(col("__d2"), roundTo).as("dist"))
+    var probed = order.take(math.max(1, nProbe0)).toVector
+    var rounds = 0
+    while (true) { // exits by certificate or full coverage
+      rounds += 1
+      val rows = topk(probed).select(col("__d2")).collect()
+      val matched = rows.length
+      val unprobed = order.filterNot(probed.contains)
+      val escalate =
+        if (unprobed.isEmpty) Seq.empty // brute force already — exact
+        else if (matched < k) unprobed.take(math.max(probed.size, 1))
+        else {
+          val dk = math.sqrt(rows.last.getDouble(0))
+          unprobed.filter(bound(_) <= dk)
+        }
+      if (escalate.isEmpty) {
+        graft.Obs.event("filtered-knn", "rounds" -> rounds,
+          "probed" -> probed.size, "nlist" -> centroids.size,
+          "matched" -> matched)
+        return result(probed)
+      }
+      probed = probed ++ escalate
+    }
+    result(probed) // unreachable
+  }
 }

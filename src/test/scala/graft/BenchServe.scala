@@ -81,6 +81,37 @@ object BenchServe {
       idx.annSearchPqExact(q, k = 12, seed = 48).count()
     }
 
+    // ---------------- filtered row: predicate-attached EXACT serving
+    // (annSearchFiltered, r14): top-12 among label = 3 rows (~10%
+    // selectivity) over the same saved layout, certificate-escalated
+    // until provably brute-force-equal on the filtered collection.
+    // Beside the seconds, record how far the escalation went (probed/
+    // nlist from the filtered-knn Obs event): on this near-uniform
+    // fixture the ring certificate has little to prune with (radii ≈
+    // inter-centroid distances), so probed/nlist is the honest cost of
+    // EXACTNESS on unstructured data; the clustered row below is the
+    // same query where the certificate has teeth.
+    def filteredProbe(ix: VectorIndex, qv: Seq[Double],
+                      pred: org.apache.spark.sql.Column)
+        : (Double, Map[String, Any]) = {
+      var ev: Map[String, Any] = Map.empty
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        val (cnt, evs) = Obs.withCapture {
+          ix.annSearchFiltered(qv, k = 12, pred = pred, nProbe0 = 4)
+            .count()
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        ev = evs.filter(_._1 == "filtered-knn").last._2.toMap
+        require(cnt > 0, "filtered probe returned no rows")
+      }
+      (best, ev)
+    }
+    val (probeFiltered, filtEv) =
+      filteredProbe(idx, q, col("label") === 3)
+
     // ---------------- recall row: is the FAST pruned probe also GOOD
     // at these exact deployment knobs? (r13 VERDICT: probe speed was
     // recorded at 3 SFs, recall only ever at fixture scale.) 64 query
@@ -162,6 +193,13 @@ object BenchServe {
         cApprox, cExact.select(col("qid"), col("vec_id")), "qid", "vec_id")
       .agg(avg(col("recall")), min(col("recall"))).head()
     val (cMean, cMin) = (cRec.getDouble(0), cRec.getDouble(1))
+    // filtered EXACT probe where the certificate has teeth: same
+    // selectivity (~10%, vec_id % 10 = 3) over the clustered corpus —
+    // tight list radii let the escalation stop far short of nlist
+    val cqv = clustered.filter(col("vec_id") === 11)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val (probeFilteredC, filtEvC) =
+      filteredProbe(cIdx, cqv, col("vec_id") % 10 === 3)
     clustered.unpersist()
 
     // ---------------- text row: postings index, bucket-pruned serving
@@ -187,7 +225,13 @@ object BenchServe {
       s""""mean":$recMean,"min":$recMin},""" +
       s""""recall_sweep":$sweep,""" +
       s""""recall_clustered":{"k":$recallK,"n_queries":64,"n_probe":4,""" +
-      s""""mean":$cMean,"min":$cMin}},""" +
+      s""""mean":$cMean,"min":$cMin},""" +
+      s""""filtered":{"probe_secs":$probeFiltered,""" +
+      s""""probed":${filtEv("probed")},"nlist":${filtEv("nlist")},""" +
+      s""""rounds":${filtEv("rounds")},"matched":${filtEv("matched")}},""" +
+      s""""filtered_clustered":{"probe_secs":$probeFilteredC,""" +
+      s""""probed":${filtEvC("probed")},"nlist":${filtEvC("nlist")},""" +
+      s""""rounds":${filtEvC("rounds")},"matched":${filtEvC("matched")}}},""" +
       s""""text":{"n_buckets":$nBuckets,"build_secs":$buildText,""" +
       s""""probe_secs":$probeText,"rows":$textRows}}""")
     spark.stop()

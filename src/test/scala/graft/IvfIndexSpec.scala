@@ -45,6 +45,95 @@ class IvfIndexSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("searchFilteredExact: equals filtered brute force for every label " +
+       "(selectivity sweep), escalates from a tiny seed, and the " +
+       "certificate stops short of brute force when bounds allow") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 16)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
+    val radii = Some(IvfIndex.listRadii(index, "embedding", cents))
+    val q = queryVec(7)
+    (0 to 9).foreach { lbl =>
+      val exact = Search.knn(e.filter(col("label") === lbl), "embedding",
+          "vec_id", array(q.map(lit): _*), 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (got, evs) = Obs.withCapture {
+        IvfIndex.searchFilteredExact(index, "embedding", "vec_id", cents,
+            q, k = 10, pred = col("label") === lbl, nProbe0 = 2,
+            radii = radii)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+      }
+      assert(got == exact, s"label $lbl")
+      val ev = evs.filter(_._1 == "filtered-knn")
+      assert(ev.size == 1)
+      val kv = ev.head._2.toMap
+      assert(kv("matched") == 10, s"label $lbl matched ${kv("matched")}")
+      // started at 2 lists; a selective predicate forces escalation
+      assert(kv("probed").asInstanceOf[Int] >= 2)
+    }
+    index.unpersist()
+  }
+
+  test("searchFilteredExact: sub-k match population returns ALL matches " +
+       "(doubling path exhausts the lists and stays exact)") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 16)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents)
+    val q = queryVec(7)
+    // pred matching exactly 3 rows < k=10: the certificate can never
+    // fire on a full top-k, so the doubling path must cover every list
+    // and return precisely the filtered population, exactly ranked
+    val pred = col("vec_id").isin(3L, 141L, 77L)
+    val exact = Search.knn(e.filter(pred), "embedding", "vec_id",
+        array(q.map(lit): _*), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val (got, evs) = Obs.withCapture {
+      IvfIndex.searchFilteredExact(index, "embedding", "vec_id", cents,
+          q, k = 10, pred = pred, nProbe0 = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(got == exact && got.size == 3)
+    val kv = evs.filter(_._1 == "filtered-knn").head._2.toMap
+    // full coverage: every fitted list probed (fitCentroids may return
+    // fewer than the requested nlist when the sample has collisions)
+    assert(kv("probed") == kv("nlist") && kv("matched") == 3)
+  }
+
+  test("searchFilteredExact: permissive predicate on the clustered regime " +
+       "certifies WITHOUT probing every list") {
+    // clustered data is where the ring certificate has teeth: pull every
+    // vector 4:1 toward its nearest of 8 anchors (the BenchServe
+    // clustered-corpus construction) so list radii shrink well below
+    // inter-centroid distances
+    val anchors = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val clustered = IvfIndex.assign(e, "embedding", "vec_id", anchors)
+      .withColumn("embedding",
+        zip_with(col("embedding").cast("array<double>"),
+          element_at(
+            typedLit(anchors.sortBy(_._1).map(_._2)),
+            col("list_id") + 1),
+          (x, c) => x * lit(0.2) + c * lit(0.8)))
+      .drop("list_id")
+    val cents = IvfIndex.fitCentroids(clustered, "embedding", "vec_id",
+      nlist = 16)
+    val index = IvfIndex.assign(clustered, "embedding", "vec_id", cents)
+      .cache()
+    val q = clustered.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val exact = Search.knn(clustered.filter(col("label") >= 5),
+        "embedding", "vec_id", array(q.map(lit): _*), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val (got, evs) = Obs.withCapture {
+      IvfIndex.searchFilteredExact(index, "embedding", "vec_id", cents,
+          q, k = 10, pred = col("label") >= 5, nProbe0 = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(got == exact)
+    val kv = evs.filter(_._1 == "filtered-knn").head._2.toMap
+    val probed = kv("probed").asInstanceOf[Int]
+    assert(probed < 16,
+      s"clustered + permissive pred should certify early, probed $probed/16")
+    index.unpersist()
+  }
+
   test("searchBatch: one job, per-query results match single-query search") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()

@@ -41,4 +41,36 @@ class ObsSpec extends AnyFunSuite {
     val (_, evs) = Obs.withCapture(())
     assert(evs.isEmpty)
   }
+
+  test("events surface through the Spark listener bus — a cluster " +
+       "captures operator decisions without scraping driver logs") {
+    import org.apache.spark.graft.{GraftObsEvent, ObsBus}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[GraftObsEvent]()
+    val listener = new SparkListener {
+      override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+        case g: GraftObsEvent => seen.add(g)
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // Direct-fire contract: every Obs.event reaches the bus.
+      Obs.event("bus-probe", "k" -> 7, "s" -> "x")
+      // Operator path: connectedComponents fires a [cc] event per
+      // round — the real decision stream a deployment would meter.
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      operators.Dedup.connectedComponents(edges, "src", "dst").count()
+      ObsBus.drain(spark.sparkContext)
+      val evs = seen.toArray(Array.empty[GraftObsEvent]).toSeq
+      val probe = evs.filter(_.tag == "bus-probe")
+      assert(probe.nonEmpty)
+      // kv values arrive stringified (the bus event is a plain
+      // Map[String, String] so any listener can consume it untyped)
+      assert(probe.head.kv == Map("k" -> "7", "s" -> "x"))
+      assert(evs.exists(e => e.tag == "cc" && e.kv.contains("round")))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

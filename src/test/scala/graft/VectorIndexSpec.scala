@@ -372,6 +372,34 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hit == 9000L, "appended exact-match row must rank first")
   }
 
+  test("annSearchFiltered over the SAVED layout: exact vs filtered brute " +
+       "force, predicate pushed to the parquet scan BELOW the list " +
+       "pruning, sidecar radii reused (no radii job)") {
+    val df = randomDf(250, 32, 47)
+      .withColumn("grp", (col("id") % 5).cast("int"))
+    val idx = VectorIndex.create(df, "vec", "id", dim = 32, nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vi_filt").toString + "/idx"
+    idx.save(path)
+    val re = VectorIndex.load(spark, path)
+    val q = Seq.fill(32)(2.5)
+    val brute = Search.knn(df.filter(col("grp") === 2), "vec", "id",
+        array(q.map(lit): _*), 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val plan = re.annSearchFiltered(q, 5, pred = col("grp") === 2,
+      nProbe0 = 2)
+    assert(plan.select("id").collect().map(_.getLong(0)).toSeq == brute)
+    // I/O story at rest: list pruning is PARTITION-level (list_id is
+    // the partition column) and the predicate reaches the reader as a
+    // pushed filter below it — the scan touches only probed lists'
+    // row groups that can contain grp = 2
+    val physical = plan.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("list_id"), physical)
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("EqualTo(grp,2)"), physical)
+  }
+
   test("appendSaved: at-rest ingest into the IVF+PQ layout — appended " +
        "rows fully encoded, radii stay sound, exact path exact on union") {
     val df = randomDf(250, 32, 41)
