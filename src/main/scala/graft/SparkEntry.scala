@@ -2697,6 +2697,52 @@ object SparkEntry {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Q168 — BATCH filtered certified-exact kNN
+    * (IvfIndex.searchFilteredExactBatch): q167's predicate-attached
+    * exact serving for 4 query vectors at once — the analytical shape
+    * (filtered hard-negative mining, per-anchor retrieval under a
+    * tenant/language predicate). One Spark job per escalation ROUND
+    * covers every still-active query (probe pairs broadcast, bounded
+    * TopK aggregator), each query certifying at its own selectivity;
+    * the oracle is the per-query filtered brute-force ranking. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = operators.IvfIndex.fitCentroids(e, "embedding",
+      "vec_id", 16)
+    val index = operators.IvfIndex.assign(e, "embedding", "vec_id",
+      centroids)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq.sortBy(_._1)
+    operators.IvfIndex.searchFilteredExactBatch(index, "embedding",
+        "vec_id", centroids, qs, k = 8, pred = col("label") >= 5,
+        nProbe0 = 2)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Q169 — FILTERED BM25 over the saved postings index: q75's query
+    * restricted to English documents (`allowed` = the lang = 'en' id
+    * set), the text-side face of q167's predicate-attached serving.
+    * Lucene filter semantics — df/N/avgdl stay corpus-wide, so every
+    * returned doc scores exactly what it scores unfiltered (the oracle
+    * keeps q65's statistics CTEs and adds only the candidate filter);
+    * the semi-join lands on the bucket-pruned postings, below the
+    * ranking. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idxf_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextSearch.buildIndex(docs, "doc_id", "text", path,
+      nBuckets = 16)
+    operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20,
+        allowed = Some(docs.filter(col("lang") === "en")
+          .select(col("doc_id"))))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2902,6 +2948,8 @@ object SparkEntry {
     "q165_grid_append_saved" -> (q165 _),
     "q166_adaptive_append_saved" -> (q166 _),
     "q167_filtered_knn_exact" -> (q167 _),
+    "q168_filtered_knn_batch" -> (q168 _),
+    "q169_bm25_filtered" -> (q169 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3444,7 +3492,48 @@ object SparkEntry {
          |FROM embeddings e,
          |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
          |WHERE e.label = 3
-         |ORDER BY dist, vec_id LIMIT 10""".stripMargin)
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin) +
+    // the batch face: per-query filtered brute force, ranked by the
+    // same (rounded dist, id) order the engine's whole kNN family uses
+    ("q168_filtered_knn_batch" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ROUND(${duckSqDist("e.embedding", "q.qv")}, 6),
+         |               e.vec_id) AS rn
+         |  FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |        WHERE vec_id < 4) q
+         |  CROSS JOIN embeddings e
+         |  WHERE e.label >= 5
+         |) WHERE rn <= 8 ORDER BY qid, rn""".stripMargin) +
+    // filtered BM25: q65's statistics CTEs verbatim (df/N/avgdl are
+    // corpus-wide — Lucene filter semantics), only the candidate set
+    // restricted to English docs
+    ("q169_bm25_filtered" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |          FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+        |btf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, term,
+        |          CAST(count(*) AS DOUBLE) AS tf
+        |        FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+        |        WHERE term IN ('spark', 'vector', 'query')
+        |        GROUP BY 1, 2, 3),
+        |bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |        FROM btf GROUP BY 1),
+        |bm AS (SELECT doc_id,
+        |         sum(ln(1.0 + (st.n - bdf.df + 0.5) / (bdf.df + 0.5))
+        |           * btf.tf * (1.2 + 1.0)
+        |           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * btf.dl / st.avgdl)))
+        |           AS s
+        |       FROM btf JOIN bdf USING (term), st
+        |       WHERE doc_id IN (SELECT doc_id FROM documents
+        |                        WHERE lang = 'en')
+        |       GROUP BY doc_id),
+        |bmtop AS (SELECT doc_id, ROUND(s, 6) AS s FROM bm
+        |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20)
+        |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
+        |ORDER BY score DESC, doc_id""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

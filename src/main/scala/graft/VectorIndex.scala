@@ -384,7 +384,7 @@ object VectorIndex {
   def create(df: DataFrame, vecCol: String, idCol: String, dim: Int,
              cellsPerDim: Int = 16, nlist: Int = 0,
              refineIters: Int = 0, rowCap: Long = 0,
-             refine: Int = 4): VectorIndex = {
+             refine: Int = 4, topUpNlist: Boolean = false): VectorIndex = {
     val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
     // schema-level dim invariant (SURVEY §1.1): fail fast on ragged OR null
     // input. Nulls must be rejected too (coalesce: a null dimCheck would
@@ -407,7 +407,7 @@ object VectorIndex {
     val cents =
       if (nlist > 0)
         Some(IvfIndex.fitCentroids(indexed, vecCol, idCol, nlist,
-          refineIters))
+          refineIters, topUp = topUpNlist))
       else None
     val withLists = cents match {
       case Some(c) => IvfIndex.assign(indexed, vecCol, idCol, c)

@@ -81,7 +81,8 @@ object IvfIndex {
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
                    nlist: Int, refineIters: Int = 0,
                    sampleFactor: Int = 32,
-                   targetListSize: Int = 32): Centroids = {
+                   targetListSize: Int = 32,
+                   topUp: Boolean = false): Centroids = {
     require(nlist == AutoNlist || nlist > 0,
       "nlist must be positive or AutoNlist")
     val n = df.count()
@@ -96,8 +97,21 @@ object IvfIndex {
       take(df.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0), k)
     // hash-stride sampling can (rarely, tiny inputs) miss every row; an
     // empty quantizer would route every vector to a null list — fall
-    // back to the first k rows by id, still deterministic
-    val rows = if (sampled.nonEmpty) sampled else take(df, k)
+    // back to the first k rows by id, still deterministic.
+    // topUp extends that guard to UNDER-fills: the stride draw is
+    // ~Poisson(k), so an unlucky hash can return k/2 lists and silently
+    // halve the quantizer a serving deployment sized (observed: a
+    // 20k-vector corpus asked for 16, drew 8). Opt-in because the
+    // default sampling is frozen into existing oracle texts (q115
+    // rebuilds it in SQL) — new serving indexes should pass true.
+    val rows =
+      if (sampled.isEmpty) take(df, k)
+      else if (topUp && sampled.length < k) {
+        val have = sampled.map(_.getLong(0))
+        sampled ++ take(
+          df.filter(!col(idCol).cast("long").isin(have: _*)),
+          k - sampled.length)
+      } else sampled
     val init = rows.map(_.getSeq[Double](1).toArray).toArray
     val cents =
       if (refineIters <= 0) init
@@ -861,15 +875,21 @@ object IvfIndex {
     val filtered = index.filter(pred)
     // unrounded squared distances inside the loop: the certificate must
     // compare TRUE distances (display rounding could shave d_k below an
-    // unprobed bound it actually exceeds); rounding happens only in the
-    // returned plan, matching the family's output convention
+    // unprobed bound it actually exceeds). The RETURNED plan instead
+    // ranks by the rounded distance like every exact search in this
+    // family — ties at the display precision break by id the same way
+    // in both engines, so the oracle's row order is reproduced.
     def topk(lists: Seq[Int]): DataFrame = filtered
       .filter(col("list_id").isin(lists: _*))
       .withColumn("__d2", sqDist(col(vecCol), qVec))
       .orderBy(col("__d2"), col(idCol))
       .limit(k)
-    def result(lists: Seq[Int]): DataFrame = topk(lists)
-      .select(col(idCol), round(col("__d2"), roundTo).as("dist"))
+    def result(lists: Seq[Int]): DataFrame = filtered
+      .filter(col("list_id").isin(lists: _*))
+      .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dist"))
     var probed = order.take(math.max(1, nProbe0)).toVector
     var rounds = 0
     while (true) { // exits by certificate or full coverage
@@ -893,5 +913,97 @@ object IvfIndex {
       probed = probed ++ escalate
     }
     result(probed) // unreachable
+  }
+
+  /** [[searchFilteredExact]] for a BATCH of queries — the analytical
+    * shape (filtered hard-negative mining, per-anchor retrieval under a
+    * predicate) where per-query jobs would cost |queries| round trips.
+    *
+    * One Spark job per ESCALATION ROUND covers every still-active
+    * query: the (qid, list_id, qv) probe pairs ride a broadcast
+    * (queries are metadata-sized, the [[searchBatch]] contract), the
+    * index is scanned once per round in exactly the lists some query
+    * probes (`list_id IN` partition pruning at rest, `pred` pushed
+    * below it), and the bounded [[graft.functions.TopK]] aggregator
+    * keeps k rows per mapper per query ahead of the shuffle. The
+    * driver then advances every query's certificate independently —
+    * queries certify and drop out at their own selectivity, so round
+    * count is max (not sum) of the per-query escalations, bounded by
+    * log2(nlist) + 1. Driver state: |queries| × (k-th distance, probe
+    * set) — metadata.
+    *
+    * Output: (qid, idCol, dist, rn), exact per query — identical rows
+    * to running [[searchFilteredExact]] per qid, ranked like the whole
+    * family by (rounded dist, id). */
+  def searchFilteredExactBatch(index: DataFrame, vecCol: String,
+                               idCol: String, centroids: Centroids,
+                               queries: Seq[(Long, Seq[Double])], k: Int,
+                               pred: Column, nProbe0: Int = 4,
+                               radii: Option[Map[Int, Double]] = None,
+                               roundTo: Int = 6): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val radiiM = radii.getOrElse(listRadii(index, vecCol, centroids))
+    def qd(q: Seq[Double], c: Seq[Double]): Double = math.sqrt(
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    final class St(val qid: Long, val qv: Seq[Double]) {
+      private val centDists = centroids.map { case (id, c) => (qd(qv, c), id) }
+      val order: Seq[Int] = centDists.sorted.map(_._2)
+      val bound: Map[Int, Double] = centDists.map { case (d, id) =>
+        id -> math.max(0.0, d - radiiM.getOrElse(id, 0.0))
+      }.toMap
+      var probed: Vector[Int] = order.take(math.max(1, nProbe0)).toVector
+      var done: Boolean = false
+    }
+    val states = queries.map { case (qid, qv) => new St(qid, qv) }
+    val filtered = index.filter(pred)
+    val tk = graft.functions.TopK.topK(k)
+    def topkOf(sts: Seq[St], dist: Column): DataFrame = {
+      val probes = sts.flatMap(s => s.probed.map(l => (s.qid, l, s.qv)))
+        .toDF("qid", "list_id", "__qv")
+      filtered.join(broadcast(probes), Seq("list_id"))
+        .withColumn("__d", dist)
+        .groupBy(col("qid"))
+        .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
+    }
+    val exactD2 = sqDist(col(vecCol).cast("array<double>"), col("__qv"))
+    var rounds = 0
+    while (states.exists(!_.done)) {
+      rounds += 1
+      // stats only: per active query, match count + UNROUNDED k-th
+      // distance (the certificate compares true distances; see
+      // searchFilteredExact's rounding note)
+      val stats = topkOf(states.filter(!_.done), exactD2)
+        .select(col("qid"), size(col("__top")).as("n"),
+          element_at(col("__top"), k).getField("score").as("dk2"))
+        .collect().map { r =>
+          r.getLong(0) -> (r.getInt(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+        }.toMap
+      states.filter(!_.done).foreach { s =>
+        val (matched, dk2) = stats.getOrElse(s.qid, (0, Double.NaN))
+        val unprobed = s.order.filterNot(s.probed.contains)
+        val escalate =
+          if (unprobed.isEmpty) Seq.empty
+          else if (matched < k) unprobed.take(math.max(s.probed.size, 1))
+          else {
+            val dk = math.sqrt(dk2)
+            unprobed.filter(s.bound(_) <= dk)
+          }
+        if (escalate.isEmpty) s.done = true
+        else s.probed = s.probed ++ escalate
+      }
+    }
+    graft.Obs.event("filtered-knn-batch", "rounds" -> rounds,
+      "queries" -> states.size, "nlist" -> centroids.size,
+      "avgProbed" -> (if (states.isEmpty) 0.0
+        else states.map(_.probed.size).sum.toDouble / states.size))
+    // final pass ranks by the ROUNDED distance (family convention —
+    // display-precision ties break by id identically in both engines)
+    topkOf(states, round(exactD2, roundTo))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.id").as(idCol),
+        col("col.score").as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
   }
 }

@@ -49,7 +49,8 @@ object TextSearch {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k: Int,
-           k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6,
+           allowed: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val terms = queryTerms.map(_.toLowerCase).distinct
 
@@ -73,7 +74,7 @@ object TextSearch {
       .agg(count(lit(1)).cast("double").as("__tf"))
       .persist())
 
-    scoreTopK(postings.crossJoin(stats), idCol, k, k1, b, roundTo)
+    scoreTopK(postings.crossJoin(stats), idCol, k, k1, b, roundTo, allowed)
   }
 
   /** The shared BM25 scoring tail: a query-term postings relation with
@@ -83,11 +84,23 @@ object TextSearch {
     * and the saved-index path score through the ONE formula and cannot
     * drift apart. */
   private def scoreTopK(postings: DataFrame, idCol: String, k: Int,
-                        k1: Double, b: Double, roundTo: Int): DataFrame = {
+                        k1: Double, b: Double, roundTo: Int,
+                        allowed: Option[DataFrame] = None): DataFrame = {
     val dfreq = postings.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df"))
 
-    val contrib = postings.join(dfreq, "__term")
+    // Lucene filter semantics: the predicate restricts which docs can be
+    // RETURNED, never the scoring statistics — df above (and __n/__avgdl
+    // in the inputs) stay corpus-wide, so a doc's score is identical
+    // with and without a filter. The semi-join sits on the postings
+    // side (one row per (doc, term)), before the contribution join.
+    val eligible = allowed match {
+      case Some(a) => postings.join(
+        a.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      case None => postings
+    }
+
+    val contrib = eligible.join(dfreq, "__term")
       .withColumn("__score",
         idf(col("__n"), col("__df")) * col("__tf") * (lit(k1) + 1.0) /
           (col("__tf") + lit(k1) *
@@ -363,11 +376,19 @@ object TextSearch {
     * the terms themselves (row-group pushdown inside the bucket), and
     * the corpus scalars come from the sidecar as literals instead of a
     * scan-level aggregate. Per-query work is O(matching postings) I/O —
-    * the annSearch-probes-lists shape, for terms. */
+    * the annSearch-probes-lists shape, for terms.
+    *
+    * `allowed` (optional) is the serving filter — a relation of doc ids
+    * eligible to be returned (tenant, language, freshness). Lucene
+    * filter semantics: scoring statistics (df, N, avgdl) stay
+    * corpus-wide, so a doc scores identically with and without the
+    * filter; the semi-join lands on the pruned postings, below the
+    * ranking. */
   def bm25Indexed(spark: SparkSession, indexPath: String,
                   queryTerms: Seq[String], k: Int,
                   k1: Double = 1.2, b: Double = 0.75,
-                  roundTo: Int = 6): DataFrame = {
+                  roundTo: Int = 6,
+                  allowed: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(
@@ -397,7 +418,7 @@ object TextSearch {
     scoreTopK(postings
         .withColumn("__n", lit(meta.nDocs))
         .withColumn("__avgdl", lit(meta.avgdl)),
-      meta.idCol, k, k1, b, roundTo)
+      meta.idCol, k, k1, b, roundTo, allowed)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked

@@ -67,8 +67,14 @@ object BenchServe {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val nlist = math.max(16L, n / 4096L).toInt
     val vecPath = freshDir("vec")
+    // topUpNlist: hash-stride sampling is ~Poisson(nlist) and can halve
+    // the quantizer a deployment sized (measured: ×10 fixture asked for
+    // 16 lists, drew 8 — the recall/probe rows then measured a
+    // half-resolution index labeled nlist 16); serving benches honor
+    // the requested geometry
     val buildVec = secs {
-      VectorIndex.create(e, "embedding", "vec_id", dim, nlist = nlist)
+      VectorIndex.create(e, "embedding", "vec_id", dim, nlist = nlist,
+          topUpNlist = true)
         .save(vecPath)
     }
     val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
@@ -177,8 +183,14 @@ object BenchServe {
         (a, x) => a * 4.0 + x).as("embedding"))
       .persist()
     clustered.count()
-    val cIdx = VectorIndex.create(clustered, "embedding", "vec_id", dim,
-      nlist = nlist)
+    // saved + loaded like the uniform index: the clustered rows measure
+    // the AT-REST serving path (list_id partition pruning, sidecar
+    // radii), not an in-memory re-assignment per probe
+    val cPath = freshDir("vecc")
+    VectorIndex.create(clustered, "embedding", "vec_id", dim,
+        nlist = nlist, topUpNlist = true)
+      .save(cPath)
+    val cIdx = VectorIndex.load(spark, cPath)
     val cq = clustered.orderBy(col("vec_id")).limit(64)
       .select(col("vec_id"), col("embedding")).collect()
     val cApprox = cq.map { r =>

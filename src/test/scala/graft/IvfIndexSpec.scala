@@ -134,6 +134,52 @@ class IvfIndexSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("searchFilteredExactBatch: per-query rows identical to the " +
+       "single-query path; queries certify independently (one escalates " +
+       "further than another); one event for the whole batch") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 16)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
+    val radii = Some(IvfIndex.listRadii(index, "embedding", cents))
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val qs = qids.map(q => q -> queryVec(q))
+    val pred = col("label") >= 5
+    val (batch, evs) = Obs.withCapture {
+      IvfIndex.searchFilteredExactBatch(index, "embedding", "vec_id",
+          cents, qs, k = 8, pred = pred, nProbe0 = 2, radii = radii)
+        .orderBy(col("qid"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val single = qs.flatMap { case (qid, qv) =>
+      IvfIndex.searchFilteredExact(index, "embedding", "vec_id", cents,
+          qv, k = 8, pred = pred, nProbe0 = 2, radii = radii)
+        .collect().map(r => (qid, r.getLong(0)))
+    }
+    assert(batch == single)
+    val ev = evs.filter(_._1 == "filtered-knn-batch")
+    assert(ev.size == 1)
+    val kv = ev.head._2.toMap
+    assert(kv("queries") == 4)
+    index.unpersist()
+  }
+
+  test("fitCentroids topUp: the quantizer always has exactly the " +
+       "requested nlist entries, and the default draw is its prefix " +
+       "(opt-in only — frozen oracles keep the old sampling)") {
+    import spark.implicits._
+    val df = (0L until 1000L)
+      .map(i => (i, Seq(i.toDouble, (i * 7 % 13).toDouble)))
+      .toDF("id", "v")
+    Seq(4, 8, 16, 32, 64).foreach { nl =>
+      val plain = IvfIndex.fitCentroids(df, "v", "id", nl)
+      val topped = IvfIndex.fitCentroids(df, "v", "id", nl, topUp = true)
+      assert(topped.size == nl, s"nlist $nl: got ${topped.size}")
+      assert(plain.size <= nl)
+      // the stride draw survives verbatim at the front: topUp only
+      // appends, so an under-filled draw's geometry is preserved
+      assert(topped.take(plain.size) == plain, s"nlist $nl")
+    }
+  }
+
   test("searchBatch: one job, per-query results match single-query search") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()

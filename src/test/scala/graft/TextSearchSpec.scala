@@ -33,6 +33,31 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered bm25 (allowed set): Lucene filter semantics — only " +
+       "allowed docs return, each scoring EXACTLY its unfiltered score " +
+       "(df/N/avgdl stay corpus-wide), on both the scan and index paths") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val allowed = Seq(2L, 3L, 4L, 5L).toDF("id")
+    val unfiltered = TextSearch.bm25(docs, "id", "text",
+        Seq("spark", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scan = TextSearch.bm25(docs, "id", "text",
+        Seq("spark", "vector"), k = 10, allowed = Some(allowed))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // docs 1 (disallowed) and 4/5 (no matching terms) are out; the
+    // survivors keep their unfiltered scores bit-identically
+    assert(scan.map(_._1).toSet == Set(2L, 3L))
+    scan.foreach { case (id, s) => assert(s == unfiltered(id), s"doc $id") }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_filt").toString + "/idx"
+    TextSearch.buildIndex(docs, "id", "text", path, nBuckets = 4)
+    val idx = TextSearch.bm25Indexed(spark, path,
+        Seq("spark", "vector"), k = 10, allowed = Some(allowed))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(idx.toSeq == scan.toSeq)
+  }
+
   test("bm25 matches an independent plain-Scala computation") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text")
