@@ -2743,6 +2743,59 @@ object SparkEntry {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Q170 — index FSCK (VectorIndex.fsckSaved): the fifth lifecycle
+    * verb — build, then AUDIT the physical layout (sidecar, row/id
+    * integrity, dim invariant, list-id domain, radii soundness,
+    * tombstone residue, write geometry). On a fresh build every check
+    * must pass with counts a recompute predicts, which is exactly what
+    * the oracle states: data-derived details from the base table,
+    * contract constants (nlist = 16, one file per list) for the rest.
+    * topUpNlist pins the quantizer at exactly 16 so the constants are
+    * fixture-independent. Corruption cases (duplicate-id appends,
+    * orphan tombstones, missing sidecar) are spec-pinned. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fsck_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val e = t(s, dir, "embeddings")
+    VectorIndex.create(e, "embedding", "vec_id",
+        dim = e.select(size(col("embedding"))).head().getInt(0),
+        nlist = 16, topUpNlist = true)
+      .save(path)
+    VectorIndex.fsckSaved(s, path)
+  }
+
+  /** Q171 — postings-index FSCK (TextSearch.fsckIndex): q170's audit
+    * verb for the text layout. Beyond the generic checks, it rehashes
+    * every stored bucket against its own term (a mis-bucketed append is
+    * invisible to the pruned probe — silently) and checks the sidecar's
+    * BM25 scalars (nDocs, exact integer token sum) against the live
+    * data they claim to summarize. Details are recompute-predicted:
+    * distinct (doc, term) pairs, doc count, token sum from the base
+    * table; constants for geometry. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fsck_txt_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    operators.TextSearch.buildIndex(t(s, dir, "documents"), "doc_id",
+      "text", path, nBuckets = 16)
+    operators.TextSearch.fsckIndex(s, path)
+  }
+
+  /** Q172 — LSH-index FSCK (Dedup.fsckRefIndex): the audit verb for the
+    * crawl's reference index, checking exactly the invariants the
+    * replay-stable ingest leans on — every live doc holds all nBands
+    * distinct band indices (the presence contract), every banded doc
+    * has verification shingles (the commit-order contract), every
+    * stored bucket rehashes to itself (probe visibility), tombstone
+    * residue, write-geometry ledger. Fresh build: band rows = nBands ×
+    * docs exactly. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fsck_lsh_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    operators.Dedup.buildRefIndex(t(s, dir, "documents"), "doc_id",
+      "text", path, k = 8, rowsPerBand = 2, shingleN = 3, nBuckets = 16)
+    operators.Dedup.fsckRefIndex(s, path)
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -2950,6 +3003,9 @@ object SparkEntry {
     "q167_filtered_knn_exact" -> (q167 _),
     "q168_filtered_knn_batch" -> (q168 _),
     "q169_bm25_filtered" -> (q169 _),
+    "q170_index_fsck" -> (q170 _),
+    "q171_text_index_fsck" -> (q171 _),
+    "q172_lsh_index_fsck" -> (q172 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3533,7 +3589,63 @@ object SparkEntry {
         |bmtop AS (SELECT doc_id, ROUND(s, 6) AS s FROM bm
         |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20)
         |SELECT doc_id, ROUND(s, 6) AS score FROM bmtop
-        |ORDER BY score DESC, doc_id""".stripMargin)
+        |ORDER BY score DESC, doc_id""".stripMargin) +
+    // fsck on a fresh build: every check passes with the counts a
+    // recompute over the base table predicts; nlist/file-geometry
+    // details are contract constants (topUpNlist pins nlist at 16,
+    // the write-geometry rule pins one file per list)
+    ("q170_index_fsck" ->
+      """SELECT chk, ok, detail FROM (
+        |  SELECT 'ids_unique' AS chk,
+        |         count(*) = count(DISTINCT vec_id) AS ok,
+        |         count(DISTINCT vec_id) AS detail FROM embeddings
+        |  UNION ALL SELECT 'list_ids_in_domain', true, 16
+        |  UNION ALL SELECT 'max_files_per_list', true, 1
+        |  UNION ALL SELECT 'meta_parses', true, 16
+        |  UNION ALL SELECT 'orphan_tombstones', true, 0
+        |  UNION ALL SELECT 'radii_sound', true, 16
+        |  UNION ALL SELECT 'rows_nonempty', count(*) > 0, count(*)
+        |    FROM embeddings
+        |  UNION ALL SELECT 'vectors_valid_dim',
+        |    min(len(embedding)) = max(len(embedding)),
+        |    max(len(embedding)) FROM embeddings
+        |) ORDER BY chk""".stripMargin) +
+    // text-layout fsck: recompute-predicted details — postings rows =
+    // distinct (doc, term) pairs, sidecar scalars = doc count + exact
+    // token sum; geometry constants from the build contract
+    ("q171_text_index_fsck" ->
+      """SELECT chk, ok, detail FROM (
+        |  SELECT 'bucket_domain' AS chk, true AS ok, 16 AS detail
+        |  UNION ALL SELECT 'bucket_hash_consistent', true, 16
+        |  UNION ALL SELECT 'doc_count_consistent', true, count(*)
+        |    FROM documents
+        |  UNION ALL SELECT 'max_files_per_bucket', true, 1
+        |  UNION ALL SELECT 'meta_parses', true, 16
+        |  UNION ALL SELECT 'orphan_tombstones', true, 0
+        |  UNION ALL SELECT 'rows_nonempty', true, count(*) FROM (
+        |    SELECT DISTINCT doc_id,
+        |           unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  UNION ALL SELECT 'sumdl_consistent', true,
+        |    sum(len(string_split(lower(text), ' '))) FROM documents
+        |) ORDER BY chk""".stripMargin) +
+    // LSH-layout fsck: every doc has >= shingleN tokens on this
+    // fixture, so band rows = nBands x docs exactly; the invariant
+    // checks (presence, commit order, bucket hashes) are contract
+    // constants on a fresh build
+    ("q172_lsh_index_fsck" ->
+      """SELECT chk, ok, detail FROM (
+        |  SELECT 'band_bucket_consistent' AS chk, true AS ok, 16 AS detail
+        |  UNION ALL SELECT 'bands_complete', true, 4
+        |  UNION ALL SELECT 'max_files_per_bucket', true, 1
+        |  UNION ALL SELECT 'meta_parses', true, 16
+        |  UNION ALL SELECT 'orphan_tombstones', true, 0
+        |  UNION ALL SELECT 'rows_nonempty', true, 4 * count(*)
+        |    FROM documents
+        |  UNION ALL SELECT 'shingle_bucket_consistent', true, 16
+        |  UNION ALL SELECT 'shingles_present', true, count(*)
+        |    FROM documents
+        |) ORDER BY chk""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

@@ -676,6 +676,93 @@ object VectorIndex {
     * silently drop true results from pruned search), plus the IVF
     * centroids so annSearch works after reload. Also re-registers the
     * path for optimizer-rule pruning with that same spec. */
+  /** FSCK — physical integrity audit of a saved layout, the fifth
+    * lifecycle verb (build/append/delete/compact/VERIFY). A standing
+    * 100 TB index outlives the job that built it; before a deployment
+    * trusts probes against it after a crash, a partial copy, or a year
+    * of appends, it runs this. One row per check, `(chk, ok, detail)`:
+    *
+    *   - `meta_parses` — the sidecar exists and parses (detail: nlist;
+    *     a missing/corrupt sidecar short-circuits to this single row,
+    *     ok = false);
+    *   - `rows_nonempty`, `ids_unique` — the RAW layout (tombstoned
+    *     rows included: this audits physical state, not the live view)
+    *     has rows and no duplicated ids (detail: row / distinct-id
+    *     count) — a duplicate id means an append re-shipped rows, the
+    *     ids-never-reused contract every delete/compact verb leans on;
+    *   - `vectors_valid_dim` — no null vectors, every length == the
+    *     sidecar dim (the invariant pruning losslessness needs);
+    *   - `list_ids_in_domain` — IVF layouts: every list_id in
+    *     [0, nlist) (detail: nlist);
+    *   - `radii_sound` — PQ layouts: recomputed per-list radii ≤ the
+    *     sidecar's (detail: nlist). An unsound stored radius silently
+    *     breaks searchPqExact's pruning certificate — the one check
+    *     that pays a full scan, and the reason fsck exists;
+    *   - `orphan_tombstones` — tombstones naming absent ids (detail:
+    *     count; ok stays true — deletes are idempotent by contract,
+    *     orphans are legal residue worth reporting);
+    *   - `max_files_per_list` — the write-geometry ledger (detail: max
+    *     files in any list_id dir; 1 after build/compact, +1 per
+    *     append batch — the compaction-due signal).
+    *
+    * Cost: two aggregate jobs + a radii recompute (one job) + a
+    * directory listing — all metadata-sized collects. */
+  def fsckSaved(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
+    IndexMeta.read(spark, path) match {
+      case None =>
+        out += (("meta_parses", false, 0L))
+      case Some(meta) =>
+        val nlist = meta.ivfCentroids.map(_.size.toLong).getOrElse(0L)
+        out += (("meta_parses", true, nlist))
+        val raw = spark.read.parquet(path)
+        val idC = col(meta.idCol)
+        val a = raw.agg(
+          count(lit(1)).as("n"),
+          countDistinct(idC).as("nd"),
+          min(size(col(meta.vecCol))).as("dmin"),
+          max(size(col(meta.vecCol))).as("dmax"),
+          sum(when(col(meta.vecCol).isNull, 1L).otherwise(0L)).as("nulls"))
+          .head()
+        val (n, nd) = (a.getLong(0), a.getLong(1))
+        out += (("rows_nonempty", n > 0, n))
+        out += (("ids_unique", n == nd, nd))
+        out += (("vectors_valid_dim",
+          a.getLong(4) == 0L && a.getInt(2) == meta.dim &&
+            a.getInt(3) == meta.dim, meta.dim.toLong))
+        if (nlist > 0 && raw.columns.contains("list_id")) {
+          val l = raw.agg(min(col("list_id")), max(col("list_id"))).head()
+          out += (("list_ids_in_domain",
+            !l.isNullAt(0) && l.getInt(0) >= 0 && l.getInt(1) < nlist,
+            nlist))
+        }
+        meta.listRadiiMap.foreach { stored =>
+          val fresh = IvfIndex.listRadii(raw, meta.vecCol,
+            meta.ivfCentroids.get)
+          out += (("radii_sound",
+            fresh.forall { case (list, r) =>
+              stored.getOrElse(list, -1.0) >= r - 1e-9
+            }, nlist))
+        }
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tPath = new Path(path, TombstoneDir)
+        val orphans = if (!fs.exists(tPath)) 0L
+          else spark.read.parquet(tPath.toString)
+            .join(raw.select(idC), Seq(meta.idCol), "left_anti").count()
+        out += (("orphan_tombstones", true, orphans))
+        if (raw.columns.contains("list_id")) {
+          val dirs = fs.listStatus(root).filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith("list_id="))
+          val maxFiles = dirs.map(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))).foldLeft(0)(math.max)
+          out += (("max_files_per_list", dirs.nonEmpty, maxFiles.toLong))
+        }
+    }
+    out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+  }
+
   def load(spark: SparkSession, path: String): VectorIndex = {
     val meta = IndexMeta.read(spark, path).getOrElse(throw
       new IllegalArgumentException(

@@ -1312,6 +1312,97 @@ object Dedup {
     * before the swap leaves the original layout fully serviceable. The
     * sidecar never changes: compaction touches file geometry, not the
     * signature contract. */
+  /** FSCK — physical integrity audit of a saved LSH index (the
+    * VectorIndex.fsckSaved contract for this layout), auditing exactly
+    * the invariants the crawl ingest leans on. One row per check,
+    * `(chk, ok, detail)`:
+    *
+    *   - `meta_parses` (detail: nBuckets; missing sidecar
+    *     short-circuits to this single failing row);
+    *   - `rows_nonempty` — band rows (nBands per doc, plus tolerated
+    *     crash-window duplicates);
+    *   - `bands_complete` — every LIVE doc (tombstones applied) has all
+    *     nBands DISTINCT band indices, none out of domain: the
+    *     presence-check contract (a doc missing a band is silently
+    *     invisible to collisions on it — the r13 ADVICE failure mode,
+    *     here checked over the whole index, not just a batch);
+    *   - `shingles_present` — every live banded doc has verification
+    *     shingles: the shingles-then-bands commit-order invariant
+    *     (detail: live doc count). A banded doc with no shingles
+    *     Jaccard-verifies as 0 against everything — false negatives;
+    *   - `band_bucket_consistent` / `shingle_bucket_consistent` — every
+    *     stored bucket equals the sidecar-geometry hash of its own row
+    *     (a mis-bucketed append is invisible to the pruned probe);
+    *   - `orphan_tombstones` — tombstones naming absent docs (legal
+    *     idempotent-delete residue; reported);
+    *   - `max_files_per_bucket` — the write-geometry ledger across both
+    *     relations (1 after build/compact, +1 per append era — the
+    *     compaction-due signal). */
+  def fsckRefIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
+    LshIndexMeta.read(spark, indexPath) match {
+      case None =>
+        out += (("meta_parses", false, 0L))
+      case Some(meta) =>
+        val nBands = meta.k / meta.rowsPerBand
+        out += (("meta_parses", true, meta.nBuckets.toLong))
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tPath = new org.apache.hadoop.fs.Path(
+          s"$indexPath/$LshTombstoneDir")
+        val bands = spark.read.parquet(s"$indexPath/$LshBandsDir")
+        val shingleIds = spark.read.parquet(s"$indexPath/$LshShinglesDir")
+          .select(col("__rid")).distinct()
+        val liveBands = if (!fs.exists(tPath)) bands
+          else bands.join(spark.read.parquet(tPath.toString),
+            Seq("__rid"), "left_anti")
+        out += (("rows_nonempty", bands.count() > 0, bands.count()))
+        val perDoc = liveBands
+          .groupBy(col("__rid"))
+          .agg(countDistinct(col("band_idx")).as("__nb"),
+            max(col("band_idx")).as("__mx"))
+        val bad = perDoc
+          .filter(col("__nb") =!= nBands || col("__mx") >= nBands)
+          .count()
+        out += (("bands_complete", bad == 0L, nBands.toLong))
+        val liveDocs = perDoc.select(col("__rid"))
+        val unshingled = liveDocs
+          .join(shingleIds, Seq("__rid"), "left_anti").count()
+        out += (("shingles_present", unshingled == 0L, liveDocs.count()))
+        val bandMis = bands.filter(col(LshBandBucketCol) =!=
+          pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
+          .count()
+        out += (("band_bucket_consistent", bandMis == 0L,
+          meta.nBuckets.toLong))
+        val shMis = spark.read.parquet(s"$indexPath/$LshShinglesDir")
+          .filter(col(LshRidBucketCol) =!=
+            pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
+          .count()
+        out += (("shingle_bucket_consistent", shMis == 0L,
+          meta.nBuckets.toLong))
+        val orphans = if (!fs.exists(tPath)) 0L
+          else spark.read.parquet(tPath.toString)
+            .join(bands.select(col("__rid")).distinct(),
+              Seq("__rid"), "left_anti").count()
+        out += (("orphan_tombstones", true, orphans))
+        def maxFiles(dir: String, bucketCol: String): Int = {
+          val root = new org.apache.hadoop.fs.Path(s"$indexPath/$dir")
+          if (!fs.exists(root)) 0
+          else fs.listStatus(root)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith(bucketCol + "="))
+            .map(d => fs.listStatus(d.getPath)
+              .count(_.getPath.getName.endsWith(".parquet")))
+            .foldLeft(0)(math.max)
+        }
+        val mf = math.max(maxFiles(LshBandsDir, LshBandBucketCol),
+          maxFiles(LshShinglesDir, LshRidBucketCol))
+        out += (("max_files_per_bucket", mf >= 1, mf.toLong))
+    }
+    out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+  }
+
   def compactRefIndex(spark: SparkSession, indexPath: String): Unit = {
     LshIndexMeta.read(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(

@@ -891,12 +891,13 @@ object IvfIndex {
       .limit(k)
       .select(col(idCol), col("dist"))
     var probed = order.take(math.max(1, nProbe0)).toVector
+    var probedSet = probed.toSet
     var rounds = 0
     while (true) { // exits by certificate or full coverage
       rounds += 1
       val rows = topk(probed).select(col("__d2")).collect()
       val matched = rows.length
-      val unprobed = order.filterNot(probed.contains)
+      val unprobed = order.filterNot(probedSet) // stays centroid-ordered
       val escalate =
         if (unprobed.isEmpty) Seq.empty // brute force already — exact
         else if (matched < k) unprobed.take(math.max(probed.size, 1))
@@ -911,6 +912,7 @@ object IvfIndex {
         return result(probed)
       }
       probed = probed ++ escalate
+      probedSet = probedSet ++ escalate
     }
     result(probed) // unreachable
   }
@@ -953,7 +955,11 @@ object IvfIndex {
         id -> math.max(0.0, d - radiiM.getOrElse(id, 0.0))
       }.toMap
       var probed: Vector[Int] = order.take(math.max(1, nProbe0)).toVector
+      var probedSet: Set[Int] = probed.toSet
       var done: Boolean = false
+      def extend(lists: Seq[Int]): Unit = {
+        probed = probed ++ lists; probedSet = probedSet ++ lists
+      }
     }
     val states = queries.map { case (qid, qv) => new St(qid, qv) }
     val filtered = index.filter(pred)
@@ -982,7 +988,7 @@ object IvfIndex {
         }.toMap
       states.filter(!_.done).foreach { s =>
         val (matched, dk2) = stats.getOrElse(s.qid, (0, Double.NaN))
-        val unprobed = s.order.filterNot(s.probed.contains)
+        val unprobed = s.order.filterNot(s.probedSet)
         val escalate =
           if (unprobed.isEmpty) Seq.empty
           else if (matched < k) unprobed.take(math.max(s.probed.size, 1))
@@ -991,7 +997,7 @@ object IvfIndex {
             unprobed.filter(s.bound(_) <= dk)
           }
         if (escalate.isEmpty) s.done = true
-        else s.probed = s.probed ++ escalate
+        else s.extend(escalate)
       }
     }
     graft.Obs.event("filtered-knn-batch", "rounds" -> rounds,

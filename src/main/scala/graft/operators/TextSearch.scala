@@ -369,6 +369,75 @@ object TextSearch {
     fs.delete(tmp, true)
   }
 
+  /** FSCK — physical integrity audit of a saved postings index (the
+    * VectorIndex.fsckSaved contract for the text layout). One row per
+    * check, `(chk, ok, detail)`:
+    *
+    *   - `meta_parses` (detail: nBuckets; missing/corrupt sidecar
+    *     short-circuits to this single row);
+    *   - `rows_nonempty` — raw postings rows (one per (doc, term));
+    *   - `bucket_domain` / `bucket_hash_consistent` — every __bucket in
+    *     [0, nBuckets) AND equal to the sidecar-geometry hash of its
+    *     own term (a mis-bucketed append makes its terms invisible to
+    *     the pruned probe — silently, which is why fsck rehashes);
+    *   - `doc_count_consistent` / `sumdl_consistent` — the LIVE view
+    *     (tombstones applied) agrees with the sidecar's nDocs and exact
+    *     integer token sum: the scalars every BM25 score is computed
+    *     from, recombined across appends/deletes, checked against the
+    *     data they claim to summarize;
+    *   - `orphan_tombstones` — tombstones naming absent docs (legal,
+    *     idempotent-delete residue; reported);
+    *   - `max_files_per_bucket` — the write-geometry ledger (1 after
+    *     build/compact, +1 per append era). */
+  def fsckIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
+    TextIndexMeta.read(spark, indexPath) match {
+      case None =>
+        out += (("meta_parses", false, 0L))
+      case Some(meta) =>
+        val nb = meta.nBuckets.toLong
+        out += (("meta_parses", true, nb))
+        val raw = spark.read.parquet(indexPath)
+        val a = raw.agg(
+          count(lit(1)).as("n"),
+          min(col(BucketCol)).as("bmin"), max(col(BucketCol)).as("bmax"),
+          sum(when(col(BucketCol) =!=
+            pmod(xxhash64(col("__term")), lit(meta.nBuckets)).cast("int"),
+            1L).otherwise(0L)).as("mishash")).head()
+        out += (("rows_nonempty", a.getLong(0) > 0, a.getLong(0)))
+        out += (("bucket_domain",
+          !a.isNullAt(1) && a.getInt(1) >= 0 && a.getInt(2) < meta.nBuckets,
+          nb))
+        out += (("bucket_hash_consistent", a.getLong(3) == 0L, nb))
+        val root = new Path(indexPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tPath = new Path(indexPath, TextTombstoneDir)
+        val live = if (!fs.exists(tPath)) raw
+          else raw.join(spark.read.parquet(tPath.toString),
+            Seq(meta.idCol), "left_anti")
+        val d = live.select(col(meta.idCol), col("__dl")).distinct()
+          .agg(count(lit(1)).as("docs"), sum(col("__dl")).as("sumdl"))
+          .head()
+        out += (("doc_count_consistent", d.getLong(0) == meta.nDocs,
+          meta.nDocs))
+        meta.sumDl.foreach { s =>
+          out += (("sumdl_consistent", !d.isNullAt(1) && d.getLong(1) == s, s))
+        }
+        val orphans = if (!fs.exists(tPath)) 0L
+          else spark.read.parquet(tPath.toString)
+            .join(raw.select(col(meta.idCol)).distinct(),
+              Seq(meta.idCol), "left_anti").count()
+        out += (("orphan_tombstones", true, orphans))
+        val dirs = fs.listStatus(root).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+        val maxFiles = dirs.map(d2 => fs.listStatus(d2.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))).foldLeft(0)(math.max)
+        out += (("max_files_per_bucket", dirs.nonEmpty, maxFiles.toLong))
+    }
+    out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+  }
+
   /** BM25 over a SAVED postings index — same contract as [[bm25]] (it
     * shares the scoring tail), but the corpus is never re-scanned: the
     * probe filters the postings parquet to the query terms' hash buckets

@@ -898,6 +898,40 @@ class DedupSpec extends AnyFunSuite {
     assert(ta.values.max <= 2, s"text append: $ta")
   }
 
+  test("fsckRefIndex: fresh build all-green (bands = nBands x docs); " +
+      "orphan tombstone reported; a lost band file flips bands_complete " +
+      "while the commit-order check stays green") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fsck_lsh")
+      .toString + "/idx"
+    val n = docs.count()
+    Dedup.buildRefIndex(docs, "doc_id", "text", tmp, k = 8,
+      rowsPerBand = 2, shingleN = 3, nBuckets = 8)
+    def report(): Map[String, (Boolean, Long)] =
+      Dedup.fsckRefIndex(spark, tmp).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val fresh = report()
+    assert(fresh.values.forall(_._1), fresh)
+    assert(fresh("rows_nonempty") == (true, 4L * n))
+    assert(fresh("bands_complete") == (true, 4L))
+    assert(fresh("shingles_present") == (true, n))
+    // tombstone for a doc that never existed: counted, still legal
+    Dedup.deleteFromRefIndex(spark, tmp, Seq(99999999L).toDF("doc_id"))
+    assert(report()("orphan_tombstones") == (true, 1L))
+    // lose one band-bucket file (a partially-shipped copy, a bad
+    // restore): docs whose rows lived there now miss band indices —
+    // the presence-contract check must flag the WHOLE index as
+    // incomplete, while their shingles (other relation) stay present
+    val bandsRoot = new java.io.File(s"$tmp/${Dedup.LshBandsDir}")
+    val victim = bandsRoot.listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val broken = report()
+    assert(!broken("bands_complete")._1)
+    assert(broken("shingles_present")._1)
+    assert(broken("band_bucket_consistent")._1)
+  }
+
   test("compactRefIndex: probe bit-identical across compaction, one " +
       "file per bucket after, crash-window duplicate rows dropped") {
     def filesPerDir(root: String): Map[String, Int] = {

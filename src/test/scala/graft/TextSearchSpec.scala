@@ -58,6 +58,40 @@ class TextSearchSpec extends AnyFunSuite {
     assert(idx.toSeq == scan.toSeq)
   }
 
+  test("fsckIndex: fresh build all-green with recompute-predicted " +
+       "details; duplicate-doc append breaks the sidecar-scalar checks; " +
+       "delete keeps them consistent (sidecar follows the data)") {
+    import spark.implicits._
+    val docs = corpus.toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fsck_txt").toString + "/idx"
+    TextSearch.buildIndex(docs, "id", "text", path, nBuckets = 4)
+    def report(): Map[String, (Boolean, Long)] =
+      TextSearch.fsckIndex(spark, path).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val fresh = report()
+    assert(fresh.values.forall(_._1), fresh)
+    assert(fresh("doc_count_consistent") == (true, 5L))
+    assert(fresh("sumdl_consistent")._2 ==
+      corpus.map(_._2.split(" ").length).sum.toLong)
+    assert(fresh("max_files_per_bucket") == (true, 1L))
+    // tombstone delete: sidecar scalars follow the live data, so the
+    // consistency checks STAY green; the tombstone is not an orphan
+    TextSearch.deleteFromIndex(spark, path, Seq(5L).toDF("id"))
+    val afterDel = report()
+    assert(afterDel("doc_count_consistent") == (true, 4L))
+    assert(afterDel("sumdl_consistent")._1)
+    assert(afterDel("orphan_tombstones") == (true, 0L))
+    // re-appending an EXISTING doc doubles its postings: the sidecar
+    // claims more docs than the live distinct count — both scalar
+    // checks must flag it (the append-only id contract violated)
+    TextSearch.appendIndex(docs.filter(col("id") === 1), "text", path)
+    val dup = report()
+    assert(!dup("doc_count_consistent")._1)
+    assert(!dup("sumdl_consistent")._1)
+    assert(dup("bucket_hash_consistent")._1) // geometry still sound
+  }
+
   test("bm25 matches an independent plain-Scala computation") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text")

@@ -400,6 +400,47 @@ class VectorIndexSpec extends AnyFunSuite {
       physical.contains("EqualTo(grp,2)"), physical)
   }
 
+  test("fsckSaved: fresh build all-green; duplicate-id append flips " +
+       "ids_unique; orphan tombstones counted; missing sidecar " +
+       "short-circuits; append raises the file-geometry ledger") {
+    import spark.implicits._
+    val df = randomDf(200, 16, 53)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fsck").toString + "/idx"
+    VectorIndex.create(df, "vec", "id", dim = 16, nlist = 8,
+      topUpNlist = true).save(path)
+    def report(): Map[String, (Boolean, Long)] =
+      VectorIndex.fsckSaved(spark, path).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val fresh = report()
+    assert(fresh.values.forall(_._1), fresh)
+    assert(fresh("ids_unique") == (true, 200L))
+    assert(fresh("meta_parses") == (true, 8L))
+    assert(fresh("max_files_per_list") == (true, 1L))
+    assert(fresh("orphan_tombstones") == (true, 0L))
+    // delete an id that exists, and one that never did: the orphan is
+    // counted (legal residue — deletes are idempotent), ok stays true
+    VectorIndex.deleteSaved(spark, path, Seq(7L, 99999L).toDF("id"))
+    assert(report()("orphan_tombstones") == (true, 1L))
+    // re-append rows that are already in the layout: the physical audit
+    // must flag the duplicate ids (ids-never-reused is the contract
+    // every delete/compact verb leans on) and the file ledger must show
+    // the second write era
+    VectorIndex.appendSaved(spark, path, df.filter(col("id") < 20))
+    val dup = report()
+    assert(!dup("ids_unique")._1 && dup("ids_unique")._2 == 200L)
+    assert(dup("max_files_per_list")._1 &&
+      dup("max_files_per_list")._2 >= 2L)
+    assert(dup("radii_sound")._1) // appends grow radii soundly
+    // no sidecar: a single failing meta_parses row, nothing else probed
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_fsck_bare").toString
+    df.limit(5).write.parquet(s"$bare/idx")
+    val noMeta = VectorIndex.fsckSaved(spark, s"$bare/idx").collect()
+    assert(noMeta.length == 1 && noMeta.head.getString(0) == "meta_parses"
+      && !noMeta.head.getBoolean(1))
+  }
+
   test("appendSaved: at-rest ingest into the IVF+PQ layout — appended " +
        "rows fully encoded, radii stay sound, exact path exact on union") {
     val df = randomDf(250, 32, 41)
