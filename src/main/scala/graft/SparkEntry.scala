@@ -3600,7 +3600,7 @@ object SparkEntry {
         |         count(*) = count(DISTINCT vec_id) AS ok,
         |         count(DISTINCT vec_id) AS detail FROM embeddings
         |  UNION ALL SELECT 'list_ids_in_domain', true, 16
-        |  UNION ALL SELECT 'max_files_per_list', true, 1
+        |  UNION ALL SELECT 'write_eras', true, 1
         |  UNION ALL SELECT 'meta_parses', true, 16
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'radii_sound', true, 16
@@ -3619,7 +3619,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'bucket_hash_consistent', true, 16
         |  UNION ALL SELECT 'doc_count_consistent', true, count(*)
         |    FROM documents
-        |  UNION ALL SELECT 'max_files_per_bucket', true, 1
+        |  UNION ALL SELECT 'write_eras', true, 1
         |  UNION ALL SELECT 'meta_parses', true, 16
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'rows_nonempty', true, count(*) FROM (
@@ -3637,7 +3637,7 @@ object SparkEntry {
       """SELECT chk, ok, detail FROM (
         |  SELECT 'band_bucket_consistent' AS chk, true AS ok, 16 AS detail
         |  UNION ALL SELECT 'bands_complete', true, 4
-        |  UNION ALL SELECT 'max_files_per_bucket', true, 1
+        |  UNION ALL SELECT 'write_eras', true, 1
         |  UNION ALL SELECT 'meta_parses', true, 16
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'rows_nonempty', true, 4 * count(*)
@@ -3645,6 +3645,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'shingle_bucket_consistent', true, 16
         |  UNION ALL SELECT 'shingles_present', true, count(*)
         |    FROM documents
+        |  UNION ALL SELECT 'unbanded_shingle_docs', true, 0
         |) ORDER BY chk""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

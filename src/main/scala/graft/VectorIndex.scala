@@ -701,9 +701,12 @@ object VectorIndex {
     *   - `orphan_tombstones` — tombstones naming absent ids (detail:
     *     count; ok stays true — deletes are idempotent by contract,
     *     orphans are legal residue worth reporting);
-    *   - `max_files_per_list` — the write-geometry ledger (detail: max
-    *     files in any list_id dir; 1 after build/compact, +1 per
-    *     append batch — the compaction-due signal).
+    *   - `write_eras` — the write-geometry ledger
+    *     ([[graft.operators.WriteGeometry.writeEras]]): files per
+    *     list_id dir beyond the row-cap-implied floor — 1 after
+    *     build/compact AT ANY SCALE (a bucket that legitimately split
+    *     under `maxRecordsPerFile` still reads as one era), +1 per
+    *     append batch — the compaction-due signal.
     *
     * Cost: two aggregate jobs + a radii recompute (one job) + a
     * directory listing — all metadata-sized collects. */
@@ -727,6 +730,12 @@ object VectorIndex {
           .head()
         val (n, nd) = (a.getLong(0), a.getLong(1))
         out += (("rows_nonempty", n > 0, n))
+        if (n == 0) {
+          // zero rows: every data-derived check below would read null
+          // aggregates — a truncated copy is diagnosed by the single
+          // failing row, same short-circuit contract as a bad sidecar
+          return out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+        }
         out += (("ids_unique", n == nd, nd))
         out += (("vectors_valid_dim",
           a.getLong(4) == 0L && a.getInt(2) == meta.dim &&
@@ -753,11 +762,11 @@ object VectorIndex {
             .join(raw.select(idC), Seq(meta.idCol), "left_anti").count()
         out += (("orphan_tombstones", true, orphans))
         if (raw.columns.contains("list_id")) {
-          val dirs = fs.listStatus(root).filter(s =>
-            s.isDirectory && s.getPath.getName.startsWith("list_id="))
-          val maxFiles = dirs.map(d => fs.listStatus(d.getPath)
-            .count(_.getPath.getName.endsWith(".parquet"))).foldLeft(0)(math.max)
-          out += (("max_files_per_list", dirs.nonEmpty, maxFiles.toLong))
+          val perList = raw.groupBy(col("list_id")).count().collect()
+            .map(r => r.get(0).toString -> r.getLong(1)).toMap
+          out += (("write_eras", perList.nonEmpty,
+            graft.operators.WriteGeometry
+              .writeEras(fs, root, "list_id", perList).toLong))
         }
     }
     out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")

@@ -1330,14 +1330,21 @@ object Dedup {
     *     shingles: the shingles-then-bands commit-order invariant
     *     (detail: live doc count). A banded doc with no shingles
     *     Jaccard-verifies as 0 against everything — false negatives;
+    *   - `unbanded_shingle_docs` — the reverse direction: shingled docs
+    *     with NO band row (detail: count; ok stays true). Nonzero is
+    *     either the legal crash residue of the commit order (replay
+    *     repairs it — the presence check re-appends such docs whole)
+    *     or band loss in a build-only index; bands_complete alone
+    *     cannot see a doc whose band rows ALL vanished;
     *   - `band_bucket_consistent` / `shingle_bucket_consistent` — every
     *     stored bucket equals the sidecar-geometry hash of its own row
     *     (a mis-bucketed append is invisible to the pruned probe);
     *   - `orphan_tombstones` — tombstones naming absent docs (legal
     *     idempotent-delete residue; reported);
-    *   - `max_files_per_bucket` — the write-geometry ledger across both
-    *     relations (1 after build/compact, +1 per append era — the
-    *     compaction-due signal). */
+    *   - `write_eras` — the write-geometry ledger across both relations
+    *     (WriteGeometry.writeEras: files per bucket beyond the
+    *     row-cap-implied floor; 1 after build/compact at any scale,
+    *     +1 per append era — the compaction-due signal). */
   def fsckRefIndex(spark: SparkSession, indexPath: String): DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
@@ -1352,16 +1359,20 @@ object Dedup {
         val tPath = new org.apache.hadoop.fs.Path(
           s"$indexPath/$LshTombstoneDir")
         val bands = spark.read.parquet(s"$indexPath/$LshBandsDir")
-        val shingleIds = spark.read.parquet(s"$indexPath/$LshShinglesDir")
-          .select(col("__rid")).distinct()
+        val shingleRel = spark.read.parquet(s"$indexPath/$LshShinglesDir")
+        val shingleIds = shingleRel.select(col("__rid")).distinct()
         val liveBands = if (!fs.exists(tPath)) bands
           else bands.join(spark.read.parquet(tPath.toString),
             Seq("__rid"), "left_anti")
-        out += (("rows_nonempty", bands.count() > 0, bands.count()))
-        val perDoc = liveBands
+        val nBandRows = bands.count()
+        out += (("rows_nonempty", nBandRows > 0, nBandRows))
+        // three actions read the per-doc aggregate — persist it once
+        // instead of re-aggregating the bands relation per action
+        val perDoc = CacheScope.register(liveBands
           .groupBy(col("__rid"))
           .agg(countDistinct(col("band_idx")).as("__nb"),
             max(col("band_idx")).as("__mx"))
+          .persist())
         val bad = perDoc
           .filter(col("__nb") =!= nBands || col("__mx") >= nBands)
           .count()
@@ -1370,12 +1381,27 @@ object Dedup {
         val unshingled = liveDocs
           .join(shingleIds, Seq("__rid"), "left_anti").count()
         out += (("shingles_present", unshingled == 0L, liveDocs.count()))
+        // the reverse direction: shingled docs with NO band row at all.
+        // Nonzero is either the legal crash residue of the
+        // shingles-then-bands commit order (a replayed ingest repairs
+        // it: the presence check treats such docs as absent and
+        // re-appends them whole) or band loss in a build-only index
+        // (repair = re-append those docs). ok stays true — the count is
+        // the signal; bands_complete alone cannot see a doc whose band
+        // rows ALL vanished, because it derives its doc set from the
+        // bands relation itself.
+        val liveShingleIds = if (!fs.exists(tPath)) shingleIds
+          else shingleIds.join(spark.read.parquet(tPath.toString),
+            Seq("__rid"), "left_anti")
+        val unbanded = liveShingleIds
+          .join(liveDocs, Seq("__rid"), "left_anti").count()
+        out += (("unbanded_shingle_docs", true, unbanded))
         val bandMis = bands.filter(col(LshBandBucketCol) =!=
           pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
           .count()
         out += (("band_bucket_consistent", bandMis == 0L,
           meta.nBuckets.toLong))
-        val shMis = spark.read.parquet(s"$indexPath/$LshShinglesDir")
+        val shMis = shingleRel
           .filter(col(LshRidBucketCol) =!=
             pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
           .count()
@@ -1386,19 +1412,17 @@ object Dedup {
             .join(bands.select(col("__rid")).distinct(),
               Seq("__rid"), "left_anti").count()
         out += (("orphan_tombstones", true, orphans))
-        def maxFiles(dir: String, bucketCol: String): Int = {
-          val root = new org.apache.hadoop.fs.Path(s"$indexPath/$dir")
-          if (!fs.exists(root)) 0
-          else fs.listStatus(root)
-            .filter(s => s.isDirectory &&
-              s.getPath.getName.startsWith(bucketCol + "="))
-            .map(d => fs.listStatus(d.getPath)
-              .count(_.getPath.getName.endsWith(".parquet")))
-            .foldLeft(0)(math.max)
-        }
-        val mf = math.max(maxFiles(LshBandsDir, LshBandBucketCol),
-          maxFiles(LshShinglesDir, LshRidBucketCol))
-        out += (("max_files_per_bucket", mf >= 1, mf.toLong))
+        val bandRows = bands.groupBy(col(LshBandBucketCol)).count()
+          .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+        val shRows = shingleRel.groupBy(col(LshRidBucketCol)).count()
+          .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+        val eras = math.max(
+          WriteGeometry.writeEras(fs, new org.apache.hadoop.fs.Path(
+            s"$indexPath/$LshBandsDir"), LshBandBucketCol, bandRows),
+          WriteGeometry.writeEras(fs, new org.apache.hadoop.fs.Path(
+            s"$indexPath/$LshShinglesDir"), LshRidBucketCol, shRows))
+        out += (("write_eras", eras >= 1, eras.toLong))
+        perDoc.unpersist()
     }
     out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
   }

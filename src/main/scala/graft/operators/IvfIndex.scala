@@ -838,12 +838,17 @@ object IvfIndex {
     *      bound, no unprobed row — filtered or not — can place, and the
     *      result equals brute force over the filtered collection;
     *   3. otherwise escalate: probe exactly the unprobed lists whose
-    *      bound <= d_k (inclusive: an unprobed row at exactly d_k could
-    *      win the (dist, id) tie-break). While fewer than k rows match
-    *      (d_k = ∞, the certificate cannot fire), DOUBLE the probe set
-    *      by centroid distance instead — log2(nlist) rounds worst-case
-    *      before degenerating to the brute-force scan a sub-k match
-    *      count makes unavoidable.
+    *      bound² <= d_k² + 10^-roundTo — inclusive and padded by one
+    *      unit of display precision, because the OUTPUT ranks by the
+    *      rounded distance (the family convention): an unprobed row
+    *      whose true distance barely exceeds d_k can still tie it at
+    *      roundTo decimals and win the (dist, id) tie-break, and two
+    *      values more than 10^-roundTo apart cannot round equal, so
+    *      the slack is exactly sufficient. While fewer than k rows
+    *      match (d_k = ∞, the certificate cannot fire), DOUBLE the
+    *      probe set by centroid distance instead — log2(nlist) rounds
+    *      worst-case before degenerating to the brute-force scan a
+    *      sub-k match count makes unavoidable.
     *
     * Driver state per round: k (id, dist) rows + the nlist-sized bound
     * table — metadata, never the collection. At rest the radii come
@@ -878,7 +883,12 @@ object IvfIndex {
     // unprobed bound it actually exceeds). The RETURNED plan instead
     // ranks by the rounded distance like every exact search in this
     // family — ties at the display precision break by id the same way
-    // in both engines, so the oracle's row order is reproduced.
+    // in both engines, so the oracle's row order is reproduced. The
+    // certificate therefore carries a one-ulp-of-display slack: two
+    // values more than 10^-roundTo apart cannot round equal, so a list
+    // is escalated iff it could hold a row whose ROUNDED distance ties
+    // or beats the k-th (an exact-boundary row in an unprobed list
+    // could otherwise win the rounded (dist, id) tie-break unseen).
     def topk(lists: Seq[Int]): DataFrame = filtered
       .filter(col("list_id").isin(lists: _*))
       .withColumn("__d2", sqDist(col(vecCol), qVec))
@@ -890,20 +900,29 @@ object IvfIndex {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("dist"))
+    val slack = math.pow(10.0, -roundTo)
     var probed = order.take(math.max(1, nProbe0)).toVector
     var probedSet = probed.toSet
+    // each round scans ONLY the newly escalated lists; the running
+    // top-k merges driver-side (k (d2, id) pairs — metadata), so a
+    // probed partition is read once by the loop, not once per round
+    var best = Vector.empty[(Double, Long)]
+    def scan(lists: Seq[Int]): Vector[(Double, Long)] = topk(lists)
+      .select(col("__d2"), col(idCol).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toVector
+    var newLists: Seq[Int] = probed
     var rounds = 0
     while (true) { // exits by certificate or full coverage
       rounds += 1
-      val rows = topk(probed).select(col("__d2")).collect()
-      val matched = rows.length
+      best = (best ++ scan(newLists)).sorted.take(k)
+      val matched = best.size
       val unprobed = order.filterNot(probedSet) // stays centroid-ordered
       val escalate =
         if (unprobed.isEmpty) Seq.empty // brute force already — exact
         else if (matched < k) unprobed.take(math.max(probed.size, 1))
         else {
-          val dk = math.sqrt(rows.last.getDouble(0))
-          unprobed.filter(bound(_) <= dk)
+          val dk2 = best.last._1
+          unprobed.filter(l => bound(l) * bound(l) <= dk2 + slack)
         }
       if (escalate.isEmpty) {
         graft.Obs.event("filtered-knn", "rounds" -> rounds,
@@ -913,6 +932,7 @@ object IvfIndex {
       }
       probed = probed ++ escalate
       probedSet = probedSet ++ escalate
+      newLists = escalate
     }
     result(probed) // unreachable
   }
@@ -956,9 +976,12 @@ object IvfIndex {
       }.toMap
       var probed: Vector[Int] = order.take(math.max(1, nProbe0)).toVector
       var probedSet: Set[Int] = probed.toSet
+      var fresh: Seq[Int] = probed // escalated this round, not yet scanned
+      var best: Vector[(Double, Long)] = Vector.empty // running top-k
       var done: Boolean = false
       def extend(lists: Seq[Int]): Unit = {
         probed = probed ++ lists; probedSet = probedSet ++ lists
+        fresh = lists
       }
     }
     val states = queries.map { case (qid, qv) => new St(qid, qv) }
@@ -973,28 +996,38 @@ object IvfIndex {
         .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
     }
     val exactD2 = sqDist(col(vecCol).cast("array<double>"), col("__qv"))
+    // one job per round over ONLY the (query, list) pairs escalated that
+    // round; running top-ks merge driver-side (|queries| × k pairs)
+    def scanFresh(sts: Seq[St]): Map[Long, Seq[(Double, Long)]] = {
+      val pairs = sts.flatMap(s => s.fresh.map(l => (s.qid, l, s.qv)))
+      if (pairs.isEmpty) return Map.empty
+      val probes = pairs.toDF("qid", "list_id", "__qv")
+      filtered.join(broadcast(probes), Seq("list_id"))
+        .withColumn("__d", exactD2)
+        .groupBy(col("qid"))
+        .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1)))
+        }.toMap
+    }
+    val slack = math.pow(10.0, -roundTo) // see searchFilteredExact
     var rounds = 0
     while (states.exists(!_.done)) {
       rounds += 1
-      // stats only: per active query, match count + UNROUNDED k-th
-      // distance (the certificate compares true distances; see
-      // searchFilteredExact's rounding note)
-      val stats = topkOf(states.filter(!_.done), exactD2)
-        .select(col("qid"), size(col("__top")).as("n"),
-          element_at(col("__top"), k).getField("score").as("dk2"))
-        .collect().map { r =>
-          r.getLong(0) -> (r.getInt(1),
-            if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
-        }.toMap
-      states.filter(!_.done).foreach { s =>
-        val (matched, dk2) = stats.getOrElse(s.qid, (0, Double.NaN))
+      val active = states.filter(!_.done)
+      val got = scanFresh(active)
+      active.foreach { s =>
+        s.best = (s.best ++ got.getOrElse(s.qid, Nil)).sorted.take(k)
+        s.fresh = Nil
+        val matched = s.best.size
         val unprobed = s.order.filterNot(s.probedSet)
         val escalate =
           if (unprobed.isEmpty) Seq.empty
           else if (matched < k) unprobed.take(math.max(s.probed.size, 1))
           else {
-            val dk = math.sqrt(dk2)
-            unprobed.filter(s.bound(_) <= dk)
+            val dk2 = s.best.last._1
+            unprobed.filter(l => s.bound(l) * s.bound(l) <= dk2 + slack)
           }
         if (escalate.isEmpty) s.done = true
         else s.extend(escalate)

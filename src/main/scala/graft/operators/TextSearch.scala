@@ -387,8 +387,10 @@ object TextSearch {
     *     data they claim to summarize;
     *   - `orphan_tombstones` — tombstones naming absent docs (legal,
     *     idempotent-delete residue; reported);
-    *   - `max_files_per_bucket` — the write-geometry ledger (1 after
-    *     build/compact, +1 per append era). */
+    *   - `write_eras` — the write-geometry ledger
+    *     (WriteGeometry.writeEras: files per bucket beyond the
+    *     row-cap-implied floor; 1 after build/compact at any scale,
+    *     +1 per append era). */
   def fsckIndex(spark: SparkSession, indexPath: String): DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
@@ -406,6 +408,11 @@ object TextSearch {
             pmod(xxhash64(col("__term")), lit(meta.nBuckets)).cast("int"),
             1L).otherwise(0L)).as("mishash")).head()
         out += (("rows_nonempty", a.getLong(0) > 0, a.getLong(0)))
+        if (a.getLong(0) == 0) {
+          // zero rows: the remaining checks would read null aggregates;
+          // same short-circuit contract as a missing sidecar
+          return out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+        }
         out += (("bucket_domain",
           !a.isNullAt(1) && a.getInt(1) >= 0 && a.getInt(2) < meta.nBuckets,
           nb))
@@ -429,11 +436,10 @@ object TextSearch {
             .join(raw.select(col(meta.idCol)).distinct(),
               Seq(meta.idCol), "left_anti").count()
         out += (("orphan_tombstones", true, orphans))
-        val dirs = fs.listStatus(root).filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
-        val maxFiles = dirs.map(d2 => fs.listStatus(d2.getPath)
-          .count(_.getPath.getName.endsWith(".parquet"))).foldLeft(0)(math.max)
-        out += (("max_files_per_bucket", dirs.nonEmpty, maxFiles.toLong))
+        val perBucket = raw.groupBy(col(BucketCol)).count().collect()
+          .map(r => r.get(0).toString -> r.getLong(1)).toMap
+        out += (("write_eras", perBucket.nonEmpty,
+          WriteGeometry.writeEras(fs, root, BucketCol, perBucket).toLong))
     }
     out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
   }

@@ -915,6 +915,8 @@ class DedupSpec extends AnyFunSuite {
     assert(fresh("rows_nonempty") == (true, 4L * n))
     assert(fresh("bands_complete") == (true, 4L))
     assert(fresh("shingles_present") == (true, n))
+    assert(fresh("unbanded_shingle_docs") == (true, 0L))
+    assert(fresh("write_eras") == (true, 1L))
     // tombstone for a doc that never existed: counted, still legal
     Dedup.deleteFromRefIndex(spark, tmp, Seq(99999999L).toDF("doc_id"))
     assert(report()("orphan_tombstones") == (true, 1L))

@@ -74,7 +74,7 @@ class TextSearchSpec extends AnyFunSuite {
     assert(fresh("doc_count_consistent") == (true, 5L))
     assert(fresh("sumdl_consistent")._2 ==
       corpus.map(_._2.split(" ").length).sum.toLong)
-    assert(fresh("max_files_per_bucket") == (true, 1L))
+    assert(fresh("write_eras") == (true, 1L))
     // tombstone delete: sidecar scalars follow the live data, so the
     // consistency checks STAY green; the tombstone is not an orphan
     TextSearch.deleteFromIndex(spark, path, Seq(5L).toDF("id"))

@@ -416,7 +416,7 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(fresh.values.forall(_._1), fresh)
     assert(fresh("ids_unique") == (true, 200L))
     assert(fresh("meta_parses") == (true, 8L))
-    assert(fresh("max_files_per_list") == (true, 1L))
+    assert(fresh("write_eras") == (true, 1L))
     assert(fresh("orphan_tombstones") == (true, 0L))
     // delete an id that exists, and one that never did: the orphan is
     // counted (legal residue — deletes are idempotent), ok stays true
@@ -429,8 +429,8 @@ class VectorIndexSpec extends AnyFunSuite {
     VectorIndex.appendSaved(spark, path, df.filter(col("id") < 20))
     val dup = report()
     assert(!dup("ids_unique")._1 && dup("ids_unique")._2 == 200L)
-    assert(dup("max_files_per_list")._1 &&
-      dup("max_files_per_list")._2 >= 2L)
+    assert(dup("write_eras")._1 &&
+      dup("write_eras")._2 >= 2L)
     assert(dup("radii_sound")._1) // appends grow radii soundly
     // no sidecar: a single failing meta_parses row, nothing else probed
     val bare = java.nio.file.Files
