@@ -3602,6 +3602,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'list_ids_in_domain', true, 16
         |  UNION ALL SELECT 'write_eras', true, 1
         |  UNION ALL SELECT 'meta_parses', true, 16
+        |  UNION ALL SELECT 'no_compact_residue', true, 0
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'radii_sound', true, 16
         |  UNION ALL SELECT 'rows_nonempty', count(*) > 0, count(*)
@@ -3621,6 +3622,7 @@ object SparkEntry {
         |    FROM documents
         |  UNION ALL SELECT 'write_eras', true, 1
         |  UNION ALL SELECT 'meta_parses', true, 16
+        |  UNION ALL SELECT 'no_compact_residue', true, 0
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'rows_nonempty', true, count(*) FROM (
         |    SELECT DISTINCT doc_id,
@@ -3639,6 +3641,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'bands_complete', true, 4
         |  UNION ALL SELECT 'write_eras', true, 1
         |  UNION ALL SELECT 'meta_parses', true, 16
+        |  UNION ALL SELECT 'no_compact_residue', true, 0
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'rows_nonempty', true, 4 * count(*)
         |    FROM documents

@@ -606,9 +606,12 @@ object VectorIndex {
     * (a delete may have removed the very rows that de-normalized the
     * collection, re-licensing cosine rewrites). Serving results are
     * bit-identical before and after (q95 shares q81's oracle); only
-    * cost improves. The rewrite commits to a sibling `.compacting`
-    * directory before the swap — a crash mid-compact leaves the
-    * original layout (plus tombstones) fully serviceable. */
+    * cost improves. The swap is crash-RECOVERABLE via the CompactSwap
+    * protocol: staged rewrite, then a `_compact_staged` commit marker
+    * before the first destructive step, so a re-run after a crash at
+    * any point RESUMES the swap from the marker instead of deleting
+    * the staging dir (mid-swap it may hold the only copy of some
+    * lists). */
   def compactSaved(spark: SparkSession, path: String): Unit = {
     val meta = IndexMeta.read(spark, path).getOrElse(throw
       new IllegalArgumentException(
@@ -621,25 +624,15 @@ object VectorIndex {
     require(meta.grid.isEmpty, "unexpected grid+IVF hybrid layout")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tPath = new Path(path, TombstoneDir)
+    // a prior compact that crashed mid-swap left its commit marker:
+    // finish that swap first (never delete its staging blindly)
+    operators.CompactSwap.resumeIfStaged(fs, root, "list_id=", Seq(tPath))
     val live = liveData(spark, path, meta.idCol)
-    val tmp = new Path(path + ".compacting")
-    fs.delete(tmp, true)
-    // one writer task per list → one merged file per list directory
-    live.repartition(col("list_id"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", operators.WriteGeometry.MaxFileRows)
-      .partitionBy("list_id").parquet(tmp.toString)
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("list_id=") || n == TombstoneDir)
-        fs.delete(st.getPath, true)
-    }
-    fs.listStatus(tmp).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("list_id="))
-        fs.rename(st.getPath, new Path(root, n))
-    }
-    fs.delete(tmp, true)
+    // stage → marker → swap (one writer task per list → one merged
+    // file per list directory)
+    operators.CompactSwap.compactRelation(live, fs, root, "list_id",
+      Seq(tPath))
     // sidecar refresh from the COMPACTED files (smaller than the
     // pre-compaction scan and no anti-join in the plan)
     val df = spark.read.parquet(path)
@@ -685,6 +678,9 @@ object VectorIndex {
     *   - `meta_parses` — the sidecar exists and parses (detail: nlist;
     *     a missing/corrupt sidecar short-circuits to this single row,
     *     ok = false);
+    *   - `no_compact_residue` — no `_compact_staged` marker or
+    *     `.compacting` staging dir (a crashed mid-swap compact;
+    *     repair = run compactSaved, it resumes from the marker);
     *   - `rows_nonempty`, `ids_unique` — the RAW layout (tombstoned
     *     rows included: this audits physical state, not the live view)
     *     has rows and no duplicated ids (detail: row / distinct-id
@@ -719,6 +715,16 @@ object VectorIndex {
       case Some(meta) =>
         val nlist = meta.ivfCentroids.map(_.size.toLong).getOrElse(0L)
         out += (("meta_parses", true, nlist))
+        // staged-compaction residue: a `_compact_staged` marker or
+        // `.compacting` dir means a compact crashed mid-swap and the
+        // staging may hold the only copy of some lists — the repair is
+        // "run compactSaved" (it resumes), never a hand-delete
+        locally {
+          val r0 = new Path(path)
+          val f0 = r0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val res = operators.CompactSwap.residue(f0, r0)
+          out += (("no_compact_residue", res == 0L, res))
+        }
         val raw = spark.read.parquet(path)
         val idC = col(meta.idCol)
         val a = raw.agg(

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Crash-recoverable delete→rename swap shared by every at-rest
+  * compactor (TextSearch.compactIndex, VectorIndex.compactSaved,
+  * Dedup.compactRefIndex). The reference's restructure is atomic
+  * in-memory (reference `include/pktree.hpp:1290-1354` rebuilds node
+  * lists in place); an at-rest analog over a filesystem has a window
+  * between "staged rewrite committed" and "old bucket dirs replaced"
+  * where neither copy alone is the whole layout — and the naive
+  * recovery action (re-running compact, whose first step used to be
+  * `fs.delete(staging)`) would destroy the only copy of any bucket
+  * whose old dir was already deleted but whose staged dir was not yet
+  * renamed in.
+  *
+  * The protocol closing that window:
+  *
+  *   1. stage the compacted rewrite into a sibling `.compacting` dir
+  *      (non-destructive — a crash here loses only the staging);
+  *   2. write a commit MARKER (`_compact_staged`, atomically via
+  *      create-then-rename) into the layout root, recording the full
+  *      staged bucket-dir name set, BEFORE the first destructive step;
+  *   3. run the swap, which is IDEMPOTENT given the marker set: old
+  *      bucket dirs not named by the marker (zero-survivor buckets) are
+  *      deleted, then per marker name the old dir is deleted and the
+  *      staged dir renamed in — but only if the staged dir still exists,
+  *      so a re-run never un-renames completed buckets; tombstone dirs
+  *      are deleted only AFTER every rename (tombstones over already-
+  *      compacted buckets anti-join to a no-op, so the layout stays
+  *      serviceable at every crash point); staging and the marker go
+  *      last.
+  *
+  * On entry every compactor first calls [[resumeIfStaged]]: a present
+  * marker means a prior compact crashed mid-swap, and the swap is
+  * re-driven to completion from the marker set before the fresh
+  * compact proceeds. fsck reports marker/staging residue via
+  * [[residue]] — the operator's action on a nonzero count is "run the
+  * compact verb", never "rm the staging dir". */
+private[graft] object CompactSwap {
+  /** Commit-marker file name; the leading underscore keeps parquet
+    * readers from treating it as data (the `_SUCCESS` convention). */
+  val MarkerName = "_compact_staged"
+
+  def stagingPath(root: Path): Path =
+    new Path(root.getParent, root.getName + ".compacting")
+
+  def markerPath(root: Path): Path = new Path(root, MarkerName)
+
+  /** Stage the compacted rewrite (the non-destructive half): one writer
+    * task per bucket value → one merged file per bucket dir, with the
+    * WriteGeometry row cap as the hot-bucket safety net. `overwrite`
+    * clears any marker-less staging left by a crash during a prior
+    * stage — safe exactly because marker-less means no destructive step
+    * ever ran. */
+  def stage(live: DataFrame, bucketCol: String, tmp: Path): Unit =
+    live.repartition(col(bucketCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
+      .partitionBy(bucketCol).parquet(tmp.toString)
+
+  /** The staged bucket-dir names under `tmp` (the marker payload). */
+  def stagedNames(fs: FileSystem, tmp: Path, prefix: String): Seq[String] =
+    fs.listStatus(tmp).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).toSeq.sorted
+
+  /** Write the commit marker atomically (create a `.tmp` sibling, then
+    * rename) so resume never reads a torn name set — a torn set would
+    * let the swap delete an old dir whose staged replacement it then
+    * fails to rename in. */
+  def writeMarker(fs: FileSystem, root: Path, staged: Seq[String]): Unit = {
+    val tmpMarker = new Path(root, MarkerName + ".tmp")
+    val out = fs.create(tmpMarker, true)
+    try out.write(staged.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(markerPath(root), false)
+    fs.rename(tmpMarker, markerPath(root))
+  }
+
+  def readMarker(fs: FileSystem, root: Path): Option[Set[String]] = {
+    val p = markerPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** The destructive half — idempotent from any crash point given the
+    * marker set. `extraDeletes` (tombstone dirs) run after every rename:
+    * until the last bucket swaps in, tombstones keep masking the old
+    * dirs' deleted rows, and over compacted dirs they are a no-op. */
+  def swap(fs: FileSystem, root: Path, tmp: Path, prefix: String,
+           markerSet: Set[String], extraDeletes: Seq[Path]): Unit = {
+    // old dirs with no staged counterpart: zero-survivor buckets
+    // (every row tombstoned) — their content is masked already
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix) && !markerSet.contains(n))
+        fs.delete(st.getPath, true)
+    }
+    markerSet.toSeq.sorted.foreach { n =>
+      val from = new Path(tmp, n)
+      // absent from staging = already renamed in by a prior (crashed)
+      // run — the root dir of that name is the NEW copy; leave it
+      if (fs.exists(from)) {
+        fs.delete(new Path(root, n), true)
+        fs.rename(from, new Path(root, n))
+      }
+    }
+    extraDeletes.foreach(p => fs.delete(p, true))
+    fs.delete(tmp, true)
+    fs.delete(markerPath(root), false)
+  }
+
+  /** Stage + marker + swap: the whole verb for a single relation. */
+  def compactRelation(live: DataFrame, fs: FileSystem, root: Path,
+                      bucketCol: String, extraDeletes: Seq[Path]): Unit = {
+    val tmp = stagingPath(root)
+    stage(live, bucketCol, tmp)
+    val staged = stagedNames(fs, tmp, bucketCol + "=")
+    writeMarker(fs, root, staged)
+    swap(fs, root, tmp, bucketCol + "=", staged.toSet, extraDeletes)
+  }
+
+  /** Resume a crashed swap if its commit marker exists; returns true if
+    * a resume ran. Callers proceed with their fresh compact afterwards
+    * (the resumed layout is fully consistent, so re-compacting it is
+    * merely idempotent work). */
+  def resumeIfStaged(fs: FileSystem, root: Path, prefix: String,
+                     extraDeletes: Seq[Path]): Boolean =
+    readMarker(fs, root) match {
+      case Some(set) =>
+        swap(fs, root, stagingPath(root), prefix, set, extraDeletes)
+        true
+      case None => false
+    }
+
+  /** fsck face: staged-compaction artifacts present (marker and/or
+    * staging dir). Nonzero means a compact crashed mid-swap — the
+    * staging dir may hold the ONLY copy of some buckets, so the repair
+    * is "run the compact verb" (which resumes), never a hand-delete. */
+  def residue(fs: FileSystem, root: Path): Long =
+    (if (fs.exists(markerPath(root))) 1L else 0L) +
+      (if (fs.exists(stagingPath(root))) 1L else 0L)
+}

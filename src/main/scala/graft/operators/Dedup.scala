@@ -1305,13 +1305,16 @@ object Dedup {
     * one-task-per-bucket geometry as the build). Probe answers are
     * bit-identical before and after (q162 shares q80's oracle; the
     * crash-window dedup is additionally spec-pinned on an index with
-    * hand-doubled rows). Crash-safe the same way as
-    * TextSearch.compactIndex / VectorIndex.compactSaved: each relation
-    * rewrites into a sibling `.compacting` staging directory and its
-    * bucket directories swap in only after the write commits — a crash
-    * before the swap leaves the original layout fully serviceable. The
-    * sidecar never changes: compaction touches file geometry, not the
-    * signature contract. */
+    * hand-doubled rows). Crash-RECOVERABLE the same way as
+    * TextSearch.compactIndex / VectorIndex.compactSaved via the
+    * CompactSwap protocol: each relation stages into a sibling
+    * `.compacting` directory, writes a `_compact_staged` commit marker
+    * before the first destructive step, and a re-run after a crash at
+    * any point RESUMES that relation's swap from the marker instead of
+    * deleting the staging (which mid-swap may hold the only copy of
+    * some buckets). The tombstone dir outlives both relation swaps and
+    * drops only at the end. The sidecar never changes: compaction
+    * touches file geometry, not the signature contract. */
   /** FSCK — physical integrity audit of a saved LSH index (the
     * VectorIndex.fsckSaved contract for this layout), auditing exactly
     * the invariants the crawl ingest leans on. One row per check,
@@ -1319,6 +1322,12 @@ object Dedup {
     *
     *   - `meta_parses` (detail: nBuckets; missing sidecar
     *     short-circuits to this single failing row);
+    *   - `no_compact_residue` — no `_compact_staged` marker or
+    *     `.compacting` staging dir under either relation (a crashed
+    *     mid-swap compact; repair = run compactRefIndex, it resumes);
+    *   - `bands_readable` / `shingles_readable` — emitted (failing)
+    *     only when a relation dir is missing or unreadable — the
+    *     partial-copy case — short-circuiting the data checks below;
     *   - `rows_nonempty` — band rows (nBands per doc, plus tolerated
     *     crash-window duplicates);
     *   - `bands_complete` — every LIVE doc (tombstones applied) has all
@@ -1358,8 +1367,31 @@ object Dedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val tPath = new org.apache.hadoop.fs.Path(
           s"$indexPath/$LshTombstoneDir")
-        val bands = spark.read.parquet(s"$indexPath/$LshBandsDir")
-        val shingleRel = spark.read.parquet(s"$indexPath/$LshShinglesDir")
+        // staged-compaction residue across BOTH relations: a marker or
+        // `.compacting` dir means a compact crashed mid-swap — repair =
+        // run compactRefIndex (it resumes), never a hand-delete
+        val res = CompactSwap.residue(fs,
+            new org.apache.hadoop.fs.Path(s"$indexPath/$LshBandsDir")) +
+          CompactSwap.residue(fs,
+            new org.apache.hadoop.fs.Path(s"$indexPath/$LshShinglesDir"))
+        out += (("no_compact_residue", res == 0L, res))
+        // the partial-copy scenario fsck targets can take a whole
+        // relation dir with it — diagnose that as a failing check row
+        // (short-circuiting like a missing sidecar), don't crash the
+        // audit verb on the very corruption it exists to report
+        def readRel(dir: String, chk: String)
+            : Option[org.apache.spark.sql.DataFrame] =
+          try Some(spark.read.parquet(s"$indexPath/$dir"))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              out += ((chk, false, 0L)); None
+          }
+        val bandsOpt = readRel(LshBandsDir, "bands_readable")
+        val shinglesOpt = readRel(LshShinglesDir, "shingles_readable")
+        if (bandsOpt.isEmpty || shinglesOpt.isEmpty)
+          return out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+        val bands = bandsOpt.get
+        val shingleRel = shinglesOpt.get
         val shingleIds = shingleRel.select(col("__rid")).distinct()
         val liveBands = if (!fs.exists(tPath)) bands
           else bands.join(spark.read.parquet(tPath.toString),
@@ -1434,27 +1466,19 @@ object Dedup {
     def compactRelation(dir: String, bucketCol: String): Unit = {
       val root = new org.apache.hadoop.fs.Path(s"$indexPath/$dir")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/$dir.compacting")
-      fs.delete(tmp, true)
+      // a prior compact that crashed mid-swap left its commit marker:
+      // finish that swap first (never delete its staging blindly).
+      // The index-level tombstone dir is NOT passed as an extra delete
+      // here — it must survive until BOTH relations are survivor-only,
+      // so it is dropped once, below, after both swaps complete.
+      CompactSwap.resumeIfStaged(fs, root, bucketCol + "=", Nil)
       // tombstoned docs leave BOTH relations for good here (bands feed
       // candidates, shingles feed verification — the delete verb masks
       // them at probe time, compact pays the debt physically)
-      lshLiveOnly(spark, indexPath, spark.read.parquet(root.toString))
+      val live = lshLiveOnly(spark, indexPath,
+        spark.read.parquet(root.toString))
         .distinct() // crash-window duplicate rows leave the layout here
-        .repartition(col(bucketCol))
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
-        .partitionBy(bucketCol).parquet(tmp.toString)
-      fs.listStatus(root).foreach { st =>
-        if (st.getPath.getName.startsWith(bucketCol + "="))
-          fs.delete(st.getPath, true)
-      }
-      fs.listStatus(tmp).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(bucketCol + "="))
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
-      }
-      fs.delete(tmp, true)
+      CompactSwap.compactRelation(live, fs, root, bucketCol, Nil)
     }
     compactRelation(LshBandsDir, LshBandBucketCol)
     compactRelation(LshShinglesDir, LshRidBucketCol)

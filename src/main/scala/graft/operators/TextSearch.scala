@@ -332,10 +332,12 @@ object TextSearch {
     * were already maintained exactly by [[deleteFromIndex]], document
     * frequencies always reduce from live postings, so [[bm25Indexed]]
     * answers bit-identically before and after (q94 shares q82's
-    * oracle). The rewrite lands in a sibling `.compacting` directory
-    * first and swaps in only after the write commits — a crash mid-
-    * compact leaves the original layout (plus tombstones) fully
-    * serviceable. */
+    * oracle). The swap is crash-RECOVERABLE via the CompactSwap
+    * protocol: the rewrite stages into a sibling `.compacting`
+    * directory, a `_compact_staged` commit marker lands before the
+    * first destructive step, and a re-run after a crash at ANY point
+    * RESUMES the swap from the marker instead of deleting the staging
+    * dir (which mid-swap may hold the only copy of some buckets). */
   def compactIndex(spark: SparkSession, indexPath: String): Unit = {
     val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(
@@ -343,30 +345,15 @@ object TextSearch {
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tPath = new Path(indexPath, TextTombstoneDir)
+    // a prior compact that crashed mid-swap left its commit marker:
+    // finish that swap first (never delete its staging blindly)
+    CompactSwap.resumeIfStaged(fs, root, BucketCol + "=", Seq(tPath))
     val raw = spark.read.parquet(indexPath)
     val live = if (!fs.exists(tPath)) raw
       else raw.join(spark.read.parquet(tPath.toString),
         Seq(meta.idCol), "left_anti")
-    val tmp = new Path(indexPath + ".compacting")
-    fs.delete(tmp, true)
-    // one writer task per bucket value → one merged file per directory
-    live.repartition(col(BucketCol))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
-      .partitionBy(BucketCol).parquet(tmp.toString)
-    // swap: the old bucket dirs + tombstones go, the compacted bucket
-    // dirs move in; the sidecar (still exact) stays untouched
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(BucketCol + "=") || n == TextTombstoneDir)
-        fs.delete(st.getPath, true)
-    }
-    fs.listStatus(tmp).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(BucketCol + "="))
-        fs.rename(st.getPath, new Path(root, n))
-    }
-    fs.delete(tmp, true)
+    // stage → marker → swap; the sidecar (still exact) stays untouched
+    CompactSwap.compactRelation(live, fs, root, BucketCol, Seq(tPath))
   }
 
   /** FSCK — physical integrity audit of a saved postings index (the
@@ -375,6 +362,9 @@ object TextSearch {
     *
     *   - `meta_parses` (detail: nBuckets; missing/corrupt sidecar
     *     short-circuits to this single row);
+    *   - `no_compact_residue` — no `_compact_staged` marker or
+    *     `.compacting` staging dir (a crashed mid-swap compact;
+    *     repair = run compactIndex, it resumes from the marker);
     *   - `rows_nonempty` — raw postings rows (one per (doc, term));
     *   - `bucket_domain` / `bucket_hash_consistent` — every __bucket in
     *     [0, nBuckets) AND equal to the sidecar-geometry hash of its
@@ -400,6 +390,15 @@ object TextSearch {
       case Some(meta) =>
         val nb = meta.nBuckets.toLong
         out += (("meta_parses", true, nb))
+        // staged-compaction residue: a marker or `.compacting` dir
+        // means a compact crashed mid-swap — repair = run compactIndex
+        // (it resumes from the marker), never a hand-delete
+        locally {
+          val r0 = new Path(indexPath)
+          val f0 = r0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val res = CompactSwap.residue(f0, r0)
+          out += (("no_compact_residue", res == 0L, res))
+        }
         val raw = spark.read.parquet(indexPath)
         val a = raw.agg(
           count(lit(1)).as("n"),
