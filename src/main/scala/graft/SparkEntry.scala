@@ -2796,6 +2796,121 @@ object SparkEntry {
     operators.Dedup.fsckRefIndex(s, path)
   }
 
+  /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
+    * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
+    * contract): build + append each exactly as its lifecycle query
+    * does, then audit. The decisive check per family: CMS
+    * `mass_per_seed_equal` (each seed layer counts every item once, so
+    * all depth layer sums equal the total token count — silent partial-
+    * file loss breaks the equality), histogram `mass` (= rows
+    * sketched), HLL `groups`/`registers_bounded`. Details are base-
+    * recompute-predicted where a recompute can state them and contract
+    * constants elsewhere — the q170 oracle discipline. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fsck_sk_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val toks = operators.CacheScope.register(
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " "))
+          .as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    operators.Sketches.saveCounters(operators.Sketches.countMinCounters(
+      toks.filter(col("doc_id") % 2 === 0), col("token"), 4, 512),
+      base + "_cms")
+    operators.Sketches.appendCounters(operators.Sketches.countMinCounters(
+      toks.filter(col("doc_id") % 2 =!= 0), col("token"), 4, 512),
+      base + "_cms")
+    val li = t(s, dir, "lineitem")
+    operators.Sketches.saveHistogram(operators.Sketches.histogramCounts(
+      li.filter(col("l_orderkey") % 2 === 0), col("l_extendedprice"),
+      0.0, 120000.0, 256), base + "_hist")
+    operators.Sketches.appendHistogram(operators.Sketches.histogramCounts(
+      li.filter(col("l_orderkey") % 2 =!= 0), col("l_extendedprice"),
+      0.0, 120000.0, 256), base + "_hist")
+    val ev = Tables.events(s, dir)
+    operators.Sketches.saveHll(operators.Sketches.hllRegisters(
+      ev.filter(col("event_id") % 2 === 0), col("user_id"), 256,
+      Seq("event_type")), base + "_hll")
+    operators.Sketches.appendHll(operators.Sketches.hllRegisters(
+      ev.filter(col("event_id") % 2 =!= 0), col("user_id"), 256,
+      Seq("event_type")), base + "_hll")
+    operators.Sketches.fsckCounters(s, base + "_cms", 4, 512)
+      .withColumn("family", lit("cms"))
+      .unionByName(operators.Sketches.fsckHistogram(s, base + "_hist", 256)
+        .withColumn("family", lit("hist")))
+      .unionByName(operators.Sketches.fsckHll(s, base + "_hll", 256,
+          Seq("event_type"))
+        .withColumn("family", lit("hll")))
+      .select(col("family"), col("chk"), col("ok"), col("detail"))
+      .orderBy(col("family"), col("chk"))
+  }
+
+  /** Q174 — FSCK of the MODEL-ARTIFACT at-rest families (unigram LM /
+    * decontamination eval index — the q129/q138 layouts): build +
+    * append as their lifecycle queries do, then audit. LM `mass` = the
+    * total token count and `rows_nonempty` detail = the vocabulary
+    * size (both base-recompute-predicted); eval `rows_nonempty` detail
+    * = distinct eval ids covered (suite docs with ≥ n tokens — a doc
+    * shorter than the shingle width legitimately contributes nothing),
+    * `duplicate_rows` = cross-append duplicates (0 here: disjoint
+    * suites, distinct within each). */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fsck_mdl_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.saveLm(operators.TextAnalysis.lmCounts(
+      docs.filter(col("doc_id") % 2 === 0), "text"), base + "_lm")
+    operators.TextAnalysis.appendLm(operators.TextAnalysis.lmCounts(
+      docs.filter(col("doc_id") % 2 =!= 0), "text"), base + "_lm")
+    operators.TextAnalysis.buildEvalIndex(
+      docs.filter(col("doc_id") % 14 === 0), "doc_id", "text", 8,
+      base + "_eval")
+    operators.TextAnalysis.appendEvalIndex(
+      docs.filter(col("doc_id") % 14 === 7), "doc_id", "text", 8,
+      base + "_eval")
+    operators.TextAnalysis.fsckLm(s, base + "_lm")
+      .withColumn("family", lit("lm"))
+      .unionByName(operators.TextAnalysis.fsckEvalIndex(s, base + "_eval")
+        .withColumn("family", lit("evalidx")))
+      .select(col("family"), col("chk"), col("ok"), col("detail"))
+      .orderBy(col("family"), col("chk"))
+  }
+
+  /** Q175 — FSCK of the ASSIGNMENT/SHARD at-rest families (component
+    * assignment / packed training shards — the q155/q91 layouts):
+    * build each as its lifecycle query does (the CC assignment saved,
+    * then updated with the second pair batch and re-persisted as a new
+    * snapshot — the updateComponents contract), then audit. The
+    * component checks are pure internal invariants (functional
+    * assignment, flattened pointer chains, min-rep convention); the
+    * shard checks cross-audit data against the manifest a loader rank
+    * trusts (shard domains match, row counts match, one write era). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fsck_as_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val pairs = operators.CacheScope.register(
+      operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .persist())
+    operators.Dedup.saveComponents(
+      pairs.filter((col("a") + col("b")) % 2 === 0), base + "_cc")
+    // the update folds in the second batch; persist it as the NEW
+    // snapshot (never in-place over the relation it was derived from)
+    operators.Dedup.updateComponents(s, base + "_cc",
+        pairs.filter((col("a") + col("b")) % 2 =!= 0))
+      .write.mode("overwrite").parquet(base + "_cc2")
+    operators.Sampling.writeShards(
+      operators.Sampling.packSequences(t(s, dir, "documents"), "doc_id",
+        size(split(col("text"), " ")), budget = 2048, nShards = 4),
+      "doc_id", base + "_sh")
+    operators.Dedup.fsckComponents(s, base + "_cc2")
+      .withColumn("family", lit("components"))
+      .unionByName(operators.Sampling.fsckShards(s, base + "_sh")
+        .withColumn("family", lit("shards")))
+      .select(col("family"), col("chk"), col("ok"), col("detail"))
+      .orderBy(col("family"), col("chk"))
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val patterns = Seq(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3)
@@ -3006,6 +3121,9 @@ object SparkEntry {
     "q170_index_fsck" -> (q170 _),
     "q171_text_index_fsck" -> (q171 _),
     "q172_lsh_index_fsck" -> (q172 _),
+    "q173_sketch_fsck" -> (q173 _),
+    "q174_model_index_fsck" -> (q174 _),
+    "q175_assign_shard_fsck" -> (q175 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3649,7 +3767,83 @@ object SparkEntry {
         |  UNION ALL SELECT 'shingles_present', true, count(*)
         |    FROM documents
         |  UNION ALL SELECT 'unbanded_shingle_docs', true, 0
-        |) ORDER BY chk""".stripMargin)
+        |) ORDER BY chk""".stripMargin) +
+    // sketch-family fsck on fresh build+append: every check passes;
+    // the data-derived details are exactly what a base recompute
+    // predicts — CMS per-seed mass = total tokens, histogram mass =
+    // rows sketched, HLL groups = distinct event types; the rest are
+    // geometry constants from the build contract
+    ("q173_sketch_fsck" ->
+      """SELECT family, chk, ok, detail FROM (
+        |  SELECT 'cms' AS family, 'bucket_domain' AS chk, true AS ok,
+        |         512 AS detail
+        |  UNION ALL SELECT 'cms', 'counters_positive', true, 0
+        |  UNION ALL SELECT 'cms', 'mass_per_seed_equal', true,
+        |    (SELECT sum(len(string_split(lower(text), ' ')))
+        |     FROM documents)
+        |  UNION ALL SELECT 'cms', 'readable', true, 1
+        |  UNION ALL SELECT 'cms', 'rows_nonempty', true, 0
+        |  UNION ALL SELECT 'cms', 'seed_domain', true, 4
+        |  UNION ALL SELECT 'hist', 'bin_domain', true, 256
+        |  UNION ALL SELECT 'hist', 'counts_positive', true, 0
+        |  UNION ALL SELECT 'hist', 'mass', true,
+        |    (SELECT count(*) FROM lineitem)
+        |  UNION ALL SELECT 'hist', 'readable', true, 1
+        |  UNION ALL SELECT 'hist', 'rows_nonempty', true, 0
+        |  UNION ALL SELECT 'hll', 'bucket_domain', true, 256
+        |  UNION ALL SELECT 'hll', 'groups', true,
+        |    (SELECT count(DISTINCT event_type) FROM events)
+        |  UNION ALL SELECT 'hll', 'readable', true, 1
+        |  UNION ALL SELECT 'hll', 'reg_domain', true, 33
+        |  UNION ALL SELECT 'hll', 'registers_bounded', true, 0
+        |  UNION ALL SELECT 'hll', 'rows_nonempty', true, 0
+        |) ORDER BY family, chk""".stripMargin) +
+    // model-artifact fsck: LM mass = total tokens, vocabulary =
+    // distinct tokens; eval coverage = suite docs long enough to
+    // shingle (≥ 8 tokens); zero cross-append duplicates (disjoint
+    // suites, distinct within each)
+    ("q174_model_index_fsck" ->
+      """SELECT family, chk, ok, detail FROM (
+        |  SELECT 'evalidx' AS family, 'cols_nonnull' AS chk, true AS ok,
+        |         0 AS detail
+        |  UNION ALL SELECT 'evalidx', 'duplicate_rows', true, 0
+        |  UNION ALL SELECT 'evalidx', 'readable', true, 1
+        |  UNION ALL SELECT 'evalidx', 'rows_nonempty', true,
+        |    (SELECT count(*) FROM documents
+        |     WHERE doc_id % 14 IN (0, 7)
+        |       AND len(string_split(lower(text), ' ')) >= 8)
+        |  UNION ALL SELECT 'lm', 'counts_positive', true, 0
+        |  UNION ALL SELECT 'lm', 'mass', true,
+        |    (SELECT sum(len(string_split(lower(text), ' ')))
+        |     FROM documents)
+        |  UNION ALL SELECT 'lm', 'readable', true, 1
+        |  UNION ALL SELECT 'lm', 'rows_nonempty', true,
+        |    (SELECT count(DISTINCT tok) FROM (
+        |       SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents))
+        |  UNION ALL SELECT 'lm', 'tokens_nonnull', true, 0
+        |) ORDER BY family, chk""".stripMargin) +
+    // assignment/shard fsck: component checks are internal invariants
+    // (flags only); shard cross-checks are base-predicted — every doc
+    // packs exactly once, 4 shards, one write era
+    ("q175_assign_shard_fsck" ->
+      """SELECT family, chk, ok, detail FROM (
+        |  SELECT 'components' AS family, 'ids_unique' AS chk,
+        |         true AS ok, 0 AS detail
+        |  UNION ALL SELECT 'components', 'readable', true, 1
+        |  UNION ALL SELECT 'components', 'reps_canonical', true, 0
+        |  UNION ALL SELECT 'components', 'reps_min', true, 0
+        |  UNION ALL SELECT 'components', 'rows_nonempty', true, 0
+        |  UNION ALL SELECT 'shards', 'data_readable', true, 1
+        |  UNION ALL SELECT 'shards', 'ids_unique', true, 0
+        |  UNION ALL SELECT 'shards', 'manifest_readable', true, 1
+        |  UNION ALL SELECT 'shards', 'rows_match_manifest', true,
+        |    (SELECT count(*) FROM documents)
+        |  UNION ALL SELECT 'shards', 'rows_nonempty', true,
+        |    (SELECT count(*) FROM documents)
+        |  UNION ALL SELECT 'shards', 'shard_domain_match', true, 4
+        |  UNION ALL SELECT 'shards', 'write_eras', true, 1
+        |) ORDER BY family, chk""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

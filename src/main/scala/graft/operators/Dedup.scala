@@ -1812,6 +1812,45 @@ object Dedup {
       saved.union(newPairs.select(col(aCol), col(bCol))), aCol, bCol)
   }
 
+  /** FSCK of an at-rest component assignment (the FsckCore contract):
+    *
+    *   - `ids_unique` — the assignment is a FUNCTION (one rep per id;
+    *     a duplicate id means two snapshots were appended into one dir
+    *     instead of replacing — the new-snapshot-not-in-place
+    *     contract);
+    *   - `reps_canonical` — pointer-jumping converged: every rep that
+    *     itself appears as an id maps to itself (an unflattened chain
+    *     makes updateComponents' assignment-rows-as-edges merge
+    *     under-connect);
+    *   - `reps_min` — the representative convention (rep ≤ id), which
+    *     downstream canonical-pick relies on for determinism.
+    *
+    * Details are 0: the assignment is derived data, so there is no
+    * base-free recompute to predict counts with — the ok flags ARE the
+    * audit. */
+  def fsckComponents(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    FsckCore.readRelation(spark, path, "readable") match {
+      case Left(c) => out += c
+      case Right(raw) =>
+        out += (("readable", true, 1L))
+        val a = raw.agg(count(lit(1)), countDistinct(col("id")),
+          sum(when(col("rep") > col("id"), 1L).otherwise(0L))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, 0L))
+        if (n > 0) {
+          out += (("ids_unique", n == a.getLong(1), 0L))
+          out += (("reps_min", a.getLong(2) == 0L, 0L))
+          val unflattened = raw.select(col("rep").as("id")).distinct()
+            .join(raw.filter(col("rep") =!= col("id")), Seq("id"),
+              "left_semi").count()
+          out += (("reps_canonical", unflattened == 0L, 0L))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (cluster id,
     * LSH bucket, label): pairs with squared L2 <= maxSqDist. The block
     * equi-join bounds cost to O(sum of block² sizes); at 100 TB blocks come

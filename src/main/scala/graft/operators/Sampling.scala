@@ -577,4 +577,59 @@ object Sampling {
   def readShardManifest(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame =
     spark.read.parquet(s"$path/manifest")
+
+  /** FSCK of a packed-shard layout (the FsckCore contract) — the audit
+    * a training run performs before a thousand loader ranks trust
+    * their shard directories:
+    *
+    *   - `manifest_readable` / `data_readable` — either relation
+    *     missing (the partial-copy case) is a failing row, not a
+    *     crash; data missing short-circuits the cross-checks;
+    *   - `ids_unique` — a sequence packed twice would be trained on
+    *     twice;
+    *   - `shard_domain_match` — the data's distinct shard set equals
+    *     the manifest's (detail: shard count; a shard dir lost in a
+    *     copy strands its manifest spans — the loader rank would read
+    *     an empty dir and silently train on nothing);
+    *   - `rows_match_manifest` — data rows == Σ manifest n_seqs
+    *     (detail: the row count; catches partial shard-file loss);
+    *   - `write_eras` — the WriteGeometry ledger over `shard_part=`
+    *     dirs (1 after a build at any scale). */
+  def fsckShards(spark: org.apache.spark.sql.SparkSession,
+                 path: String, idCol: String = "doc_id"): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    val man = FsckCore.readRelation(spark, s"$path/manifest",
+      "manifest_readable")
+    out += man.fold(identity, _ => ("manifest_readable", true, 1L))
+    FsckCore.readRelation(spark, s"$path/data", "data_readable") match {
+      case Left(c) => out += c
+      case Right(data) =>
+        out += (("data_readable", true, 1L))
+        val a = data.agg(count(lit(1)),
+          countDistinct(col(idCol))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, n))
+        if (n > 0) {
+          out += (("ids_unique", n == a.getLong(1), 0L))
+          man.foreach { m =>
+            val dShards = data.select(col("shard")).distinct()
+            val mShards = m.select(col("shard")).distinct()
+            val stray = dShards.join(mShards, Seq("shard"), "left_anti")
+              .count() +
+              mShards.join(dShards, Seq("shard"), "left_anti").count()
+            out += (("shard_domain_match", stray == 0L, mShards.count()))
+            val mRows = m.agg(sum(col("n_seqs"))).head().getLong(0)
+            out += (("rows_match_manifest", mRows == n, n))
+          }
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val perShard = data.groupBy(col("shard")).count().collect()
+            .map(r => r.get(0).toString -> r.getLong(1)).toMap
+          out += (("write_eras", true, WriteGeometry.writeEras(fs,
+            new org.apache.hadoop.fs.Path(s"$path/data"), "shard_part",
+            perShard).toLong))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
 }

@@ -225,4 +225,111 @@ object Sketches {
       .groupBy(col("__k").as("key"))
       .agg(min(coalesce(col("counter"), lit(0L))).as("est"))
   }
+
+  /** FSCK — integrity audit of an at-rest CMS counter relation (the
+    * FsckCore contract for this family). depth/width are the caller's
+    * geometry, exactly as at build/append time. Checks:
+    *
+    *   - `readable` / `rows_nonempty` — the partial-copy guards;
+    *   - `seed_domain` / `bucket_domain` — every cell inside the
+    *     declared geometry (an out-of-domain cell means a partial was
+    *     appended with DIFFERENT depth/width — the caller-contract
+    *     violation that silently corrupts every estimate);
+    *   - `counters_positive` — counters are sums of occurrence counts;
+    *   - `mass_per_seed_equal` — the sketch's conservation law: each
+    *     seed layer counts every item exactly once, so all depth layer
+    *     sums are EQUAL (detail: the common sum = total items
+    *     sketched). A lost parquet file drops random cells and breaks
+    *     the equality — the one check that catches silent file loss in
+    *     a sidecar-less layout. */
+  def fsckCounters(spark: org.apache.spark.sql.SparkSession, path: String,
+                   depth: Int, width: Int): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    FsckCore.readRelation(spark, path, "readable") match {
+      case Left(c) => out += c
+      case Right(raw) =>
+        out += (("readable", true, 1L))
+        val a = raw.agg(
+          count(lit(1)),
+          min(col("seed").cast("long")), max(col("seed").cast("long")),
+          min(col("bucket").cast("long")), max(col("bucket").cast("long")),
+          min(col("counter"))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, 0L))
+        if (n > 0) {
+          out += (("seed_domain",
+            a.getLong(1) >= 0L && a.getLong(2) < depth, depth.toLong))
+          out += (("bucket_domain",
+            a.getLong(3) >= 0L && a.getLong(4) < width, width.toLong))
+          out += (("counters_positive", a.getLong(5) > 0L, 0L))
+          val sums = raw.groupBy(col("seed"))
+            .agg(sum(col("counter")).as("__s"))
+            .agg(min(col("__s")), max(col("__s")),
+              count(lit(1))).head()
+          out += (("mass_per_seed_equal",
+            sums.getLong(0) == sums.getLong(1) &&
+              sums.getLong(2) == depth.toLong, sums.getLong(1)))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
+
+  /** FSCK of an at-rest histogram: bin domain, positive counts, and
+    * total mass (detail: sum of counts = rows sketched — the value a
+    * base recompute predicts; a lost partial file shrinks it). */
+  def fsckHistogram(spark: org.apache.spark.sql.SparkSession,
+                    path: String, nBins: Int): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    FsckCore.readRelation(spark, path, "readable") match {
+      case Left(c) => out += c
+      case Right(raw) =>
+        out += (("readable", true, 1L))
+        val a = raw.agg(count(lit(1)), min(col("bin")), max(col("bin")),
+          min(col("cnt")), sum(col("cnt"))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, 0L))
+        if (n > 0) {
+          out += (("bin_domain",
+            a.getLong(1) >= 0L && a.getLong(2) < nBins, nBins.toLong))
+          out += (("counts_positive", a.getLong(3) > 0L, 0L))
+          out += (("mass", a.getLong(4) > 0L, a.getLong(4)))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
+
+  /** FSCK of an at-rest HLL register file: bucket domain, rho domain
+    * (1..33 by the md5/bin construction), and per-group register
+    * population ≤ m (detail of `groups`: distinct group count — what a
+    * base recompute predicts). Register VALUES need no cross-check:
+    * fold-by-max tolerates any duplication by design. */
+  def fsckHll(spark: org.apache.spark.sql.SparkSession, path: String,
+              m: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    FsckCore.readRelation(spark, path, "readable") match {
+      case Left(c) => out += c
+      case Right(raw) =>
+        out += (("readable", true, 1L))
+        val a = raw.agg(count(lit(1)), min(col("bucket")),
+          max(col("bucket")), min(col("reg")), max(col("reg"))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, 0L))
+        if (n > 0) {
+          out += (("bucket_domain",
+            a.getLong(1) >= 0L && a.getLong(2) < m, m.toLong))
+          out += (("reg_domain",
+            a.getLong(3) >= 1L && a.getLong(4) <= 33L, 33L))
+          val g = raw.groupBy((groupCols :+ "bucket").map(col): _*)
+            .agg(count(lit(1)))
+            .agg(count(lit(1))).head().getLong(0)
+          val groups =
+            if (groupCols.isEmpty) 1L
+            else raw.select(groupCols.map(col): _*).distinct().count()
+          // distinct (group, bucket) cells cannot exceed groups × m
+          out += (("registers_bounded", g <= groups * m, 0L))
+          out += (("groups", groups > 0, groups))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
 }

@@ -130,6 +130,33 @@ object TextAnalysis {
     spark.read.parquet(path)
       .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
 
+  /** FSCK — integrity audit of an at-rest unigram count model (the
+    * FsckCore contract). `rows_nonempty`'s detail is the folded
+    * VOCABULARY size and `mass`'s detail the total token count — both
+    * values a base-corpus recompute predicts (the q170 oracle
+    * discipline); a lost partial file shrinks the mass. */
+  def fsckLm(spark: org.apache.spark.sql.SparkSession,
+             path: String): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    FsckCore.readRelation(spark, path, "readable") match {
+      case Left(c) => out += c
+      case Right(raw) =>
+        out += (("readable", true, 1L))
+        val a = raw.agg(count(lit(1)),
+          sum(when(col("token").isNull, 1L).otherwise(0L)),
+          min(col("cnt")), sum(col("cnt")),
+          countDistinct(col("token"))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, if (n > 0) a.getLong(4) else 0L))
+        if (n > 0) {
+          out += (("tokens_nonnull", a.getLong(1) == 0L, 0L))
+          out += (("counts_positive", a.getLong(2) > 0L, 0L))
+          out += (("mass", a.getLong(3) > 0L, a.getLong(3)))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
+
   /** Score documents against an EXTERNAL unigram model relation
     * (token, cnt) — [[unigramSurprisal]]'s scoring shape with the model
     * decoupled from the corpus: fit on a reference corpus (or load a
@@ -724,6 +751,34 @@ object TextAnalysis {
         xxhash64(col("shingle")).as("shingle"))
       .distinct()
       .write.mode("append").parquet(path)
+
+  /** FSCK of an at-rest decontamination eval index: null guards,
+    * `rows_nonempty` detail = distinct eval ids covered (base-
+    * predictable: suite docs with ≥ n tokens), and `duplicate_rows` —
+    * cross-append duplicate (id, shingle) rows, LEGAL residue (the
+    * countDistinct scoring dedups them) but the compaction-due signal
+    * of this layout, reported with ok staying true. */
+  def fsckEvalIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckCore.Check]
+    FsckCore.readRelation(spark, path, "readable") match {
+      case Left(c) => out += c
+      case Right(raw) =>
+        out += (("readable", true, 1L))
+        val a = raw.agg(count(lit(1)),
+          sum(when(col("eval_id").isNull || col("shingle").isNull, 1L)
+            .otherwise(0L)),
+          countDistinct(col("eval_id"))).head()
+        val n = a.getLong(0)
+        out += (("rows_nonempty", n > 0, if (n > 0) a.getLong(2) else 0L))
+        if (n > 0) {
+          out += (("cols_nonnull", a.getLong(1) == 0L, 0L))
+          val dups = n - raw.distinct().count()
+          out += (("duplicate_rows", true, dups))
+        }
+    }
+    FsckCore.toDf(spark, out.toSeq)
+  }
 
   /** Score a training batch against the at-rest eval index: identical
     * semantics (and oracle) to [[decontaminate]] over the union of
