@@ -2796,6 +2796,39 @@ object SparkEntry {
     operators.Dedup.fsckRefIndex(s, path)
   }
 
+  /** Q176 — FILTERED exact kNN over the GRID layout
+    * (GridIndex.knnFiltered): q167's predicate-attached serving shape
+    * for the low-dim family — top-10 nearest parts to (910, 25) in
+    * (price, size) space AMONG one brand's parts, the geo/tenant query
+    * a grid user serves. The predicate sits below the `cell_id IN`
+    * ring pruning; the cell-ring certificate (with q167's one-display-
+    * ulp slack) certifies exactness per query, escalating to coverage
+    * when the brand thins the neighborhood. Shares the filtered
+    * brute-force oracle shape of q167. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fit(p, "vec", dim = 2, cellsPerDim = 8)
+    val indexed = operators.GridIndex.withCellId(p, "vec", spec)
+    operators.GridIndex.knnFiltered(indexed, "vec", "p_partkey", spec,
+        Seq(910.0, 25.0), k = 10, pred = col("p_brand") === "Brand#23")
+      .orderBy(col("dist"), col("p_partkey"))
+  }
+
+  /** Q177 — the same filtered serving over the ADAPTIVE two-level
+    * layout (GridIndex.knnFilteredAdaptive): hot-cell refinement is a
+    * cost term only, so the result — and the oracle — are identical to
+    * q176's. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fitAdaptive(p, "vec", dim = 2,
+      cellsPerDim = 8, rowCap = 20, refine = 4)
+    val indexed = operators.GridIndex.withCellIdAdaptive(p, "vec", spec)
+    operators.GridIndex.knnFilteredAdaptive(indexed, "vec", "p_partkey",
+        spec, Seq(910.0, 25.0), k = 10,
+        pred = col("p_brand") === "Brand#23")
+      .orderBy(col("dist"), col("p_partkey"))
+  }
+
   /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
     * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
     * contract): build + append each exactly as its lifecycle query
@@ -3124,6 +3157,8 @@ object SparkEntry {
     "q173_sketch_fsck" -> (q173 _),
     "q174_model_index_fsck" -> (q174 _),
     "q175_assign_shard_fsck" -> (q175 _),
+    "q176_filtered_knn_grid" -> (q176 _),
+    "q177_filtered_knn_adaptive" -> (q177 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3843,7 +3878,22 @@ object SparkEntry {
         |    (SELECT count(*) FROM documents)
         |  UNION ALL SELECT 'shards', 'shard_domain_match', true, 4
         |  UNION ALL SELECT 'shards', 'write_eras', true, 1
-        |) ORDER BY family, chk""".stripMargin)
+        |) ORDER BY family, chk""".stripMargin) +
+    // filtered grid/adaptive kNN: q167's filtered brute-force oracle
+    // shape on the 2-D part fixture — one text, two layouts (adaptive
+    // refinement is a cost term only, results identical)
+    ("q176_filtered_knn_grid" ->
+      """SELECT p_partkey,
+        |  ROUND((CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |      + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0), 6) AS dist
+        |FROM part WHERE p_brand = 'Brand#23'
+        |ORDER BY dist, p_partkey LIMIT 10""".stripMargin) +
+    ("q177_filtered_knn_adaptive" ->
+      """SELECT p_partkey,
+        |  ROUND((CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |      + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0), 6) AS dist
+        |FROM part WHERE p_brand = 'Brand#23'
+        |ORDER BY dist, p_partkey LIMIT 10""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

@@ -459,4 +459,111 @@ object GridIndex {
     }
     result
   }
+
+  /** Exact FILTERED kNN over the grid layout — the low-dim face of
+    * IvfIndex.searchFilteredExact (q167): top-k among the rows
+    * satisfying `pred` (tenant, date range, category — the predicate a
+    * geo/metric serving deployment attaches), certified exact by the
+    * same cell-ring argument [[knn]] uses. Without this verb a grid
+    * user with a predicate falls back to unfiltered-then-filter, which
+    * under-fills k whenever the predicate thins the neighborhood.
+    *
+    * The loop is [[knn]]'s ring expansion with three changes borrowed
+    * from the IVF face:
+    *
+    *   - `pred` sits directly on the cell-pruned scan — BELOW the
+    *     `cell_id IN` pruning — so simple predicates reach the parquet
+    *     reader as PushedFilters and cap I/O at the row groups that
+    *     survive their min/max stats (the reason cost stays flat when
+    *     the filtered population is sparse);
+    *   - each round scans ONLY the newly uncovered cells (ring minus
+    *     already-scanned set); the running top-k merges driver-side —
+    *     k (d², id) pairs, metadata — so a cell is read once by the
+    *     loop, not once per ring;
+    *   - the completion certificate compares TRUE squared distances
+    *     with one display-ulp slack (d²_k + 10^-roundTo ≤ r²): the
+    *     returned plan ranks by the ROUNDED distance like the whole
+    *     family, and a just-outside row could otherwise tie at display
+    *     precision and win the (dist, id) tie-break unseen.
+    *
+    * Sub-k filtered populations double the radius to full coverage and
+    * return every match — exact by exhaustion, the [[knn]] fallback.
+    * `cellCounts` (the save-time sidecar histogram) seeds the radius;
+    * counts are unfiltered so seeding stays a COST knob, never a
+    * correctness input. Shares q167's filtered brute-force oracle
+    * shape (q176). */
+  def knnFiltered(index: DataFrame, vecCol: String, idCol: String,
+                  spec: GridSpec, q: Seq[Double], k: Int, pred: Column,
+                  roundTo: Int = 6, cellCol: String = "cell_id",
+                  cellCounts: Option[Map[Long, Long]] = None): DataFrame = {
+    val maxR = (0 until spec.dim).map(i =>
+      spec.width(i) * spec.cells(i)).max * 2
+    knnFilteredCore(index, vecCol, idCol, q, k, pred, roundTo, cellCol,
+      r => cellsForBall(spec, q, r), maxR,
+      cellCounts.fold(spec.width.max)(seedRadius(spec, _, q, k)),
+      "filtered-knn-grid")
+  }
+
+  /** [[knnFiltered]] over the adaptive two-level layout — identical
+    * contract; hot-cell refinement changes the cost term only, exactly
+    * as [[knnAdaptive]] vs [[knn]]. */
+  def knnFilteredAdaptive(index: DataFrame, vecCol: String, idCol: String,
+                          spec: AdaptiveSpec, q: Seq[Double], k: Int,
+                          pred: Column, roundTo: Int = 6,
+                          cellCol: String = "cell_id"): DataFrame = {
+    val base = spec.base
+    val maxR = (0 until base.dim).map(i =>
+      base.width(i) * base.cells(i)).max * 2
+    knnFilteredCore(index, vecCol, idCol, q, k, pred, roundTo, cellCol,
+      r => cellsForBallAdaptive(spec, q, r), maxR, base.width.max,
+      "filtered-knn-adaptive")
+  }
+
+  private def knnFilteredCore(index: DataFrame, vecCol: String,
+                              idCol: String, q: Seq[Double], k: Int,
+                              pred: Column, roundTo: Int, cellCol: String,
+                              cellsOf: Double => Seq[Long], maxR: Double,
+                              seedR: Double, obsName: String): DataFrame = {
+    val qVec = array(q.map(lit): _*)
+    val filtered = index.filter(pred)
+    val slack = math.pow(10.0, -roundTo)
+    var scanned = Set.empty[Long]
+    var best = Vector.empty[(Double, Long)]
+    var r = seedR
+    var exhausted = false
+    var rounds = 0
+    while (true) { // exits by certificate or full coverage
+      rounds += 1
+      val ring = cellsOf(r).filterNot(scanned)
+      if (ring.nonEmpty) {
+        val fresh = filtered
+          .filter(col(cellCol).isin(ring: _*))
+          .withColumn("__d2", sqDist(col(vecCol), qVec))
+          .orderBy(col("__d2"), col(idCol))
+          .limit(k)
+          .select(col("__d2"), col(idCol).cast("long"))
+          .collect().map(row => (row.getDouble(0), row.getLong(1)))
+        best = (best ++ fresh).sorted.take(k)
+        scanned = scanned ++ ring
+      }
+      val certified = best.size >= k &&
+        best.last._1 + slack <= r * r
+      if (certified || exhausted) {
+        graft.Obs.event(obsName, "rounds" -> rounds,
+          "cells" -> scanned.size, "matched" -> best.size)
+        return filtered
+          .filter(col(cellCol).isin(scanned.toSeq: _*))
+          .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+          .orderBy(col("dist"), col(idCol))
+          .limit(k)
+          .select(col(idCol), col("dist"))
+      }
+      // final escalation covers the whole domain (cellsForBall clamps),
+      // making the next pass exact by exhaustion — the knn() fallback
+      // for queries whose filtered neighborhood never fills k
+      if (r >= maxR) exhausted = true
+      r = if (r * 2 >= maxR) maxR * 2 else r * 2
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

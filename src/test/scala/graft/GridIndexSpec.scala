@@ -293,4 +293,70 @@ class GridIndexSpec extends AnyFunSuite {
     assert(GridIndex.cellsForBallAdaptive(spec, q, 30.0).sorted ==
       GridIndex.cellsForBall(spec.base, q, 30.0).sorted)
   }
+
+  private def withGroup(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("grp", (col("id") % 5).cast("int"))
+
+  test("filtered kNN == filtered brute force across selectivities " +
+       "(grid and adaptive, several queries)") {
+    val df = withGroup(randomDf(500, 2, 23))
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    val aspec = GridIndex.fitAdaptive(df, "vec", 2, cellsPerDim = 6,
+      rowCap = 20, refine = 3)
+    val aindexed = GridIndex.withCellIdAdaptive(df, "vec", aspec)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 4; g <- Seq(0, 3)) {
+      val q = Seq.fill(2)(rnd.nextDouble() * 260 - 130) // incl. off-grid
+      val pred = col("grp") === g
+      val brute = Search.knn(df.filter(pred), "vec", "id",
+          array(q.map(lit): _*), 7)
+        .select("id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val grid = GridIndex.knnFiltered(indexed, "vec", "id", spec, q,
+          k = 7, pred = pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(grid == brute, s"grid filtered kNN != brute at q=$q g=$g")
+      val ad = GridIndex.knnFilteredAdaptive(aindexed, "vec", "id",
+          aspec, q, k = 7, pred = pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ad == brute, s"adaptive filtered kNN != brute at q=$q g=$g")
+    }
+  }
+
+  test("filtered kNN with a sub-k population returns every match " +
+       "(exact by exhaustion, never silently short)") {
+    val df = withGroup(randomDf(400, 2, 31))
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    // only ids 0..4 satisfy this predicate: population 5 < k = 12
+    val pred = col("id") < 5
+    val got = GridIndex.knnFiltered(indexed, "vec", "id", spec,
+        Seq(10.0, -40.0), k = 12, pred = pred)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 5L).toSet)
+  }
+
+  test("filtered kNN at rest: the predicate reaches the parquet reader " +
+       "as a PushedFilter below the cell_id pruning") {
+    val df = withGroup(randomDf(500, 2, 41))
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_grid_filt").toString + "/idx"
+    GridIndex.withCellId(df, "vec", spec)
+      .sortWithinPartitions("cell_id").write.parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val plan = GridIndex.knnFiltered(atRest, "vec", "id", spec,
+      Seq(0.0, 0.0), k = 7, pred = col("grp") === 2)
+    val brute = Search.knn(df.filter(col("grp") === 2), "vec", "id",
+        array(lit(0.0), lit(0.0)), 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(plan.select("id").collect().map(_.getLong(0)).toSeq == brute)
+    val physical = plan.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("EqualTo(grp,2)"), physical)
+    assert(physical.contains("In(cell_id"), physical)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
 }
