@@ -2688,8 +2688,8 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val centroids = operators.IvfIndex.fitCentroids(e, "embedding",
       "vec_id", 16)
-    val index = operators.IvfIndex.assign(e, "embedding", "vec_id",
-      centroids)
+    val index = operators.CacheScope.register(operators.IvfIndex
+      .assign(e, "embedding", "vec_id", centroids).persist())
     val q = e.filter(col("vec_id") === 7).select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
     operators.IvfIndex.searchFilteredExact(index, "embedding", "vec_id",
@@ -2709,8 +2709,8 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val centroids = operators.IvfIndex.fitCentroids(e, "embedding",
       "vec_id", 16)
-    val index = operators.IvfIndex.assign(e, "embedding", "vec_id",
-      centroids)
+    val index = operators.CacheScope.register(operators.IvfIndex
+      .assign(e, "embedding", "vec_id", centroids).persist())
     val qs = e.filter(col("vec_id") < 4)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)

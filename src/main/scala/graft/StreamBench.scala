@@ -103,6 +103,19 @@ object StreamBench {
     // maintenance loop, not just the one-shot epilogue sweep below
     val compactEvery = sys.env
       .getOrElse("SPARK_GRAFT_CRAWL_COMPACT_EVERY", "0").toInt
+    // SPARK_GRAFT_CRAWL_TAKEDOWN_EVERY > 0 interleaves the DELETE verb
+    // with ingest: every E batches, ~1% of the docs kept so far are
+    // tombstone-deleted from the standing index (the GDPR/takedown
+    // cadence a year-long crawl actually runs). Measures the tombstone
+    // anti-join's probe cost under load; parity vs rebuild-on-survivors
+    // is asserted after the run (see takedown JSON fields).
+    val takedownEvery = sys.env
+      .getOrElse("SPARK_GRAFT_CRAWL_TAKEDOWN_EVERY", "0").toInt
+    var takedownSecs = 0.0
+    // victims tracked driver-side (~1% of kept per takedown — bounded):
+    // the index's own tombstone relation is NOT a durable record here,
+    // because an interleaved compact applies and removes it
+    val deletedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
     val t1 = System.nanoTime()
     val dq = graft.streaming.EventWindows.dedupAgainstIndexSink(
       spark.readStream.schema(
@@ -116,10 +129,43 @@ object StreamBench {
       compactEvery = compactEvery)
     try {
       dq.processAllAvailable()
-      for (i <- 1 until nBatches) { writeDocBatch(i); dq.processAllAvailable() }
+      for (i <- 1 until nBatches) {
+        writeDocBatch(i); dq.processAllAvailable()
+        if (takedownEvery > 0 && i % takedownEvery == 0) {
+          val tT = System.nanoTime()
+          // deterministic ~1% of the kept-so-far docs (hash residue
+          // rotates per batch so victims spread across the corpus)
+          val victims = spark.read.parquet(s"$work/crawl_out")
+            .filter(pmod(col("doc_id"), lit(97L)) === (i % 97))
+            .select("doc_id")
+          graft.operators.Dedup.deleteFromRefIndex(spark, idxPath, victims)
+          deletedIds ++= victims.collect().map(_.getLong(0))
+          takedownSecs += (System.nanoTime() - tT) / 1e9
+        }
+      }
     } finally dq.stop()
     val dedupSecs = (System.nanoTime() - t1) / 1e9
     val kept = spark.read.parquet(s"$work/crawl_out").count()
+    // takedown parity: the index with tombstones applied must answer a
+    // probe exactly like an index rebuilt over only the survivors —
+    // the q163 oracle contract, proven here at crawl scale and cadence
+    val takedownParity = if (takedownEvery == 0) true else {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val probeDocs = streamDocs.filter(col("__b") === 0).drop("__b")
+      val viaIndex = rows(graft.operators.Dedup.minhashAgainstIndex(
+        probeDocs, idxPath, "text"))
+      import spark.implicits._
+      val dead = deletedIds.toSeq.toDF("doc_id")
+      val survivors = docs.filter(col("doc_id") < refCut)
+        .unionByName(spark.read.parquet(s"$work/crawl_out")
+          .select(col("doc_id"), col("text")))
+        .join(dead, Seq("doc_id"), "left_anti")
+      val viaRebuild = rows(graft.operators.Dedup.minhashAgainst(
+        probeDocs, survivors, "doc_id", "text"))
+      viaIndex == viaRebuild
+    }
 
     // ---------- crawl epilogue: the COMPACT verb on the crawled index.
     // The write-geometry rule bounds appends at one file per touched
@@ -164,6 +210,8 @@ object StreamBench {
       s""""dedup":{"rows":$nStream,"secs":$dedupSecs,""" +
       s""""rows_per_sec":${(nStream / dedupSecs).round},""" +
       s""""kept":$kept},""" +
+      s""""takedown":{"every":$takedownEvery,"deleted":${deletedIds.size},""" +
+      s""""secs":$takedownSecs,"probe_parity":$takedownParity},""" +
       s""""compact":{"every":$compactEvery,"files_before":$filesBefore,""" +
       s""""files_after":$filesAfter,"secs":$compactSecs,""" +
       s""""probe_before_secs":$probeBefore,""" +

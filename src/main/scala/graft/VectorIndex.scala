@@ -181,9 +181,15 @@ class VectorIndex private (
   def annSearchFiltered(q: Seq[Double], k: Int, pred: Column,
                         nProbe0: Int = 4): DataFrame = {
     require(centroids.isDefined, "create(..., nlist > 0) to enable ANN")
+    // In-memory path: persist the derived assignment for the loop's
+    // lifetime — each escalation round scans a list subset, and without
+    // the cache every round re-runs the full argmin assignment (measured
+    // 18.7 s vs 1.34 s at-rest on clustered sf10, BASELINE r14). At rest
+    // (list_id stored) rounds already read only newly probed partitions.
     val assigned =
       if (data.columns.contains("list_id")) data
-      else IvfIndex.assign(data, vecCol, idCol, centroids.get)
+      else operators.CacheScope.register(
+        IvfIndex.assign(data, vecCol, idCol, centroids.get).persist())
     IvfIndex.searchFilteredExact(assigned, vecCol, idCol, centroids.get,
       q, k, pred, nProbe0, listRadii)
   }
