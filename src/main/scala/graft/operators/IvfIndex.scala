@@ -104,6 +104,14 @@ object IvfIndex {
     // 20k-vector corpus asked for 16, drew 8). Opt-in because the
     // default sampling is frozen into existing oracle texts (q115
     // rebuilds it in SQL) — new serving indexes should pass true.
+    // Known edge (r14 ADVICE): the top-up excludes prior draws by ID
+    // only, so a corpus with duplicate VECTORS can top-up a vector
+    // identical to an existing centroid — a coincident centroid whose
+    // list stays permanently empty ("exactly k" becomes nominal).
+    // Harmless to every search path (empty lists hold no rows and the
+    // ring bounds stay sound), so the id-only exclusion is kept —
+    // deduping by value would add a full-width comparison for a
+    // cosmetic gain.
     val rows =
       if (sampled.isEmpty) take(df, k)
       else if (topUp && sampled.length < k) {
