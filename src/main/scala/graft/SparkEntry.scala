@@ -2829,6 +2829,27 @@ object SparkEntry {
       .orderBy(col("dist"), col("p_partkey"))
   }
 
+  /** Q178 — FSCK of a saved GRID layout (VectorIndex.fsckSaved over
+    * the q165 fixture: build on even part keys, append the odd half at
+    * rest): beyond the shared checks, the grid-specific invariants —
+    * every stored cell_id rehashes through the SIDECAR spec (a row
+    * bucketed under a different fit is silently invisible to
+    * cellsForBall pruning, the text verb's rehash argument) and the
+    * save/append-merged cellCounts seeding histogram equals the raw
+    * data's per-cell counts (auditing exactly the r14 append-merge). */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_fsck_grid_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val p = partVec(s, dir).select("p_partkey", "p_retailprice",
+      "p_size", "vec")
+    val even = p.filter(col("p_partkey") % 2 === 0)
+    VectorIndex.create(even, "vec", "p_partkey", dim = 2,
+      cellsPerDim = 8).save(path)
+    VectorIndex.appendSaved(s, path,
+      p.filter(col("p_partkey") % 2 =!= 0))
+    VectorIndex.fsckSaved(s, path)
+  }
+
   /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
     * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
     * contract): build + append each exactly as its lifecycle query
@@ -3159,6 +3180,7 @@ object SparkEntry {
     "q175_assign_shard_fsck" -> (q175 _),
     "q176_filtered_knn_grid" -> (q176 _),
     "q177_filtered_knn_adaptive" -> (q177 _),
+    "q178_grid_fsck" -> (q178 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3893,7 +3915,23 @@ object SparkEntry {
         |  ROUND((CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
         |      + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0), 6) AS dist
         |FROM part WHERE p_brand = 'Brand#23'
-        |ORDER BY dist, p_partkey LIMIT 10""".stripMargin)
+        |ORDER BY dist, p_partkey LIMIT 10""".stripMargin) +
+    // grid-layout fsck on build+append: shared checks with
+    // base-predicted details (row/id counts from part), grid-specific
+    // checks as flags (cell geometry is fit-derived — no base recompute
+    // predicts its counts); meta_parses detail 0 = nlist of a pure-grid
+    // sidecar
+    ("q178_grid_fsck" ->
+      """SELECT chk, ok, detail FROM (
+        |  SELECT 'cell_counts_consistent' AS chk, true AS ok, 0 AS detail
+        |  UNION ALL SELECT 'cell_ids_consistent', true, 0
+        |  UNION ALL SELECT 'ids_unique', true, count(*) FROM part
+        |  UNION ALL SELECT 'meta_parses', true, 0
+        |  UNION ALL SELECT 'no_compact_residue', true, 0
+        |  UNION ALL SELECT 'orphan_tombstones', true, 0
+        |  UNION ALL SELECT 'rows_nonempty', true, count(*) FROM part
+        |  UNION ALL SELECT 'vectors_valid_dim', true, 2
+        |) ORDER BY chk""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

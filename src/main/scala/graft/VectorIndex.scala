@@ -348,15 +348,19 @@ class VectorIndex private (
         data.write.mode("overwrite").parquet(path)
         (None, None, None)
     }
-    // Grid layouts: per-cell histogram for the sidecar (output bounded
-    // by the cell count — KBs at 16⁴), the seed for knnBatch's ring
-    // expansion. One extra tiny-output aggregate next to the full-scan
-    // write above; recomputed every save like the radii.
-    val gridCounts = gridSpec.map { spec =>
-      GridIndex.withCellId(data, vecCol, spec)
-        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    }
+    // Grid/adaptive layouts: per-cell histogram for the sidecar (output
+    // bounded by the cell count — KBs at 16⁴; adaptive layouts store
+    // MIXED-LEVEL ids), the seed for knnBatch's ring expansion and the
+    // reference fsck audits cell_counts_consistent against. One extra
+    // tiny-output aggregate next to the full-scan write above;
+    // recomputed every save like the radii.
+    def countCells(withId: DataFrame): Map[Long, Long] = withId
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gridCounts = adaptiveSpec.map(a => countCells(
+        GridIndex.withCellIdAdaptive(data, vecCol, a)))
+      .orElse(gridSpec.map(spec => countCells(
+        GridIndex.withCellId(data, vecCol, spec))))
     // adaptive sidecar: BASE grid in the `grid` field + the refinement
     // extension (the fine spec is derived at load — IndexMeta scaladoc)
     IndexMeta.write(data.sparkSession, path,
@@ -696,6 +700,12 @@ object VectorIndex {
     *     sidecar dim (the invariant pruning losslessness needs);
     *   - `list_ids_in_domain` — IVF layouts: every list_id in
     *     [0, nlist) (detail: nlist);
+    *   - `cell_ids_consistent` / `cell_counts_consistent` — grid and
+    *     adaptive layouts: every stored cell_id rehashes through the
+    *     SIDECAR spec (a row bucketed under a different fit is
+    *     silently invisible to cellsForBall pruning), and the
+    *     save/append-merged cellCounts seeding histogram equals the
+    *     raw data's per-cell counts;
     *   - `radii_sound` — PQ layouts: recomputed per-list radii ≤ the
     *     sidecar's (detail: nlist). An unsound stored radius silently
     *     breaks searchPqExact's pruning certificate — the one check
@@ -757,6 +767,34 @@ object VectorIndex {
           out += (("list_ids_in_domain",
             !l.isNullAt(0) && l.getInt(0) >= 0 && l.getInt(1) < nlist,
             nlist))
+        }
+        // grid/adaptive layouts: the cell invariants pruned search
+        // leans on. cell_ids_consistent rehashes every stored cell id
+        // through the SIDECAR spec (a row bucketed under a different
+        // fit — the mis-bucketed-append analog of the text verb's term
+        // rehash — is silently invisible to cellsForBall pruning);
+        // cell_counts_consistent audits the save/append-merged seeding
+        // histogram against the raw data it claims to summarize (counts
+        // are a cost seed, but a wrong merge points at a corrupted
+        // append). Both details are 0: cell geometry is fit-derived,
+        // so there is no base-table recompute to predict counts with.
+        if (raw.columns.contains("cell_id")) {
+          val expect = meta.adaptiveSpec
+            .map(a => operators.GridIndex.cellIdAdaptive(
+              col(meta.vecCol), a))
+            .orElse(meta.gridSpec.map(g =>
+              operators.GridIndex.cellId(col(meta.vecCol), g)))
+          expect.foreach { e =>
+            val mis = raw.filter(col("cell_id").cast("long") =!=
+              e.cast("long")).count()
+            out += (("cell_ids_consistent", mis == 0L, 0L))
+          }
+          meta.cellCountsMap.foreach { cm =>
+            val actual = raw.groupBy(col("cell_id").cast("long").as("c"))
+              .count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            out += (("cell_counts_consistent", actual == cm, 0L))
+          }
         }
         meta.listRadiiMap.foreach { stored =>
           val fresh = IvfIndex.listRadii(raw, meta.vecCol,

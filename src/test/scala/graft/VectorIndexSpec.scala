@@ -666,4 +666,42 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(after == Search.knn(df, "vec", "id", array(q.map(lit): _*), 5)
       .select("id").collect().map(_.getLong(0)).toSeq) // exhaustive = exact
   }
+
+  test("fsckSaved grid checks: healthy build+append all-green (grid and " +
+       "adaptive); a mis-celled row flips cell_ids_consistent and " +
+       "cell_counts_consistent") {
+    import spark.implicits._
+    val df = randomDf(300, 2, 77)
+    def report(path: String): Map[String, (Boolean, Long)] =
+      VectorIndex.fsckSaved(spark, path).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    for (adaptive <- Seq(false, true)) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_fsck_grid").toString + "/idx"
+      val even = df.filter(col("id") % 2 === 0)
+      (if (adaptive)
+        VectorIndex.create(even, "vec", "id", dim = 2, cellsPerDim = 6,
+          rowCap = 20)
+      else
+        VectorIndex.create(even, "vec", "id", dim = 2, cellsPerDim = 6))
+        .save(path)
+      VectorIndex.appendSaved(spark, path, df.filter(col("id") % 2 =!= 0))
+      val healthy = report(path)
+      assert(healthy.values.forall(_._1), s"adaptive=$adaptive: $healthy")
+      assert(healthy.contains("cell_ids_consistent") &&
+        healthy.contains("cell_counts_consistent"))
+      // plant one row whose stored cell id disagrees with the sidecar
+      // spec (the mis-bucketed-append corruption)
+      val schema = spark.read.parquet(path).select("id", "vec", "cell_id")
+      Seq((9999L, Seq(0.0, 0.0), 123456789L)).toDF("id", "vec", "cell_id")
+        .select(col("id"), col("vec"), col("cell_id").cast(
+          schema.schema("cell_id").dataType))
+        .write.mode("append").parquet(path)
+      val bad = report(path)
+      assert(!bad("cell_ids_consistent")._1, s"adaptive=$adaptive")
+      assert(!bad("cell_counts_consistent")._1, s"adaptive=$adaptive")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path).getParentFile)
+    }
+  }
 }
