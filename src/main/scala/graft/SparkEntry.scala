@@ -2850,6 +2850,32 @@ object SparkEntry {
     VectorIndex.fsckSaved(s, path)
   }
 
+  /** Q179 — COMPACTION of a saved GRID layout (VectorIndex.compactSaved
+    * → compactSavedGrid): the fourth lifecycle verb for the last layout
+    * family that lacked it. Build on even part keys, append the odd
+    * half, tombstone-delete every fifth key, COMPACT (deleted rows
+    * leave physically, append-era files merge back to range-partitioned
+    * cell-sorted build geometry, cellCounts snap exact), then range-
+    * probe: the oracle is q3's ball filtered to the survivors — the
+    * compacted layout must answer exactly like a rebuild on them. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_grid_cpt_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val p = partVec(s, dir).select("p_partkey", "p_retailprice",
+      "p_size", "vec")
+    VectorIndex.create(p.filter(col("p_partkey") % 2 === 0), "vec",
+      "p_partkey", dim = 2, cellsPerDim = 8).save(path)
+    VectorIndex.appendSaved(s, path,
+      p.filter(col("p_partkey") % 2 =!= 0))
+    VectorIndex.deleteSaved(s, path,
+      p.filter(col("p_partkey") % 5 === 0).select("p_partkey"))
+    VectorIndex.compactSaved(s, path)
+    VectorIndex.load(s, path)
+      .rangeSearch(Seq(910.0, 25.0), 20.0)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
     * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
     * contract): build + append each exactly as its lifecycle query
@@ -3181,6 +3207,7 @@ object SparkEntry {
     "q176_filtered_knn_grid" -> (q176 _),
     "q177_filtered_knn_adaptive" -> (q177 _),
     "q178_grid_fsck" -> (q178 _),
+    "q179_grid_compact_saved" -> (q179 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3931,7 +3958,15 @@ object SparkEntry {
         |  UNION ALL SELECT 'orphan_tombstones', true, 0
         |  UNION ALL SELECT 'rows_nonempty', true, count(*) FROM part
         |  UNION ALL SELECT 'vectors_valid_dim', true, 2
-        |) ORDER BY chk""".stripMargin)
+        |) ORDER BY chk""".stripMargin) +
+    // grid compaction: the q3 ball over only the survivors — the
+    // compacted layout must answer exactly like a rebuild on them
+    ("q179_grid_compact_saved" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part
+        |WHERE (CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
+        |    + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0) <= 20.0 * 20.0
+        |  AND p_partkey % 5 <> 0
+        |ORDER BY p_partkey""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

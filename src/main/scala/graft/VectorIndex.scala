@@ -616,7 +616,9 @@ object VectorIndex {
     * (a delete may have removed the very rows that de-normalized the
     * collection, re-licensing cosine rewrites). Serving results are
     * bit-identical before and after (q95 shares q81's oracle); only
-    * cost improves. The swap is crash-RECOVERABLE via the CompactSwap
+    * cost improves. Grid/adaptive layouts dispatch to
+    * [[compactSavedGrid]] — same verb, file-granularity swap (r15).
+    * The swap is crash-RECOVERABLE via the CompactSwap
     * protocol: staged rewrite, then a `_compact_staged` commit marker
     * before the first destructive step, so a re-run after a crash at
     * any point RESUMES the swap from the marker instead of deleting
@@ -627,10 +629,12 @@ object VectorIndex {
       new IllegalArgumentException(
         s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
           "VectorIndex"))
-    val cents = meta.ivfCentroids.getOrElse(throw
-      new IllegalArgumentException(
-        "compactSaved supports IVF layouts only (grid layouts are " +
-          "cell-sorted bucket files — load().rebuild().save() those)"))
+    if (meta.ivfCentroids.isEmpty) {
+      require(meta.gridSpec.isDefined || meta.adaptiveSpec.isDefined,
+        s"$path is neither an IVF nor a grid layout — nothing to compact")
+      return compactSavedGrid(spark, path, meta)
+    }
+    val cents = meta.ivfCentroids.get
     require(meta.grid.isEmpty, "unexpected grid+IVF hybrid layout")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -657,6 +661,67 @@ object VectorIndex {
       meta.dim, None, Some(cents), unit, meta.sqParams, meta.pqParams,
       radii))
     plans.IndexAwareRules.registerIvfIndex(path, cents, unit)
+  }
+
+  /** [[compactSaved]] for GRID/ADAPTIVE layouts — the fourth lifecycle
+    * verb for the last layout family that lacked it (grid users
+    * previously had to load().rebuild().save()). The layout is a
+    * cell-SORTED flat directory, not bucket dirs, so compaction
+    * restores the BUILD write geometry: tombstoned rows leave for
+    * good, every append era's files merge back into numFiles
+    * range-partitioned cell-sorted files (row-group min/max stats
+    * prune `cell_id IN` again — appends had interleaved cell ranges
+    * across files), and the sidecar's cellCounts snap back to the
+    * exact survivor histogram (appends merged them exactly; deletes
+    * could not shrink them — a cost seed, but fsck audits it).
+    *
+    * Crash recovery is the same CompactSwap protocol at FILE
+    * granularity: the staged `part-` files are the marker's name set
+    * (old and new names never collide — write UUIDs), so a re-run
+    * after a crash resumes the swap instead of deleting the staging
+    * that may hold the only copy. Serving is bit-identical before and
+    * after (q179 shares the survivors-filtered range oracle). */
+  private def compactSavedGrid(spark: SparkSession, path: String,
+                               meta: IndexMeta): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tPath = new Path(path, TombstoneDir)
+    operators.CompactSwap.resumeIfStaged(fs, root, "part-", Seq(tPath))
+    // stored cell ids are kept verbatim (adaptive layouts hold
+    // MIXED-LEVEL ids a base-grid recompute would corrupt); only the
+    // file geometry is rewritten
+    val live = liveData(spark, path, meta.idCol)
+      .repartitionByRange(8, col("cell_id"))
+      .sortWithinPartitions(col("cell_id"))
+    val tmp = operators.CompactSwap.stagingPath(root)
+    live.write.mode("overwrite")
+      .option("maxRecordsPerFile", operators.WriteGeometry.MaxFileRows)
+      .parquet(tmp.toString)
+    val staged = operators.CompactSwap.stagedNames(fs, tmp, "part-")
+    operators.CompactSwap.writeMarker(fs, root, staged)
+    operators.CompactSwap.swap(fs, root, tmp, "part-", staged.toSet,
+      Seq(tPath))
+    // sidecar refresh from the compacted files: exact survivor
+    // cellCounts, re-measured unitNorm (a delete may have removed the
+    // rows that de-normalized the collection)
+    val df = spark.read.parquet(path)
+    val unit = {
+      val m = df.agg(max(abs(
+        VectorFunctions.sqNorm(col(meta.vecCol)) - 1.0))).head()
+      !m.isNullAt(0) && m.getDouble(0) <= 1e-9
+    }
+    val counts = df.groupBy(col("cell_id").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    IndexMeta.write(spark, path, IndexMeta.of(meta.vecCol, meta.idCol,
+      meta.dim, meta.gridSpec, None, unit, meta.sqParams, meta.pqParams,
+      None, Some(counts), meta.adaptiveSpec))
+    (meta.adaptiveSpec, meta.gridSpec) match {
+      case (Some(a), _) =>
+        plans.IndexAwareRules.registerAdaptiveIndex(path, a, unit)
+      case (None, Some(g)) =>
+        plans.IndexAwareRules.registerIndex(path, g, unit)
+      case _ => ()
+    }
   }
 
   /** The tombstone-filtered data relation for a saved index path: the

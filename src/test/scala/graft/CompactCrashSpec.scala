@@ -171,6 +171,65 @@ class CompactCrashSpec extends AnyFunSuite {
     }
   }
 
+  test("grid layout: compactSaved re-run after a mid-swap crash resumes " +
+       "from the marker at FILE granularity — no part-file is lost") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val df = (0L until 300L).map(i =>
+      (i, Seq.fill(2)(rnd.nextDouble() * 100))).toDF("id", "vec")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_grid_crash").toString
+    val path = base + "/idx"
+    try {
+      VectorIndex.create(df.filter(col("id") % 2 === 0), "vec", "id",
+        dim = 2, cellsPerDim = 6).save(path)
+      VectorIndex.appendSaved(spark, path,
+        df.filter(col("id") % 2 =!= 0))
+      VectorIndex.deleteSaved(spark, path,
+        df.filter(col("id") % 3 === 0).select("id"))
+      def probe() = VectorIndex.load(spark, path)
+        .rangeSearch(Seq(50.0, 50.0), 30.0)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val before = probe()
+      assert(before.nonEmpty)
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the mid-swap crash state at file granularity: staged rewrite
+      // committed, marker written, every old part-file deleted, one
+      // staged file renamed in
+      val tomb = spark.read.parquet(s"$path/${VectorIndex.TombstoneDir}")
+      val live = spark.read.parquet(path)
+        .join(tomb.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      val tmp = CompactSwap.stagingPath(root)
+      live.repartitionByRange(4, col("cell_id"))
+        .sortWithinPartitions(col("cell_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val staged = CompactSwap.stagedNames(fs, tmp, "part-")
+      assert(staged.size >= 2)
+      CompactSwap.writeMarker(fs, root, staged)
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("part-"))
+          fs.delete(st.getPath, false)
+      }
+      fs.rename(new Path(tmp, staged.head), new Path(root, staged.head))
+      val (ok, detail) = fsckRow(VectorIndex.fsckSaved(spark, path),
+        "no_compact_residue")
+      assert(!ok && detail == 2L)
+      VectorIndex.compactSaved(spark, path)
+      assert(probe() === before,
+        "probe after crash + re-run must equal the pre-crash answers")
+      assert(CompactSwap.residue(fs, root) == 0L)
+      val after = VectorIndex.fsckSaved(spark, path)
+      assert(after.filter(!col("ok")).isEmpty)
+      // tombstones applied physically and the dir gone
+      assert(!fs.exists(new Path(path, VectorIndex.TombstoneDir)))
+      assert(spark.read.parquet(path).filter(col("id") % 3 === 0).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("fsck of a missing LSH relation dir reports a failing check row " +
        "instead of throwing (partial-copy diagnosis)") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
