@@ -2876,6 +2876,47 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** The q180/q181 anchor set: four query points spread across the
+    * (price, size) domain so the batch loop exercises per-query
+    * escalation depths (dense and sparse filtered neighborhoods). */
+  private val gridBatchAnchors: Seq[(Long, Seq[Double])] = Seq(
+    0L -> Seq(910.0, 25.0), 1L -> Seq(1200.0, 10.0),
+    2L -> Seq(1500.0, 40.0), 3L -> Seq(1800.0, 5.0))
+
+  /** Q180 — BATCH filtered exact kNN over the GRID layout
+    * (GridIndex.knnFilteredBatch): q176's predicate-attached serving
+    * for 4 anchors at once — the low-dim face of q168. One Spark job
+    * per escalation ROUND covers every still-active query (fresh-ring
+    * probe pairs broadcast, bounded TopK aggregator, running top-ks
+    * merged driver-side), each query certifying at its own
+    * selectivity; rounds = max, not sum, of the per-query escalations.
+    * The oracle is the per-qid filtered brute-force ranking — q176's
+    * oracle shape partitioned by anchor. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fit(p, "vec", dim = 2, cellsPerDim = 8)
+    val indexed = operators.GridIndex.withCellId(p, "vec", spec)
+    operators.GridIndex.knnFilteredBatch(indexed, "vec", "p_partkey",
+        spec, gridBatchAnchors, k = 10,
+        pred = col("p_brand") === "Brand#23")
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Q181 — the same batch filtered serving over the ADAPTIVE two-level
+    * layout (GridIndex.knnFilteredBatchAdaptive): hot-cell refinement
+    * is a cost term only, so the result — and the oracle — are
+    * identical to q180's. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val p = partVec(s, dir)
+    val spec = operators.GridIndex.fitAdaptive(p, "vec", dim = 2,
+      cellsPerDim = 8, rowCap = 20, refine = 4)
+    val indexed = operators.GridIndex.withCellIdAdaptive(p, "vec", spec)
+    operators.GridIndex.knnFilteredBatchAdaptive(indexed, "vec",
+        "p_partkey", spec, gridBatchAnchors, k = 10,
+        pred = col("p_brand") === "Brand#23")
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
     * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
     * contract): build + append each exactly as its lifecycle query
@@ -3208,6 +3249,8 @@ object SparkEntry {
     "q177_filtered_knn_adaptive" -> (q177 _),
     "q178_grid_fsck" -> (q178 _),
     "q179_grid_compact_saved" -> (q179 _),
+    "q180_filtered_knn_grid_batch" -> (q180 _),
+    "q181_filtered_knn_adaptive_batch" -> (q181 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -3831,7 +3874,8 @@ object SparkEntry {
         |           unnest(string_split(lower(text), ' ')) AS term
         |    FROM documents)
         |  UNION ALL SELECT 'sumdl_consistent', true,
-        |    sum(len(string_split(lower(text), ' '))) FROM documents
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |    FROM documents
         |) ORDER BY chk""".stripMargin) +
     // LSH-layout fsck: every doc has >= shingleN tokens on this
     // fixture, so band rows = nBands x docs exactly; the invariant
@@ -3863,7 +3907,8 @@ object SparkEntry {
         |         512 AS detail
         |  UNION ALL SELECT 'cms', 'counters_positive', true, 0
         |  UNION ALL SELECT 'cms', 'mass_per_seed_equal', true,
-        |    (SELECT sum(len(string_split(lower(text), ' ')))
+        |    (SELECT CAST(sum(len(string_split(lower(text), ' ')))
+        |            AS BIGINT)
         |     FROM documents)
         |  UNION ALL SELECT 'cms', 'readable', true, 1
         |  UNION ALL SELECT 'cms', 'rows_nonempty', true, 0
@@ -3898,7 +3943,8 @@ object SparkEntry {
         |       AND len(string_split(lower(text), ' ')) >= 8)
         |  UNION ALL SELECT 'lm', 'counts_positive', true, 0
         |  UNION ALL SELECT 'lm', 'mass', true,
-        |    (SELECT sum(len(string_split(lower(text), ' ')))
+        |    (SELECT CAST(sum(len(string_split(lower(text), ' ')))
+        |            AS BIGINT)
         |     FROM documents)
         |  UNION ALL SELECT 'lm', 'readable', true, 1
         |  UNION ALL SELECT 'lm', 'rows_nonempty', true,
@@ -3966,7 +4012,30 @@ object SparkEntry {
         |WHERE (CAST(p_retailprice AS DOUBLE) - 910.0) * (CAST(p_retailprice AS DOUBLE) - 910.0)
         |    + (CAST(p_size AS DOUBLE) - 25.0) * (CAST(p_size AS DOUBLE) - 25.0) <= 20.0 * 20.0
         |  AND p_partkey % 5 <> 0
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin) +
+    // batch filtered grid serving: q176's filtered brute-force oracle
+    // per anchor — one ranking partition per qid, rounded-distance
+    // ranking with the family's (dist, id) tie-break
+    ("q180_filtered_knn_grid_batch" -> duckGridBatchOracle) +
+    ("q181_filtered_knn_adaptive_batch" -> duckGridBatchOracle)
+
+  /** Shared by q180 (grid) and q181 (adaptive): both batch filtered
+    * faces must reproduce the per-anchor filtered brute-force ranking
+    * exactly — refinement is a cost term, never a result term. */
+  private lazy val duckGridBatchOracle: String =
+    """SELECT qid, p_partkey, dist, rn FROM (
+      |  SELECT CAST(q.qid AS BIGINT) AS qid, p.p_partkey,
+      |    ROUND((CAST(p.p_retailprice AS DOUBLE) - q.x) * (CAST(p.p_retailprice AS DOUBLE) - q.x)
+      |        + (CAST(p.p_size AS DOUBLE) - q.y) * (CAST(p.p_size AS DOUBLE) - q.y), 6) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |      ROUND((CAST(p.p_retailprice AS DOUBLE) - q.x) * (CAST(p.p_retailprice AS DOUBLE) - q.x)
+      |          + (CAST(p.p_size AS DOUBLE) - q.y) * (CAST(p.p_size AS DOUBLE) - q.y), 6),
+      |      p.p_partkey) AS rn
+      |  FROM (VALUES (0, 910.0, 25.0), (1, 1200.0, 10.0),
+      |               (2, 1500.0, 40.0), (3, 1800.0, 5.0)) q(qid, x, y)
+      |  CROSS JOIN part p
+      |  WHERE p.p_brand = 'Brand#23'
+      |) WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_filter" ->

@@ -478,6 +478,15 @@ object VectorIndex {
       new IllegalArgumentException(
         s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
           "VectorIndex"))
+    // single-writer guard: an append racing a compact's swap would land
+    // files the swap then deletes — refuse while compaction artifacts
+    // exist (live or crashed; CompactSwap.assertNoActiveCompact)
+    locally {
+      val root = new Path(path)
+      operators.CompactSwap.assertNoActiveCompact(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        root, "appendSaved")
+    }
     val typed = rows.withColumn(meta.vecCol,
       col(meta.vecCol).cast("array<double>"))
     val bad = typed.filter(!coalesce(
@@ -595,6 +604,14 @@ object VectorIndex {
         s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
           "VectorIndex"))
     require(ids.columns.length == 1, "pass a single-column id relation")
+    // single-writer guard: the compact's swap deletes the tombstone dir
+    // last — a delete racing it silently resurrects the deleted ids
+    locally {
+      val root = new Path(path)
+      operators.CompactSwap.assertNoActiveCompact(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        root, "deleteSaved")
+    }
     ids.select(col(ids.columns.head).as(meta.idCol)).distinct()
       .write.mode("append").parquet(s"$path/$TombstoneDir")
   }
@@ -623,8 +640,18 @@ object VectorIndex {
     * before the first destructive step, so a re-run after a crash at
     * any point RESUMES the swap from the marker instead of deleting
     * the staging dir (mid-swap it may hold the only copy of some
-    * lists). */
-  def compactSaved(spark: SparkSession, path: String): Unit = {
+    * lists).
+    *
+    * `dedupIds = true` additionally REPAIRS duplicate-id residue from a
+    * re-shipped append (the fsck `ids_unique` red row): per id, the row
+    * from the EARLIEST write era survives (file modification time, then
+    * path as the deterministic tie-break) — the ids-never-reused
+    * contract makes any duplicate crash residue, and the earliest era
+    * is the one every later verb's bookkeeping first observed. Costs
+    * one id-partitioned shuffle, paid only when requested; without it
+    * the documented repair for a torn append was a full rebuild. */
+  def compactSaved(spark: SparkSession, path: String,
+                   dedupIds: Boolean = false): Unit = {
     val meta = IndexMeta.read(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"$path has no ${IndexMeta.FileName} sidecar — not a saved " +
@@ -632,7 +659,7 @@ object VectorIndex {
     if (meta.ivfCentroids.isEmpty) {
       require(meta.gridSpec.isDefined || meta.adaptiveSpec.isDefined,
         s"$path is neither an IVF nor a grid layout — nothing to compact")
-      return compactSavedGrid(spark, path, meta)
+      return compactSavedGrid(spark, path, meta, dedupIds)
     }
     val cents = meta.ivfCentroids.get
     require(meta.grid.isEmpty, "unexpected grid+IVF hybrid layout")
@@ -642,7 +669,7 @@ object VectorIndex {
     // a prior compact that crashed mid-swap left its commit marker:
     // finish that swap first (never delete its staging blindly)
     operators.CompactSwap.resumeIfStaged(fs, root, "list_id=", Seq(tPath))
-    val live = liveData(spark, path, meta.idCol)
+    val live = liveDeduped(spark, path, meta.idCol, dedupIds)
     // stage → marker → swap (one writer task per list → one merged
     // file per list directory)
     operators.CompactSwap.compactRelation(live, fs, root, "list_id",
@@ -682,16 +709,24 @@ object VectorIndex {
     * that may hold the only copy. Serving is bit-identical before and
     * after (q179 shares the survivors-filtered range oracle). */
   private def compactSavedGrid(spark: SparkSession, path: String,
-                               meta: IndexMeta): Unit = {
+                               meta: IndexMeta,
+                               dedupIds: Boolean = false): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tPath = new Path(path, TombstoneDir)
     operators.CompactSwap.resumeIfStaged(fs, root, "part-", Seq(tPath))
     // stored cell ids are kept verbatim (adaptive layouts hold
     // MIXED-LEVEL ids a base-grid recompute would corrupt); only the
-    // file geometry is rewritten
-    val live = liveData(spark, path, meta.idCol)
-      .repartitionByRange(8, col("cell_id"))
+    // file geometry is rewritten. Rewrite width derives from the
+    // SURVIVOR count — ceil(rows / MaxFileRows) with the build
+    // default (8) as the floor — so a 100 TB family compaction fans
+    // out proportionally to its data instead of funneling through a
+    // fixed 8-task write wave, and the emitted geometry matches what
+    // buildSaved(numFiles) would produce on the same rows.
+    val survivors = liveDeduped(spark, path, meta.idCol, dedupIds)
+    val width = operators.WriteGeometry.rewriteWidth(survivors.count())
+    val live = survivors
+      .repartitionByRange(width, col("cell_id"))
       .sortWithinPartitions(col("cell_id"))
     val tmp = operators.CompactSwap.stagingPath(root)
     live.write.mode("overwrite")
@@ -738,6 +773,35 @@ object VectorIndex {
       Seq(idCol), "left_anti")
   }
 
+  /** [[liveData]] with optional duplicate-id REPAIR (compactSaved's
+    * `dedupIds`): per id, keep the row from the earliest write era —
+    * ordered by the scan's `_metadata.file_modification_time`, then
+    * `file_path` as the deterministic tie-break for files committed in
+    * the same write wave. A torn append re-ships identical rows (same
+    * deterministic build), so any surviving pick is byte-identical;
+    * for the contract-violating case (same id, different content) the
+    * earliest era wins — it is the row every later verb's sidecar
+    * bookkeeping first observed. One id-partitioned shuffle, paid only
+    * when the repair is requested. */
+  private def liveDeduped(spark: SparkSession, path: String,
+                          idCol: String, dedupIds: Boolean): DataFrame = {
+    if (!dedupIds) return liveData(spark, path, idCol)
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(path)
+      .withColumn("__era_mt", col("_metadata.file_modification_time"))
+      .withColumn("__era_fp", col("_metadata.file_path"))
+    val t = new Path(s"$path/$TombstoneDir")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = if (!fs.exists(t)) raw
+      else raw.join(spark.read.parquet(t.toString).select(col(idCol)),
+        Seq(idCol), "left_anti")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__era_mt"), col("__era_fp"))
+    live.withColumn("__era_rn", row_number().over(w))
+      .filter(col("__era_rn") === 1)
+      .drop("__era_mt", "__era_fp", "__era_rn")
+  }
+
   /** Reload a saved index from its sidecar metadata: the EXACT GridSpec
     * the stored cell_id column was computed in (a re-fit could differ —
     * different cellsPerDim, or an extent widened since build — and would
@@ -760,7 +824,9 @@ object VectorIndex {
     *     rows included: this audits physical state, not the live view)
     *     has rows and no duplicated ids (detail: row / distinct-id
     *     count) — a duplicate id means an append re-shipped rows, the
-    *     ids-never-reused contract every delete/compact verb leans on;
+    *     ids-never-reused contract every delete/compact verb leans on
+    *     (repair = `compactSaved(dedupIds = true)`: earliest-era row
+    *     survives; a rebuild is no longer the only path);
     *   - `vectors_valid_dim` — no null vectors, every length == the
     *     sidecar dim (the invariant pruning losslessness needs);
     *   - `list_ids_in_domain` — IVF layouts: every list_id in

@@ -148,4 +148,47 @@ private[graft] object CompactSwap {
   def residue(fs: FileSystem, root: Path): Long =
     (if (fs.exists(markerPath(root))) 1L else 0L) +
       (if (fs.exists(stagingPath(root))) 1L else 0L)
+
+  /** Thrown by the additive verbs when the layout shows compaction
+    * artifacts — a write that would race the swap is refused instead of
+    * silently lost. */
+  final class CompactInProgressException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** The SINGLE-WRITER guard for the additive verbs (append, delete) —
+    * the r15 verdict's concurrent-writer contract, enforced where the
+    * race actually destroys data: a compact's swap deletes the very
+    * bucket dirs an interleaved append writes its new files into (and
+    * the tombstone dir an interleaved delete appends to), so a write
+    * landing inside the stage→swap window vanishes without any failing
+    * job. The compaction artifacts ([[residue]]: staging dir from the
+    * stage job's first moments, marker from before the first
+    * destructive step) double as the writer lease — additive verbs call
+    * this first and REFUSE while they exist, whether the compact is
+    * live or crashed mid-swap. Recovery is the same either way: run the
+    * compact verb to completion (it resumes from the marker), then
+    * retry.
+    *
+    * Contract boundaries (spec-pinned in ConcurrencyContractSpec):
+    * append/delete do NOT exclude each other — both are purely additive
+    * (appends add bucket files, deletes add tombstones), which is what
+    * lets a streaming crawl interleave takedowns (StreamBench r15);
+    * append-vs-append on the SAME ids re-ships rows — fsck flags it and
+    * `compact(dedupIds = true)` repairs it; and a compact STARTING
+    * while another verb's write job is still in flight remains the
+    * caller's scheduling responsibility (the window between an additive
+    * verb's guard check and its job commit is not lease-protected —
+    * a true distributed lock needs a coordination service, out of scope
+    * for a library over plain object storage). */
+  def assertNoActiveCompact(fs: FileSystem, root: Path,
+                            verb: String): Unit = {
+    val r = residue(fs, root)
+    if (r != 0L)
+      throw new CompactInProgressException(
+        s"$verb on $root refused: compaction artifacts present " +
+          s"(marker/staging count = $r) — a compact is in progress or " +
+          "crashed mid-swap, and its swap would silently delete this " +
+          s"write. Run the compact verb to completion (it resumes " +
+          s"from the marker), then retry the $verb.")
+  }
 }

@@ -922,6 +922,9 @@ object Dedup {
     val meta = LshIndexMeta.read(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no ${LshIndexMeta.FileName} under $path — not an LSH index"))
+    // single-writer guard on BOTH relations: an append racing a
+    // compact's swap would land band/shingle files the swap deletes
+    assertLshNoActiveCompact(spark, path, "appendRefIndex")
     writeRefRelations(newRef, meta.idCol, textCol, path, meta.k,
       meta.rowsPerBand, meta.shingleN, meta.nBuckets,
       org.apache.spark.sql.SaveMode.Append)
@@ -1126,6 +1129,9 @@ object Dedup {
       throw new IllegalArgumentException(
         s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
     require(ids.columns.length == 1, "pass a single-column id relation")
+    // single-writer guard: the compact's swap drops the tombstone dir
+    // last — a takedown racing it silently resurrects the deleted docs
+    assertLshNoActiveCompact(spark, indexPath, "deleteFromRefIndex")
     // sidecar untouched: the LSH meta stores signature geometry only,
     // no corpus aggregates (unlike the postings index's N/avgdl)
     ids.select(col(ids.columns.head).as("__rid")).distinct()
@@ -1457,6 +1463,19 @@ object Dedup {
         perDoc.unpersist()
     }
     out.toSeq.toDF("chk", "ok", "detail").orderBy("chk")
+  }
+
+  /** The LSH face of CompactSwap.assertNoActiveCompact: the layout
+    * holds TWO swapped relations (bands, shingles), so the additive
+    * verbs check both roots before writing either. */
+  private def assertLshNoActiveCompact(spark: SparkSession,
+                                       indexPath: String,
+                                       verb: String): Unit = {
+    val bands = new org.apache.hadoop.fs.Path(s"$indexPath/$LshBandsDir")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CompactSwap.assertNoActiveCompact(fs, bands, verb)
+    CompactSwap.assertNoActiveCompact(fs,
+      new org.apache.hadoop.fs.Path(s"$indexPath/$LshShinglesDir"), verb)
   }
 
   def compactRefIndex(spark: SparkSession, indexPath: String): Unit = {

@@ -519,6 +519,132 @@ object GridIndex {
       "filtered-knn-adaptive")
   }
 
+  /** [[knnFiltered]] for a BATCH of queries — the grid/adaptive face of
+    * IvfIndex.searchFilteredExactBatch (q168): per-anchor retrieval
+    * under a predicate where per-query calls would cost |queries| ×
+    * (escalation rounds) driver round trips. One Spark job per
+    * escalation ROUND covers every still-active query: the (qid, cell)
+    * probe pairs for each query's fresh ring ride a broadcast (queries
+    * are metadata-sized), the index is scanned once per round in
+    * exactly the cells some query newly uncovered (`pred` pushed below
+    * the cell equi-join), and the bounded [[graft.functions.TopK]]
+    * aggregator keeps k rows per mapper per query ahead of the
+    * shuffle. Running top-ks merge driver-side (|queries| × k pairs);
+    * each query certifies with [[knnFiltered]]'s one-display-ulp
+    * certificate and drops out at its own selectivity, so round count
+    * is the MAX of the per-query escalations, not the sum.
+    *
+    * Output (qid, idCol, dist, rn) — identical rows to running
+    * [[knnFiltered]] per qid, ranked by (rounded dist, id). */
+  def knnFilteredBatch(index: DataFrame, vecCol: String, idCol: String,
+                       spec: GridSpec, queries: Seq[(Long, Seq[Double])],
+                       k: Int, pred: Column, roundTo: Int = 6,
+                       cellCol: String = "cell_id",
+                       cellCounts: Option[Map[Long, Long]] = None)
+      : DataFrame = {
+    val maxR = (0 until spec.dim).map(i =>
+      spec.width(i) * spec.cells(i)).max * 2
+    knnFilteredBatchCore(index, vecCol, idCol, queries, k, pred, roundTo,
+      cellCol, (q, r) => cellsForBall(spec, q, r), maxR,
+      q => cellCounts.fold(spec.width.max)(seedRadius(spec, _, q, k)),
+      "filtered-knn-grid-batch")
+  }
+
+  /** [[knnFilteredBatch]] over the adaptive two-level layout — identical
+    * contract; hot-cell refinement changes the cost term only. */
+  def knnFilteredBatchAdaptive(index: DataFrame, vecCol: String,
+                               idCol: String, spec: AdaptiveSpec,
+                               queries: Seq[(Long, Seq[Double])], k: Int,
+                               pred: Column, roundTo: Int = 6,
+                               cellCol: String = "cell_id"): DataFrame = {
+    val base = spec.base
+    val maxR = (0 until base.dim).map(i =>
+      base.width(i) * base.cells(i)).max * 2
+    knnFilteredBatchCore(index, vecCol, idCol, queries, k, pred, roundTo,
+      cellCol, (q, r) => cellsForBallAdaptive(spec, q, r), maxR,
+      _ => base.width.max, "filtered-knn-adaptive-batch")
+  }
+
+  private def knnFilteredBatchCore(index: DataFrame, vecCol: String,
+                                   idCol: String,
+                                   queries: Seq[(Long, Seq[Double])],
+                                   k: Int, pred: Column, roundTo: Int,
+                                   cellCol: String,
+                                   cellsOf: (Seq[Double], Double) => Seq[Long],
+                                   maxR: Double,
+                                   seedR: Seq[Double] => Double,
+                                   obsName: String): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    final class St(val qid: Long, val qv: Seq[Double]) {
+      var r: Double = seedR(qv)
+      var scanned: Set[Long] = Set.empty
+      var fresh: Seq[Long] = Nil
+      var best: Vector[(Double, Long)] = Vector.empty
+      var exhausted: Boolean = false
+      var done: Boolean = false
+    }
+    val states = queries.map { case (qid, qv) => new St(qid, qv) }
+    val filtered = index.filter(pred)
+    val tk = graft.functions.TopK.topK(k)
+    val exactD2 = sqDist(col(vecCol), col("__qv"))
+    // one job over the (query, fresh-cell) pairs of every active query;
+    // a cell is read once per QUERY across the whole loop, never once
+    // per ring, and only queries that touch it pay the join row
+    def scan(pairs: Seq[(Long, Long, Seq[Double])], dist: Column) = {
+      val probes = pairs.toDF("qid", cellCol, "__qv")
+      filtered.join(broadcast(probes), Seq(cellCol))
+        .withColumn("__d", dist)
+        .groupBy(col("qid"))
+        .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
+    }
+    val slack = math.pow(10.0, -roundTo) // see knnFilteredCore
+    var rounds = 0
+    while (states.exists(!_.done)) {
+      rounds += 1
+      val active = states.filter(!_.done)
+      active.foreach(s => s.fresh = cellsOf(s.qv, s.r).filterNot(s.scanned))
+      val pairs = active.flatMap(s => s.fresh.map(c => (s.qid, c, s.qv)))
+      val got: Map[Long, Seq[(Double, Long)]] =
+        if (pairs.isEmpty) Map.empty
+        else scan(pairs, exactD2).collect().map { r0 =>
+          r0.getLong(0) -> r0.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1)))
+        }.toMap
+      active.foreach { s =>
+        s.best = (s.best ++ got.getOrElse(s.qid, Nil)).sorted.take(k)
+        s.scanned = s.scanned ++ s.fresh
+        s.fresh = Nil
+        val certified = s.best.size >= k &&
+          s.best.last._1 + slack <= s.r * s.r
+        if (certified || s.exhausted) s.done = true
+        else {
+          // final escalation goes to INFINITY, not maxR·2 (the knnBatch
+          // lesson): for an anchor far outside the domain every true
+          // neighbor lies beyond any domain-derived radius, and
+          // ballCoordRanges clamps an infinite ball to the full grid —
+          // the next pass is exact by exhaustion
+          if (s.r >= maxR) s.exhausted = true
+          s.r = if (s.r * 2 >= maxR) Double.PositiveInfinity else s.r * 2
+        }
+      }
+    }
+    graft.Obs.event(obsName, "rounds" -> rounds,
+      "queries" -> states.size,
+      "avgCells" -> (if (states.isEmpty) 0.0
+        else states.map(_.scanned.size).sum.toDouble / states.size))
+    // final pass ranks by the ROUNDED distance over each query's
+    // scanned set (family convention — display-precision ties break by
+    // id identically in both engines)
+    val allPairs = states.flatMap(s =>
+      s.scanned.toSeq.sorted.map(c => (s.qid, c, s.qv)))
+    scan(allPairs, round(exactD2, roundTo))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.id").as(idCol),
+        col("col.score").as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   private def knnFilteredCore(index: DataFrame, vecCol: String,
                               idCol: String, q: Seq[Double], k: Int,
                               pred: Column, roundTo: Int, cellCol: String,
@@ -558,11 +684,15 @@ object GridIndex {
           .limit(k)
           .select(col(idCol), col("dist"))
       }
-      // final escalation covers the whole domain (cellsForBall clamps),
-      // making the next pass exact by exhaustion — the knn() fallback
-      // for queries whose filtered neighborhood never fills k
+      // final escalation goes to INFINITY, not maxR·2 (the knnBatch
+      // lesson, r16): for a query far outside the domain every true
+      // neighbor lies beyond any domain-derived radius and a maxR·2
+      // ring misses cells; ballCoordRanges clamps an infinite ball to
+      // the full grid, making the next pass exact by exhaustion — the
+      // knn() fallback for queries whose filtered neighborhood never
+      // fills k
       if (r >= maxR) exhausted = true
-      r = if (r * 2 >= maxR) maxR * 2 else r * 2
+      r = if (r * 2 >= maxR) Double.PositiveInfinity else r * 2
     }
     throw new IllegalStateException("unreachable")
   }

@@ -104,21 +104,38 @@ object IvfIndex {
     // 20k-vector corpus asked for 16, drew 8). Opt-in because the
     // default sampling is frozen into existing oracle texts (q115
     // rebuilds it in SQL) — new serving indexes should pass true.
-    // Known edge (r14 ADVICE): the top-up excludes prior draws by ID
-    // only, so a corpus with duplicate VECTORS can top-up a vector
-    // identical to an existing centroid — a coincident centroid whose
-    // list stays permanently empty ("exactly k" becomes nominal).
-    // Harmless to every search path (empty lists hold no rows and the
-    // ring bounds stay sound), so the id-only exclusion is kept —
-    // deduping by value would add a full-width comparison for a
-    // cosmetic gain.
+    // Under topUp the seeding is value-DISTINCT (r14 ADVICE, closed
+    // r16): a duplicate-heavy corpus used to seat coincident centroids
+    // — nominally "exactly k" but with permanently empty lists (each
+    // duplicate centroid's twin captures every assignment). The draw is
+    // deduped by vector value with order preserved (a distinct-valued
+    // draw survives verbatim at the front — the spec-pinned prefix
+    // property), then topped up with value-distinct rows from a bounded
+    // deterministic pool; only a corpus holding fewer than k distinct
+    // vectors falls back to id-distinct fill so the "exactly k"
+    // contract still holds where it can.
     val rows =
       if (sampled.isEmpty) take(df, k)
-      else if (topUp && sampled.length < k) {
-        val have = sampled.map(_.getLong(0))
-        sampled ++ take(
-          df.filter(!col(idCol).cast("long").isin(have: _*)),
-          k - sampled.length)
+      else if (topUp) {
+        val seen = scala.collection.mutable.Set.empty[Seq[Double]]
+        val base = sampled.filter(r => seen.add(r.getSeq[Double](1)))
+        if (base.length >= k) base
+        else {
+          val haveIds = base.map(_.getLong(0))
+          val pool = take(df.filter(!col(idCol).cast("long")
+            .isin(haveIds: _*)), math.max(4 * k, 256))
+          val filled = base ++ pool
+            .filter(r => seen.add(r.getSeq[Double](1)))
+            .take(k - base.length)
+          if (filled.length >= k) filled
+          else {
+            // fewer than k distinct vectors in the pool: id-distinct
+            // fill (the pre-r16 behavior) honors the count contract
+            val ids2 = filled.map(_.getLong(0)).toSet
+            filled ++ pool.filter(r => !ids2.contains(r.getLong(0)))
+              .take(k - filled.length)
+          }
+        }
       } else sampled
     val init = rows.map(_.getSeq[Double](1).toArray).toArray
     val cents =

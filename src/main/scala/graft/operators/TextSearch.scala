@@ -238,6 +238,14 @@ object TextSearch {
     val sumDl0 = meta.sumDl.getOrElse(throw new IllegalArgumentException(
       "index sidecar predates incremental append (no exact token sum) — " +
         "rebuild with buildIndex to enable appendIndex"))
+    // single-writer guard: an append racing a compact's swap would land
+    // bucket files the swap then deletes (CompactSwap contract)
+    locally {
+      val root = new Path(indexPath)
+      CompactSwap.assertNoActiveCompact(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        root, "appendIndex")
+    }
     val toks = docs.select(col(meta.idCol), split(lower(col(textCol)), " ")
       .as("__toks"))
     val stats = toks.agg(count(lit(1)).as("n"),
@@ -294,6 +302,10 @@ object TextSearch {
     require(ids.columns.length == 1, "pass a single-column id relation")
     val tPath = new Path(indexPath, TextTombstoneDir)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-writer guard: the compact's swap deletes the tombstone dir
+    // last — a delete racing it silently resurrects the deleted docs
+    CompactSwap.assertNoActiveCompact(fs, new Path(indexPath),
+      "deleteFromIndex")
     val fresh0 = ids.select(col(ids.columns.head).as(meta.idCol)).distinct()
     val fresh = if (!fs.exists(tPath)) fresh0
       else fresh0.join(spark.read.parquet(tPath.toString),
@@ -337,8 +349,21 @@ object TextSearch {
     * directory, a `_compact_staged` commit marker lands before the
     * first destructive step, and a re-run after a crash at ANY point
     * RESUMES the swap from the marker instead of deleting the staging
-    * dir (which mid-swap may hold the only copy of some buckets). */
-  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+    * dir (which mid-swap may hold the only copy of some buckets).
+    *
+    * `dedupIds = true` additionally REPAIRS re-shipped-append residue
+    * (the fsck `doc_count_consistent` / `sumdl_consistent` red rows):
+    * postings rows are exact-distinct'd — a re-shipped append writes
+    * the same deterministic (doc, dl, term, tf) rows, so partial ∪
+    * full = full, the LSH compactor's crash-window cleanup
+    * ([[graft.operators.Dedup.compactRefIndex]]) — and the sidecar's
+    * nDocs/avgdl/sumDl are recomputed from the deduped postings (the
+    * re-shipped append double-bumped them). A same-id append with
+    * DIFFERENT text is a contract violation this repair does not claim
+    * to fix (distinct keeps both variants and fsck stays red —
+    * rebuild). Costs one distinct shuffle, paid only when requested. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+                   dedupIds: Boolean = false): Unit = {
     val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(
         s"no ${TextIndexMeta.FileName} under $indexPath — not a text index"))
@@ -349,11 +374,25 @@ object TextSearch {
     // finish that swap first (never delete its staging blindly)
     CompactSwap.resumeIfStaged(fs, root, BucketCol + "=", Seq(tPath))
     val raw = spark.read.parquet(indexPath)
-    val live = if (!fs.exists(tPath)) raw
+    val live0 = if (!fs.exists(tPath)) raw
       else raw.join(spark.read.parquet(tPath.toString),
         Seq(meta.idCol), "left_anti")
-    // stage → marker → swap; the sidecar (still exact) stays untouched
+    val live = if (dedupIds) live0.distinct() else live0
+    // stage → marker → swap; without dedupIds the sidecar (still
+    // exact) stays untouched
     CompactSwap.compactRelation(live, fs, root, BucketCol, Seq(tPath))
+    if (dedupIds) {
+      // sidecar refresh from the COMPACTED layout: a re-shipped append
+      // double-bumped nDocs/sumDl; the deduped (doc, dl) pairs restore
+      // the exact scalars every BM25 score is computed from
+      val d = spark.read.parquet(indexPath)
+        .select(col(meta.idCol), col("__dl")).distinct()
+        .agg(count(lit(1)).as("n"), sum(col("__dl")).as("s")).head()
+      val (n, s) = (d.getLong(0), d.getLong(1))
+      require(n > 0, "compacted postings are empty — nothing to rescale")
+      TextIndexMeta.write(spark, indexPath,
+        meta.copy(nDocs = n, avgdl = s.toDouble / n, sumDl = Some(s)))
+    }
   }
 
   /** FSCK — physical integrity audit of a saved postings index (the
@@ -374,7 +413,8 @@ object TextSearch {
     *     (tombstones applied) agrees with the sidecar's nDocs and exact
     *     integer token sum: the scalars every BM25 score is computed
     *     from, recombined across appends/deletes, checked against the
-    *     data they claim to summarize;
+    *     data they claim to summarize (red after a re-shipped append;
+    *     repair = `compactIndex(dedupIds = true)`);
     *   - `orphan_tombstones` — tombstones naming absent docs (legal,
     *     idempotent-delete residue; reported);
     *   - `write_eras` — the write-geometry ledger

@@ -15,6 +15,17 @@ private[graft] object WriteGeometry {
     * 100–200 MB parquet sweet spot. */
   val MaxFileRows: Int = 4000000
 
+  /** Rewrite fan-out for a flat (non-bucket-dir) layout compaction:
+    * ceil(rows / MaxFileRows) range partitions, floored at the build
+    * default so small layouts keep the build's file geometry. A fixed
+    * width would funnel a 100 TB family rewrite through that many
+    * write tasks; deriving from the survivor count keeps the compact
+    * write wave proportional to the data AND reproducible by the
+    * build knob (buildSaved's numFiles) on the same rows. */
+  def rewriteWidth(rows: Long, floor: Int = 8): Int =
+    math.max(floor.toLong,
+      (rows + MaxFileRows - 1L) / MaxFileRows).toInt
+
   /** The fsck face of the rule: the WRITE-ERA ledger of a partitioned
     * layout. Under this geometry, one write (build, append batch, or
     * compact) leaves ceil(rows/MaxFileRows) files in a bucket dir — so

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Search, TextSearch}
+
+/** Duplicate-id REPAIR on compact (the r15 verdict's missing #3): fsck
+  * reports a re-shipped append (`ids_unique` / `doc_count_consistent`
+  * red), but before r16 only the LSH compactor actually removed the
+  * crash-window duplicates — the documented repair for the vector and
+  * text families was a full rebuild. These specs drive the corruption
+  * (append the same batch twice, exactly what a crashed-then-retried
+  * ingest leaves), assert fsck flags it, run the compact verb with
+  * `dedupIds = true`, and assert fsck is green AND the probe answers
+  * equal a from-scratch rebuild over the unique rows. */
+class DedupRepairSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def randomDf(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 100 - 50), s"p_$i"))
+      .toDF("id", "vec", "name")
+  }
+
+  private def fsckRow(fsck: org.apache.spark.sql.DataFrame,
+                      chk: String): Boolean = {
+    val r = fsck.filter(col("chk") === chk).collect()
+    assert(r.length == 1, s"$chk rows: ${r.length}")
+    r(0).getBoolean(1)
+  }
+
+  test("IVF layout: re-shipped append -> fsck ids_unique red -> " +
+       "compactSaved(dedupIds) -> fsck green, probe == rebuild") {
+    val df = randomDf(200, 16, 71)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ivf").toString + "/idx"
+    try {
+      val batch = df.filter(col("id") >= 150)
+      VectorIndex.create(df.filter(col("id") < 150), "vec", "id",
+        dim = 16, nlist = 8).save(dir)
+      VectorIndex.appendSaved(spark, dir, batch)
+      VectorIndex.appendSaved(spark, dir, batch) // the crash re-ship
+      assert(!fsckRow(VectorIndex.fsckSaved(spark, dir), "ids_unique"),
+        "fsck must flag the duplicate ids")
+      VectorIndex.compactSaved(spark, dir, dedupIds = true)
+      val fsck = VectorIndex.fsckSaved(spark, dir)
+      assert(fsck.filter(!col("ok")).isEmpty,
+        "fsck must be all-green after the repair")
+      assert(spark.read.parquet(dir).count() == 200)
+      val q = Seq.fill(16)(5.0)
+      val got = VectorIndex.load(spark, dir).knn(q, 9)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      val brute = Search.knn(df, "vec", "id", array(q.map(lit): _*), 9)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == brute)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("grid layout: re-shipped append -> fsck red -> " +
+       "compactSaved(dedupIds) -> fsck green, probe == rebuild") {
+    val df = randomDf(300, 2, 73)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_grid").toString + "/idx"
+    try {
+      val batch = df.filter(col("id") % 2 =!= 0)
+      VectorIndex.create(df.filter(col("id") % 2 === 0), "vec", "id",
+        dim = 2, cellsPerDim = 6).save(dir)
+      VectorIndex.appendSaved(spark, dir, batch)
+      VectorIndex.appendSaved(spark, dir, batch) // the crash re-ship
+      assert(!fsckRow(VectorIndex.fsckSaved(spark, dir), "ids_unique"))
+      VectorIndex.compactSaved(spark, dir, dedupIds = true)
+      val fsck = VectorIndex.fsckSaved(spark, dir)
+      assert(fsck.filter(!col("ok")).isEmpty,
+        "fsck must be all-green after the repair")
+      assert(spark.read.parquet(dir).count() == 300)
+      val got = VectorIndex.load(spark, dir).rangeSearch(Seq(0.0, 0.0), 30.0)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val brute = Search.rangeSearch(df, "vec",
+          array(lit(0.0), lit(0.0)), 30.0)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == brute)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("vector layout: conflicting duplicate content keeps the " +
+       "EARLIEST write era's row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_era").toString + "/idx"
+    try {
+      val base = (0L until 50L).map(i =>
+        (i, Seq(i.toDouble, 0.0), "orig")).toDF("id", "vec", "name")
+      VectorIndex.create(base, "vec", "id", dim = 2, cellsPerDim = 4)
+        .save(dir)
+      Thread.sleep(1100) // distinct file mtimes across the two eras
+      // contract-violating re-append: same id, DIFFERENT content
+      VectorIndex.appendSaved(spark, dir,
+        Seq((7L, Seq(7.0, 99.0), "late")).toDF("id", "vec", "name"))
+      VectorIndex.compactSaved(spark, dir, dedupIds = true)
+      val row = spark.read.parquet(dir).filter(col("id") === 7L)
+        .select("name").collect()
+      assert(row.map(_.getString(0)).toSeq == Seq("orig"),
+        "earliest era must win")
+      assert(spark.read.parquet(dir).count() == 50)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("text index: re-shipped append -> fsck doc/sumdl red -> " +
+       "compactIndex(dedupIds) -> fsck green, bm25 == scan path") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_txt").toString + "/idx"
+    try {
+      val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, nBuckets = 8)
+      TextSearch.appendIndex(odd, "text", dir)
+      TextSearch.appendIndex(odd, "text", dir) // the crash re-ship
+      val red = TextSearch.fsckIndex(spark, dir)
+      assert(!fsckRow(red, "doc_count_consistent") &&
+        !fsckRow(red, "sumdl_consistent"),
+        "fsck must flag the double-bumped sidecar")
+      TextSearch.compactIndex(spark, dir, dedupIds = true)
+      val fsck = TextSearch.fsckIndex(spark, dir)
+      assert(fsck.filter(!col("ok")).isEmpty,
+        "fsck must be all-green after the repair")
+      val got = TextSearch.bm25Indexed(spark, dir,
+          Seq("spark", "vector", "query"), k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val scan = TextSearch.bm25(docs, "doc_id", "text",
+          Seq("spark", "vector", "query"), k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == scan,
+        "repaired index must answer exactly like the scan path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+}

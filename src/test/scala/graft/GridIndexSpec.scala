@@ -359,4 +359,58 @@ class GridIndexSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }
+
+  test("batch filtered kNN == per-query filtered kNN == brute force " +
+       "(grid and adaptive; in-domain, FAR out-of-domain, and sub-k " +
+       "anchors in one batch)") {
+    val df = withGroup(randomDf(500, 2, 53))
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val indexed = GridIndex.withCellId(df, "vec", spec)
+    val aspec = GridIndex.fitAdaptive(df, "vec", 2, cellsPerDim = 6,
+      rowCap = 20, refine = 3)
+    val aindexed = GridIndex.withCellIdAdaptive(df, "vec", aspec)
+    // data lives in [-100, 100]^2; anchor 2 sits ~13 domain-widths out
+    // (the escalate-to-infinity case the r16 fix closed — a maxR-capped
+    // final ring silently under-fills k there); anchor 3's predicate
+    // population (ids 0..4) is sub-k
+    val anchors = Seq(
+      0L -> Seq(10.0, -40.0), 1L -> Seq(95.0, 95.0),
+      2L -> Seq(2600.0, -1800.0), 3L -> Seq(0.0, 0.0))
+    val predOf: Long => org.apache.spark.sql.Column =
+      qid => if (qid == 3L) col("id") < 5 else col("grp") === 2
+    // per-anchor predicates differ for the sub-k case, so run two
+    // batches: anchors 0-2 under grp=2, anchor 3 under the sub-k pred
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      d.select("qid", "id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(x => (x._1, x._3, x._2))
+    for ((batchOf, name) <- Seq(
+      ((qs: Seq[(Long, Seq[Double])], p: org.apache.spark.sql.Column) =>
+        GridIndex.knnFilteredBatch(indexed, "vec", "id", spec, qs,
+          k = 7, pred = p), "grid"),
+      ((qs: Seq[(Long, Seq[Double])], p: org.apache.spark.sql.Column) =>
+        GridIndex.knnFilteredBatchAdaptive(aindexed, "vec", "id", aspec,
+          qs, k = 7, pred = p), "adaptive"))) {
+      val got = rows(batchOf(anchors.take(3), col("grp") === 2)) ++
+        rows(batchOf(anchors.drop(3), col("id") < 5))
+      val want = anchors.flatMap { case (qid, q) =>
+        Search.knn(df.filter(predOf(qid)), "vec", "id",
+            array(q.map(lit): _*), 7)
+          .select("id", "dist").collect()
+          .map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      }.sortBy(x => (x._1, x._3, x._2))
+      assert(got == want, s"$name batch filtered kNN != brute")
+      // sub-k anchor returned every match, never silently short
+      assert(got.count(_._1 == 3L) == 5, name)
+    }
+    // the single-query face shares the infinity-escalation fix: a FAR
+    // out-of-domain anchor still fills k exactly
+    val farSingle = GridIndex.knnFiltered(indexed, "vec", "id", spec,
+        Seq(2600.0, -1800.0), k = 7, pred = col("grp") === 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val farBrute = Search.knn(df.filter(col("grp") === 2), "vec", "id",
+        array(lit(2600.0), lit(-1800.0)), 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(farSingle == farBrute)
+  }
 }

@@ -180,6 +180,28 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("fitCentroids topUp on a duplicate-heavy corpus: exactly nlist " +
+       "VALUE-distinct centroids (r14 ADVICE — no coincident seats)") {
+    import spark.implicits._
+    // 1000 rows over exactly 40 distinct vectors, each repeated 25x —
+    // the id-only top-up exclusion used to seat coincident centroids
+    val df = (0L until 1000L)
+      .map(i => (i, Seq((i % 40).toDouble, (i % 40 * 3).toDouble)))
+      .toDF("id", "v")
+    val cents = IvfIndex.fitCentroids(df, "v", "id", 16, topUp = true)
+    assert(cents.size == 16)
+    assert(cents.map(_._2).distinct.size == 16,
+      "all 16 centroids must be value-distinct")
+    // fewer distinct vectors than nlist: the count contract still holds
+    // (id-distinct fallback), and every distinct value is seated
+    val tiny = (0L until 200L)
+      .map(i => (i, Seq((i % 10).toDouble, 0.0))).toDF("id", "v")
+    val c2 = IvfIndex.fitCentroids(tiny, "v", "id", 16, topUp = true)
+    assert(c2.size == 16)
+    assert(c2.map(_._2).distinct.size == 10,
+      "all 10 distinct vectors seated before the fallback fill")
+  }
+
   test("searchBatch: one job, per-query results match single-query search") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()

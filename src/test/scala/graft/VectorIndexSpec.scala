@@ -704,4 +704,23 @@ class VectorIndexSpec extends AnyFunSuite {
         new java.io.File(path).getParentFile)
     }
   }
+
+  test("grid compact rewrite width derives from survivors: build-default " +
+       "floor at small scale, ceil(rows/MaxFileRows) beyond it") {
+    import graft.operators.WriteGeometry
+    // small layouts keep the build's default 8-file geometry
+    assert(WriteGeometry.rewriteWidth(0L) == 8)
+    assert(WriteGeometry.rewriteWidth(1000L) == 8)
+    // exactly at the floor boundary: 8 x 4M rows still 8 files...
+    assert(WriteGeometry.rewriteWidth(8L * WriteGeometry.MaxFileRows) == 8)
+    // ...one row more fans out to 9; 100M rows to 25 — a 100 TB family
+    // compaction writes proportionally, not through a fixed 8-task wave
+    assert(WriteGeometry.rewriteWidth(
+      8L * WriteGeometry.MaxFileRows + 1) == 9)
+    assert(WriteGeometry.rewriteWidth(100000000L) == 25)
+    // and the derived width is what buildSaved(numFiles) would need to
+    // reproduce the same rows-per-file geometry
+    assert(WriteGeometry.rewriteWidth(25L * WriteGeometry.MaxFileRows)
+      == 25)
+  }
 }
