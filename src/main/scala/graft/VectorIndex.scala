@@ -717,14 +717,19 @@ object VectorIndex {
     operators.CompactSwap.resumeIfStaged(fs, root, "part-", Seq(tPath))
     // stored cell ids are kept verbatim (adaptive layouts hold
     // MIXED-LEVEL ids a base-grid recompute would corrupt); only the
-    // file geometry is rewritten. Rewrite width derives from the
-    // SURVIVOR count — ceil(rows / MaxFileRows) with the build
-    // default (8) as the floor — so a 100 TB family compaction fans
-    // out proportionally to its data instead of funneling through a
-    // fixed 8-task write wave, and the emitted geometry matches what
-    // buildSaved(numFiles) would produce on the same rows.
+    // file geometry is rewritten. Rewrite width derives from the row
+    // count — ceil(rows / MaxFileRows) with the build default (8) as
+    // the floor — so a 100 TB family compaction fans out
+    // proportionally to its data instead of funneling through a fixed
+    // 8-task write wave, and the emitted geometry matches what the
+    // build knob would produce on the same rows. The count comes from
+    // the SIDECAR histogram when present (zero extra jobs; appends
+    // merged it exactly, deletes/duplicates only OVERcount — a wider
+    // fan-out, never an under-fanned one) with a count() job as the
+    // no-histogram fallback.
     val survivors = liveDeduped(spark, path, meta.idCol, dedupIds)
-    val width = operators.WriteGeometry.rewriteWidth(survivors.count())
+    val width = operators.WriteGeometry.rewriteWidth(
+      meta.cellCountsMap.map(_.values.sum).getOrElse(survivors.count()))
     val live = survivors
       .repartitionByRange(width, col("cell_id"))
       .sortWithinPartitions(col("cell_id"))
