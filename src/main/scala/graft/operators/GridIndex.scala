@@ -590,10 +590,19 @@ object GridIndex {
     val exactD2 = sqDist(col(vecCol), col("__qv"))
     // one job over the (query, fresh-cell) pairs of every active query;
     // a cell is read once per QUERY across the whole loop, never once
-    // per ring, and only queries that touch it pay the join row
+    // per ring, and only queries that touch it pay the join row. The
+    // semantically-redundant `isin` prefilter on the round's cell UNION
+    // is what reaches the parquet reader: the grid layout is FLAT
+    // cell-sorted files (no partition dirs), so unlike the IVF batch
+    // face — where the broadcast join's partition column gets dynamic
+    // partition pruning — the join alone would scan every row group at
+    // rest; the pushed In(cell_id, ...) restores the row-group stats
+    // pruning the single-query face gets from its isin (plan-pinned).
     def scan(pairs: Seq[(Long, Long, Seq[Double])], dist: Column) = {
       val probes = pairs.toDF("qid", cellCol, "__qv")
-      filtered.join(broadcast(probes), Seq(cellCol))
+      val cells = pairs.map(_._2).distinct
+      filtered.filter(col(cellCol).isin(cells: _*))
+        .join(broadcast(probes), Seq(cellCol))
         .withColumn("__d", dist)
         .groupBy(col("qid"))
         .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))

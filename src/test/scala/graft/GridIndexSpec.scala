@@ -413,4 +413,30 @@ class GridIndexSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(farSingle == farBrute)
   }
+
+  test("batch filtered kNN at rest: predicate AND the round's cell " +
+       "union reach the parquet reader as PushedFilters (the flat " +
+       "layout gets no partition pruning from the broadcast join)") {
+    val df = withGroup(randomDf(500, 2, 59))
+    val spec = GridIndex.fit(df, "vec", 2, cellsPerDim = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_grid_bfilt").toString + "/idx"
+    GridIndex.withCellId(df, "vec", spec)
+      .sortWithinPartitions("cell_id").write.parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val plan = GridIndex.knnFilteredBatch(atRest, "vec", "id", spec,
+      Seq(0L -> Seq(0.0, 0.0), 1L -> Seq(50.0, -50.0)), k = 7,
+      pred = col("grp") === 2)
+    val brute = Search.knn(df.filter(col("grp") === 2), "vec", "id",
+        array(lit(0.0), lit(0.0)), 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(plan.filter(col("qid") === 0).orderBy("rn")
+      .select("id").collect().map(_.getLong(0)).toSeq == brute)
+    val physical = plan.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("EqualTo(grp,2)"), physical)
+    assert(physical.contains("In(cell_id"), physical)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
 }
