@@ -386,11 +386,18 @@ object GridIndex {
     }
     var finished = List.empty[DataFrame]
     while (pending.nonEmpty) {
-      val cand = pending.flatMap { case (qid, q, r) =>
+      val candPairs = pending.flatMap { case (qid, q, r) =>
         cellsForBall(spec, q, r).map(c => (qid, c, q, r))
-      }.toDF("qid", cellCol, "__qv", "__r")
+      }
+      val cand = candPairs.toDF("qid", cellCol, "__qv", "__r")
       val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
-      val topk = index.join(broadcast(cand), Seq(cellCol))
+      // the redundant isin on the round's cell UNION is what the parquet
+      // reader prunes row groups by at rest — the flat cell-sorted
+      // layout has no partition dirs for the broadcast join to prune
+      // (same fix as knnFilteredBatchCore, r16)
+      val cells = candPairs.map(_._2).distinct
+      val topk = index.filter(col(cellCol).isin(cells: _*))
+        .join(broadcast(cand), Seq(cellCol))
         .withColumn("dist", round(sqDist(col(vecCol), col("__qv")), roundTo))
         .filter(col("dist") <= col("__r") * col("__r"))
         .withColumn("rn", row_number().over(w).cast("long"))
