@@ -2917,6 +2917,53 @@ object SparkEntry {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Q182 — duplicate-id REPAIR on the saved IVF+PQ layout
+    * (VectorIndex.compactSaved(dedupIds = true)): q79's append is
+    * RE-SHIPPED — the crash-retry a rolling ingest actually produces,
+    * leaving every odd id duplicated and fsck's ids_unique red — then
+    * the repair compact keeps the earliest write era's row per id. The
+    * exact serving path must then answer the FULL corpus's kNN as if
+    * the re-ship never happened (shares the q60/q69/q76/q79 oracle):
+    * the repair is provably a restore, not a mutation. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_vec_idxr_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val odd = e.filter(col("vec_id") % 2 =!= 0)
+    VectorIndex.create(e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", dim, nlist = 16).save(path)
+    VectorIndex.appendSaved(s, path, odd)
+    VectorIndex.appendSaved(s, path, odd) // the crash re-ship
+    VectorIndex.compactSaved(s, path, dedupIds = true)
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    VectorIndex.load(s, path).annSearchPqExact(q, k = 12, seed = 48)
+  }
+
+  /** Q183 — the same repair on the saved postings layout
+    * (TextSearch.compactIndex(dedupIds = true)): q78's append
+    * re-shipped (duplicate postings AND a double-bumped sidecar — both
+    * fsck-red), then the repair distinct's the rows and recomputes
+    * nDocs/avgdl/sumDl from the deduped (doc, dl) pairs. The probe must
+    * answer the scan path's exact full-corpus ranking (shares the
+    * q65/q75/q78 oracle). */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idxr_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val docs = t(s, dir, "documents")
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    operators.TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, nBuckets = 16)
+    operators.TextSearch.appendIndex(odd, "text", path)
+    operators.TextSearch.appendIndex(odd, "text", path) // the re-ship
+    operators.TextSearch.compactIndex(s, path, dedupIds = true)
+    operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
     * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
     * contract): build + append each exactly as its lifecycle query
@@ -3251,6 +3298,8 @@ object SparkEntry {
     "q179_grid_compact_saved" -> (q179 _),
     "q180_filtered_knn_grid_batch" -> (q180 _),
     "q181_filtered_knn_adaptive_batch" -> (q181 _),
+    "q182_ann_dedup_repair" -> (q182 _),
+    "q183_bm25_dedup_repair" -> (q183 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4426,6 +4475,10 @@ object SparkEntry {
     // saved-layout append: build-on-half + append-half must be
     // indistinguishable from the full build to an exact query
     "q79_ann_index_append" -> duckQuantizedKnnOracle,
+    // duplicate-id repair: q79's append RE-SHIPPED then
+    // compactSaved(dedupIds) — the repaired layout must answer the
+    // full corpus's exact kNN as if the re-ship never happened
+    "q182_ann_dedup_repair" -> duckQuantizedKnnOracle,
     // tombstone deletion: the exact serving path answers the kNN over
     // the SURVIVORS (the deleted query row's distance-0 hit must not
     // appear)
@@ -4528,6 +4581,10 @@ object SparkEntry {
     "q75_bm25_indexed" -> duckBm25TopOracle,
     // incremental postings append answers the scan path's exact ranking
     "q78_bm25_index_append" -> duckBm25TopOracle,
+    // duplicate-doc repair: q78's append RE-SHIPPED then
+    // compactIndex(dedupIds) — distinct'd postings + recomputed sidecar
+    // must answer the scan path's exact full-corpus ranking
+    "q183_bm25_dedup_repair" -> duckBm25TopOracle,
     // tombstone deletion: the probe answers a rebuilt-on-survivors
     // index exactly (df, N, avgdl all shrink)
     "q82_bm25_index_delete" ->
