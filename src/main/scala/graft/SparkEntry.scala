@@ -3298,8 +3298,8 @@ object SparkEntry {
     "q179_grid_compact_saved" -> (q179 _),
     "q180_filtered_knn_grid_batch" -> (q180 _),
     "q181_filtered_knn_adaptive_batch" -> (q181 _),
-    "q182_ann_dedup_repair" -> (q182 _),
-    "q183_bm25_dedup_repair" -> (q183 _),
+    "q182_ann_repair_compact" -> (q182 _),
+    "q183_bm25_repair_compact" -> (q183 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4478,7 +4478,7 @@ object SparkEntry {
     // duplicate-id repair: q79's append RE-SHIPPED then
     // compactSaved(dedupIds) — the repaired layout must answer the
     // full corpus's exact kNN as if the re-ship never happened
-    "q182_ann_dedup_repair" -> duckQuantizedKnnOracle,
+    "q182_ann_repair_compact" -> duckQuantizedKnnOracle,
     // tombstone deletion: the exact serving path answers the kNN over
     // the SURVIVORS (the deleted query row's distance-0 hit must not
     // appear)
@@ -4584,7 +4584,7 @@ object SparkEntry {
     // duplicate-doc repair: q78's append RE-SHIPPED then
     // compactIndex(dedupIds) — distinct'd postings + recomputed sidecar
     // must answer the scan path's exact full-corpus ranking
-    "q183_bm25_dedup_repair" -> duckBm25TopOracle,
+    "q183_bm25_repair_compact" -> duckBm25TopOracle,
     // tombstone deletion: the probe answers a rebuilt-on-survivors
     // index exactly (df, N, avgdl all shrink)
     "q82_bm25_index_delete" ->
