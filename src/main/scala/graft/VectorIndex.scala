@@ -194,6 +194,62 @@ class VectorIndex private (
       q, k, pred, nProbe0, listRadii)
   }
 
+  /** FILTERED exact kNN across every layout — the facade face of the
+    * q167/q176/q177 serving shape: top-k among rows satisfying `pred`,
+    * certified exact by the layout's own escalation argument (cell
+    * rings for grid/adaptive, probe rings + radii for IVF); a
+    * collection with neither index structure filters then scans.
+    * Column shape follows the layout's operator (grid faces return
+    * (idCol, dist); the IVF face adds its own ranking columns), same
+    * as [[knn]]'s per-layout contract. */
+  def knnFiltered(q: Seq[Double], k: Int, pred: Column): DataFrame = {
+    require(q.size == dim, s"query dim ${q.size} != index dim $dim")
+    (adaptiveSpec, gridSpec) match {
+      case (Some(aspec), _) if data.columns.contains("cell_id") =>
+        GridIndex.knnFilteredAdaptive(data, vecCol, idCol, aspec, q, k,
+          pred)
+      case (None, Some(spec)) if data.columns.contains("cell_id") =>
+        GridIndex.knnFiltered(data, vecCol, idCol, spec, q, k, pred,
+          cellCounts = cellCounts)
+      case _ if centroids.isDefined =>
+        annSearchFiltered(q, k, pred)
+      case _ =>
+        Search.knn(data.filter(pred), vecCol, idCol,
+          array(q.map(lit): _*), k)
+    }
+  }
+
+  /** [[knnFiltered]] for a BATCH of queries — the facade face of
+    * q168/q180/q181: one job per escalation round covers every
+    * still-active query on the indexed layouts; rounds = max, not sum,
+    * of the per-query escalations. Output (qid, idCol, dist, rn) on
+    * the indexed paths. */
+  def knnFilteredBatch(queries: Seq[(Long, Seq[Double])], k: Int,
+                       pred: Column): DataFrame = {
+    queries.foreach { case (_, q) =>
+      require(q.size == dim, s"query dim ${q.size} != index dim $dim") }
+    (adaptiveSpec, gridSpec) match {
+      case (Some(aspec), _) if data.columns.contains("cell_id") =>
+        GridIndex.knnFilteredBatchAdaptive(data, vecCol, idCol, aspec,
+          queries, k, pred)
+      case (None, Some(spec)) if data.columns.contains("cell_id") =>
+        GridIndex.knnFilteredBatch(data, vecCol, idCol, spec, queries,
+          k, pred, cellCounts = cellCounts)
+      case _ if centroids.isDefined =>
+        val assigned =
+          if (data.columns.contains("list_id")) data
+          else operators.CacheScope.register(
+            IvfIndex.assign(data, vecCol, idCol, centroids.get).persist())
+        IvfIndex.searchFilteredExactBatch(assigned, vecCol, idCol,
+          centroids.get, queries, k, pred, radii = listRadii)
+      case _ =>
+        val spark = data.sparkSession
+        import spark.implicits._
+        Search.knnBatch(data.filter(pred), vecCol, idCol,
+          queries.toDF("qid", "__qv"), "__qv", "qid", k)
+    }
+  }
+
   /** Incremental insertion — reference `insert` (hpp:1262). New rows are
     * bucketed with the EXISTING grid/IVF metadata (out-of-extent points
     * clamp to border cells; pruning stays lossless because query-side cell

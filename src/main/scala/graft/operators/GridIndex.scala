@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.sqDist
 
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
 /** Distributed translation of the reference PK-tree's grid geometry
   * (SURVEY.md §1.3, reference include/pktree.hpp:320-408,539-580).
   *
@@ -192,6 +195,24 @@ object GridIndex {
     * is bounded by the ball volume / cell volume, independent of data size. */
   def cellsForBall(spec: GridSpec, q: Seq[Double], r: Double): Seq[Long] =
     cartesian(ballCoordRanges(spec, q, r)).map(spec.linearize)
+
+  /** True when `cellCol` is a STORED column of a file-scan relation in
+    * `df`'s lineage — the only case where the batch cores' redundant
+    * `isin` cell filter buys anything (pushed In(cell_id) → row-group
+    * stats pruning over the cell-sorted at-rest files). A cell id
+    * COMPUTED above the scan (the in-memory withCellId path — even when
+    * the vectors themselves come from parquet) cannot push past its
+    * projection, so there the same filter is pure per-row/planning
+    * overhead: a same-hour sf1b A/B measured q42 +31% and q181 +68%
+    * when it was applied unconditionally (BASELINE r16). */
+  private def scanPrunable(df: DataFrame, cellCol: String): Boolean =
+    // analyzed, not logical: Spark 4 resolves spark.read lazily, so the
+    // raw plan still holds an unresolved source node
+    df.queryExecution.analyzed.exists {
+      case r: LogicalRelation => r.output.exists(_.name == cellCol)
+      case r: DataSourceV2Relation => r.output.exists(_.name == cellCol)
+      case _ => false
+    }
 
   // ==========================================================================
   // Adaptive (two-level) grid — the distributed analog of the reference's
@@ -384,6 +405,7 @@ object GridIndex {
     var pending = queries.map { case (qid, q) =>
       (qid, q, cellCounts.fold(spec.width.max)(seedRadius(spec, _, q, k)))
     }
+    val prunable = scanPrunable(index, cellCol)
     var finished = List.empty[DataFrame]
     while (pending.nonEmpty) {
       val candPairs = pending.flatMap { case (qid, q, r) =>
@@ -392,11 +414,16 @@ object GridIndex {
       val cand = candPairs.toDF("qid", cellCol, "__qv", "__r")
       val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
       // the redundant isin on the round's cell UNION is what the parquet
-      // reader prunes row groups by at rest — the flat cell-sorted
+      // reader prunes row groups by AT REST — the flat cell-sorted
       // layout has no partition dirs for the broadcast join to prune
-      // (same fix as knnFilteredBatchCore, r16)
-      val cells = candPairs.map(_._2).distinct
-      val topk = index.filter(col(cellCol).isin(cells: _*))
+      // (same fix as knnFilteredBatchCore, r16); lineage-gated because
+      // in-memory it is pure overhead (see scanPrunable)
+      val pruned =
+        if (prunable) {
+          val cells = candPairs.map(_._2).distinct
+          index.filter(col(cellCol).isin(cells: _*))
+        } else index
+      val topk = pruned
         .join(broadcast(cand), Seq(cellCol))
         .withColumn("dist", round(sqDist(col(vecCol), col("__qv")), roundTo))
         .filter(col("dist") <= col("__r") * col("__r"))
@@ -599,17 +626,23 @@ object GridIndex {
     // a cell is read once per QUERY across the whole loop, never once
     // per ring, and only queries that touch it pay the join row. The
     // semantically-redundant `isin` prefilter on the round's cell UNION
-    // is what reaches the parquet reader: the grid layout is FLAT
-    // cell-sorted files (no partition dirs), so unlike the IVF batch
-    // face — where the broadcast join's partition column gets dynamic
-    // partition pruning — the join alone would scan every row group at
-    // rest; the pushed In(cell_id, ...) restores the row-group stats
+    // is what reaches the parquet reader AT REST: the grid layout is
+    // FLAT cell-sorted files (no partition dirs), so unlike the IVF
+    // batch face — where the broadcast join's partition column gets
+    // dynamic partition pruning — the join alone would scan every row
+    // group; the pushed In(cell_id, ...) restores the row-group stats
     // pruning the single-query face gets from its isin (plan-pinned).
+    // Lineage-gated: a computed cell id cannot push past its projection
+    // and the filter is pure overhead there (see scanPrunable).
+    val prunable = scanPrunable(index, cellCol)
     def scan(pairs: Seq[(Long, Long, Seq[Double])], dist: Column) = {
       val probes = pairs.toDF("qid", cellCol, "__qv")
-      val cells = pairs.map(_._2).distinct
-      filtered.filter(col(cellCol).isin(cells: _*))
-        .join(broadcast(probes), Seq(cellCol))
+      val pruned =
+        if (prunable) {
+          val cells = pairs.map(_._2).distinct
+          filtered.filter(col(cellCol).isin(cells: _*))
+        } else filtered
+      pruned.join(broadcast(probes), Seq(cellCol))
         .withColumn("__d", dist)
         .groupBy(col("qid"))
         .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))

@@ -705,6 +705,47 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("facade knnFiltered/knnFilteredBatch: every layout answers the " +
+       "filtered brute force (grid, adaptive, IVF, unindexed)") {
+    import org.apache.spark.sql.DataFrame
+    val q = Seq(10.0, -20.0)
+    val anchors = Seq(0L -> q, 1L -> Seq(40.0, 40.0))
+    def ids(d: DataFrame) = d.select("id").collect().map(_.getLong(0)).toSet
+    def batchIds(d: DataFrame, qid: Long) =
+      d.filter(col("qid") === qid).select("id")
+        .collect().map(_.getLong(0)).toSet
+    for (dim <- Seq(2, 8)) {
+      val df = randomDf(300, dim, 83)
+        .withColumn("grp", (col("id") % 4).cast("int"))
+      val pred = col("grp") === 1
+      val qd = q ++ Seq.fill(dim - 2)(0.0)
+      val anchorsD = anchors.map { case (i, a) =>
+        i -> (a ++ Seq.fill(dim - 2)(0.0)) }
+      val brute = Search.knn(df.filter(pred), "vec", "id",
+        array(qd.map(lit): _*), 6)
+      val indexes: Seq[(String, VectorIndex)] =
+        if (dim == 2) Seq(
+          "grid" -> VectorIndex.create(df, "vec", "id", dim = 2,
+            cellsPerDim = 6),
+          "adaptive" -> VectorIndex.create(df, "vec", "id", dim = 2,
+            cellsPerDim = 6, rowCap = 30))
+        else Seq(
+          "ivf" -> VectorIndex.create(df, "vec", "id", dim = 8,
+            nlist = 8),
+          "unindexed" -> VectorIndex.create(df, "vec", "id", dim = 8))
+      for ((name, idx) <- indexes) {
+        assert(ids(idx.knnFiltered(qd, 6, pred)) == ids(brute),
+          s"$name single")
+        val batch = idx.knnFilteredBatch(anchorsD, 6, pred)
+        anchorsD.foreach { case (qid, a) =>
+          val want = ids(Search.knn(df.filter(pred), "vec", "id",
+            array(a.map(lit): _*), 6))
+          assert(batchIds(batch, qid) == want, s"$name batch qid=$qid")
+        }
+      }
+    }
+  }
+
   test("grid compact rewrite width derives from survivors: build-default " +
        "floor at small scale, ceil(rows/MaxFileRows) beyond it") {
     import graft.operators.WriteGeometry
