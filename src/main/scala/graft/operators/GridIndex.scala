@@ -189,6 +189,82 @@ object GridIndex {
       acc.flatMap(prefix => (lo to hi).map(prefix :+ _))
     }
 
+  /** LAZY form of [[cartesian]] — lets the bounded enumerators abort
+    * after cap+1 outputs instead of materializing a full-grid ring. */
+  private def cartesianIt(ranges: Seq[(Long, Long)]): Iterator[Seq[Long]] =
+    ranges.foldLeft(Iterator.single(Seq.empty[Long])) {
+      case (acc, (lo, hi)) =>
+        acc.flatMap(prefix => (lo to hi).iterator.map(prefix :+ _))
+    }
+
+  /** Saturating cell count of a coordinate-range box (overflow-safe for
+    * degenerate huge grids). */
+  private def rangeCount(ranges: Seq[(Long, Long)]): Long =
+    ranges.foldLeft(1L) { case (acc, (lo, hi)) =>
+      val n = hi - lo + 1
+      if (acc > Long.MaxValue / math.max(n, 1L)) Long.MaxValue else acc * n
+    }
+
+  /** The cell-cardinality GATE for every driver-side ring enumeration
+    * and `cell_id IN (...)` literal in this file. All of those are
+    * bounded by GRID cardinality, not data: on a production-granular
+    * low-dim grid (1024² ≈ 1M cells for geo data) an exhaustion-round
+    * ring would cost an O(cells) driver enumeration, an O(cells)
+    * In-literal in the plan, and (in the batch faces) a
+    * (qid × cells)-row broadcast — on exactly the far-out-of-domain /
+    * sparse-predicate queries that escalate to exhaustion. Above the
+    * gate the cell filter is DROPPED and the scan runs over the
+    * predicate-filtered index directly: semantically free, because the
+    * ring filter is always a redundant superset restriction (the exact
+    * ball predicate / distance ranking decides membership) and an
+    * over-gate ring means the scan was nearly full anyway. Fixture
+    * grids (≤ 4,096 cells) sit below the gate, so the pruned plans and
+    * their oracles are unchanged. */
+  val MaxCellLiteral: Int = 2048
+
+  /** [[cellsForBall]] bounded by the cell gate: None once the ball's
+    * coordinate box holds more than `cap` cells — the caller drops the
+    * redundant cell filter and scans the (predicate-filtered) index
+    * directly. The count check is pure range arithmetic; nothing is
+    * enumerated on the over-cap path. */
+  def cellsForBallBounded(spec: GridSpec, q: Seq[Double], r: Double,
+                          cap: Int = MaxCellLiteral): Option[Seq[Long]] = {
+    val ranges = ballCoordRanges(spec, q, r)
+    if (rangeCount(ranges) > cap) None
+    else Some(cartesian(ranges).map(spec.linearize))
+  }
+
+  /** [[cellsForBallAdaptive]] bounded by the cell gate. The BASE box
+    * count is the cheap pre-check (every cold cell contributes exactly
+    * one id); the mixed-level output is then enumerated lazily and
+    * aborted past `cap` (hot cells fan out refine^dim, so the base
+    * count alone cannot bound the output). */
+  def cellsForBallAdaptiveBounded(spec: AdaptiveSpec, q: Seq[Double],
+                                  r: Double,
+                                  cap: Int = MaxCellLiteral)
+      : Option[Seq[Long]] = {
+    val baseRanges = ballCoordRanges(spec.base, q, r)
+    if (rangeCount(baseRanges) > cap) return None
+    val fineR = ballCoordRanges(spec.fine, q, r)
+    val it = cartesianIt(baseRanges).flatMap { bc =>
+      val bid = spec.base.linearize(bc)
+      if (!spec.hot.contains(bid)) Iterator.single(bid)
+      else {
+        // block expanded ±1 fine cell — the cellsForBallAdaptive
+        // boundary argument verbatim
+        val block = bc.indices.map { i =>
+          (math.max(fineR(i)._1, bc(i) * spec.refine - 1),
+            math.min(fineR(i)._2, (bc(i) + 1) * spec.refine))
+        }
+        if (block.exists { case (lo, hi) => lo > hi }) Iterator.empty
+        else cartesianIt(block).map(c => -(spec.fine.linearize(c) + 1L))
+      }
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext && buf.size <= cap) buf += it.next()
+    if (buf.size > cap) None else Some(buf.toSeq)
+  }
+
   /** All cell ids whose box intersects the ball (q, r) — the three-way
     * node classification of range search reduced to "not fully outside"
     * (include/pktree.hpp:1095-1099,1161). Driver-side: the candidate count
@@ -303,11 +379,14 @@ object GridIndex {
   def rangeSearchAdaptive(index: DataFrame, vecCol: String,
                           spec: AdaptiveSpec, q: Seq[Double], r: Double,
                           cellCol: String = "cell_id"): DataFrame = {
-    val cells = cellsForBallAdaptive(spec, q, r)
     val qVec = array(q.map(lit): _*)
-    index
-      .filter(col(cellCol).isin(cells: _*))
-      .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
+    val pruned = cellsForBallAdaptiveBounded(spec, q, r) match {
+      // over the cell gate the In-literal prunes (almost) nothing and
+      // costs O(cells) planning — the ball predicate alone is exact
+      case None => index
+      case Some(cells) => index.filter(col(cellCol).isin(cells: _*))
+    }
+    pruned.filter(sqDist(col(vecCol), qVec) <= lit(r * r))
   }
 
   /** Exact kNN by ring expansion over the adaptive layout — the fixed
@@ -351,11 +430,16 @@ object GridIndex {
   def rangeSearch(index: DataFrame, vecCol: String, spec: GridSpec,
                   q: Seq[Double], r: Double,
                   cellCol: String = "cell_id"): DataFrame = {
-    val cells = cellsForBall(spec, q, r)
     val qVec = array(q.map(lit): _*)
-    index
-      .filter(col(cellCol).isin(cells: _*))
-      .filter(sqDist(col(vecCol), qVec) <= lit(r * r))
+    val pruned = cellsForBallBounded(spec, q, r) match {
+      // over the cell gate (an exhaustion-sized ball) the In-literal
+      // prunes (almost) nothing and costs O(cells) driver enumeration
+      // plus an O(cells) plan literal — the ball predicate alone is
+      // exact, so the redundant cell filter is dropped
+      case None => index
+      case Some(cells) => index.filter(col(cellCol).isin(cells: _*))
+    }
+    pruned.filter(sqDist(col(vecCol), qVec) <= lit(r * r))
   }
 
   /** Driver-side ring pre-expansion over metadata-sized per-cell counts:
@@ -373,9 +457,19 @@ object GridIndex {
     val maxR = (0 until spec.dim).map(i =>
       spec.width(i) * spec.cells(i)).max * 2
     var r = spec.width.max
-    while (r < maxR && cellsForBall(spec, q, r).iterator
-             .map(counts.getOrElse(_, 0L)).sum < k)
-      r *= 2
+    var grow = true
+    while (grow && r < maxR) {
+      // cell-gated (seeding is a COST knob): past the gate the driver
+      // arithmetic itself would be O(grid), and a ring that wide seeds
+      // nothing useful anyway — stop and let the query-time
+      // certificate take over
+      grow = cellsForBallBounded(spec, q, r) match {
+        case None => false
+        case Some(cells) =>
+          cells.iterator.map(counts.getOrElse(_, 0L)).sum < k
+      }
+      if (grow) r *= 2
+    }
     r
   }
 
@@ -408,8 +502,34 @@ object GridIndex {
     val prunable = scanPrunable(index, cellCol)
     var finished = List.empty[DataFrame]
     while (pending.nonEmpty) {
-      val candPairs = pending.flatMap { case (qid, q, r) =>
-        cellsForBall(spec, q, r).map(c => (qid, c, q, r))
+      // cell-gated ring enumeration (MaxCellLiteral): a query whose
+      // ball covers more than the gate's worth of cells — the
+      // exhaustion rounds, r = ∞ — would cost an O(cells) driver
+      // enumeration and a (qid × cells)-row broadcast for a filter
+      // that prunes (almost) nothing. Those queries finish on a plain
+      // scan + top-k instead: exact by exhaustion (a global ranking
+      // needs no radius certificate).
+      val enums = pending.map { case (qid, q, r) =>
+        (qid, q, r, cellsForBallBounded(spec, q, r))
+      }
+      val (fullQ, ringQ) = enums.partition(_._4.isEmpty)
+      if (fullQ.nonEmpty) {
+        val probes = fullQ.map { case (qid, q, _, _) => (qid, q) }
+          .toDF("qid", "__qv")
+        val wf = Window.partitionBy(col("qid"))
+          .orderBy(col("dist"), col(idCol))
+        finished ::= index
+          .crossJoin(broadcast(probes))
+          .withColumn("dist",
+            round(sqDist(col(vecCol), col("__qv")), roundTo))
+          .withColumn("rn", row_number().over(wf).cast("long"))
+          .filter(col("rn") <= k)
+          .drop("__qv", cellCol, vecCol)
+      }
+      if (ringQ.isEmpty) { pending = Nil }
+      else {
+      val candPairs = ringQ.flatMap { case (qid, q, r, cells) =>
+        cells.get.map(c => (qid, c, q, r))
       }
       val cand = candPairs.toDF("qid", cellCol, "__qv", "__r")
       val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
@@ -417,11 +537,14 @@ object GridIndex {
       // reader prunes row groups by AT REST — the flat cell-sorted
       // layout has no partition dirs for the broadcast join to prune
       // (same fix as knnFilteredBatchCore, r16); lineage-gated because
-      // in-memory it is pure overhead (see scanPrunable)
+      // in-memory it is pure overhead (see scanPrunable), and
+      // cell-gated because an over-gate union literal prunes nothing
       val pruned =
         if (prunable) {
           val cells = candPairs.map(_._2).distinct
-          index.filter(col(cellCol).isin(cells: _*))
+          if (cells.size <= MaxCellLiteral)
+            index.filter(col(cellCol).isin(cells: _*))
+          else index
         } else index
       val topk = pruned
         .join(broadcast(cand), Seq(cellCol))
@@ -434,7 +557,7 @@ object GridIndex {
         .agg(count(lit(1)).as("cnt"), max(col("dist")).as("worst"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
         .toMap
-      val (done, todo) = pending.partition { case (qid, _, r) =>
+      val (done, todo) = ringQ.partition { case (qid, _, r, _) =>
         r >= maxR || kth.get(qid).exists { case (cnt, worst) =>
           cnt >= k && math.sqrt(worst) <= r
         }
@@ -449,10 +572,12 @@ object GridIndex {
       // outside the domain every true neighbor lies beyond maxR, and a
       // radius-capped last round would filter them all out (returning
       // < k rows). An infinite radius keeps the ball filter vacuous and
-      // cellsForBall clamps to the full grid — the batch analog of the
-      // single-query path's exhaustive fallback.
-      pending = todo.map { case (qid, q, r) =>
+      // the BOUNDED enumeration of a full-grid ball either stays under
+      // the cell gate (small grids — the pre-gate behavior verbatim) or
+      // routes the query to the plain-scan finish above.
+      pending = todo.map { case (qid, q, r, _) =>
         (qid, q, if (r * 2 >= maxR) Double.PositiveInfinity else r * 2)
+      }
       }
     }
     finished.reduceOption(_ unionByName _)
@@ -533,7 +658,7 @@ object GridIndex {
     val maxR = (0 until spec.dim).map(i =>
       spec.width(i) * spec.cells(i)).max * 2
     knnFilteredCore(index, vecCol, idCol, q, k, pred, roundTo, cellCol,
-      r => cellsForBall(spec, q, r), maxR,
+      r => cellsForBallBounded(spec, q, r), maxR,
       cellCounts.fold(spec.width.max)(seedRadius(spec, _, q, k)),
       "filtered-knn-grid")
   }
@@ -549,7 +674,7 @@ object GridIndex {
     val maxR = (0 until base.dim).map(i =>
       base.width(i) * base.cells(i)).max * 2
     knnFilteredCore(index, vecCol, idCol, q, k, pred, roundTo, cellCol,
-      r => cellsForBallAdaptive(spec, q, r), maxR, base.width.max,
+      r => cellsForBallAdaptiveBounded(spec, q, r), maxR, base.width.max,
       "filtered-knn-adaptive")
   }
 
@@ -579,7 +704,7 @@ object GridIndex {
     val maxR = (0 until spec.dim).map(i =>
       spec.width(i) * spec.cells(i)).max * 2
     knnFilteredBatchCore(index, vecCol, idCol, queries, k, pred, roundTo,
-      cellCol, (q, r) => cellsForBall(spec, q, r), maxR,
+      cellCol, (q, r) => cellsForBallBounded(spec, q, r), maxR,
       q => cellCounts.fold(spec.width.max)(seedRadius(spec, _, q, k)),
       "filtered-knn-grid-batch")
   }
@@ -595,7 +720,7 @@ object GridIndex {
     val maxR = (0 until base.dim).map(i =>
       base.width(i) * base.cells(i)).max * 2
     knnFilteredBatchCore(index, vecCol, idCol, queries, k, pred, roundTo,
-      cellCol, (q, r) => cellsForBallAdaptive(spec, q, r), maxR,
+      cellCol, (q, r) => cellsForBallAdaptiveBounded(spec, q, r), maxR,
       _ => base.width.max, "filtered-knn-adaptive-batch")
   }
 
@@ -604,7 +729,8 @@ object GridIndex {
                                    queries: Seq[(Long, Seq[Double])],
                                    k: Int, pred: Column, roundTo: Int,
                                    cellCol: String,
-                                   cellsOf: (Seq[Double], Double) => Seq[Long],
+                                   cellsOf: (Seq[Double], Double)
+                                     => Option[Seq[Long]],
                                    maxR: Double,
                                    seedR: Seq[Double] => Double,
                                    obsName: String): DataFrame = {
@@ -617,6 +743,7 @@ object GridIndex {
       var best: Vector[(Double, Long)] = Vector.empty
       var exhausted: Boolean = false
       var done: Boolean = false
+      var full: Boolean = false // finished on the over-gate plain scan
     }
     val states = queries.map { case (qid, qv) => new St(qid, qv) }
     val filtered = index.filter(pred)
@@ -633,34 +760,62 @@ object GridIndex {
     // group; the pushed In(cell_id, ...) restores the row-group stats
     // pruning the single-query face gets from its isin (plan-pinned).
     // Lineage-gated: a computed cell id cannot push past its projection
-    // and the filter is pure overhead there (see scanPrunable).
+    // and the filter is pure overhead there (see scanPrunable). Also
+    // cell-gated (MaxCellLiteral): an over-gate union literal prunes
+    // (almost) nothing and costs O(cells) planning.
     val prunable = scanPrunable(index, cellCol)
     def scan(pairs: Seq[(Long, Long, Seq[Double])], dist: Column) = {
       val probes = pairs.toDF("qid", cellCol, "__qv")
       val pruned =
         if (prunable) {
           val cells = pairs.map(_._2).distinct
-          filtered.filter(col(cellCol).isin(cells: _*))
+          if (cells.size <= MaxCellLiteral)
+            filtered.filter(col(cellCol).isin(cells: _*))
+          else filtered
         } else filtered
       pruned.join(broadcast(probes), Seq(cellCol))
         .withColumn("__d", dist)
         .groupBy(col("qid"))
         .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
     }
+    // the over-gate finish: one plain scan of the predicate-filtered
+    // index covers every routed query at once — no (qid × cells) probe
+    // pairs, no ring bookkeeping. Ranks by the ROUNDED distance (the
+    // final-pass convention) because its output IS the final result for
+    // those queries: exact by exhaustion, and ranking the superset of
+    // any scanned set is free (the knnFilteredCore bruteForce argument).
+    def fullScan(sts: Seq[St]): DataFrame = {
+      val probes = sts.map(s => (s.qid, s.qv)).toDF("qid", "__qv")
+      filtered.crossJoin(broadcast(probes))
+        .withColumn("__d", round(exactD2, roundTo))
+        .groupBy(col("qid"))
+        .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
+    }
+    var fullAggs = List.empty[DataFrame]
     val slack = math.pow(10.0, -roundTo) // see knnFilteredCore
     var rounds = 0
     while (states.exists(!_.done)) {
       rounds += 1
       val active = states.filter(!_.done)
-      active.foreach(s => s.fresh = cellsOf(s.qv, s.r).filterNot(s.scanned))
-      val pairs = active.flatMap(s => s.fresh.map(c => (s.qid, c, s.qv)))
+      // over-gate rings (the exhaustion escalations on a
+      // high-cardinality grid) route to the plain-scan finish; ringed
+      // queries proceed through the probe-pair job as before
+      val routed = active.filter { s =>
+        cellsOf(s.qv, s.r) match {
+          case None => s.full = true; s.done = true; true
+          case Some(cells) => s.fresh = cells.filterNot(s.scanned); false
+        }
+      }
+      if (routed.nonEmpty) fullAggs ::= fullScan(routed)
+      val ringed = active.filterNot(_.full)
+      val pairs = ringed.flatMap(s => s.fresh.map(c => (s.qid, c, s.qv)))
       val got: Map[Long, Seq[(Double, Long)]] =
         if (pairs.isEmpty) Map.empty
         else scan(pairs, exactD2).collect().map { r0 =>
           r0.getLong(0) -> r0.getSeq[org.apache.spark.sql.Row](1)
             .map(x => (x.getDouble(0), x.getLong(1)))
         }.toMap
-      active.foreach { s =>
+      ringed.foreach { s =>
         s.best = (s.best ++ got.getOrElse(s.qid, Nil)).sorted.take(k)
         s.scanned = s.scanned ++ s.fresh
         s.fresh = Nil
@@ -672,7 +827,8 @@ object GridIndex {
           // lesson): for an anchor far outside the domain every true
           // neighbor lies beyond any domain-derived radius, and
           // ballCoordRanges clamps an infinite ball to the full grid —
-          // the next pass is exact by exhaustion
+          // the next pass is exact by exhaustion (or, over the gate,
+          // the plain-scan finish)
           if (s.r >= maxR) s.exhausted = true
           s.r = if (s.r * 2 >= maxR) Double.PositiveInfinity else s.r * 2
         }
@@ -680,24 +836,38 @@ object GridIndex {
     }
     graft.Obs.event(obsName, "rounds" -> rounds,
       "queries" -> states.size,
+      "fullScans" -> states.count(_.full),
       "avgCells" -> (if (states.isEmpty) 0.0
         else states.map(_.scanned.size).sum.toDouble / states.size))
     // final pass ranks by the ROUNDED distance over each query's
     // scanned set (family convention — display-precision ties break by
-    // id identically in both engines)
-    val allPairs = states.flatMap(s =>
+    // id identically in both engines); a query whose accumulated
+    // scanned set outgrew the gate re-ranks on the plain scan instead
+    // ((qid × cells) probe pairs would outweigh the scan they prune)
+    val (big, ringFinal) = states.filterNot(_.full)
+      .partition(_.scanned.size > MaxCellLiteral)
+    if (big.nonEmpty) fullAggs ::= fullScan(big)
+    val allPairs = ringFinal.flatMap(s =>
       s.scanned.toSeq.sorted.map(c => (s.qid, c, s.qv)))
-    scan(allPairs, round(exactD2, roundTo))
-      .select(col("qid"), posexplode(col("__top")))
-      .select(col("qid"), col("col.id").as(idCol),
-        col("col.score").as("dist"),
-        (col("pos") + 1).cast("long").as("rn"))
+    val ringAgg =
+      if (allPairs.isEmpty) None
+      else Some(scan(allPairs, round(exactD2, roundTo)))
+    (ringAgg.toList ++ fullAggs).reduceOption(_ unionByName _) match {
+      case Some(agg) => agg
+        .select(col("qid"), posexplode(col("__top")))
+        .select(col("qid"), col("col.id").as(idCol),
+          col("col.score").as("dist"),
+          (col("pos") + 1).cast("long").as("rn"))
+      case None => spark.emptyDataset[(Long, Long, Double, Long)]
+        .toDF("qid", idCol, "dist", "rn")
+    }
   }
 
   private def knnFilteredCore(index: DataFrame, vecCol: String,
                               idCol: String, q: Seq[Double], k: Int,
                               pred: Column, roundTo: Int, cellCol: String,
-                              cellsOf: Double => Seq[Long], maxR: Double,
+                              cellsOf: Double => Option[Seq[Long]],
+                              maxR: Double,
                               seedR: Double, obsName: String): DataFrame = {
     val qVec = array(q.map(lit): _*)
     val filtered = index.filter(pred)
@@ -707,25 +877,48 @@ object GridIndex {
     var r = seedR
     var exhausted = false
     var rounds = 0
-    while (true) { // exits by certificate or full coverage
+    // brute force over the predicate-filtered index — the over-gate
+    // finish (and the shape of the final pass once the scanned set
+    // itself outgrows the gate): ranking a SUPERSET of the certified
+    // scan set is free — any row outside the certified ball is more
+    // than one display ulp worse than the k-th best, so it can neither
+    // enter the rounded top-k nor win a tie
+    def bruteForce(): DataFrame = filtered
+      .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dist"))
+    while (true) { // exits by certificate, full coverage, or the gate
       rounds += 1
-      val ring = cellsOf(r).filterNot(scanned)
-      if (ring.nonEmpty) {
+      val ringOpt = cellsOf(r) match {
+        case None =>
+          // over the cell gate (MaxCellLiteral): the ring's In-literal
+          // would prune (almost) nothing and its enumeration alone is
+          // O(grid) driver work — scan the predicate-filtered index
+          // directly, exact by exhaustion (it covers every cell)
+          graft.Obs.event(obsName, "rounds" -> rounds,
+            "cells" -> scanned.size, "matched" -> best.size,
+            "fullScan" -> 1)
+          return bruteForce()
+        case Some(cells) => cells.filterNot(scanned)
+      }
+      if (ringOpt.nonEmpty) {
         val fresh = filtered
-          .filter(col(cellCol).isin(ring: _*))
+          .filter(col(cellCol).isin(ringOpt: _*))
           .withColumn("__d2", sqDist(col(vecCol), qVec))
           .orderBy(col("__d2"), col(idCol))
           .limit(k)
           .select(col("__d2"), col(idCol).cast("long"))
           .collect().map(row => (row.getDouble(0), row.getLong(1)))
         best = (best ++ fresh).sorted.take(k)
-        scanned = scanned ++ ring
+        scanned = scanned ++ ringOpt
       }
       val certified = best.size >= k &&
         best.last._1 + slack <= r * r
       if (certified || exhausted) {
         graft.Obs.event(obsName, "rounds" -> rounds,
           "cells" -> scanned.size, "matched" -> best.size)
+        if (scanned.size > MaxCellLiteral) return bruteForce()
         return filtered
           .filter(col(cellCol).isin(scanned.toSeq: _*))
           .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
