@@ -578,6 +578,12 @@ object VectorIndex {
     // fails here, loudly, instead of writing ragged files
     val layoutCols = spark.read.parquet(path).columns
     val aligned = encoded.select(layoutCols.map(col): _*)
+    // era ledger snapshot: the listing diff after the commit records
+    // this append's files under a monotonic era, so liveDeduped's
+    // "earliest era wins" never depends on mtime resolution
+    val eraRoot = new Path(path)
+    val eraFs = eraRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eraBefore = operators.EraLedger.listDataFiles(eraFs, eraRoot)
     if (meta.ivfCentroids.isDefined)
       // appends are the rolling-ingest face: one file per touched list
       // per append, not tasks x lists (r13 geometry rule)
@@ -600,6 +606,19 @@ object VectorIndex {
         .write.mode("append")
         .option("maxRecordsPerFile", operators.WriteGeometry.MaxFileRows)
         .parquet(path)
+    // post-commit half of the single-writer guard: a compact that
+    // STARTED while the write job was in flight is detected here, before
+    // the sidecar bump — loud failure instead of silently swept files
+    locally {
+      val root = new Path(path)
+      operators.CompactSwap.assertNoCompactStartedDuring(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        root, "appendSaved")
+    }
+    // ledger the committed files under this append's era (a crash
+    // before this line leaves them unledgered = era 0 = earliest —
+    // still the correct "earliest era wins" pick vs a later retry)
+    operators.EraLedger.recordNewFiles(eraFs, eraRoot, eraBefore)
     // sidecar refresh from the NEW rows only (metadata-sized jobs)
     val unit = meta.unitNorm.getOrElse(false) && {
       val m = aligned.agg(max(abs(
@@ -670,6 +689,13 @@ object VectorIndex {
     }
     ids.select(col(ids.columns.head).as(meta.idCol)).distinct()
       .write.mode("append").parquet(s"$path/$TombstoneDir")
+    // post-commit half of the single-writer guard (see appendSaved)
+    locally {
+      val root = new Path(path)
+      operators.CompactSwap.assertNoCompactStartedDuring(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        root, "deleteSaved")
+    }
   }
 
   /** Physically compact a SAVED IVF layout in place — the fourth
@@ -743,6 +769,8 @@ object VectorIndex {
     IndexMeta.write(spark, path, IndexMeta.of(meta.vecCol, meta.idCol,
       meta.dim, None, Some(cents), unit, meta.sqParams, meta.pqParams,
       radii))
+    // the compacted layout is a single era — drop the append ledger
+    operators.EraLedger.clear(fs, root)
     plans.IndexAwareRules.registerIvfIndex(path, cents, unit)
   }
 
@@ -811,6 +839,8 @@ object VectorIndex {
     IndexMeta.write(spark, path, IndexMeta.of(meta.vecCol, meta.idCol,
       meta.dim, meta.gridSpec, None, unit, meta.sqParams, meta.pqParams,
       None, Some(counts), meta.adaptiveSpec))
+    // the compacted layout is a single era — drop the append ledger
+    operators.EraLedger.clear(fs, root)
     (meta.adaptiveSpec, meta.gridSpec) match {
       case (Some(a), _) =>
         plans.IndexAwareRules.registerAdaptiveIndex(path, a, unit)
@@ -836,31 +866,52 @@ object VectorIndex {
 
   /** [[liveData]] with optional duplicate-id REPAIR (compactSaved's
     * `dedupIds`): per id, keep the row from the earliest write era —
-    * ordered by the scan's `_metadata.file_modification_time`, then
-    * `file_path` as the deterministic tie-break for files committed in
-    * the same write wave. A torn append re-ships identical rows (same
-    * deterministic build), so any surviving pick is byte-identical;
-    * for the contract-violating case (same id, different content) the
-    * earliest era wins — it is the row every later verb's sidecar
-    * bookkeeping first observed. One id-partitioned shuffle, paid only
-    * when the repair is requested. */
+    * ordered by the append ERA LEDGER (each `appendSaved` records its
+    * committed files under a monotonic sequence; build/compact files
+    * and torn, pre-ledger appends read as era 0 = earliest), then the
+    * scan's `_metadata.file_modification_time`, then `file_path` as
+    * the final deterministic tie-break. The ledger carries the
+    * ordering on coarse-mtime filesystems and object stores where two
+    * eras can land in one timestamp tick (r16 ADVICE — lexicographic
+    * path order is not era order). A torn append re-ships identical
+    * rows (same deterministic build), so any surviving pick is
+    * byte-identical; for the contract-violating case (same id,
+    * different content) the earliest era wins — it is the row every
+    * later verb's sidecar bookkeeping first observed. One
+    * id-partitioned shuffle, paid only when the repair is requested;
+    * the ledger joins in as a broadcast file-name → era map
+    * (file-count-sized — metadata scale). */
   private def liveDeduped(spark: SparkSession, path: String,
                           idCol: String, dedupIds: Boolean): DataFrame = {
     if (!dedupIds) return liveData(spark, path, idCol)
     import org.apache.spark.sql.expressions.Window
-    val raw = spark.read.parquet(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw0 = spark.read.parquet(path)
       .withColumn("__era_mt", col("_metadata.file_modification_time"))
       .withColumn("__era_fp", col("_metadata.file_path"))
+    val ledger = operators.EraLedger.read(fs, root)
+    val raw = if (ledger.files.isEmpty)
+      raw0.withColumn("__era_seq", lit(0L))
+    else {
+      import spark.implicits._
+      val eras = broadcast(ledger.files.toSeq.toDF("__era_nm", "__era_v"))
+      raw0
+        .withColumn("__era_nm",
+          element_at(split(col("__era_fp"), "/"), -1))
+        .join(eras, Seq("__era_nm"), "left")
+        .withColumn("__era_seq", coalesce(col("__era_v"), lit(0L)))
+        .drop("__era_nm", "__era_v")
+    }
     val t = new Path(s"$path/$TombstoneDir")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = if (!fs.exists(t)) raw
       else raw.join(spark.read.parquet(t.toString).select(col(idCol)),
         Seq(idCol), "left_anti")
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__era_mt"), col("__era_fp"))
+      .orderBy(col("__era_seq"), col("__era_mt"), col("__era_fp"))
     live.withColumn("__era_rn", row_number().over(w))
       .filter(col("__era_rn") === 1)
-      .drop("__era_mt", "__era_fp", "__era_rn")
+      .drop("__era_seq", "__era_mt", "__era_fp", "__era_rn")
   }
 
   /** Reload a saved index from its sidecar metadata: the EXACT GridSpec

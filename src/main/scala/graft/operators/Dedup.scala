@@ -928,6 +928,10 @@ object Dedup {
     writeRefRelations(newRef, meta.idCol, textCol, path, meta.k,
       meta.rowsPerBand, meta.shingleN, meta.nBuckets,
       org.apache.spark.sql.SaveMode.Append)
+    // post-commit half of the single-writer guard: a compact that
+    // STARTED while either relation's write was in flight is detected
+    // here — loud failure instead of silently swept band/shingle files
+    assertLshNoCompactStartedDuring(spark, path, "appendRefIndex")
   }
 
   private def writeRefRelations(ref: DataFrame, idCol: String,
@@ -1138,6 +1142,9 @@ object Dedup {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexPath/$LshTombstoneDir")
+    // post-commit half of the single-writer guard (see appendRefIndex)
+    assertLshNoCompactStartedDuring(spark, indexPath,
+      "deleteFromRefIndex")
   }
 
   /** Batch ids FULLY present in the saved index: ids whose visible
@@ -1475,6 +1482,19 @@ object Dedup {
     val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
     CompactSwap.assertNoActiveCompact(fs, bands, verb)
     CompactSwap.assertNoActiveCompact(fs,
+      new org.apache.hadoop.fs.Path(s"$indexPath/$LshShinglesDir"), verb)
+  }
+
+  /** The LSH face of CompactSwap.assertNoCompactStartedDuring: the
+    * additive verbs re-check BOTH relation roots after their writes
+    * commit. */
+  private def assertLshNoCompactStartedDuring(spark: SparkSession,
+                                              indexPath: String,
+                                              verb: String): Unit = {
+    val bands = new org.apache.hadoop.fs.Path(s"$indexPath/$LshBandsDir")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CompactSwap.assertNoCompactStartedDuring(fs, bands, verb)
+    CompactSwap.assertNoCompactStartedDuring(fs,
       new org.apache.hadoop.fs.Path(s"$indexPath/$LshShinglesDir"), verb)
   }
 

@@ -105,15 +105,19 @@ object IvfIndex {
     // default sampling is frozen into existing oracle texts (q115
     // rebuilds it in SQL) — new serving indexes should pass true.
     // Under topUp the seeding is value-DISTINCT (r14 ADVICE, closed
-    // r16): a duplicate-heavy corpus used to seat coincident centroids
+    // r16; pool made value-distinct AT THE SOURCE per the r16 ADVICE):
+    // a duplicate-heavy corpus used to seat coincident centroids
     // — nominally "exactly k" but with permanently empty lists (each
     // duplicate centroid's twin captures every assignment). The draw is
     // deduped by vector value with order preserved (a distinct-valued
     // draw survives verbatim at the front — the spec-pinned prefix
-    // property), then topped up with value-distinct rows from a bounded
-    // deterministic pool; only a corpus holding fewer than k distinct
-    // vectors falls back to id-distinct fill so the "exactly k"
-    // contract still holds where it can.
+    // property), then topped up from a pool of DISTINCT vector values
+    // (groupBy value, min-id as the deterministic order — a bounded
+    // id-window pool could exhaust its window on duplicates of the base
+    // values while fresh values sat beyond it, re-seating coincident
+    // centroids through the fallback). Only a corpus holding fewer
+    // than k distinct vectors in total falls back to id-distinct fill
+    // so the "exactly k" contract still holds where it can.
     val rows =
       if (sampled.isEmpty) take(df, k)
       else if (topUp) {
@@ -121,18 +125,28 @@ object IvfIndex {
         val base = sampled.filter(r => seen.add(r.getSeq[Double](1)))
         if (base.length >= k) base
         else {
-          val haveIds = base.map(_.getLong(0))
-          val pool = take(df.filter(!col(idCol).cast("long")
-            .isin(haveIds: _*)), math.max(4 * k, 256))
+          // one value-keyed shuffle, paid only on an under-filled draw;
+          // k rows collected (each value's earliest id is its rank)
+          val pool = df
+            .select(col(idCol).cast("long").as("__id"),
+              col(vecCol).cast("array<double>").as("__v"))
+            .groupBy(col("__v")).agg(min(col("__id")).as("__id"))
+            .select(col("__id"), col("__v"))
+            .orderBy(col("__id"))
+            .limit(k)
+            .collect()
           val filled = base ++ pool
             .filter(r => seen.add(r.getSeq[Double](1)))
             .take(k - base.length)
           if (filled.length >= k) filled
           else {
-            // fewer than k distinct vectors in the pool: id-distinct
+            // fewer than k distinct vectors in the corpus: id-distinct
             // fill (the pre-r16 behavior) honors the count contract
+            val haveIds = filled.map(_.getLong(0))
+            val pad = take(df.filter(!col(idCol).cast("long")
+              .isin(haveIds: _*)), math.max(4 * k, 256))
             val ids2 = filled.map(_.getLong(0)).toSet
-            filled ++ pool.filter(r => !ids2.contains(r.getLong(0)))
+            filled ++ pad.filter(r => !ids2.contains(r.getLong(0)))
               .take(k - filled.length)
           }
         }

@@ -148,20 +148,28 @@ object TextSearch {
 
   object TextIndexMeta {
     val FileName = "_graft_text_meta.json"
+
+    /** The STAGED sidecar a `compactIndex(dedupIds)` writes inside the
+      * marker-protected sequence (between stage and marker): the
+      * recomputed scalars land on disk BEFORE the first destructive
+      * step, so a crash at any later point — including between the
+      * swap's last rename and the sidecar refresh, the window the r16
+      * ADVICE flagged — leaves the repair completable by re-running
+      * the compact verb (its entry promotes an orphan staged sidecar
+      * over the stale one). Counted as compaction residue by the
+      * single-writer guards and fsck until promoted. */
+    val StagedFileName = "_graft_text_meta.staged.json"
     private implicit val formats: Formats = DefaultFormats
 
-    def write(spark: SparkSession, indexPath: String,
-              meta: TextIndexMeta): Unit = {
-      val p = new Path(indexPath, FileName)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def writeAt(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                        meta: TextIndexMeta): Unit = {
       val out = fs.create(p, true)
       try out.write(Serialization.write(meta).getBytes("UTF-8"))
       finally out.close()
     }
 
-    def read(spark: SparkSession, indexPath: String): Option[TextIndexMeta] = {
-      val p = new Path(indexPath, FileName)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def readAt(fs: org.apache.hadoop.fs.FileSystem,
+                       p: Path): Option[TextIndexMeta] = {
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
@@ -170,6 +178,38 @@ object TextSearch {
           in.readFully(bytes)
           Some(Serialization.read[TextIndexMeta](new String(bytes, "UTF-8")))
         } finally in.close()
+      }
+    }
+
+    def write(spark: SparkSession, indexPath: String,
+              meta: TextIndexMeta): Unit = {
+      val p = new Path(indexPath, FileName)
+      writeAt(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+        meta)
+    }
+
+    def read(spark: SparkSession, indexPath: String): Option[TextIndexMeta] = {
+      val p = new Path(indexPath, FileName)
+      readAt(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    def stagedPath(indexPath: String): Path =
+      new Path(indexPath, StagedFileName)
+
+    def writeStaged(fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+                    meta: TextIndexMeta): Unit =
+      writeAt(fs, stagedPath(indexPath), meta)
+
+    /** Promote an orphan staged sidecar over the live one: copy-then-
+      * delete (never delete-then-rename — the live sidecar must exist
+      * at every crash point), so re-running after any crash converges.
+      * No-op when no staged sidecar exists. */
+    def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
+                      indexPath: String): Unit = {
+      val sp = stagedPath(indexPath)
+      readAt(fs, sp).foreach { m =>
+        writeAt(fs, new Path(indexPath, FileName), m)
+        fs.delete(sp, false)
       }
     }
   }
@@ -244,7 +284,8 @@ object TextSearch {
       val root = new Path(indexPath)
       CompactSwap.assertNoActiveCompact(
         root.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        root, "appendIndex")
+        root, "appendIndex",
+        Seq(TextIndexMeta.stagedPath(indexPath)))
     }
     val toks = docs.select(col(meta.idCol), split(lower(col(textCol)), " ")
       .as("__toks"))
@@ -267,6 +308,15 @@ object TextSearch {
         .write.mode("append")
         .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
         .partitionBy(BucketCol).parquet(indexPath)
+      // post-commit half of the single-writer guard: a compact that
+      // STARTED mid-write is detected here, before the sidecar bump
+      locally {
+        val root = new Path(indexPath)
+        CompactSwap.assertNoCompactStartedDuring(
+          root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          root, "appendIndex",
+          Seq(TextIndexMeta.stagedPath(indexPath)))
+      }
       val n = meta.nDocs + n2
       val s = sumDl0 + sumDl2
       TextIndexMeta.write(spark, indexPath,
@@ -305,7 +355,7 @@ object TextSearch {
     // single-writer guard: the compact's swap deletes the tombstone dir
     // last — a delete racing it silently resurrects the deleted docs
     CompactSwap.assertNoActiveCompact(fs, new Path(indexPath),
-      "deleteFromIndex")
+      "deleteFromIndex", Seq(TextIndexMeta.stagedPath(indexPath)))
     val fresh0 = ids.select(col(ids.columns.head).as(meta.idCol)).distinct()
     val fresh = if (!fs.exists(tPath)) fresh0
       else fresh0.join(spark.read.parquet(tPath.toString),
@@ -320,6 +370,9 @@ object TextSearch {
       .agg(count(lit(1)).as("n"), sum(col("__dl")).as("s")).head()
     val nGone = gone.getLong(0)
     fresh.write.mode("append").parquet(tPath.toString)
+    // post-commit half of the single-writer guard (see appendIndex)
+    CompactSwap.assertNoCompactStartedDuring(fs, new Path(indexPath),
+      "deleteFromIndex", Seq(TextIndexMeta.stagedPath(indexPath)))
     if (nGone > 0) {
       val n = meta.nDocs - nGone
       val s = sumDl0 - gone.getLong(1)
@@ -358,42 +411,74 @@ object TextSearch {
     * full = full, the LSH compactor's crash-window cleanup
     * ([[graft.operators.Dedup.compactRefIndex]]) — and the sidecar's
     * nDocs/avgdl/sumDl are recomputed from the deduped postings (the
-    * re-shipped append double-bumped them). A same-id append with
-    * DIFFERENT text is a contract violation this repair does not claim
-    * to fix (distinct keeps both variants and fsck stays red —
-    * rebuild). Costs one distinct shuffle, paid only when requested. */
+    * re-shipped append double-bumped them). The recomputed scalars are
+    * STAGED inside the marker-protected sequence (measured off the
+    * staged rewrite, written to `_graft_text_meta.staged.json` before
+    * the commit marker) and promoted over the live sidecar after the
+    * swap — so a crash between the swap's last rename and the sidecar
+    * refresh (the r16 ADVICE window, where deduped postings would have
+    * served against double-bumped scalars) now resumes to a complete
+    * repair: re-running ANY compact verb first finishes the swap from
+    * the marker, then promotes the orphan staged sidecar. Until then
+    * the staged sidecar counts as compaction residue — additive verbs
+    * refuse and fsck goes red, never wrong-scoring silently. A same-id
+    * append with DIFFERENT text is a contract violation this repair
+    * does not claim to fix (distinct keeps both variants and fsck
+    * stays red — rebuild). Costs one distinct shuffle + one agg over
+    * the staged rewrite, paid only when requested. */
   def compactIndex(spark: SparkSession, indexPath: String,
                    dedupIds: Boolean = false): Unit = {
-    val meta = TextIndexMeta.read(spark, indexPath).getOrElse(
-      throw new IllegalArgumentException(
-        s"no ${TextIndexMeta.FileName} under $indexPath — not a text index"))
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(TextIndexMeta.read(spark, indexPath).isDefined,
+      s"no ${TextIndexMeta.FileName} under $indexPath — not a text index")
     val tPath = new Path(indexPath, TextTombstoneDir)
     // a prior compact that crashed mid-swap left its commit marker:
     // finish that swap first (never delete its staging blindly)
     CompactSwap.resumeIfStaged(fs, root, BucketCol + "=", Seq(tPath))
+    // orphan staged sidecar from a crashed dedupIds repair: staging
+    // still present means the crash hit BEFORE the commit marker
+    // (resumeIfStaged would have consumed both) — nothing destructive
+    // ran, discard and recompute; staging absent means the swap
+    // completed but the promote didn't — finish it now, BEFORE the
+    // fresh compact measures the layout
+    if (fs.exists(TextIndexMeta.stagedPath(indexPath))) {
+      if (fs.exists(CompactSwap.stagingPath(root)))
+        fs.delete(TextIndexMeta.stagedPath(indexPath), false)
+      else TextIndexMeta.promoteStaged(fs, indexPath)
+    }
+    val meta = TextIndexMeta.read(spark, indexPath).get
     val raw = spark.read.parquet(indexPath)
     val live0 = if (!fs.exists(tPath)) raw
       else raw.join(spark.read.parquet(tPath.toString),
         Seq(meta.idCol), "left_anti")
     val live = if (dedupIds) live0.distinct() else live0
-    // stage → marker → swap; without dedupIds the sidecar (still
-    // exact) stays untouched
-    CompactSwap.compactRelation(live, fs, root, BucketCol, Seq(tPath))
     if (dedupIds) {
-      // sidecar refresh from the COMPACTED layout: a re-shipped append
-      // double-bumped nDocs/sumDl; the deduped (doc, dl) pairs restore
-      // the exact scalars every BM25 score is computed from
-      val d = spark.read.parquet(indexPath)
-        .select(col(meta.idCol), col("__dl")).distinct()
-        .agg(count(lit(1)).as("n"), sum(col("__dl")).as("s")).head()
-      val (n, s) = (d.getLong(0), d.getLong(1))
-      require(n > 0, "compacted postings are empty — nothing to rescale")
-      TextIndexMeta.write(spark, indexPath,
-        meta.copy(nDocs = n, avgdl = s.toDouble / n, sumDl = Some(s)))
-    }
+      // stage → staged sidecar → marker → swap → promote: the
+      // recomputed scalars (from the STAGED rewrite — the exact rows
+      // the swap installs) are on disk before the first destructive
+      // step, so the repair is completable from any crash point
+      CompactSwap.compactRelation(live, fs, root, BucketCol, Seq(tPath),
+        afterStage = (f, tmp) => {
+          val d = spark.read.parquet(tmp.toString)
+            .select(col(meta.idCol), col("__dl")).distinct()
+            .agg(count(lit(1)).as("n"), sum(col("__dl")).as("s")).head()
+          val (n, s) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
+          require(n > 0, "compacted postings are empty — nothing to rescale")
+          TextIndexMeta.writeStaged(f, indexPath,
+            meta.copy(nDocs = n, avgdl = s.toDouble / n, sumDl = Some(s)))
+        })
+      crashBeforePromoteForTest()
+      TextIndexMeta.promoteStaged(fs, indexPath)
+    } else
+      // stage → marker → swap; the sidecar (still exact) stays untouched
+      CompactSwap.compactRelation(live, fs, root, BucketCol, Seq(tPath))
   }
+
+  /** Test seam simulating a crash between the swap's completion and
+    * the staged-sidecar promote (the window the staged sidecar
+    * exists to survive). No-op in production. */
+  private[graft] var crashBeforePromoteForTest: () => Unit = () => ()
 
   /** FSCK — physical integrity audit of a saved postings index (the
     * VectorIndex.fsckSaved contract for the text layout). One row per
@@ -436,7 +521,11 @@ object TextSearch {
         locally {
           val r0 = new Path(indexPath)
           val f0 = r0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val res = CompactSwap.residue(f0, r0)
+          // an orphan staged sidecar (crashed dedupIds repair, swap done
+          // but scalars not yet promoted) is residue too: the live
+          // sidecar is stale until the compact verb re-runs
+          val res = CompactSwap.residue(f0, r0) +
+            (if (f0.exists(TextIndexMeta.stagedPath(indexPath))) 1L else 0L)
           out += (("no_compact_residue", res == 0L, res))
         }
         val raw = spark.read.parquet(indexPath)

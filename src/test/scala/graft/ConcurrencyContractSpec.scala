@@ -100,6 +100,114 @@ class ConcurrencyContractSpec extends AnyFunSuite {
     }
   }
 
+  test("post-commit re-check: a compact STARTING inside the " +
+       "guard-to-commit window is detected loudly on all three " +
+       "families (write visible, sidecar NOT bumped), and the repair " +
+       "verb restores a serviceable layout") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    import spark.implicits._
+    // the seam fires between the verb's write commit and its re-check —
+    // the deterministic stand-in for a compact whose stage job starts
+    // while the additive verb's write job is still in flight
+    def interleaving[A](root: Path)(body: => A): A = {
+      CompactSwap.interleaveForTest =
+        () => fs(root).mkdirs(CompactSwap.stagingPath(root))
+      try body
+      finally {
+        CompactSwap.interleaveForTest = () => ()
+        fs(root).delete(CompactSwap.stagingPath(root), true)
+      }
+    }
+    // text family
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ccp_txt").toString + "/idx"
+      try {
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val odd = docs.filter(col("doc_id") % 2 =!= 0)
+        TextSearch.buildIndex(even, "doc_id", "text", dir, nBuckets = 8)
+        val before = TextSearch.TextIndexMeta.read(spark, dir).get
+        interleaving(new Path(dir)) {
+          intercept[CompactSwap.CompactInProgressException] {
+            TextSearch.appendIndex(odd, "text", dir)
+          }
+        }
+        // the sidecar was NOT bumped (the write may be swept)
+        assert(TextSearch.TextIndexMeta.read(spark, dir).get.nDocs
+          == before.nDocs)
+        // the documented recovery: run the compact verb, fsck, and
+        // re-apply ONLY if rows are missing. In this interleaving the
+        // simulated compact never ran its swap, so the write SURVIVED —
+        // the repair recomputes the sidecar from the at-rest postings
+        // and the layout is whole without a re-apply (re-applying here
+        // would re-ship rows, which is the fsck-red state dedupIds
+        // exists to repair).
+        TextSearch.compactIndex(spark, dir, dedupIds = true)
+        assert(TextSearch.TextIndexMeta.read(spark, dir).get.nDocs
+          == docs.count())
+        assert(TextSearch.fsckIndex(spark, dir)
+          .filter(col("chk") === "doc_count_consistent" && col("ok"))
+          .count() == 1)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir).getParentFile)
+      }
+    }
+    // vector family (grid layout; the IVF path shares the call site)
+    locally {
+      val df = (0 until 200).map { i =>
+        val rnd = new scala.util.Random(17 + i)
+        (i.toLong, Seq.fill(2)(rnd.nextDouble() * 100 - 50))
+      }.toDF("id", "vec")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ccp_vec").toString + "/idx"
+      try {
+        VectorIndex.create(df.filter(col("id") < 150), "vec", "id",
+          dim = 2, cellsPerDim = 6).save(dir)
+        interleaving(new Path(dir)) {
+          intercept[CompactSwap.CompactInProgressException] {
+            VectorIndex.appendSaved(spark, dir,
+              df.filter(col("id") >= 150))
+          }
+        }
+        // write survived (the simulated compact never swapped): the
+        // repair verb restores a consistent layout holding ALL rows
+        VectorIndex.compactSaved(spark, dir, dedupIds = true)
+        assert(spark.read.parquet(dir).count() == 200)
+        assert(VectorIndex.fsckSaved(spark, dir)
+          .filter(!col("ok")).count() == 0)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir).getParentFile)
+      }
+    }
+    // LSH family (both relation roots re-checked)
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ccp_lsh").toString + "/idx"
+      try {
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val odd = docs.filter(col("doc_id") % 2 =!= 0)
+        Dedup.buildRefIndex(even, "doc_id", "text", dir,
+          k = 8, rowsPerBand = 2, shingleN = 3, nBuckets = 8)
+        val shingles = new Path(s"$dir/${Dedup.LshShinglesDir}")
+        interleaving(shingles) {
+          intercept[CompactSwap.CompactInProgressException] {
+            Dedup.appendRefIndex(odd, "text", dir)
+          }
+        }
+        // write survived: compacting restores a clean layout with the
+        // odd docs' relations already present — no re-apply
+        Dedup.compactRefIndex(spark, dir)
+        assert(Dedup.fsckRefIndex(spark, dir)
+          .filter(!col("ok")).count() == 0)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir).getParentFile)
+      }
+    }
+  }
+
   test("LSH ref index: append/takedown refused while either relation " +
        "shows compaction artifacts; compact clears, retry works") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")

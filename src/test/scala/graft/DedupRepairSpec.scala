@@ -92,7 +92,8 @@ class DedupRepairSpec extends AnyFunSuite {
   }
 
   test("vector layout: conflicting duplicate content keeps the " +
-       "EARLIEST write era's row") {
+       "EARLIEST write era's row — even when every file shares one " +
+       "mtime tick (era ledger, not mtime, carries the order)") {
     import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("graft_dedup_era").toString + "/idx"
@@ -101,16 +102,83 @@ class DedupRepairSpec extends AnyFunSuite {
         (i, Seq(i.toDouble, 0.0), "orig")).toDF("id", "vec", "name")
       VectorIndex.create(base, "vec", "id", dim = 2, cellsPerDim = 4)
         .save(dir)
-      Thread.sleep(1100) // distinct file mtimes across the two eras
-      // contract-violating re-append: same id, DIFFERENT content
+      // contract-violating re-append: same id, DIFFERENT content.
+      // Two appends so the LATER one holds the duplicate — only the
+      // ledger (not "unledgered sorts first") can order them
+      VectorIndex.appendSaved(spark, dir,
+        Seq((7L, Seq(7.0, 50.0), "mid")).toDF("id", "vec", "name"))
       VectorIndex.appendSaved(spark, dir,
         Seq((7L, Seq(7.0, 99.0), "late")).toDF("id", "vec", "name"))
+      // simulate a coarse-mtime object store: every data file lands in
+      // the SAME timestamp tick, so mtime ordering degenerates to the
+      // lexicographic file-path order the r16 ADVICE flagged as
+      // era-arbitrary — the ledger must carry the order alone
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.EraLedger.listDataFiles(fs, root).foreach { n =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(dir, n), 1000000000000L, -1)
+      }
       VectorIndex.compactSaved(spark, dir, dedupIds = true)
       val row = spark.read.parquet(dir).filter(col("id") === 7L)
         .select("name").collect()
       assert(row.map(_.getString(0)).toSeq == Seq("orig"),
         "earliest era must win")
       assert(spark.read.parquet(dir).count() == 50)
+      // the compacted layout is a single era: ledger gone
+      assert(!fs.exists(graft.operators.EraLedger.ledgerPath(root)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("text repair crash window: swap done but sidecar promote lost " +
+       "-> residue (fsck red, append refused), re-running the compact " +
+       "verb completes the repair") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_txt_crash").toString + "/idx"
+    try {
+      val odd = docs.filter(col("doc_id") % 2 =!= 0)
+      TextSearch.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, nBuckets = 8)
+      TextSearch.appendIndex(odd, "text", dir)
+      TextSearch.appendIndex(odd, "text", dir) // the crash re-ship
+      val stale = TextSearch.TextIndexMeta.read(spark, dir).get
+      // crash between the swap's completion and the sidecar promote —
+      // the exact window the r16 ADVICE flagged: before the staged
+      // sidecar existed, this left deduped postings silently served
+      // against double-bumped scalars
+      TextSearch.crashBeforePromoteForTest =
+        () => throw new RuntimeException("simulated crash")
+      try {
+        intercept[RuntimeException] {
+          TextSearch.compactIndex(spark, dir, dedupIds = true)
+        }
+      } finally TextSearch.crashBeforePromoteForTest = () => ()
+      // live sidecar still the stale one, but the state is DETECTED:
+      // fsck residue red, additive verbs refuse
+      assert(TextSearch.TextIndexMeta.read(spark, dir).get == stale)
+      assert(!fsckRow(TextSearch.fsckIndex(spark, dir),
+        "no_compact_residue"))
+      intercept[graft.operators.CompactSwap.CompactInProgressException] {
+        TextSearch.appendIndex(odd.limit(1), "text", dir)
+      }
+      // documented recovery: re-run the compact verb (plain — the
+      // orphan staged sidecar is promoted at entry)
+      TextSearch.compactIndex(spark, dir)
+      val fsck = TextSearch.fsckIndex(spark, dir)
+      assert(fsck.filter(!col("ok")).isEmpty,
+        "fsck must be all-green after the resumed repair")
+      assert(TextSearch.TextIndexMeta.read(spark, dir).get.nDocs
+        == docs.count())
+      val got = TextSearch.bm25Indexed(spark, dir,
+          Seq("spark", "vector", "query"), k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val scan = TextSearch.bm25(docs, "doc_id", "text",
+          Seq("spark", "vector", "query"), k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == scan)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir).getParentFile)

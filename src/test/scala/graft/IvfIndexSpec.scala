@@ -202,6 +202,24 @@ class IvfIndexSpec extends AnyFunSuite {
       "all 10 distinct vectors seated before the fallback fill")
   }
 
+  test("fitCentroids topUp: distinct values BEYOND a bounded id-window " +
+       "still seat value-distinct centroids (r16 ADVICE — the pool is " +
+       "value-distinct at the source)") {
+    import spark.implicits._
+    // 2000 rows: ids 0..1599 share 4 distinct vectors (the old bounded
+    // pool of max(4k, 256) low-id rows saw ONLY these duplicates and
+    // fell to the id-distinct fill — coincident seats); the other 12+
+    // distinct values live exclusively at ids 1600+, beyond that window
+    val df = (0L until 2000L).map { i =>
+      val v = if (i < 1600L) (i % 4).toDouble else (i % 32).toDouble + 100.0
+      (i, Seq(v, v * 3))
+    }.toDF("id", "v")
+    val cents = IvfIndex.fitCentroids(df, "v", "id", 16, topUp = true)
+    assert(cents.size == 16)
+    assert(cents.map(_._2).distinct.size == 16,
+      "beyond-window distinct values must be found — no coincident seats")
+  }
+
   test("searchBatch: one job, per-query results match single-query search") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
