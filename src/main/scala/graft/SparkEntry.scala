@@ -2964,6 +2964,132 @@ object SparkEntry {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Q184 — FILTERED hybrid retrieval: the end-to-end RAG serving
+    * shape (r16 verdict missing #3). ONE allowed set (lang = 'en')
+    * drives all three retrieval families, fused with RRF:
+    * certified-exact filtered dense kNN (IvfIndex.searchFilteredExact)
+    * ⊕ filtered BM25 over the saved postings index (q169's Lucene
+    * filter semantics — df/N/avgdl stay corpus-wide) ⊕ exact phrase
+    * over the allowed docs. The dense index DENORMALIZES the filter
+    * attribute into its payload at build — the 100 TB design: the
+    * predicate rides the index scan as a pushed filter BELOW the
+    * list_id partition pruning, no join at serve time. Fusion, ranks
+    * and rounding are exactly q104's (rrf = Σ 1/(60 + rank) over
+    * present lists, 6-dp round, (rrf desc, id) cut); dense ranks
+    * ascend by squared-L2, fed to rrfFuse as the NEGATED distance so
+    * one (score desc, id) rank convention serves all three lists. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    // dense: the filter attribute rides the index payload
+    val enriched = e.join(docs.select(col("doc_id").as("vec_id"),
+      col("lang")), Seq("vec_id"))
+    val centroids = operators.IvfIndex.fitCentroids(e, "embedding",
+      "vec_id", 16)
+    val index = operators.CacheScope.register(operators.IvfIndex
+      .assign(enriched, "embedding", "vec_id", centroids).persist())
+    val q = e.filter(col("vec_id") === 11).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val vecList = operators.IvfIndex.searchFilteredExact(index,
+        "embedding", "vec_id", centroids, q, k = 20,
+        pred = col("lang") === "en", nProbe0 = 2)
+      .select(col("vec_id").as("doc_id"), (-col("dist")).as("ndist"))
+    // sparse: saved postings index probed under the allowed set
+    val path = s"${sys.props("java.io.tmpdir")}/graft_text_idxh_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    operators.TextSearch.buildIndex(docs, "doc_id", "text", path,
+      nBuckets = 16)
+    val textList = operators.TextSearch.bm25Indexed(s, path,
+        Seq("spark", "vector", "query"), k = 20,
+        allowed = Some(docs.filter(col("lang") === "en")
+          .select(col("doc_id"))))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    // positional: exact phrase, allowed docs only
+    val phraseList = operators.TextSearch.phraseSearch(
+      docs.filter(col("lang") === "en"), "doc_id", "text",
+      Seq("table", "hash"), k = 20)
+    operators.TextSearch.rrfFuse(Seq(vecList -> "ndist",
+        textList -> "score", phraseList -> "n_hits"), "doc_id", kRrf = 60)
+      .select(col("doc_id"), col("rank_1"), col("rank_2"), col("rank_3"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Q185 — filtered-ANN recall harness (r16 verdict missing #4): the
+    * q115 cost/recall twin for the FILTERED serving faces. The
+    * approximate regime is the fixed-probe filtered search — probe the
+    * nProbe nearest lists, filtered top-10, no certificate
+    * (IvfIndex.searchFilteredApprox, whose parity with this regime is
+    * spec-pinned) — swept over predicate selectivity (label <= 0 / 3 /
+    * 7 ≈ 10% / 40% / 80% of the corpus) × nProbe (1, 2) for the 10
+    * anchor queries, each measured against the filtered brute-force
+    * truth at the same k. One declarative computation over the q115
+    * quantizer (k-means k = 4, 2 Lloyd rounds — SQL-reproducible), so
+    * the oracle restates the entire sweep. This is the table a
+    * deployment reads to set nProbe for a given predicate selectivity
+    * — the trade the certified-exact faces (q167/q168) never expose
+    * because they escalate until recall is 1. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val (labels, cents) = operators.Clustering.kmeans(
+      e, "vec_id", "embedding", k = 4, iters = 2)
+    val assigned = labels.join(
+      e.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("__v")), "vec_id")
+    val queries = assigned.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("qid"), col("__v").as("qv"))
+    val centsDf = cents.toDF("cid", "cv")
+    // per-(query, list) centroid rank — |queries| × nlist rows, metadata
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("cd"), col("cid"))
+    val crank = queries.crossJoin(broadcast(centsDf))
+      .withColumn("cd", round(sqDist(col("cv"), col("qv")), 6))
+      .withColumn("crn", row_number().over(wc))
+      .select(col("qid"), col("qv"), col("cid"), col("crn"))
+    val regimes = Seq((0, 1), (0, 2), (3, 1), (3, 2), (7, 1), (7, 2))
+      .toDF("max_label", "nprobe")
+    // (query, regime, probed list) tuples — still metadata-sized
+    val probes = crank.crossJoin(broadcast(regimes))
+      .filter(col("crn") <= col("nprobe"))
+      .select(col("qid"), col("qv"), col("cid"),
+        col("max_label"), col("nprobe"))
+    val wq = Window
+      .partitionBy(col("qid"), col("max_label"), col("nprobe"))
+      .orderBy(col("d"), col("vec_id"))
+    val approx = assigned
+      .join(broadcast(probes), col("cluster") === col("cid"))
+      .filter(col("label") <= col("max_label"))
+      .withColumn("d", round(sqDist(col("__v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("max_label"), col("nprobe"), col("vec_id"))
+    val maxls = Seq(0, 3, 7).toDF("max_label")
+    val wx = Window.partitionBy(col("qid"), col("max_label"))
+      .orderBy(col("d"), col("vec_id"))
+    val exact = assigned
+      .crossJoin(broadcast(queries.crossJoin(maxls)))
+      .filter(col("label") <= col("max_label"))
+      .withColumn("d", round(sqDist(col("__v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("max_label"), col("vec_id"))
+    val h = approx.join(exact, Seq("qid", "max_label", "vec_id"))
+      .groupBy(col("max_label"), col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("n_hit"))
+    val n = exact.groupBy(col("qid"), col("max_label"))
+      .agg(count(lit(1)).as("nn"))
+    queries.select(col("qid")).crossJoin(broadcast(regimes))
+      .join(n, Seq("qid", "max_label"))
+      .join(h, Seq("qid", "max_label", "nprobe"), "left")
+      .select(col("max_label"), col("nprobe"), col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("nn"), 6)
+          .as("recall"))
+      .orderBy(col("max_label"), col("nprobe"), col("qid"))
+  }
+
   /** Q173 — FSCK of the three MERGEABLE-SKETCH at-rest families (CMS /
     * histogram / HLL — the q113/q137/q139 layouts through the FsckCore
     * contract): build + append each exactly as its lifecycle query
@@ -3300,6 +3426,8 @@ object SparkEntry {
     "q181_filtered_knn_adaptive_batch" -> (q181 _),
     "q182_ann_repair_compact" -> (q182 _),
     "q183_bm25_repair_compact" -> (q183 _),
+    "q184_hybrid_filtered_rrf" -> (q184 _),
+    "q185_filtered_ann_recall" -> (q185 _),
   )
 
   /** Shared by q97 (one-shot unigram LM fit+score) and q129 (the model
@@ -4585,6 +4713,113 @@ object SparkEntry {
     // compactIndex(dedupIds) — distinct'd postings + recomputed sidecar
     // must answer the scan path's exact full-corpus ranking
     "q183_bm25_repair_compact" -> duckBm25TopOracle,
+    // filtered hybrid: q104's fusion formula over three ALLOWED-SET
+    // shortlists — filtered brute-force dense ranking (the certified-
+    // exact search equals it), q169's corpus-statistics BM25 with the
+    // candidate filter, and the phrase ranking over allowed docs only
+    "q184_hybrid_filtered_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+         |          FROM documents),
+         |st AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+         |btf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, term,
+         |          CAST(count(*) AS DOUBLE) AS tf
+         |        FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+         |        WHERE term IN ('spark', 'vector', 'query')
+         |        GROUP BY 1, 2, 3),
+         |bdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |        FROM btf GROUP BY 1),
+         |bm AS (SELECT doc_id,
+         |         sum(ln(1.0 + (st.n - bdf.df + 0.5) / (bdf.df + 0.5))
+         |           * btf.tf * (1.2 + 1.0)
+         |           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * btf.dl / st.avgdl)))
+         |           AS s
+         |       FROM btf JOIN bdf USING (term), st
+         |       WHERE doc_id IN (SELECT doc_id FROM documents
+         |                        WHERE lang = 'en')
+         |       GROUP BY doc_id),
+         |bmtop AS (SELECT doc_id, ROUND(s, 6) AS s FROM bm
+         |          ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20),
+         |vr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY dist, doc_id) AS BIGINT) AS rank_1
+         |       FROM (SELECT e.vec_id AS doc_id,
+         |               ROUND(${duckSqDist("e.embedding", "q.qv")}, 6) AS dist
+         |             FROM embeddings e, documents d,
+         |               (SELECT embedding AS qv FROM embeddings
+         |                WHERE vec_id = 11) q
+         |             WHERE e.vec_id = d.doc_id AND d.lang = 'en'
+         |             ORDER BY dist, e.vec_id LIMIT 20)),
+         |tr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY s DESC, doc_id) AS BIGINT) AS rank_2
+         |       FROM bmtop),
+         |ptoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+         |          FROM documents WHERE lang = 'en'),
+         |pw AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT)
+         |         AS pos, unnest(gs) AS g
+         |       FROM (SELECT doc_id, list_transform(range(1, len(t)),
+         |               i -> t[i] || ' ' || t[i+1]) AS gs
+         |             FROM ptoks WHERE len(t) >= 2)),
+         |pl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |         min(pos) AS first_pos
+         |       FROM pw WHERE g = 'table hash' GROUP BY doc_id
+         |       ORDER BY n_hits DESC, first_pos, doc_id LIMIT 20),
+         |pr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank_3
+         |       FROM pl),
+         |f12 AS (SELECT COALESCE(vr.doc_id, tr.doc_id) AS doc_id,
+         |          rank_1, rank_2
+         |        FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id),
+         |f AS (SELECT COALESCE(f12.doc_id, pr.doc_id) AS doc_id,
+         |        rank_1, rank_2, rank_3,
+         |        ROUND(COALESCE(1.0 / (60 + rank_1), 0)
+         |          + COALESCE(1.0 / (60 + rank_2), 0)
+         |          + COALESCE(1.0 / (60 + rank_3), 0), 6) AS rrf
+         |      FROM f12 FULL OUTER JOIN pr ON f12.doc_id = pr.doc_id)
+         |SELECT doc_id, rank_1, rank_2, rank_3, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    // the filtered recall sweep restated wholesale: q115's Lloyd CTEs,
+    // probe sets from the c2 centroid ranking, approximate = filtered
+    // top-10 within the probed lists, truth = filtered brute force
+    "q185_filtered_ann_recall" ->
+      s"""WITH $duckKmeansCtes,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM a3 WHERE vec_id <= 9),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cr AS (SELECT q.qid, q.qv, c.cid, ROW_NUMBER() OVER (
+         |         PARTITION BY q.qid
+         |         ORDER BY ROUND(${duckSqDist("c.v", "q.qv")}, 6), c.cid)
+         |         AS crn
+         |       FROM q CROSS JOIN c2 c),
+         |reg AS (SELECT * FROM (VALUES (0, 1), (0, 2), (3, 1), (3, 2),
+         |          (7, 1), (7, 2)) r(max_label, nprobe)),
+         |ap AS (SELECT qid, max_label, nprobe, vec_id FROM (
+         |    SELECT cr.qid, r.max_label, r.nprobe, a.vec_id,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY cr.qid, r.max_label, r.nprobe
+         |        ORDER BY ROUND(${duckSqDist("a.v", "cr.qv")}, 6), a.vec_id)
+         |        AS rn
+         |    FROM cr JOIN reg r ON cr.crn <= r.nprobe
+         |    JOIN a3 a ON a.cid = cr.cid
+         |    JOIN lab l ON l.vec_id = a.vec_id AND l.label <= r.max_label)
+         |  WHERE rn <= 10),
+         |ml AS (SELECT DISTINCT max_label FROM reg),
+         |ex AS (SELECT qid, max_label, vec_id FROM (
+         |    SELECT q.qid, m.max_label, a.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid, m.max_label
+         |        ORDER BY ROUND(${duckSqDist("a.v", "q.qv")}, 6), a.vec_id)
+         |        AS rn
+         |    FROM q CROSS JOIN ml m CROSS JOIN a3 a
+         |    JOIN lab l ON l.vec_id = a.vec_id AND l.label <= m.max_label)
+         |  WHERE rn <= 10),
+         |h AS (SELECT max_label, nprobe, qid, count(*) AS n_hit
+         |      FROM ap JOIN ex USING (qid, max_label, vec_id)
+         |      GROUP BY 1, 2, 3),
+         |n AS (SELECT qid, max_label, count(*) AS nn FROM ex GROUP BY 1, 2)
+         |SELECT g.max_label, g.nprobe, g.qid,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  ROUND(COALESCE(h.n_hit, 0) / n.nn, 6) AS recall
+         |FROM (SELECT qid, max_label, nprobe FROM q CROSS JOIN reg) g
+         |JOIN n USING (qid, max_label)
+         |LEFT JOIN h USING (qid, max_label, nprobe)
+         |ORDER BY max_label, nprobe, qid""".stripMargin,
     // tombstone deletion: the probe answers a rebuilt-on-survivors
     // index exactly (df, N, avgdl all shrink)
     "q82_bm25_index_delete" ->

@@ -976,6 +976,37 @@ object IvfIndex {
     result(probed) // unreachable
   }
 
+  /** The APPROXIMATE single-round face of [[searchFilteredExact]]: the
+    * filtered in-list top-k over exactly the `nProbe` nearest lists —
+    * no certificate, no escalation, so the probe cost is FIXED and the
+    * answer is approximate (recall < 1 whenever a true neighbor sits in
+    * an unprobed list). This is the operating point a latency-bound
+    * deployment actually tunes: nProbe buys recall at linear scan cost,
+    * and the q185 harness pins that trade as numbers (recall@k swept
+    * over predicate selectivity × nProbe) against the filtered
+    * brute-force truth. Ranking and output shape match the exact face
+    * — (id, rounded dist), (dist, id) order — so swapping
+    * exact ↔ approx in a serving path changes recall, never schema or
+    * tie semantics. One job; `pred` sits on the scan below the
+    * `list_id IN` partition pruning exactly as in the exact face. */
+  def searchFilteredApprox(index: DataFrame, vecCol: String, idCol: String,
+                           centroids: Centroids, q: Seq[Double], k: Int,
+                           pred: Column, nProbe: Int,
+                           roundTo: Int = 6): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    def qDist(c: Seq[Double]): Double = math.sqrt(
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probe = centroids.map { case (id, c) => (qDist(c), id) }
+      .sorted.take(nProbe).map(_._2)
+    val qVec = array(q.map(lit): _*)
+    index.filter(pred)
+      .filter(col("list_id").isin(probe: _*))
+      .withColumn("dist", round(sqDist(col(vecCol), qVec), roundTo))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dist"))
+  }
+
   /** [[searchFilteredExact]] for a BATCH of queries — the analytical
     * shape (filtered hard-negative mining, per-anchor retrieval under a
     * predicate) where per-query jobs would cost |queries| round trips.

@@ -220,6 +220,42 @@ class IvfIndexSpec extends AnyFunSuite {
       "beyond-window distinct values must be found — no coincident seats")
   }
 
+  test("searchFilteredApprox: equals filtered brute force over exactly " +
+       "its nProbe nearest lists, and at nProbe = nlist equals the " +
+       "certified-exact face (the q185 regime, operator form)") {
+    val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
+    val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
+    val q = queryVec(7)
+    val pred = col("label") <= 3
+    def qd(c: Seq[Double]) = math.sqrt(
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    for (nProbe <- Seq(1, 2, 8)) {
+      val got = IvfIndex.searchFilteredApprox(index, "embedding",
+          "vec_id", cents, q, k = 10, pred, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probe = cents.map { case (id, c) => (qd(c), id) }
+        .sorted.take(nProbe).map(_._2)
+      val brute = index.filter(pred)
+        .filter(col("list_id").isin(probe: _*))
+        .withColumn("dist", round(graft.functions.VectorFunctions
+          .sqDist(col("embedding"), array(q.map(lit): _*)), 6))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == brute, s"nProbe=$nProbe")
+    }
+    // full-probe approx = certified exact: recall 1 at the far end of
+    // the q185 cost/recall sweep
+    val full = IvfIndex.searchFilteredApprox(index, "embedding",
+        "vec_id", cents, q, k = 10, pred, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = IvfIndex.searchFilteredExact(index, "embedding",
+        "vec_id", cents, q, k = 10, pred, nProbe0 = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+    index.unpersist()
+  }
+
   test("searchBatch: one job, per-query results match single-query search") {
     val cents = IvfIndex.fitCentroids(e, "embedding", "vec_id", nlist = 8)
     val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
