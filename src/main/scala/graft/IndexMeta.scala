@@ -76,7 +76,8 @@ case class IndexMeta(
       val base = GridIndex.GridSpec(g.origin, g.width, g.cells)
       val fine = GridIndex.GridSpec(base.origin,
         base.width.map(_ / a.refine), base.cells.map(_ * a.refine))
-      GridIndex.AdaptiveSpec(base, fine, a.refine, a.hot.toSet)
+      GridIndex.AdaptiveSpec(base, fine, a.refine, a.hot.toSet,
+        a.deepHots.getOrElse(Nil).map(_.toSet), a.rowCap)
     }
 
   def ivfCentroids: Option[IvfIndex.Centroids] =
@@ -104,7 +105,13 @@ object IndexMeta {
                     codebooks: Seq[Seq[CentroidMeta]])
   case class RadiusMeta(listId: Int, radius: Double)
   case class CellCountMeta(cellId: Long, n: Long)
-  case class AdaptiveMeta(refine: Int, hot: Seq[Long])
+  /** `deepHots` (levels >= 2 of the recursive split cascade) and
+    * `rowCap` (the build-time cap, for fsck's saturation audit) are
+    * Options so pre-recursion sidecars parse unchanged — absent means
+    * the classic two-level layout with no at-rest cap claim. */
+  case class AdaptiveMeta(refine: Int, hot: Seq[Long],
+                          deepHots: Option[Seq[Seq[Long]]] = None,
+                          rowCap: Option[Long] = None)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -130,7 +137,10 @@ object IndexMeta {
       radii.map(_.toSeq.sorted.map { case (i, r) => RadiusMeta(i, r) }),
       cellCounts.map(_.toSeq.sorted.map { case (c, n) =>
         CellCountMeta(c, n) }),
-      adaptive.map(a => AdaptiveMeta(a.refine, a.hot.toSeq.sorted)))
+      adaptive.map(a => AdaptiveMeta(a.refine, a.hot.toSeq.sorted,
+        if (a.deepHots.isEmpty) None
+        else Some(a.deepHots.map(_.toSeq.sorted)),
+        a.rowCap)))
 
   def write(spark: SparkSession, indexPath: String, meta: IndexMeta): Unit = {
     val p = new Path(indexPath, FileName)

@@ -450,7 +450,8 @@ object VectorIndex {
   def create(df: DataFrame, vecCol: String, idCol: String, dim: Int,
              cellsPerDim: Int = 16, nlist: Int = 0,
              refineIters: Int = 0, rowCap: Long = 0,
-             refine: Int = 4, topUpNlist: Boolean = false): VectorIndex = {
+             refine: Int = 4, topUpNlist: Boolean = false,
+             adaptiveLevels: Int = 1): VectorIndex = {
     val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
     // schema-level dim invariant (SURVEY §1.1): fail fast on ragged OR null
     // input. Nulls must be rejected too (coalesce: a null dimCheck would
@@ -464,7 +465,7 @@ object VectorIndex {
     val (spec, aspec, indexed) =
       if (dim <= 4 && rowCap > 0) {
         val a = GridIndex.fitAdaptive(typed, vecCol, dim, cellsPerDim,
-          rowCap, refine)
+          rowCap, refine, adaptiveLevels)
         (None, Some(a), GridIndex.withCellIdAdaptive(typed, vecCol, a))
       } else if (dim <= 4) {
         val s = GridIndex.fit(typed, vecCol, dim, cellsPerDim)
@@ -1037,6 +1038,20 @@ object VectorIndex {
               .count().collect()
               .map(r => r.getLong(0) -> r.getLong(1)).toMap
             out += (("cell_counts_consistent", actual == cm, 0L))
+          }
+          // adaptive layouts with a stored rowCap: report terminal
+          // pruning keys still holding more than rowCap rows — the
+          // hotspot out-refined the build's maxLevels (fit-time
+          // saturation), or appends densified a cell since. A COST
+          // signal, not a correctness failure (pruning stays lossless),
+          // so ok stays true with the over-cap key count as detail —
+          // the orphan_tombstones reporting contract. Rebuild with a
+          // deeper maxLevels (or recompact after churn) to clear it.
+          for (a <- meta.adaptiveSpec; cap <- a.rowCap) {
+            val sat = raw.groupBy(col("cell_id"))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > cap).count()
+            out += (("refinement_saturated", true, sat))
           }
         }
         meta.listRadiiMap.foreach { stored =>
