@@ -867,18 +867,25 @@ object VectorIndex {
 
   /** [[liveData]] with optional duplicate-id REPAIR (compactSaved's
     * `dedupIds`): per id, keep the row from the earliest write era —
-    * ordered by the append ERA LEDGER (each `appendSaved` records its
-    * committed files under a monotonic sequence; build/compact files
-    * and torn, pre-ledger appends read as era 0 = earliest), then the
-    * scan's `_metadata.file_modification_time`, then `file_path` as
-    * the final deterministic tie-break. The ledger carries the
-    * ordering on coarse-mtime filesystems and object stores where two
-    * eras can land in one timestamp tick (r16 ADVICE — lexicographic
-    * path order is not era order). A torn append re-ships identical
-    * rows (same deterministic build), so any surviving pick is
-    * byte-identical; for the contract-violating case (same id,
-    * different content) the earliest era wins — it is the row every
-    * later verb's sidecar bookkeeping first observed. One
+    * ordered by the scan's `_metadata.file_modification_time`, then
+    * the append ERA LEDGER (each `appendSaved` records its committed
+    * files under a monotonic sequence), then `file_path` as the final
+    * deterministic tie-break. The ledger REFINES mtime, it does not
+    * override it: within one timestamp tick — the coarse-mtime
+    * object-store case where lexicographic path order used to decide
+    * (r16 ADVICE) — two ledgered eras order correctly by sequence,
+    * and unledgered files (build/compact output, torn pre-ledger
+    * appends: era 0) sort first, which is right for build output and
+    * harmless for a torn append (its retry re-ships byte-identical
+    * rows). Keeping mtime PRIMARY prevents the converse inversion: a
+    * LATER append that crashed before its ledger update must not beat
+    * an earlier ledgered era just because unledgered reads as era 0 —
+    * across ticks, mtime already orders them correctly. For the
+    * contract-violating case (same id, different content) the
+    * earliest era wins — it is the row every later verb's sidecar
+    * bookkeeping first observed; only an unledgered-vs-ledgered
+    * conflict INSIDE one tick remains genuinely unordered (no
+    * evidence exists), where the pick is deterministic by path. One
     * id-partitioned shuffle, paid only when the repair is requested;
     * the ledger joins in as a broadcast file-name → era map
     * (file-count-sized — metadata scale). */
@@ -909,7 +916,7 @@ object VectorIndex {
       else raw.join(spark.read.parquet(t.toString).select(col(idCol)),
         Seq(idCol), "left_anti")
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__era_seq"), col("__era_mt"), col("__era_fp"))
+      .orderBy(col("__era_mt"), col("__era_seq"), col("__era_fp"))
     live.withColumn("__era_rn", row_number().over(w))
       .filter(col("__era_rn") === 1)
       .drop("__era_seq", "__era_mt", "__era_fp", "__era_rn")

@@ -18,15 +18,18 @@ import org.json4s.jackson.Serialization
   * `_graft_era_ledger.json` (a driver-side metadata file, rewritten
   * whole — file counts between compactions are bounded by the
   * WriteGeometry rules, the same scale fsck's listings already pay).
-  * Build and compact files are intentionally UNLEDGERED: era 0, the
-  * earliest — and `compactSaved` deletes the ledger outright, because
-  * after a compact the whole layout is one (deduped) era. A torn
-  * append that crashed before its ledger update is unledgered too,
-  * which sorts it EARLIEST — exactly the "earliest era wins" pick,
-  * since the retry that re-ships the rows gets a real (later) era.
-  * Ledger ordering strictly refines the (mtime, path) fallback: rows
-  * sort by (era, mtime, path), so layouts with no ledger — or two
-  * torn unledgered eras — behave exactly as before.
+  * Build and compact files are intentionally UNLEDGERED: era 0 — and
+  * `compactSaved` deletes the ledger outright, because after a
+  * compact the whole layout is one (deduped) era. A torn append that
+  * crashed before its ledger update is unledgered too; within its own
+  * mtime tick it sorts before its (ledgered) retry, which re-ships
+  * byte-identical rows, so the pick is content-identical either way.
+  * The ledger REFINES the (mtime, path) ordering rather than
+  * overriding it: rows sort by (mtime, era, path), so the sequence
+  * decides exactly where mtime cannot (two eras in one timestamp
+  * tick), a later unledgered era can never leapfrog an earlier
+  * ledgered one across ticks, and layouts with no ledger behave
+  * exactly as before.
   *
   * Concurrent appends on DIFFERENT ids may interleave their listing
   * diffs (both are additive, the single-writer contract allows them);
@@ -59,16 +62,30 @@ private[graft] object EraLedger {
     out.result()
   }
 
+  /** Reads the ledger, falling back to the `.tmp` replacement when the
+    * primary is absent: [[write]] replaces via write-tmp → delete →
+    * rename, and a crash between the delete and the rename would
+    * otherwise read as "no ledger" and silently drop EVERY recorded
+    * era (degrading liveDeduped to mtime ordering on exactly the
+    * coarse-mtime stores the ledger exists for). The tmp at that point
+    * is the complete new ledger, so preferring primary-then-tmp makes
+    * the replacement crash-safe without an atomic-rename API. A stale
+    * tmp next to a live primary (crash BEFORE the delete) is ignored
+    * — that append's files read as era 0, the documented
+    * torn-append degradation, never a wrong ledger. */
   def read(fs: FileSystem, root: Path): Ledger = {
     val p = ledgerPath(root)
-    if (!fs.exists(p)) Ledger(1L, Map.empty)
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Serialization.read[Ledger](new String(bytes, "UTF-8"))
-      } finally in.close()
+    val src = if (fs.exists(p)) Some(p)
+      else Some(new Path(root, FileName + ".tmp")).filter(fs.exists)
+    src match {
+      case None => Ledger(1L, Map.empty)
+      case Some(f) =>
+        val in = fs.open(f)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+          in.readFully(bytes)
+          Serialization.read[Ledger](new String(bytes, "UTF-8"))
+        } finally in.close()
     }
   }
 

@@ -262,7 +262,14 @@ object GridIndex {
       } else Iterator.single(spec.encode(k, id))
     }
     val it = cartesianIt(baseRanges).flatMap(expand(0, _))
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // DEDUPED while buffering: adjacent hot parents' ±1-expanded blocks
+    // OVERLAP by up to two finer cells per dimension, so the raw stream
+    // can emit the same encoded id twice. Single-query faces filter by
+    // `isin` (duplicates harmless); the BATCH cores build (qid, cell)
+    // probe-pair JOINS from this list, where a duplicate would match
+    // each index row twice, double-count it in the bounded TopK, and
+    // let a certificate fire with fewer than k real rows.
+    val buf = scala.collection.mutable.LinkedHashSet.empty[Long]
     while (it.hasNext && buf.size <= cap) buf += it.next()
     if (buf.size > cap) None else Some(buf.toSeq)
   }
@@ -434,9 +441,12 @@ object GridIndex {
       lastHot = hk
       k += 1
     }
-    if (lastHot.nonEmpty) {
+    if (lastHot.nonEmpty && graft.Obs.statsWanted(df.sparkSession)) {
       // terminal-level saturation probe: cells the cascade could not
-      // bring under cap within maxLevels
+      // bring under cap within maxLevels. A stat-only aggregate, so it
+      // runs only when someone listens (the Obs contract) — the
+      // at-rest fsck `refinement_saturated` row is the standing signal
+      // either way.
       val sat = overCap(spec.gridAt(spec.depth),
         Some((spec.gridAt(spec.depth - 1), lastHot))).size
       if (sat > 0)
@@ -501,7 +511,11 @@ object GridIndex {
         else cartesian(block).flatMap(expand(k + 1, _))
       } else Seq(spec.encode(k, id))
     }
+    // distinct: adjacent hot parents' ±1-expanded blocks overlap (see
+    // cellsForBallAdaptiveBounded — the batch probe-pair joins must
+    // never see the same cell twice)
     cartesian(ballCoordRanges(spec.base, q, r)).flatMap(expand(0, _))
+      .distinct
   }
 
   /** Cell-pruned inclusive range search over the adaptive layout —
@@ -922,7 +936,6 @@ object GridIndex {
         .groupBy(col("qid"))
         .agg(tk(col("__d"), col(idCol).cast("long")).as("__top"))
     }
-    var fullAggs = List.empty[DataFrame]
     val slack = math.pow(10.0, -roundTo) // see knnFilteredCore
     var rounds = 0
     while (states.exists(!_.done)) {
@@ -930,14 +943,16 @@ object GridIndex {
       val active = states.filter(!_.done)
       // over-gate rings (the exhaustion escalations on a
       // high-cardinality grid) route to the plain-scan finish; ringed
-      // queries proceed through the probe-pair job as before
-      val routed = active.filter { s =>
+      // queries proceed through the probe-pair job as before. Routed
+      // queries are DONE and loop-independent, so they all share ONE
+      // consolidated plain scan after the loop — one full-index scan
+      // for the whole batch, not one per routing round.
+      active.foreach { s =>
         cellsOf(s.qv, s.r) match {
-          case None => s.full = true; s.done = true; true
-          case Some(cells) => s.fresh = cells.filterNot(s.scanned); false
+          case None => s.full = true; s.done = true
+          case Some(cells) => s.fresh = cells.filterNot(s.scanned)
         }
       }
-      if (routed.nonEmpty) fullAggs ::= fullScan(routed)
       val ringed = active.filterNot(_.full)
       val pairs = ringed.flatMap(s => s.fresh.map(c => (s.qid, c, s.qv)))
       val got: Map[Long, Seq[(Double, Long)]] =
@@ -977,7 +992,9 @@ object GridIndex {
     // ((qid × cells) probe pairs would outweigh the scan they prune)
     val (big, ringFinal) = states.filterNot(_.full)
       .partition(_.scanned.size > MaxCellLiteral)
-    if (big.nonEmpty) fullAggs ::= fullScan(big)
+    val allFull = states.filter(_.full) ++ big
+    var fullAggs = List.empty[DataFrame]
+    if (allFull.nonEmpty) fullAggs ::= fullScan(allFull)
     val allPairs = ringFinal.flatMap(s =>
       s.scanned.toSeq.sorted.map(c => (s.qid, c, s.qv)))
     val ringAgg =

@@ -994,9 +994,17 @@ object IvfIndex {
                            pred: Column, nProbe: Int,
                            roundTo: Int = 6): DataFrame = {
     require(nProbe >= 1, "nProbe must be >= 1")
-    def qDist(c: Seq[Double]): Double = math.sqrt(
-      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
-    val probe = centroids.map { case (id, c) => (qDist(c), id) }
+    def qDist2(c: Seq[Double]): Double =
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    // probe ranking matches the q185 harness EXACTLY — squared distance
+    // rounded at display precision (Spark round = HALF_UP), ties by
+    // list id — so the published cost/recall sweep predicts THIS
+    // operator's probe set even when two centroids tie at 6 decimals
+    val probe = centroids.map { case (id, c) =>
+        (BigDecimal(qDist2(c))
+          .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, id)
+      }
       .sorted.take(nProbe).map(_._2)
     val qVec = array(q.map(lit): _*)
     index.filter(pred)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 
 import graft.functions.{CosineSim, SqDistL2, SqDistWithin}
 import graft.functions.VectorFunctions.sqDist
-import graft.operators.GridIndex.{cellsForBall, cellsForBallAdaptive, AdaptiveSpec, GridSpec}
+import graft.operators.GridIndex.{cellsForBallAdaptiveBounded, cellsForBallBounded, AdaptiveSpec, GridSpec}
 import graft.operators.IvfIndex
 
 /** Catalyst optimizer rules that make search predicates index-aware
@@ -89,10 +89,12 @@ object IndexAwareRules {
     def dim: Int = spec.dim
     def keyName: String = "cell_id"
     def keyTypeOk(dt: DataType): Boolean = dt == LongType
-    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] = {
-      val cells = cellsForBall(spec, q, r)
-      if (cells.size <= MaxCells) Some(cells) else None
-    }
+    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] =
+      // bounded form: range-arithmetic pre-check + lazy abort past the
+      // cap, so an exhaustion-sized ball on a high-cardinality grid
+      // never materializes the full O(grid) ring before giving up
+      cellsForBallBounded(spec, q, r, MaxCells)
+        .map(cs => cs: Seq[Any])
     def startRadius(q: Seq[Double]): Double = spec.width.max
     def maxRadius(q: Seq[Double]): Double =
       (0 until spec.dim).map(i => spec.width(i) * spec.cells(i)).max * 2
@@ -108,10 +110,12 @@ object IndexAwareRules {
     def dim: Int = spec.base.dim
     def keyName: String = "cell_id"
     def keyTypeOk(dt: DataType): Boolean = dt == LongType
-    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] = {
-      val cells = cellsForBallAdaptive(spec, q, r)
-      if (cells.size <= MaxCells) Some(cells) else None
-    }
+    def keysForBall(q: Seq[Double], r: Double): Option[Seq[Any]] =
+      // bounded + lazily aborted past the cap (see GridGeom) — with the
+      // recursive deepHots cascade the eager enumeration is strictly
+      // larger than the two-level form's, so the gate matters more here
+      cellsForBallAdaptiveBounded(spec, q, r, MaxCells)
+        .map(cs => cs: Seq[Any])
     def startRadius(q: Seq[Double]): Double = spec.base.width.max
     def maxRadius(q: Seq[Double]): Double =
       (0 until spec.base.dim).map(i =>

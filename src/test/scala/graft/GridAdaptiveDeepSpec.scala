@@ -113,6 +113,34 @@ class GridAdaptiveDeepSpec extends AnyFunSuite {
     }
   }
 
+  test("adjacent hot cells: the ±1-expanded blocks overlap, but the " +
+       "enumerators emit each cell id exactly once (the batch cores' " +
+       "probe-pair joins double-count duplicates — a TopK certificate " +
+       "could fire with fewer than k real rows)") {
+    val base = GridIndex.GridSpec(Seq(0.0, 0.0), Seq(10.0, 10.0),
+      Seq(4, 4))
+    val fine = GridIndex.GridSpec(Seq(0.0, 0.0), Seq(2.5, 2.5),
+      Seq(16, 16))
+    // two ADJACENT hot base cells along x: each expands its fine block
+    // ±1, so the shared boundary's fine cells appear in BOTH blocks
+    val hot = Set(base.linearize(Seq(0L, 0L)), base.linearize(Seq(1L, 0L)))
+    val spec = GridIndex.AdaptiveSpec(base, fine, 4, hot)
+    // ball centered on the shared boundary, covering both hot cells
+    val cells = GridIndex.cellsForBallAdaptive(spec, Seq(10.0, 5.0), 8.0)
+    assert(cells.distinct.size == cells.size,
+      "unbounded enumerator must dedup the overlapping blocks")
+    val bounded = GridIndex
+      .cellsForBallAdaptiveBounded(spec, Seq(10.0, 5.0), 8.0).get
+    assert(bounded.distinct.size == bounded.size,
+      "bounded enumerator must dedup the overlapping blocks")
+    assert(bounded.toSet == cells.toSet,
+      "both enumerators must agree on the candidate set")
+    // the overlap is real: the shared-boundary fine columns are inside
+    // both parents' expanded blocks (the condition that used to emit
+    // them twice)
+    assert(cells.count(_ < 0) > 0)
+  }
+
   test("saturation is signalled, not silent: maxLevels=1 on the hotspot " +
        "emits the fit-time Obs event and the at-rest fsck row reports " +
        "the over-cap terminal keys (ok stays true — a cost signal)") {

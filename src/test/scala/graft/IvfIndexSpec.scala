@@ -227,8 +227,11 @@ class IvfIndexSpec extends AnyFunSuite {
     val index = IvfIndex.assign(e, "embedding", "vec_id", cents).cache()
     val q = queryVec(7)
     val pred = col("label") <= 3
-    def qd(c: Seq[Double]) = math.sqrt(
-      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    // the q185 regime's probe ranking: rounded squared distance, cid
+    // tie-break — the formula the operator must share
+    def qd(c: Seq[Double]) = BigDecimal(
+        c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     for (nProbe <- Seq(1, 2, 8)) {
       val got = IvfIndex.searchFilteredApprox(index, "embedding",
           "vec_id", cents, q, k = 10, pred, nProbe)
