@@ -291,10 +291,21 @@ object CorpusPipeline {
         col("punct_ratio") <= maxPunctRatio)
       .select(docs.columns.toIndexedSeq.map(col): _*)
 
-    // 2. exact dedup on the canonical fingerprint — one shuffle
-    val exact = Dedup.exactByKey(
+    // 2. exact dedup on the canonical fingerprint — one shuffle.
+    //    Lineage CUT here (lazy — no extra job, the signature build's
+    //    own action materializes it): the exact-dedup output is consumed
+    //    by THREE downstream subtrees (the MinHash signature build, the
+    //    candidate semi-join's shingle pass, the final anti-join), each
+    //    of which would otherwise inline — and re-analyze on every
+    //    Dataset call while the chain is being BUILT — the full
+    //    quality+window plan, and re-execute it at runtime. Measured on
+    //    q73 (ProfileQuery): 4.3 s of driver dead-time before the first
+    //    pipeline job, main thread in resolveOperatorsDownWithPruning —
+    //    construction-time analysis over the inlined tower. Same
+    //    executor-loss trade-off as the chunk/span cuts below.
+    val exact = CacheScope.registerCheckpoint(Dedup.exactByKey(
       quality.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
-      Seq("__fp"), idCol).drop("__fp")
+      Seq("__fp"), idCol).drop("__fp").localCheckpoint(eager = false))
 
     // 2b. optional chunk-level dedup — BEFORE near-dup because it
     //     rewrites the text the shingles will see (boilerplate chunks

@@ -30,16 +30,21 @@ object Graph {
     * keyed on dst. Nothing driver-side but the node count; state never
     * exceeds one double per node.
     *
-    * Deep iteration counts: every `checkpointEvery` rounds the rank
-    * relation's lineage is CUT — through `checkpointDir` (parquet
+    * Deep iteration counts: the rank relation's lineage is CUT every
+    * round on the in-memory path (a LAZY localCheckpoint — truncates
+    * the logical plan to a leaf with no extra job), or every
+    * `checkpointEvery` rounds through `checkpointDir` (parquet
     * round-trip under dir/pr-<uuid>/round_N, replayable from files
     * after executor loss; caller deletes the dir once consumed —
-    * exactly Dedup.connectedComponents' cadence) or, without a dir, a
-    * lazy localCheckpoint. Otherwise the plan nests one join+aggregate
-    * per round and Catalyst re-analyzes the whole tower each iteration
-    * — quadratic driver work that dominates past ~10 rounds. Rank
-    * VALUES are unaffected: the cut replays rounded doubles, and every
-    * round is rounded already (the determinism contract above).
+    * exactly Dedup.connectedComponents' cadence; each cut there is an
+    * eager write job, hence the cadence). Without the cut the plan
+    * nests one join+aggregate per round and every action-side
+    * CacheManager canonicalization / AQE re-optimization / listener
+    * plan-string walks the whole tower — quadratic driver work that
+    * dominated wall time even at 3 rounds (q130/q108 ProfileQuery
+    * breakdowns, round 17). Rank VALUES are unaffected: the cut
+    * replays rounded doubles, and every round is rounded already
+    * (the determinism contract above).
     */
   /** Exact triangle census over an undirected edge relation — node,
     * edge, wedge (length-2 path) and triangle counts plus the global
@@ -121,8 +126,10 @@ object Graph {
     * Scale: per round one node-sized degree aggregate and two
     * semi-joins of the (shrinking) edge relation against the
     * (node-sized) survivor set. State never exceeds one long per node;
-    * every `checkpointEvery` rounds the edge relation's lineage is cut
-    * exactly as [[pageRank]] does for deep iteration counts.
+    * the edge relation's lineage is cut every round exactly as
+    * [[pageRank]]'s in-memory path (lazy, free — `checkpointEvery` is
+    * retained for source compatibility but the cut no longer waits
+    * for it).
     *
     * @return (node, deg) for surviving nodes — their degree within the
     *         surviving subgraph */
@@ -147,14 +154,21 @@ object Graph {
     for (i <- 1 to rounds) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("u"))
-      var next = e.join(keep, Seq("u"), "left_semi")
+      val next = e.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-      if (i % checkpointEvery == 0 && i < rounds)
-        next = CacheScope.registerCheckpoint(
-          next.localCheckpoint(eager = false))
-      e = CacheScope.register(next.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // Lineage cut EVERY round, not every checkpointEvery (kept for
+      // source compat): a lazy localCheckpoint truncates the LOGICAL
+      // plan to a leaf immediately (no extra job — materialization
+      // still happens on the consuming action) and doubles as the
+      // round's storage, so the old per-round persist is redundant.
+      // Without the cut, rounds nest: every action-side CacheManager
+      // canonicalization, AQE re-optimization, and listener plan-string
+      // walks the whole tower — measured 6.6 s of driver time vs 2.8 s
+      // of jobs on q130 (5 rounds), the checkpointEvery=5 gate never
+      // firing because `i < rounds` excluded the last round too.
+      e = CacheScope.registerCheckpoint(
+        next.localCheckpoint(eager = false))
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -339,7 +353,8 @@ object Graph {
         .select(col("node"),
           round(p0tele + lit(damping) * col("__in"), roundTo).as("rank"))
         .union(zeroIn)
-      if (i % 5 == 0 && i < iters)
+      // every round, not every 5: lazy cut, no extra job (see pageRank)
+      if (i < iters)
         ranks = CacheScope.registerCheckpoint(ranks.localCheckpoint(false))
     }
     ranks
@@ -411,9 +426,18 @@ object Graph {
           round(lit((1.0 - damping) / n) +
             lit(damping) * col("__in"), roundTo).as("rank"))
         .union(zeroIn)
-      // cut mid-loop only: the final round's plan is the caller's to
-      // consume (writing it to parquet would force an eager job here)
-      if (i % checkpointEvery == 0 && i < iters) ranks = ckpt(ranks)
+      // Lineage cut every round when no checkpointDir is given: a LAZY
+      // localCheckpoint truncates the logical plan to a leaf with no
+      // extra job, so the per-round CacheManager canonicalization, AQE
+      // re-optimization, and listener plan-string costs stay constant
+      // instead of growing with the round tower (the q130 kCore
+      // lesson — driver tree work dominated jobs ~2:1 at bench scale).
+      // The parquet checkpointDir path keeps its caller-set cadence:
+      // each cut there is an eager write job, not free.
+      if (ckptBase.isEmpty && i < iters)
+        ranks = CacheScope.registerCheckpoint(
+          ranks.localCheckpoint(eager = false))
+      else if (i % checkpointEvery == 0 && i < iters) ranks = ckpt(ranks)
     }
     ranks
   }

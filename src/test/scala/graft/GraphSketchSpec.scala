@@ -53,28 +53,29 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(r("2") == rnd(0.05))
   }
 
-  test("pageRank: 20-round deep iteration — checkpoint cadence bounds " +
-    "the plan, fixed point unchanged") {
+  test("pageRank: 20-round deep iteration — per-round lazy cut keeps " +
+    "the plan CONSTANT in round count, fixed point unchanged") {
     import spark.implicits._
     val edges = (1 to 5).flatMap(i => Seq((0, i), (i, 0))).toDF("src", "dst")
     def ranksOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // no-cut reference: same recurrence, lineage never cut
-    val noCut = Graph.pageRank(edges, "src", "dst", iters = 20,
-      checkpointEvery = 1000)
-    val cut = Graph.pageRank(edges, "src", "dst", iters = 20) // every 5
-    assert(ranksOf(cut) == ranksOf(noCut))
-    // the driver-side cost the cadence exists for: the analyzed tree the
-    // planner must chew is the post-last-cut tail, not 20 nested rounds
+    // the in-memory path cuts lineage EVERY round (lazy localCheckpoint
+    // — free, no extra job), so the analyzed tree is one round's tail
+    // no matter how deep the iteration: plan size at 20 rounds must
+    // EQUAL plan size at 2 (it used to grow 5 rounds per cadence window)
+    val deep = Graph.pageRank(edges, "src", "dst", iters = 20)
+    val shallow = Graph.pageRank(edges, "src", "dst", iters = 2)
     def planNodes(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.optimizedPlan.collect { case p => p }.size
-    assert(planNodes(cut) < planNodes(noCut) / 2,
-      s"cut plan ${planNodes(cut)} vs uncut ${planNodes(noCut)}")
-    // parquet cadence (the executor-loss-replayable form): same values
+    assert(planNodes(deep) == planNodes(shallow),
+      s"deep plan ${planNodes(deep)} vs shallow ${planNodes(shallow)}")
+    // parquet cadence (the executor-loss-replayable form) is the
+    // INDEPENDENT lineage mechanism — its fixed point must agree with
+    // the in-memory path's bit-for-bit (the q92 rounding contract)
     val tmp = java.nio.file.Files.createTempDirectory("graft_pr").toString
     val pq = Graph.pageRank(edges, "src", "dst", iters = 20,
       checkpointDir = Some(tmp))
-    assert(ranksOf(pq) == ranksOf(noCut))
+    assert(ranksOf(pq) == ranksOf(deep))
     assert(new java.io.File(tmp).listFiles().nonEmpty) // rounds hit disk
   }
 
