@@ -79,7 +79,14 @@ object Dedup {
     // re-partition the exploded output by another key (the Jaccard path
     // partitions by shingle hash) pass false and skip this exchange:
     // it also keeps minhashSignatures' groupBy(id) exchange-free.
-    val spread = if (repartitionById) narrow.repartition(col(idCol)) else narrow
+    // EXPLICIT width: AQE prices this exchange by its compressed (id,
+    // text) bytes and would coalesce it to 1-3 tasks at fixture scale —
+    // serializing the split+explode+hash CPU that runs on top of it
+    // (measured: 2.6 s single-task md5 stage in an index build). The
+    // pinned width tracks the session's data-sized knob (sessionWidth).
+    val spread = if (repartitionById)
+      narrow.repartition(sessionWidth(docs.sparkSession), col(idCol))
+    else narrow
     spread
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .filter(size(toks) >= n) // sequence(1,0) would count DOWN in Spark
@@ -2186,22 +2193,7 @@ object Dedup {
                                         rowsPerPartition: Long,
                                         maxWidth: Int = 1024,
                                         tag: String = "cand"): Option[Int] = {
-    val conf = spark.conf
-    // initialPartitionNum only *means* anything when AQE is on (it is
-    // the coalesce ceiling AQE shrinks from); with AQE off the real
-    // exchange width is shuffle.partitions, and comparing against a
-    // stale/higher initialPartitionNum would wrongly suppress a needed
-    // repartition (ADVICE r12). Unset adaptive.enabled = Spark's
-    // default, which is on.
-    val aqeOn = conf.getOption("spark.sql.adaptive.enabled")
-      .forall(_.equalsIgnoreCase("true"))
-    val session = (if (aqeOn)
-        conf.getOption(
-          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-      else None)
-      .orElse(conf.getOption("spark.sql.shuffle.partitions"))
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    val session = sessionWidth(spark)
     val sized = if (estRows <= 0L) 0L
       else (estRows + rowsPerPartition - 1L) / rowsPerPartition
     val w = math.min(maxWidth.toLong, sized)
@@ -2212,6 +2204,41 @@ object Dedup {
         "width" -> w, "session" -> session)
       Some(w.toInt)
     } else None
+  }
+
+  /** The session's configured full exchange width — the width the
+    * session operator (bench, a cluster deployment) sized for its data
+    * and core count. Used as an EXPLICIT partition count on the
+    * CPU-bound exchanges (shingling, hashing, signature builds): AQE's
+    * partition coalescing prices an exchange by its compressed BYTES,
+    * and the narrow (id, text) or (id, hash64) relations these stages
+    * shuffle are tiny next to the per-row CPU behind them — measured at
+    * sf0.1, the whole split+explode+md5 pipeline of an index build ran
+    * in ONE coalesced task (2.6 s serial on a 32-core box) because its
+    * input exchange compressed below the 1 MB coalesce floor. A keyed
+    * `repartition(col)` is coalescible; `repartition(width, col)` is
+    * pinned. Scale-safe by construction: the value tracks exactly the
+    * knobs the session already sizes from data (initialPartitionNum
+    * when AQE is on, shuffle.partitions otherwise — the candidateWidth
+    * contract, ADVICE r12), so at ×100 it grows with the input instead
+    * of freezing at a local core count. */
+  private[operators] def sessionWidth(spark: SparkSession): Int = {
+    val conf = spark.conf
+    // initialPartitionNum only *means* anything when AQE is on (it is
+    // the coalesce ceiling AQE shrinks from); with AQE off the real
+    // exchange width is shuffle.partitions, and comparing against a
+    // stale/higher initialPartitionNum would wrongly suppress a needed
+    // repartition (ADVICE r12). Unset adaptive.enabled = Spark's
+    // default, which is on.
+    val aqeOn = conf.getOption("spark.sql.adaptive.enabled")
+      .forall(_.equalsIgnoreCase("true"))
+    (if (aqeOn)
+        conf.getOption(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      else None)
+      .orElse(conf.getOption("spark.sql.shuffle.partitions"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
   }
 
   /** `width` sizes the candidate join's own exchange from the
