@@ -660,8 +660,19 @@ object Dedup {
     * vocabularies overlap heavily between any two same-language documents.
     * One groupBy(doc) with k min-aggregates — single shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
+                        k: Int = 8, shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(
+      shingles(docs, idCol, textCol, shingleN), idCol, k)
+
+  /** [[minhashSignatures]] from an already-exploded (id, shingle)
+    * relation — the seam that lets one shingling pass feed BOTH the
+    * signature build and the distinct-hashed-shingle relation when a
+    * caller needs both (the saved-index verbs, the probe): the
+    * split+explode scan is the shared upstream cost, the md5 min-agg
+    * and the xxhash64 distinct are the cheap divergent tails. */
+  private[graft] def minhashSignaturesFromShingles(sh: DataFrame,
+                                                   idCol: String,
+                                                   k: Int): DataFrame = {
     // 4 independent-enough 32-bit hashes per md5 call (8 hex chars each
     // from the 32-char digest) — quarters the hashing work per shingle.
     val digests = (0 until (k + 3) / 4).map { d =>
@@ -966,26 +977,58 @@ object Dedup {
     // build parallelism grows with data). maxRecordsPerFile is the
     // safety net for a mis-sized knob: a hot bucket degrades to a few
     // bounded files instead of one giant one.
-    lshBands(idCol, k, rowsPerBand)(
-        minhashSignatures(ref, idCol, textCol, k, shingleN))
+    // ONE shingling pass feeds both relations (the crawlStep fusion,
+    // applied to the at-rest verbs): bands need the md5 min-agg over
+    // the exploded shingles, the shingle relation needs their distinct
+    // xxhash64 — computing each from its own shingles() call paid the
+    // scan + split + explode twice per verb. Persisted because the two
+    // writes below both read it; fully consumed (both writes are
+    // actions), so it is unpersisted here, not left to a caller scope.
+    val sh = CacheScope.register(
+      shingles(ref, idCol, textCol, shingleN).persist())
+    val bands = lshBands(idCol, k, rowsPerBand)(
+        minhashSignaturesFromShingles(sh, idCol, k))
       .withColumnRenamed(idCol, "__rid")
       .withColumn(LshBandBucketCol,
         pmod(xxhash64(col("band_val")), lit(nBuckets)).cast("int"))
       .repartition(col(LshBandBucketCol))
-      .write.mode(mode)
-      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
-      .partitionBy(LshBandBucketCol)
-      .parquet(s"$path/$LshBandsDir")
-    shingles(ref, idCol, textCol, shingleN, repartitionById = false)
+    val shRel = sh
       .select(col(idCol).as("__rid"), xxhash64(col("shingle")).as("__sh"))
       .distinct()
       .withColumn(LshRidBucketCol,
         pmod(xxhash64(col("__rid")), lit(nBuckets)).cast("int"))
       .repartition(col(LshRidBucketCol))
-      .write.mode(mode)
-      .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
-      .partitionBy(LshRidBucketCol)
-      .parquet(s"$path/$LshShinglesDir")
+    try {
+      // The two writes land in DIFFERENT directories and share no state
+      // beyond the cached shingle relation — submit them concurrently
+      // (guide §2.6: actions are only sequential because driver code
+      // calls them sequentially) so the second write's tasks back-fill
+      // the first's tail instead of waiting for it.
+      concurrently(
+        () => bands.write.mode(mode)
+          .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
+          .partitionBy(LshBandBucketCol)
+          .parquet(s"$path/$LshBandsDir"),
+        () => shRel.write.mode(mode)
+          .option("maxRecordsPerFile", WriteGeometry.MaxFileRows)
+          .partitionBy(LshRidBucketCol)
+          .parquet(s"$path/$LshShinglesDir"))
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Run two independent driver actions on concurrent threads and wait
+    * for both (guide §2.6 overlap). Failures propagate after BOTH
+    * complete — never leaves a write running past the call. */
+  private def concurrently(a: () => Unit, b: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a())
+    val fb = Future(b())
+    // await both even when the first fails, then surface the failure
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get; rb.get
   }
 
   /** [[minhashAgainst]] served from a SAVED reference index: same
@@ -1010,12 +1053,17 @@ object Dedup {
       throw new IllegalArgumentException(
         s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
     val idCol = meta.idCol
+    // one shingling pass for both batch-side relations (the crawlStep
+    // fusion / writeRefRelations seam): the banded signatures and the
+    // verification shingles diverge only after the shared
+    // scan + split + explode
+    val sh = CacheScope.register(
+      shingles(fresh, idCol, textCol, meta.shingleN).persist())
     val bf = CacheScope.register(
       lshBands(idCol, meta.k, meta.rowsPerBand)(
-        minhashSignatures(fresh, idCol, textCol, meta.k, meta.shingleN))
+        minhashSignaturesFromShingles(sh, idCol, meta.k))
         .withColumnRenamed(idCol, "__fid").persist())
-    val shB = shingles(fresh, idCol, textCol, meta.shingleN,
-        repartitionById = false)
+    val shB = sh
       .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
       .distinct()
     probeIndexCore(spark, meta, indexPath, bf, shB, minJaccard,
@@ -1244,13 +1292,15 @@ object Dedup {
       throw new IllegalArgumentException(
         s"no ${LshIndexMeta.FileName} under $indexPath — not an LSH index"))
     val idCol = meta.idCol
+    // one shingling pass for both batch relations (the
+    // writeRefRelations / minhashAgainstIndex seam)
+    val sh = CacheScope.register(
+      shingles(batch, idCol, textCol, meta.shingleN).persist())
     val bf = CacheScope.register(
       lshBands(idCol, meta.k, meta.rowsPerBand)(
-        minhashSignatures(batch, idCol, textCol, meta.k, meta.shingleN))
+        minhashSignaturesFromShingles(sh, idCol, meta.k))
         .withColumnRenamed(idCol, "__fid").persist())
-    val shB = CacheScope.register(
-      shingles(batch, idCol, textCol, meta.shingleN,
-          repartitionById = false)
+    val shB = CacheScope.register(sh
         .select(col(idCol).as("__fid"), xxhash64(col("shingle")).as("__sh"))
         .distinct().persist())
     // one bucket collect + one bands/ listing per batch, shared by the
@@ -1526,8 +1576,13 @@ object Dedup {
         .distinct() // crash-window duplicate rows leave the layout here
       CompactSwap.compactRelation(live, fs, root, bucketCol, Nil)
     }
-    compactRelation(LshBandsDir, LshBandBucketCol)
-    compactRelation(LshShinglesDir, LshRidBucketCol)
+    // the two relations are independent (separate roots, separate
+    // staging/marker files; both only READ the shared tombstone dir,
+    // deleted strictly after both swaps) — overlap their read + stage +
+    // swap jobs (guide §2.6)
+    concurrently(
+      () => compactRelation(LshBandsDir, LshBandBucketCol),
+      () => compactRelation(LshShinglesDir, LshRidBucketCol))
     // both relations are survivor-only now; the tombstones are applied
     // and disappear (same end state as TextSearch.compactIndex)
     val tPath = new org.apache.hadoop.fs.Path(indexPath, LshTombstoneDir)
@@ -2222,6 +2277,26 @@ object Dedup {
     * when AQE is on, shuffle.partitions otherwise — the candidateWidth
     * contract, ADVICE r12), so at ×100 it grows with the input instead
     * of freezing at a local core count. */
+  /** DATA-SIZED width for an iterative loop's cached relation. The
+    * cached relation's partition count sets the width of every
+    * per-round join/partial-aggregate stage downstream of it (those
+    * stages scan the cache; AQE cannot re-split a cached relation), so
+    * the width must track the DATA, not a fixed knob: the session's
+    * full width over-tasks a fixture-sized graph (measured +20% per
+    * graph query at sf0.1 — the ~250 ms-per-action scheduler/codegen
+    * floor times 3-5 stages per round), while AQE's bytes-coalesced
+    * width (1-3 partitions) serializes the per-round join CPU at ×10
+    * scale (measured: PageRank 35.4 → 28.9 s, PPR 29.4 → 21.8 s at
+    * sf1b from pinning width alone). Static optimizer stats of the
+    * input (scan-derived, no extra job) at ~4 MB per partition,
+    * clamped to [1, sessionWidth] — the Tables.withBenchShuffle sizing
+    * rule applied per relation. */
+  private[operators] def dataWidth(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = BigInt(sessionWidth(df.sparkSession))
+    (bytes / (4L << 20)).min(cap).max(1).toInt
+  }
+
   private[operators] def sessionWidth(spark: SparkSession): Int = {
     val conf = spark.conf
     // initialPartitionNum only *means* anything when AQE is on (it is

@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private def dataWidth(df: DataFrame): Int = Dedup.dataWidth(df)
+
   /** PageRank over a directed edge relation, fixed iteration count.
     *
     * Simplified (no dangling-mass redistribution): rᵢ₊₁(v) =
@@ -326,7 +328,8 @@ object Graph {
     // reshuffles only the node-sized rank state — the edge side (the
     // big one) never transits a shuffle again (see pageRank)
     val ew = CacheScope.register(
-      e.repartition(col("src")).join(outdeg, "src").persist(
+      e.repartition(dataWidth(e), col("src"))
+        .join(outdeg, "src").persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = CacheScope.register(
       e.select(col("src").as("node"))
@@ -394,7 +397,14 @@ object Graph {
     // a shuffle again. outdeg is derived from the same partitioning,
     // so the degree join itself is exchange-free too.
     val ew = CacheScope.register(
-      e.repartition(col("src"))
+      // explicit data-sized width: AQE coalesces a keyed
+      // repartition(col) by its compressed bytes, so the cached relation
+      // came back hashpartitioning(src, 1-3) at ×10 scale and every
+      // per-round join/partial-agg stage — which scans this cache and
+      // cannot be re-split by AQE — ran its CPU on 1-3 cores (measured:
+      // 35.4 → 28.9 s at sf1b from sizing the width; see dataWidth for
+      // the fixture-scale side of the trade)
+      e.repartition(dataWidth(e), col("src"))
         .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = CacheScope.register(
