@@ -3108,33 +3108,45 @@ object SparkEntry {
         .select(col("doc_id"), explode(split(lower(col("text")), " "))
           .as("token"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    operators.Sketches.saveCounters(operators.Sketches.countMinCounters(
-      toks.filter(col("doc_id") % 2 === 0), col("token"), 4, 512),
-      base + "_cms")
-    operators.Sketches.appendCounters(operators.Sketches.countMinCounters(
-      toks.filter(col("doc_id") % 2 =!= 0), col("token"), 4, 512),
-      base + "_cms")
+    // the three sketch families (cms / hist / hll) read different base
+    // tables and write different directories — build AND audit each on
+    // its own driver thread (guide §2.6 job overlap; Par scaladoc), the
+    // frames union afterwards. Same jobs, same values, overlapped wall.
     val li = t(s, dir, "lineitem")
-    operators.Sketches.saveHistogram(operators.Sketches.histogramCounts(
-      li.filter(col("l_orderkey") % 2 === 0), col("l_extendedprice"),
-      0.0, 120000.0, 256), base + "_hist")
-    operators.Sketches.appendHistogram(operators.Sketches.histogramCounts(
-      li.filter(col("l_orderkey") % 2 =!= 0), col("l_extendedprice"),
-      0.0, 120000.0, 256), base + "_hist")
     val ev = Tables.events(s, dir)
-    operators.Sketches.saveHll(operators.Sketches.hllRegisters(
-      ev.filter(col("event_id") % 2 === 0), col("user_id"), 256,
-      Seq("event_type")), base + "_hll")
-    operators.Sketches.appendHll(operators.Sketches.hllRegisters(
-      ev.filter(col("event_id") % 2 =!= 0), col("user_id"), 256,
-      Seq("event_type")), base + "_hll")
-    operators.Sketches.fsckCounters(s, base + "_cms", 4, 512)
-      .withColumn("family", lit("cms"))
-      .unionByName(operators.Sketches.fsckHistogram(s, base + "_hist", 256)
-        .withColumn("family", lit("hist")))
-      .unionByName(operators.Sketches.fsckHll(s, base + "_hll", 256,
-          Seq("event_type"))
-        .withColumn("family", lit("hll")))
+    val Seq(cms, hist, hll) = operators.Par.all(
+      () => {
+        operators.Sketches.saveCounters(operators.Sketches.countMinCounters(
+          toks.filter(col("doc_id") % 2 === 0), col("token"), 4, 512),
+          base + "_cms")
+        operators.Sketches.appendCounters(operators.Sketches.countMinCounters(
+          toks.filter(col("doc_id") % 2 =!= 0), col("token"), 4, 512),
+          base + "_cms")
+        operators.Sketches.fsckCounters(s, base + "_cms", 4, 512)
+          .withColumn("family", lit("cms"))
+      },
+      () => {
+        operators.Sketches.saveHistogram(operators.Sketches.histogramCounts(
+          li.filter(col("l_orderkey") % 2 === 0), col("l_extendedprice"),
+          0.0, 120000.0, 256), base + "_hist")
+        operators.Sketches.appendHistogram(operators.Sketches.histogramCounts(
+          li.filter(col("l_orderkey") % 2 =!= 0), col("l_extendedprice"),
+          0.0, 120000.0, 256), base + "_hist")
+        operators.Sketches.fsckHistogram(s, base + "_hist", 256)
+          .withColumn("family", lit("hist"))
+      },
+      () => {
+        operators.Sketches.saveHll(operators.Sketches.hllRegisters(
+          ev.filter(col("event_id") % 2 === 0), col("user_id"), 256,
+          Seq("event_type")), base + "_hll")
+        operators.Sketches.appendHll(operators.Sketches.hllRegisters(
+          ev.filter(col("event_id") % 2 =!= 0), col("user_id"), 256,
+          Seq("event_type")), base + "_hll")
+        operators.Sketches.fsckHll(s, base + "_hll", 256,
+            Seq("event_type"))
+          .withColumn("family", lit("hll"))
+      })
+    cms.unionByName(hist).unionByName(hll)
       .select(col("family"), col("chk"), col("ok"), col("detail"))
       .orderBy(col("family"), col("chk"))
   }
@@ -3152,20 +3164,29 @@ object SparkEntry {
     val base = s"${sys.props("java.io.tmpdir")}/graft_fsck_mdl_" +
       java.lang.Integer.toHexString(dir.hashCode)
     val docs = t(s, dir, "documents")
-    operators.TextAnalysis.saveLm(operators.TextAnalysis.lmCounts(
-      docs.filter(col("doc_id") % 2 === 0), "text"), base + "_lm")
-    operators.TextAnalysis.appendLm(operators.TextAnalysis.lmCounts(
-      docs.filter(col("doc_id") % 2 =!= 0), "text"), base + "_lm")
-    operators.TextAnalysis.buildEvalIndex(
-      docs.filter(col("doc_id") % 14 === 0), "doc_id", "text", 8,
-      base + "_eval")
-    operators.TextAnalysis.appendEvalIndex(
-      docs.filter(col("doc_id") % 14 === 7), "doc_id", "text", 8,
-      base + "_eval")
-    operators.TextAnalysis.fsckLm(s, base + "_lm")
-      .withColumn("family", lit("lm"))
-      .unionByName(operators.TextAnalysis.fsckEvalIndex(s, base + "_eval")
-        .withColumn("family", lit("evalidx")))
+    // the two model-artifact families (lm / evalidx) write different
+    // directories — build and audit each on its own driver thread
+    // (guide §2.6 job overlap; Par scaladoc)
+    val Seq(lm, evalidx) = operators.Par.all(
+      () => {
+        operators.TextAnalysis.saveLm(operators.TextAnalysis.lmCounts(
+          docs.filter(col("doc_id") % 2 === 0), "text"), base + "_lm")
+        operators.TextAnalysis.appendLm(operators.TextAnalysis.lmCounts(
+          docs.filter(col("doc_id") % 2 =!= 0), "text"), base + "_lm")
+        operators.TextAnalysis.fsckLm(s, base + "_lm")
+          .withColumn("family", lit("lm"))
+      },
+      () => {
+        operators.TextAnalysis.buildEvalIndex(
+          docs.filter(col("doc_id") % 14 === 0), "doc_id", "text", 8,
+          base + "_eval")
+        operators.TextAnalysis.appendEvalIndex(
+          docs.filter(col("doc_id") % 14 === 7), "doc_id", "text", 8,
+          base + "_eval")
+        operators.TextAnalysis.fsckEvalIndex(s, base + "_eval")
+          .withColumn("family", lit("evalidx"))
+      })
+    lm.unionByName(evalidx)
       .select(col("family"), col("chk"), col("ok"), col("detail"))
       .orderBy(col("family"), col("chk"))
   }
@@ -3186,21 +3207,31 @@ object SparkEntry {
       operators.Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
         .persist())
-    operators.Dedup.saveComponents(
-      pairs.filter((col("a") + col("b")) % 2 === 0), base + "_cc")
-    // the update folds in the second batch; persist it as the NEW
-    // snapshot (never in-place over the relation it was derived from)
-    operators.Dedup.updateComponents(s, base + "_cc",
-        pairs.filter((col("a") + col("b")) % 2 =!= 0))
-      .write.mode("overwrite").parquet(base + "_cc2")
-    operators.Sampling.writeShards(
-      operators.Sampling.packSequences(t(s, dir, "documents"), "doc_id",
-        size(split(col("text"), " ")), budget = 2048, nShards = 4),
-      "doc_id", base + "_sh")
-    operators.Dedup.fsckComponents(s, base + "_cc2")
-      .withColumn("family", lit("components"))
-      .unionByName(operators.Sampling.fsckShards(s, base + "_sh")
-        .withColumn("family", lit("shards")))
+    // the component chain (save → update → snapshot → audit) and the
+    // shard chain (pack → write → audit) share nothing but the driver —
+    // overlap them (guide §2.6 job overlap; Par scaladoc). `pairs` is
+    // persisted + registered on the calling thread above.
+    val Seq(components, shards) = operators.Par.all(
+      () => {
+        operators.Dedup.saveComponents(
+          pairs.filter((col("a") + col("b")) % 2 === 0), base + "_cc")
+        // the update folds in the second batch; persist it as the NEW
+        // snapshot (never in-place over the relation it was derived from)
+        operators.Dedup.updateComponents(s, base + "_cc",
+            pairs.filter((col("a") + col("b")) % 2 =!= 0))
+          .write.mode("overwrite").parquet(base + "_cc2")
+        operators.Dedup.fsckComponents(s, base + "_cc2")
+          .withColumn("family", lit("components"))
+      },
+      () => {
+        operators.Sampling.writeShards(
+          operators.Sampling.packSequences(t(s, dir, "documents"), "doc_id",
+            size(split(col("text"), " ")), budget = 2048, nShards = 4),
+          "doc_id", base + "_sh")
+        operators.Sampling.fsckShards(s, base + "_sh")
+          .withColumn("family", lit("shards"))
+      })
+    components.unionByName(shards)
       .select(col("family"), col("chk"), col("ok"), col("detail"))
       .orderBy(col("family"), col("chk"))
   }

@@ -41,6 +41,16 @@ object CorpusPipeline {
     // corpus comes back persisted and materialized, the operator-internal
     // intermediates (CacheScope) are unpersisted, the caller owns the
     // corpus's unpersist().
+    //
+    // Fault-tolerance contract (ADVICE r17): dedupStages cuts lineage
+    // with localCheckpoint, so after scoped.release() the returned
+    // persisted corpus can no longer be RECOMPUTED on cached-block loss
+    // — an executor death invalidates it and the caller re-runs
+    // prepare(). Accepted deliberately: the alternative (keeping the
+    // full dedup lineage alive) made Catalyst re-analysis dominate wall
+    // time (the r17 dedupStages finding), and a lost executor
+    // mid-pipeline already forfeits the checkpoint blocks the lineage
+    // would replay from.
     val (corpus, scoped) = CacheScope.collect {
       Sampling.trainValTest(
         dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
@@ -81,10 +91,13 @@ object CorpusPipeline {
       // MinHash -> Jaccard) is read by the survivors join, the final
       // anti-join, AND the semantic stage's driver actions (centroid
       // count/sample) — unpersisted it would recompute 4-5 times. Same
-      // convention as every multiply-read dedup intermediate. (persist,
-      // not prepareTraining's localCheckpoint lineage cut: this method
-      // contractually leaves ZERO cached blocks behind — spec-pinned —
-      // and checkpoint blocks outlive the scope until GC.)
+      // convention as every multiply-read dedup intermediate. NOTE
+      // (ADVICE r17): dedupStages itself ALSO cuts lineage at its
+      // exact-dedup stage (localCheckpoint), so like prepare() this
+      // method's returned corpus is not recomputable after
+      // scoped.release() drops those blocks — see prepare()'s
+      // fault-tolerance note; the zero-cached-blocks contract below
+      // refers to SQL-cache entries, which this method still honors.
       val deduped = CacheScope.register(
         dedupStages(docs, idCol, textCol, minTokens, maxPunctRatio,
           minhashK, minJaccard, collapseComponents).persist())

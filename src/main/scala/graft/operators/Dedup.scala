@@ -1017,18 +1017,9 @@ object Dedup {
   }
 
   /** Run two independent driver actions on concurrent threads and wait
-    * for both (guide §2.6 overlap). Failures propagate after BOTH
-    * complete — never leaves a write running past the call. */
+    * for both (guide §2.6 overlap — see [[Par]]). */
   private def concurrently(a: () => Unit, b: () => Unit): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(a())
-    val fb = Future(b())
-    // await both even when the first fails, then surface the failure
-    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
-    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
-    ra.get; rb.get
+    Par.all(a, b); ()
   }
 
   /** [[minhashAgainst]] served from a SAVED reference index: same
@@ -1466,8 +1457,22 @@ object Dedup {
         val liveBands = if (!fs.exists(tPath)) bands
           else bands.join(spark.read.parquet(tPath.toString),
             Seq("__rid"), "left_anti")
-        val nBandRows = bands.count()
-        out += (("rows_nonempty", nBandRows > 0, nBandRows))
+        // ONE pass per relation for the row/bucket checks: per-bucket
+        // count + bucket-rehash mismatch come out of a single grouped
+        // aggregate each (the same scan previously paid once per
+        // check), and the independent audit chains below overlap on
+        // driver threads (guide §1.5/§2.4 consolidation + §2.6
+        // overlap; values identical check by check).
+        def bucketAudit(rel: DataFrame, bucketCol: String,
+                        rehash: Column): (Long, Long, Map[String, Long]) = {
+          val rows = rel.groupBy(col(bucketCol))
+            .agg(count(lit(1)).as("__n"),
+              sum(when(col(bucketCol) =!= rehash, 1L).otherwise(0L))
+                .as("__mis"))
+            .collect()
+          (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+            rows.map(r => r.get(0).toString -> r.getLong(1)).toMap)
+        }
         // three actions read the per-doc aggregate — persist it once
         // instead of re-aggregating the bands relation per action
         val perDoc = CacheScope.register(liveBands
@@ -1475,14 +1480,41 @@ object Dedup {
           .agg(countDistinct(col("band_idx")).as("__nb"),
             max(col("band_idx")).as("__mx"))
           .persist())
-        val bad = perDoc
-          .filter(col("__nb") =!= nBands || col("__mx") >= nBands)
-          .count()
-        out += (("bands_complete", bad == 0L, nBands.toLong))
         val liveDocs = perDoc.select(col("__rid"))
-        val unshingled = liveDocs
-          .join(shingleIds, Seq("__rid"), "left_anti").count()
-        out += (("shingles_present", unshingled == 0L, liveDocs.count()))
+        val liveShingleIds = if (!fs.exists(tPath)) shingleIds
+          else shingleIds.join(spark.read.parquet(tPath.toString),
+            Seq("__rid"), "left_anti")
+        val Seq(bandSide, shingleSide, docSide, orphanSide) = Par.all[Any](
+          () => bucketAudit(bands, LshBandBucketCol,
+            pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int")),
+          () => bucketAudit(shingleRel, LshRidBucketCol,
+            pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int")),
+          () => {
+            val pd = perDoc.agg(count(lit(1)).as("__docs"),
+              coalesce(sum(when(col("__nb") =!= nBands ||
+                  col("__mx") >= nBands, 1L).otherwise(0L)), lit(0L))
+                .as("__bad")).head()
+            val unshingled = liveDocs
+              .join(shingleIds, Seq("__rid"), "left_anti").count()
+            val unbanded = liveShingleIds
+              .join(liveDocs, Seq("__rid"), "left_anti").count()
+            (pd.getLong(0), pd.getLong(1), unshingled, unbanded)
+          },
+          () => if (!fs.exists(tPath)) 0L
+            else spark.read.parquet(tPath.toString)
+              .join(bands.select(col("__rid")).distinct(),
+                Seq("__rid"), "left_anti").count())
+        val (nBandRows, bandMis, bandRows) =
+          bandSide.asInstanceOf[(Long, Long, Map[String, Long])]
+        val (shRowsTotal, shMis, shRows) =
+          shingleSide.asInstanceOf[(Long, Long, Map[String, Long])]
+        val _ = shRowsTotal
+        val (nLiveDocs, bad, unshingled, unbanded) =
+          docSide.asInstanceOf[(Long, Long, Long, Long)]
+        val orphans = orphanSide.asInstanceOf[Long]
+        out += (("rows_nonempty", nBandRows > 0, nBandRows))
+        out += (("bands_complete", bad == 0L, nBands.toLong))
+        out += (("shingles_present", unshingled == 0L, nLiveDocs))
         // the reverse direction: shingled docs with NO band row at all.
         // Nonzero is either the legal crash residue of the
         // shingles-then-bands commit order (a replayed ingest repairs
@@ -1492,32 +1524,12 @@ object Dedup {
         // the signal; bands_complete alone cannot see a doc whose band
         // rows ALL vanished, because it derives its doc set from the
         // bands relation itself.
-        val liveShingleIds = if (!fs.exists(tPath)) shingleIds
-          else shingleIds.join(spark.read.parquet(tPath.toString),
-            Seq("__rid"), "left_anti")
-        val unbanded = liveShingleIds
-          .join(liveDocs, Seq("__rid"), "left_anti").count()
         out += (("unbanded_shingle_docs", true, unbanded))
-        val bandMis = bands.filter(col(LshBandBucketCol) =!=
-          pmod(xxhash64(col("band_val")), lit(meta.nBuckets)).cast("int"))
-          .count()
         out += (("band_bucket_consistent", bandMis == 0L,
           meta.nBuckets.toLong))
-        val shMis = shingleRel
-          .filter(col(LshRidBucketCol) =!=
-            pmod(xxhash64(col("__rid")), lit(meta.nBuckets)).cast("int"))
-          .count()
         out += (("shingle_bucket_consistent", shMis == 0L,
           meta.nBuckets.toLong))
-        val orphans = if (!fs.exists(tPath)) 0L
-          else spark.read.parquet(tPath.toString)
-            .join(bands.select(col("__rid")).distinct(),
-              Seq("__rid"), "left_anti").count()
         out += (("orphan_tombstones", true, orphans))
-        val bandRows = bands.groupBy(col(LshBandBucketCol)).count()
-          .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-        val shRows = shingleRel.groupBy(col(LshRidBucketCol)).count()
-          .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
         val eras = math.max(
           WriteGeometry.writeEras(fs, new org.apache.hadoop.fs.Path(
             s"$indexPath/$LshBandsDir"), LshBandBucketCol, bandRows),

@@ -34,12 +34,18 @@ object Graph {
     *
     * Deep iteration counts: the rank relation's lineage is CUT every
     * round on the in-memory path (a LAZY localCheckpoint — truncates
-    * the logical plan to a leaf with no extra job), or every
-    * `checkpointEvery` rounds through `checkpointDir` (parquet
-    * round-trip under dir/pr-<uuid>/round_N, replayable from files
-    * after executor loss; caller deletes the dir once consumed —
+    * the logical plan to a leaf with no additional pass; under AQE the
+    * round's shuffle stages materialize at the cut rather than at the
+    * caller's action, and `checkpointEvery` does NOT apply — ADVICE
+    * r17), or every `checkpointEvery` rounds through `checkpointDir`
+    * (parquet round-trip under dir/pr-<uuid>/round_N, replayable from
+    * files after executor loss; caller deletes the dir once consumed —
     * exactly Dedup.connectedComponents' cadence; each cut there is an
-    * eager write job, hence the cadence). Without the cut the plan
+    * eager write job, hence the cadence). The in-memory path retains
+    * one node-sized checkpoint block set PER ROUND (MEMORY_AND_DISK,
+    * freed at scope release / bench sweep / ContextCleaner GC) —
+    * deep-iteration deployments that cannot afford that retention
+    * should pass `checkpointDir`. Without the cut the plan
     * nests one join+aggregate per round and every action-side
     * CacheManager canonicalization / AQE re-optimization / listener
     * plan-string walks the whole tower — quadratic driver work that
@@ -129,15 +135,28 @@ object Graph {
     * semi-joins of the (shrinking) edge relation against the
     * (node-sized) survivor set. State never exceeds one long per node;
     * the edge relation's lineage is cut every round exactly as
-    * [[pageRank]]'s in-memory path (lazy, free — `checkpointEvery` is
-    * retained for source compatibility but the cut no longer waits
-    * for it).
+    * [[pageRank]]'s in-memory path.
+    *
+    * `checkpointEvery` applies ONLY with `checkpointDir` (the
+    * [[pageRank]] contract, ADVICE r17): the in-memory path cuts every
+    * round (each cut is plan truncation, not an extra pass), while the
+    * parquet path pays an eager write job per cut and so keeps the
+    * caller's cadence. Pass `checkpointDir` on reliable storage when a
+    * cluster deployment needs the rounds REPLAYABLE after executor
+    * loss — localCheckpoint blocks die with their executor; the
+    * parquet round files outlive the call and the caller deletes the
+    * dir once the result is consumed.
     *
     * @return (node, deg) for surviving nodes — their degree within the
     *         surviving subgraph */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+            rounds: Int, checkpointEvery: Int = 5,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val ckptBase = checkpointDir.map(d =>
+      s"$d/kcore-${java.util.UUID.randomUUID()}")
+    var ckptN = 0
     val s = col(srcCol).cast("string")
     val d = col(dstCol).cast("string")
     // both directions at rest: degree = out-degree of the doubled form
@@ -159,18 +178,26 @@ object Graph {
       val next = e.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-      // Lineage cut EVERY round, not every checkpointEvery (kept for
-      // source compat): a lazy localCheckpoint truncates the LOGICAL
-      // plan to a leaf immediately (no extra job — materialization
-      // still happens on the consuming action) and doubles as the
-      // round's storage, so the old per-round persist is redundant.
-      // Without the cut, rounds nest: every action-side CacheManager
-      // canonicalization, AQE re-optimization, and listener plan-string
-      // walks the whole tower — measured 6.6 s of driver time vs 2.8 s
-      // of jobs on q130 (5 rounds), the checkpointEvery=5 gate never
-      // firing because `i < rounds` excluded the last round too.
-      e = CacheScope.registerCheckpoint(
-        next.localCheckpoint(eager = false))
+      // In-memory path: lineage cut EVERY round. A lazy localCheckpoint
+      // truncates the LOGICAL plan to a leaf immediately (no additional
+      // pass beyond the round's own work; under AQE the round's shuffle
+      // stages materialize at the cut rather than at the caller's
+      // action — ADVICE r17). Without the cut, rounds nest: every
+      // action-side CacheManager canonicalization, AQE re-optimization,
+      // and listener plan-string walks the whole tower — measured 6.6 s
+      // of driver time vs 2.8 s of jobs on q130 (5 rounds). The parquet
+      // path (checkpointDir) pays an eager write job per cut, so it
+      // keeps the caller's checkpointEvery cadence — the pageRank
+      // contract.
+      e = ckptBase match {
+        case Some(dir) if i % checkpointEvery == 0 && i < rounds =>
+          val p = s"$dir/round_$ckptN"; ckptN += 1
+          next.write.parquet(p)
+          next.sparkSession.read.parquet(p)
+        case Some(_) => next
+        case None => CacheScope.registerCheckpoint(
+          next.localCheckpoint(eager = false))
+      }
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -356,7 +383,9 @@ object Graph {
         .select(col("node"),
           round(p0tele + lit(damping) * col("__in"), roundTo).as("rank"))
         .union(zeroIn)
-      // every round, not every 5: lazy cut, no extra job (see pageRank)
+      // every round, not every 5: lazy cut — no additional pass; under
+      // AQE the round's shuffle stages materialize at the cut (see
+      // pageRank)
       if (i < iters)
         ranks = CacheScope.registerCheckpoint(ranks.localCheckpoint(false))
     }
@@ -438,7 +467,9 @@ object Graph {
         .union(zeroIn)
       // Lineage cut every round when no checkpointDir is given: a LAZY
       // localCheckpoint truncates the logical plan to a leaf with no
-      // extra job, so the per-round CacheManager canonicalization, AQE
+      // additional pass (under AQE the round's shuffle stages
+      // materialize at the cut — ADVICE r17), so the per-round
+      // CacheManager canonicalization, AQE
       // re-optimization, and listener plan-string costs stay constant
       // instead of growing with the round tower (the q130 kCore
       // lesson — driver tree work dominated jobs ~2:1 at bench scale).
