@@ -20,6 +20,13 @@ object Bench {
         .config("spark.ui.enabled", "false"), cpus.toInt, sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scaling-probe observability (r17 verdict #2): prove the session
+    // actually saw $SPARK_GRAFT_CPUS — defaultParallelism is derived
+    // from the master string, so a probe comparing core counts can
+    // verify the knob was live from this line alone
+    System.err.println(s"[bench] cpus=$cpus " +
+      s"defaultParallelism=${spark.sparkContext.defaultParallelism} " +
+      s"master=${spark.sparkContext.master}")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val warmDir = "/root/testdata/sf0.001"
     // Queries that persist intermediates (the dedup family) never unpersist
